@@ -1,0 +1,55 @@
+"""Analyzer chains (the reference's Analyzer/TokenFilter composition).
+
+``standard_analyzer`` = StandardTokenizer -> LowerCaseFilter -> (no stop
+words), matching the reference default (StandardAnalyzer.java:81-88; the
+default stop set is CharArraySet.EMPTY_SET, StandardAnalyzer.java:51-53).
+
+Filters are plain callables over (tokens, positions) so custom chains can be
+composed config-style (the reference's Analyzer.createComponents extension
+surface, SURVEY.md §2.15).
+"""
+
+from __future__ import annotations
+
+from .lowercase import java_lower
+from .tokenizer import MAX_TOKEN_LENGTH, standard_tokenize
+
+
+def standard_analyzer(text: str, stopwords: frozenset[str] | None = None,
+                      max_token_length: int = MAX_TOKEN_LENGTH):
+    """Returns (terms, positions) for one document field."""
+    tokens, positions = standard_tokenize(text, max_token_length)
+    terms = [java_lower(t) for t in tokens]
+    if stopwords:
+        # StopFilter keeps position holes (FilteringTokenFilter.java:48-57)
+        kept = [(t, p) for t, p in zip(terms, positions) if t not in stopwords]
+        terms = [t for t, _ in kept]
+        positions = [p for _, p in kept]
+    return terms, positions
+
+
+def tokenize_batch(texts, stopwords: frozenset[str] | None = None):
+    """Analyze a batch of strings -> list of (terms, positions) pairs."""
+    return [standard_analyzer(t or "", stopwords) for t in texts]
+
+
+# --- extension filters (SURVEY.md §2.2 token filter library, subset) -------
+
+def shingle_filter(terms: list[str], n: int = 2, sep: str = " ") -> list[str]:
+    """ShingleFilter: word n-grams over the token stream."""
+    return [sep.join(terms[i:i + n]) for i in range(len(terms) - n + 1)]
+
+
+def ngram_filter(term: str, min_n: int = 3, max_n: int = 3) -> list[str]:
+    """NGramTokenFilter: character n-grams of one token."""
+    out = []
+    for n in range(min_n, max_n + 1):
+        out.extend(term[i:i + n] for i in range(len(term) - n + 1))
+    return out
+
+
+def ascii_fold(term: str) -> str:
+    """ASCIIFoldingFilter (approximation): NFKD-strip combining marks."""
+    import unicodedata
+    d = unicodedata.normalize("NFKD", term)
+    return "".join(c for c in d if not unicodedata.combining(c))
