@@ -1,0 +1,501 @@
+"""Ray-Data-native inverted index build (the reference's IndexWriter role).
+
+Pipeline shape (SURVEY.md §3.1 / §7.2, re-expressed Ray-Data-first):
+
+  stage A  read_parquet(corpus chunk) -> map_batches(TokenizeExplode)
+           -> write_parquet(index_dir/stage1/part=<chunk>/, hive by kind)
+           One task == one DWPT flush: tokenize (StandardAnalyzer chain),
+           per-batch postings aggregation, norm bytes (SmallFloat intToByte4).
+           Emits postings rows per (term, doc-shard) with list payloads, plus
+           doc rows (doc_id, doclen, norm). Stage-1 parquet is the
+           checkpointed "segment" layer — the per-partition lineage unit.
+
+  stage B  read stage1 postings -> groupby(shard, bucket) -> map_groups(encode)
+           -> write_parquet(index_dir/postings, partitioned by shard)
+           The wide shuffle (the reference's SegmentMerger/TieredMergePolicy
+           role): bucket = hash(term) % num_buckets spreads the term space;
+           head terms (detected by a sampling pre-pass) are salted with a
+           doc-range subkey so no single group holds a full Zipf-head posting
+           list — the explicit skew handling the merge needs at 10^12 docs.
+
+  stage C  read stage1 docs -> explode -> write_parquet(index_dir/docs,
+           partitioned by shard); tiny aggregate -> collection stats.
+
+  commit   manifest.json written last (the reference's segments_N two-phase
+           commit pattern, index/SegmentInfos.java:57-67): a build is visible
+           iff its manifest generation exists. Resume skips completed stage-1
+           chunks recorded in the manifest's lineage.
+
+Sharding is doc-partitioned (shard = doc_id % num_shards), mirroring
+Lucene/Solr's doc-partitioned segments; this is itself the first line of
+head-term skew mitigation — the postings of "the" split across all shards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import Counter
+from dataclasses import dataclass, field, asdict
+from zlib import crc32
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..analysis import standard_analyzer
+from ..util.smallfloat import int_to_byte4_vec
+from .postings import POSTINGS_SCHEMA, encode_postings_group
+
+STAGE1_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = postings row, 1 = docs row
+        ("shard", pa.int32()),
+        ("bucket", pa.int32()),
+        ("term", pa.large_string()),
+        ("docs", pa.large_list(pa.int64())),
+        ("freqs", pa.large_list(pa.int32())),   # doc rows: doclen
+        ("norms", pa.large_list(pa.int32())),   # norm byte per doc
+        ("positions", pa.large_list(pa.int32())),
+    ]
+)
+
+
+def term_bucket(terms: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Stable term -> bucket hash (crc32; deterministic across processes)."""
+    return np.array(
+        [crc32(t.encode("utf-8")) % num_buckets for t in terms], dtype=np.int32
+    )
+
+
+@dataclass
+class IndexBuildConfig:
+    num_shards: int = 4
+    num_buckets: int = 16          # merge-shuffle groups per shard
+    store_positions: bool = True
+    batch_size: int = 512          # docs per tokenize batch
+    stopwords: tuple = ()
+    # head-term skew handling: terms whose sampled token share exceeds
+    # head_df_ratio are salted into doc-range sub-buckets of head_sub_span ids
+    head_df_ratio: float = 0.005
+    head_sample_docs: int = 2000
+    head_sub_span: int = 1 << 20
+    files_per_chunk: int = 64      # stage-A chunk = lineage/resume unit
+    tokenize_concurrency: int | None = None
+
+    def fingerprint(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True, default=list)
+
+
+class TokenizeExplode:
+    """Stateful map_batches stage: analyzer chain + per-batch postings build.
+
+    All cross-token work is vectorized (pandas factorize + numpy lexsort /
+    reduceat); the only per-row Python is the tokenizer regex itself.
+    """
+
+    def __init__(self, key_col: str, text_col: str, cfg: dict, head_terms: list[str]):
+        self.key_col = key_col
+        self.text_col = text_col
+        self.cfg = cfg
+        self.stop = frozenset(cfg["stopwords"]) if cfg["stopwords"] else None
+        self.head = frozenset(head_terms)
+        self.num_shards = cfg["num_shards"]
+        self.num_buckets = cfg["num_buckets"]
+        self.sub_span = cfg["head_sub_span"]
+        self.store_positions = cfg["store_positions"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[self.text_col].to_pylist()
+
+        flat_terms: list[str] = []
+        doc_rep: list[int] = []
+        pos_chunks: list[list[int]] = []
+        doclens = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            terms, positions = standard_analyzer(text or "", self.stop)
+            flat_terms.extend(terms)
+            doc_rep.append(len(terms))
+            pos_chunks.append(positions)
+            doclens[i] = len(terms)
+
+        norm_bytes = int_to_byte4_vec(doclens)
+
+        n_tok = len(flat_terms)
+        parts: list[pa.Table] = []
+        if n_tok:
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), doclens)
+            codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
+            flat_pos = np.fromiter(
+                (p for ch in pos_chunks for p in ch), dtype=np.int32, count=n_tok
+            )
+            # sort tokens by term (stable keeps doc asc, position asc inside)
+            order = np.argsort(codes, kind="stable")
+            s_codes = codes[order]
+            s_doc = doc_idx[order]
+            s_pos = flat_pos[order]
+            # run-length per (term, doc)
+            new_run = np.empty(n_tok, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = (s_codes[1:] != s_codes[:-1]) | (s_doc[1:] != s_doc[:-1])
+            starts = np.flatnonzero(new_run)
+            td_code = s_codes[starts]
+            td_docidx = s_doc[starts]
+            td_freq = np.diff(np.append(starts, n_tok)).astype(np.int32)
+            td_doc = keys[td_docidx]
+            td_norm = norm_bytes[td_docidx].astype(np.int32)
+            td_shard = (td_doc % self.num_shards).astype(np.int32)
+
+            # bucket: hash(term) salted with doc-range subkey for head terms
+            uniq_list = uniques.tolist()
+            base_bucket = term_bucket(uniques, self.num_buckets)
+            td_bucket = base_bucket[td_code]
+            if self.head:
+                is_head = np.array([t in self.head for t in uniq_list], dtype=bool)
+                head_mask = is_head[td_code]
+                if head_mask.any():
+                    sub = (td_doc[head_mask] // self.sub_span).astype(np.int64)
+                    salted = np.array(
+                        [
+                            crc32(f"{uniq_list[c]}\x1f{s}".encode()) % self.num_buckets
+                            for c, s in zip(td_code[head_mask], sub)
+                        ],
+                        dtype=np.int32,
+                    )
+                    td_bucket = td_bucket.copy()
+                    td_bucket[head_mask] = salted
+
+            # second ordering: rows grouped per (term, shard), docs ascending
+            order2 = np.lexsort((td_doc, td_shard, td_code))
+            g_code = td_code[order2]
+            g_shard = td_shard[order2]
+            g_bucket = td_bucket[order2]
+            g_doc = td_doc[order2]
+            g_freq = td_freq[order2]
+            g_norm = td_norm[order2]
+
+            row_break = np.empty(len(g_code), dtype=bool)
+            row_break[0] = True
+            row_break[1:] = (g_code[1:] != g_code[:-1]) | (g_shard[1:] != g_shard[:-1])
+            row_starts = np.flatnonzero(row_break)
+            row_lens = np.diff(np.append(row_starts, len(g_code)))
+            offsets = np.concatenate([[0], np.cumsum(row_lens)]).astype(np.int64)
+
+            docs_col = pa.LargeListArray.from_arrays(offsets, pa.array(g_doc, pa.int64()))
+            freqs_col = pa.LargeListArray.from_arrays(offsets, pa.array(g_freq, pa.int32()))
+            norms_col = pa.LargeListArray.from_arrays(offsets, pa.array(g_norm, pa.int32()))
+
+            if self.store_positions:
+                # gather variable-length position segments into order2 layout
+                seg_starts = starts  # per td row (ordering1), aligned with s_pos
+                seg_lens = td_freq.astype(np.int64)
+                sl2 = seg_lens[order2]
+                ss2 = seg_starts[order2]
+                total = int(sl2.sum())
+                cum = np.concatenate([[0], np.cumsum(sl2)])
+                ranges = np.repeat(ss2 - cum[:-1], sl2) + np.arange(total)
+                pos_flat2 = s_pos[ranges]
+                pos_offsets = cum[np.append(row_starts, len(g_code))]
+                pos_offsets = np.concatenate([[0], pos_offsets[1:]]).astype(np.int64)
+                pos_col = pa.LargeListArray.from_arrays(
+                    pos_offsets, pa.array(pos_flat2, pa.int32())
+                )
+            else:
+                pos_col = pa.array([None] * len(row_starts), pa.large_list(pa.int32()))
+
+            terms_col = pa.array(
+                [uniq_list[c] for c in g_code[row_starts]], pa.large_string()
+            )
+            n_rows = len(row_starts)
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(n_rows, np.int8)),
+                        "shard": pa.array(g_shard[row_starts], pa.int32()),
+                        "bucket": pa.array(g_bucket[row_starts], pa.int32()),
+                        "term": terms_col,
+                        "docs": docs_col,
+                        "freqs": freqs_col,
+                        "norms": norms_col,
+                        "positions": pos_col,
+                    },
+                    schema=STAGE1_SCHEMA,
+                )
+            )
+
+        # doc rows: one per shard present in this batch
+        shard_of_doc = (keys % self.num_shards).astype(np.int32)
+        d_order = np.argsort(shard_of_doc, kind="stable")
+        dk = keys[d_order]
+        dl = doclens[d_order].astype(np.int32)
+        dn = norm_bytes[d_order].astype(np.int32)
+        dsh = shard_of_doc[d_order]
+        brk = np.empty(len(dk), dtype=bool)
+        if len(dk):
+            brk[0] = True
+            brk[1:] = dsh[1:] != dsh[:-1]
+            rs = np.flatnonzero(brk)
+            rl = np.diff(np.append(rs, len(dk)))
+            off = np.concatenate([[0], np.cumsum(rl)]).astype(np.int64)
+            nr = len(rs)
+            parts.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.ones(nr, np.int8)),
+                        "shard": pa.array(dsh[rs], pa.int32()),
+                        "bucket": pa.array(np.zeros(nr, np.int32)),
+                        "term": pa.array([""] * nr, pa.large_string()),
+                        "docs": pa.LargeListArray.from_arrays(off, pa.array(dk, pa.int64())),
+                        "freqs": pa.LargeListArray.from_arrays(off, pa.array(dl, pa.int32())),
+                        "norms": pa.LargeListArray.from_arrays(off, pa.array(dn, pa.int32())),
+                        "positions": pa.array([None] * nr, pa.large_list(pa.int32())),
+                    },
+                    schema=STAGE1_SCHEMA,
+                )
+            )
+        if not parts:
+            return STAGE1_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+
+def encode_merge_group(group: pa.Table) -> pa.Table:
+    """map_groups fn for stage B: k-way merge + encode one (shard, bucket).
+
+    Input rows are per (term, source-chunk) list payloads; docs of one term
+    across rows are disjoint (a doc lives in exactly one source batch), so a
+    single vectorized sort by (term, doc) yields the merged postings.
+    """
+    if group.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    shard = int(group["shard"][0].as_py())
+    row_terms = np.asarray(group["term"].to_pylist(), dtype=object)
+    docs_ch = group["docs"].combine_chunks()
+    row_lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
+    flat_docs = docs_ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_freqs = group["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.int32)
+    flat_norms = group["norms"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.uint8)
+
+    codes, uniques = pd.factorize(row_terms)
+    flat_code = np.repeat(codes, row_lens)
+    # sort postings by (lexical term rank, doc) in one pass; terms are emitted
+    # in unsigned-UTF8 term order (the reference's BytesRef ordering contract)
+    term_order = np.argsort(uniques.astype("U"), kind="stable")
+    rank = np.empty(len(uniques), dtype=np.int64)
+    rank[term_order] = np.arange(len(uniques))
+    order = np.lexsort((flat_docs, rank[flat_code]))
+    s_docs = flat_docs[order]
+    s_freqs = flat_freqs[order]
+    s_norms = flat_norms[order]
+    s_rank = rank[flat_code][order]
+
+    pos_arr = None
+    pos_list = group["positions"].combine_chunks()
+    if pos_list.null_count < len(pos_list):
+        flat_pos = pos_list.values.to_numpy(zero_copy_only=False).astype(np.int32)
+        # positions are per-posting variable segments keyed by freqs
+        seg_lens = flat_freqs.astype(np.int64)
+        seg_starts = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+        sl2 = seg_lens[order]
+        ss2 = seg_starts[order]
+        total = int(sl2.sum())
+        cum = np.concatenate([[0], np.cumsum(sl2)])
+        ranges = np.repeat(ss2 - cum[:-1], sl2) + np.arange(total)
+        pos_arr = flat_pos[ranges]
+
+    new_run = np.empty(len(s_rank), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = s_rank[1:] != s_rank[:-1]
+    run_starts = np.flatnonzero(new_run)
+    terms_sorted = uniques[term_order]
+    # drop term entries with no postings in this group (can't happen today,
+    # but keeps run alignment robust): runs follow rank order by construction
+    present = np.unique(s_rank)
+    terms_sorted = terms_sorted[present]
+
+    return encode_postings_group(
+        np.asarray(terms_sorted, dtype=object),
+        run_starts,
+        s_docs,
+        s_freqs,
+        s_norms,
+        pos_arr,
+        shard,
+    )
+
+
+def docs_explode(batch: pa.Table) -> pa.Table:
+    """Stage C: doc list rows -> one row per document."""
+    docs_ch = batch["docs"].combine_chunks()
+    lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
+    shard = np.repeat(batch["shard"].to_numpy(zero_copy_only=False), lens)
+    return pa.table(
+        {
+            "shard": pa.array(shard, pa.int32()),
+            "doc_id": pa.array(docs_ch.values.to_numpy(zero_copy_only=False), pa.int64()),
+            "doclen": pa.array(
+                batch["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False), pa.int32()
+            ),
+            "norm": pa.array(
+                batch["norms"].combine_chunks().values.to_numpy(zero_copy_only=False), pa.int32()
+            ),
+        }
+    )
+
+
+def detect_head_terms(paths: list[str], text_col: str, cfg: IndexBuildConfig) -> list[str]:
+    """Sampling pre-pass: terms whose token share exceeds head_df_ratio.
+
+    The Zipf head is stable under sampling, so a few thousand docs suffice;
+    the result is broadcast into the tokenize stage for consistent salting.
+    """
+    remaining = cfg.head_sample_docs
+    counts: Counter = Counter()
+    total = 0
+    for p in paths:
+        if remaining <= 0:
+            break
+        pf = pq.ParquetFile(p)
+        for rb in pf.iter_batches(batch_size=min(remaining, 1024), columns=[text_col]):
+            for text in rb.column(0).to_pylist():
+                terms, _ = standard_analyzer(text or "", frozenset(cfg.stopwords) or None)
+                counts.update(terms)
+                total += len(terms)
+            remaining -= rb.num_rows
+            if remaining <= 0:
+                break
+    if not total:
+        return []
+    return [t for t, c in counts.items() if c / total >= cfg.head_df_ratio]
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def load_manifest(index_dir: str) -> dict | None:
+    p = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def build_index(
+    paths: str | list[str],
+    index_dir: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: IndexBuildConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) an index over parquet corpus files. Returns manifest."""
+    cfg = cfg or IndexBuildConfig()
+    if isinstance(paths, str):
+        paths = [paths]
+    paths = sorted(paths)
+    os.makedirs(index_dir, exist_ok=True)
+
+    fp = cfg.fingerprint()
+    manifest = load_manifest(index_dir) if resume else None
+    if manifest and manifest.get("config_fingerprint") != fp:
+        manifest = None
+    if manifest and manifest.get("committed") and manifest.get("sources") == paths:
+        return manifest  # identical committed build — reuse
+
+    t0 = time.time()
+    lineage = dict(manifest["lineage"]) if manifest else {}
+    head_terms = manifest["head_terms"] if manifest else detect_head_terms(paths, text_col, cfg)
+
+    stage1_dir = os.path.join(index_dir, "stage1")
+    chunks = [paths[i:i + cfg.files_per_chunk] for i in range(0, len(paths), cfg.files_per_chunk)]
+    cfg_dict = asdict(cfg)
+    for ci, chunk in enumerate(chunks):
+        chunk_id = f"c{ci:05d}_{crc32('|'.join(chunk).encode()):08x}"
+        if chunk_id in lineage:
+            continue
+        out_dir = os.path.join(stage1_dir, f"part={chunk_id}")
+        ds = ray.data.read_parquet(chunk, columns=[key_col, text_col])
+        # actor pool sized to the cluster: analyzer state (regexes, head-term
+        # set) loads once per actor, work happens per batch
+        import ray as _ray
+
+        concurrency = cfg.tokenize_concurrency or max(
+            2, int(_ray.cluster_resources().get("CPU", 4)) - 1
+        )
+        stage1 = ds.map_batches(
+            TokenizeExplode,
+            fn_constructor_kwargs=dict(
+                key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=concurrency,
+        )
+        tmp_dir = out_dir + ".tmp"
+        stage1.write_parquet(tmp_dir, partition_cols=["kind"])
+        os.replace(tmp_dir, out_dir)
+        lineage[chunk_id] = {"files": chunk, "ts": time.time()}
+        # checkpoint after every chunk: a killed build resumes from here
+        _atomic_write_json(
+            os.path.join(index_dir, "manifest.json"),
+            {
+                "committed": False,
+                "config_fingerprint": fp,
+                "config": cfg_dict,
+                "sources": paths,
+                "head_terms": head_terms,
+                "lineage": lineage,
+            },
+        )
+
+    part_dirs = sorted(
+        os.path.join(stage1_dir, d) for d in os.listdir(stage1_dir)
+        if d.startswith("part=") and not d.endswith(".tmp")
+    )
+    postings_in = [os.path.join(d, "kind=0") for d in part_dirs if os.path.exists(os.path.join(d, "kind=0"))]
+    docs_in = [os.path.join(d, "kind=1") for d in part_dirs if os.path.exists(os.path.join(d, "kind=1"))]
+
+    # stage B: the wide merge shuffle
+    postings_dir = os.path.join(index_dir, "postings")
+    ds = ray.data.read_parquet(postings_in)
+    merged = ds.groupby(["shard", "bucket"]).map_groups(
+        encode_merge_group, batch_format="pyarrow"
+    )
+    merged.write_parquet(postings_dir, partition_cols=["shard"], mode="overwrite")
+
+    # stage C: docs tables + collection stats
+    docs_dir = os.path.join(index_dir, "docs")
+    dds = ray.data.read_parquet(docs_in).map_batches(docs_explode, batch_format="pyarrow")
+    dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")
+
+    from ray.data.aggregate import Count, Sum
+
+    stats_row = (
+        ray.data.read_parquet(docs_dir, columns=["doclen"])
+        .aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
+    )
+    doc_count = int(stats_row["count()"])
+    sum_dl = int(stats_row["sum_dl"])
+
+    manifest = {
+        "committed": True,
+        "generation": int(time.time() * 1000),
+        "config_fingerprint": fp,
+        "config": cfg_dict,
+        "sources": paths,
+        "head_terms": head_terms,
+        "lineage": lineage,
+        "num_shards": cfg.num_shards,
+        "stats": {"doc_count": doc_count, "sum_total_term_freq": sum_dl},
+        "metrics": {"build_sec": time.time() - t0, "docs_per_sec": doc_count / max(1e-9, time.time() - t0)},
+    }
+    _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    return manifest

@@ -1,0 +1,167 @@
+"""Index readers (the reference's IndexReader / LeafReader role).
+
+A ShardReader pins one doc-partitioned shard's term dictionary + postings
+metadata in memory (the reference mmaps .tim/.tip/.doc; we hold the Arrow
+postings table and binary-search the sorted term column — SURVEY.md §2.3:
+term-dict-as-sorted-table is the idiomatic substitution for the FST).
+
+Salted head terms may occupy several rows (disjoint doc sub-ranges, see
+build.py); lookup returns all rows and decode concatenates them in doc order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .postings import decode_posting
+
+
+class ShardReader:
+    def __init__(self, index_dir: str, shard: int):
+        self.shard = shard
+        pdir = os.path.join(index_dir, "postings", f"shard={shard}")
+        ddir = os.path.join(index_dir, "docs", f"shard={shard}")
+        t = pq.read_table(pdir) if os.path.exists(pdir) else None
+        if t is not None and t.num_rows:
+            idx = pa.compute.sort_indices(t, sort_keys=[("term", "ascending")])
+            t = t.take(idx).combine_chunks()
+            self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        else:
+            self.terms = np.zeros(0, dtype=object)
+        self.table = t
+        d = pq.read_table(ddir) if os.path.exists(ddir) else None
+        if d is not None and d.num_rows:
+            order = pa.compute.sort_indices(d["doc_id"])
+            d = d.take(order).combine_chunks()
+            self.doc_ids = d["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            self.doclens = d["doclen"].to_numpy(zero_copy_only=False).astype(np.int32)
+            self.norms = d["norm"].to_numpy(zero_copy_only=False).astype(np.uint8)
+        else:
+            self.doc_ids = np.zeros(0, dtype=np.int64)
+            self.doclens = np.zeros(0, dtype=np.int32)
+            self.norms = np.zeros(0, dtype=np.uint8)
+
+    # --- term dictionary -------------------------------------------------
+    def term_rows(self, term: str) -> list[int]:
+        """Row indices for a term (several when head-salted across buckets)."""
+        lo = np.searchsorted(self.terms, term, side="left")
+        hi = np.searchsorted(self.terms, term, side="right")
+        return list(range(int(lo), int(hi)))
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(df, ttf) of a term within this shard."""
+        rows = self.term_rows(term)
+        if not rows:
+            return 0, 0
+        df = sum(int(self.table["df"][r].as_py()) for r in rows)
+        ttf = sum(int(self.table["ttf"][r].as_py()) for r in rows)
+        return df, ttf
+
+    def postings(self, term: str, with_positions: bool = False):
+        """Decode a term's postings -> (docs, freqs[, positions_flat]).
+
+        Multi-row (salted) terms concatenate in ascending doc order: sub
+        ranges are disjoint, so ordering rows by their first doc suffices.
+        """
+        rows = self.term_rows(term)
+        if not rows:
+            empty = (np.zeros(0, np.int64), np.zeros(0, np.int32))
+            return (*empty, np.zeros(0, np.int32)) if with_positions else empty
+        decoded = []
+        for r in rows:
+            row = {
+                "df": self.table["df"][r].as_py(),
+                "short_bin": self.table["short_bin"][r].as_py(),
+                "docs_bin": self.table["docs_bin"][r].as_py(),
+                "freqs_bin": self.table["freqs_bin"][r].as_py(),
+            }
+            docs, freqs = decode_posting(row)
+            pos = None
+            if with_positions:
+                p = self.table["positions"][r].as_py()
+                pos = np.asarray(p if p is not None else [], dtype=np.int32)
+            decoded.append((docs, freqs, pos))
+        decoded.sort(key=lambda x: int(x[0][0]) if len(x[0]) else -1)
+        docs = np.concatenate([d for d, _, _ in decoded])
+        freqs = np.concatenate([f for _, f, _ in decoded])
+        if with_positions:
+            pos = np.concatenate([p for _, _, p in decoded])
+            return docs, freqs, pos
+        return docs, freqs
+
+    def block_metadata(self, term: str):
+        """Concatenated (block_first_docs, block_max_freq, block_min_norm,
+        block_df) across a term's rows, plus per-row handles for lazy decode."""
+        rows = self.term_rows(term)
+        chunks = []
+        for r in rows:
+            f = self.table["block_first_docs"][r].as_py() or []
+            chunks.append(
+                (
+                    f,
+                    self.table["block_max_freq"][r].as_py() or [],
+                    self.table["block_min_norm"][r].as_py() or [],
+                )
+            )
+        # salted rows hold disjoint doc sub-ranges; order them by first doc so
+        # concatenated block metadata is globally doc-ascending
+        chunks.sort(key=lambda c: c[0][0] if c[0] else -1)
+        firsts = [x for c in chunks for x in c[0]]
+        maxf = [x for c in chunks for x in c[1]]
+        minn = [x for c in chunks for x in c[2]]
+        return (
+            np.asarray(firsts, dtype=np.int64),
+            np.asarray(maxf, dtype=np.int32),
+            np.asarray(minn, dtype=np.int32),
+        )
+
+    # --- norms -----------------------------------------------------------
+    def norms_for(self, docs: np.ndarray) -> np.ndarray:
+        """Vectorized doc_id -> norm byte lookup (searchsorted on sorted ids)."""
+        idx = np.searchsorted(self.doc_ids, docs)
+        return self.norms[idx]
+
+
+class IndexReader:
+    """Composite over all shards + collection statistics (manifest)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        if not self.manifest.get("committed"):
+            raise ValueError(f"index at {index_dir} has no committed manifest")
+        self.num_shards = self.manifest["num_shards"]
+        self._shards: dict[int, ShardReader] = {}
+
+    def shard(self, i: int) -> ShardReader:
+        if i not in self._shards:
+            self._shards[i] = ShardReader(self.index_dir, i)
+        return self._shards[i]
+
+    @property
+    def shards(self) -> list[ShardReader]:
+        return [self.shard(i) for i in range(self.num_shards)]
+
+    @property
+    def doc_count(self) -> int:
+        return self.manifest["stats"]["doc_count"]
+
+    @property
+    def sum_total_term_freq(self) -> int:
+        return self.manifest["stats"]["sum_total_term_freq"]
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """Global (df, ttf): per-shard stats summed, as the reference sums
+        per-segment stats at query time (TermQuery.createWeight)."""
+        df = ttf = 0
+        for s in self.shards:
+            d, t = s.term_stats(term)
+            df += d
+            ttf += t
+        return df, ttf

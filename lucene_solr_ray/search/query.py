@@ -1,0 +1,165 @@
+"""Query AST + a classic-syntax parser subset.
+
+Covers the shapes of the reference query set (benchmark/conf/query-terms.txt,
+EnwikiQueryMaker.STANDARD_QUERIES): bare terms (default OR), AND / OR / NOT,
+parentheses, "quoted phrases", and ^boost. The grammar is a small
+recursive-descent parser standing in for the reference's JavaCC classic
+QueryParser (queryparser/classic/QueryParser.jj) — only the subset the
+reference query workloads exercise.
+
+Query text runs through the same StandardAnalyzer chain as indexing.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Phrase:
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass
+class Bool:
+    must: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    min_should: int = 0
+
+
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|AND\b|OR\b|NOT\b|[^\s()]+')
+
+
+def _analyze_term(text: str):
+    from ..analysis import standard_analyzer
+
+    terms, _ = standard_analyzer(text)
+    return terms
+
+
+def parse_query(q: str):
+    toks = _TOKEN_RE.findall(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def advance():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        left = [parse_and()]
+        while peek() == "OR":
+            advance()
+            left.append(parse_and())
+        left = [x for x in left if x is not None]
+        if len(left) == 1:
+            return left[0]
+        return Bool(should=left, min_should=1)
+
+    def parse_and():
+        left = [parse_unary()]
+        while peek() == "AND":
+            advance()
+            left.append(parse_unary())
+        must = [x for x in left if x is not None and not _is_neg(x)]
+        nots = [x.must_not[0] for x in left if x is not None and _is_neg(x)]
+        if len(must) == 1 and not nots:
+            return must[0]
+        return Bool(must=must, must_not=nots)
+
+    def _is_neg(x):
+        return isinstance(x, Bool) and x.must_not and not x.must and not x.should
+
+    def parse_unary():
+        t = peek()
+        if t == "NOT":
+            advance()
+            inner = parse_unary()
+            return Bool(must_not=[inner])
+        return parse_primary()
+
+    def parse_primary():
+        t = advance()
+        if t == "(":
+            node = parse_or()
+            if peek() == ")":
+                advance()
+            node2, boost = _maybe_boost(node)
+            return node2
+        if t.startswith('"'):
+            body = t[1:-1]
+            boost = 1.0
+            if peek() and peek().startswith("^"):
+                boost = float(advance()[1:])
+            terms = _analyze_term(body)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return Term(terms[0], boost)
+            return Phrase(tuple(terms), boost)
+        # bare word (may carry ^boost suffix)
+        boost = 1.0
+        m = re.match(r"^(.*)\^([\d.]+)$", t)
+        if m:
+            t, boost = m.group(1), float(m.group(2))
+        terms = _analyze_term(t)
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return Term(terms[0], boost)
+        # a word that analyzes to several terms (e.g. "wi-fi") -> OR group
+        return Bool(should=[Term(x, boost) for x in terms], min_should=1)
+
+    def _maybe_boost(node):
+        if peek() and peek().startswith("^"):
+            b = float(advance()[1:])
+            return _boosted(node, b), b
+        return node, 1.0
+
+    def _boosted(node, b):
+        if isinstance(node, Term):
+            return Term(node.text, node.boost * b)
+        if isinstance(node, Phrase):
+            return Phrase(node.terms, node.boost * b)
+        return node  # boost on bool groups: out of scope
+
+    node = parse_or()
+    return node if node is not None else Bool()
+
+
+def query_terms(node) -> list[str]:
+    """All positive terms referenced by a query (for stats resolution)."""
+    out: list[str] = []
+
+    def walk(n):
+        if n is None:
+            return
+        if isinstance(n, Term):
+            out.append(n.text)
+        elif isinstance(n, Phrase):
+            out.extend(n.terms)
+        elif isinstance(n, Bool):
+            for c in n.must + n.should + n.must_not:
+                walk(c)
+
+    walk(node)
+    seen = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq

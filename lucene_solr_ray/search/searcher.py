@@ -1,0 +1,169 @@
+"""Searchers: local (all shards in-process) and distributed (actor pool).
+
+The distributed form mirrors the reference's scatter-gather
+(SearchHandler/QueryComponent distributed phases, SURVEY.md §3.3): weights
+are resolved once from global stats, fanned out to shard actors, per-shard
+top-k returned, and merged by the TopDocs.merge rule — score desc, tie to
+the lower doc id (globally-unique monotone doc ids make (score, doc_id)
+equivalent to the reference's (score, shardIndex, localDoc) ordering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.reader import IndexReader, ShardReader
+from .bm25 import BM25Params
+from .executor import eval_node, resolve_weights, shard_top_k, top_k_select
+from .query import parse_query
+
+
+def merge_top_k(parts, k: int):
+    """TopDocs.merge (search/TopDocs.java:187-216): global top-k across
+    per-shard top-k lists, ties broken by ascending doc id."""
+    docs = np.concatenate([d for d, _ in parts]) if parts else np.zeros(0, np.int64)
+    scores = (
+        np.concatenate([s for _, s in parts]) if parts else np.zeros(0, np.float32)
+    )
+    return top_k_select(docs, scores, k)
+
+
+class IndexSearcher:
+    """Single-process searcher over all shards (tests, oracle checks)."""
+
+    def __init__(self, index_dir: str, params: BM25Params = BM25Params(), dtype=np.float32):
+        self.reader = IndexReader(index_dir)
+        self.params = params
+        self.dtype = dtype
+
+    def _node(self, query):
+        return parse_query(query) if isinstance(query, str) else query
+
+    def search(self, query, k: int = 10, use_wand: bool = True) -> pa.Table:
+        node = self._node(query)
+        weights = resolve_weights(self.reader, node, self.params, self.dtype)
+        parts = [
+            shard_top_k(s, node, weights, k, self.dtype, use_wand)
+            for s in self.reader.shards
+        ]
+        docs, scores = merge_top_k(parts, k)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores.astype(np.float64), pa.float64()),
+                "rank": pa.array(np.arange(1, len(docs) + 1), pa.int32()),
+            }
+        )
+
+    def match_all(self, query) -> pa.Table:
+        """All matching docs with scores (no top-k cut) — oracle-check mode."""
+        node = self._node(query)
+        weights = resolve_weights(self.reader, node, self.params, self.dtype)
+        parts = [eval_node(s, node, weights, self.dtype) for s in self.reader.shards]
+        docs = np.concatenate([d for d, _ in parts])
+        scores = np.concatenate([s for _, s in parts])
+        order = np.argsort(docs)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[order], pa.int64()),
+                "score": pa.array(scores[order].astype(np.float64), pa.float64()),
+            }
+        )
+
+    def count(self, query) -> int:
+        """TotalHitCountCollector: exact hit count (no pruning)."""
+        node = self._node(query)
+        weights = resolve_weights(self.reader, node, self.params, self.dtype)
+        return sum(
+            len(eval_node(s, node, weights, self.dtype)[0]) for s in self.reader.shards
+        )
+
+
+class _ShardServer:
+    """Actor body: pins a subset of shards in memory (IndexReader role)."""
+
+    def __init__(self, index_dir: str, shard_ids: list[int], dtype_name: str):
+        self.shards = [ShardReader(index_dir, i) for i in shard_ids]
+        self.dtype = np.float32 if dtype_name == "float32" else np.float64
+
+    def term_stats(self, terms: list[str]):
+        out = {}
+        for t in terms:
+            df = ttf = 0
+            for s in self.shards:
+                d, tt = s.term_stats(t)
+                df += d
+                ttf += tt
+            out[t] = (df, ttf)
+        return out
+
+    def search(self, node, weights, k: int, use_wand: bool):
+        parts = [shard_top_k(s, node, weights, k, self.dtype, use_wand) for s in self.shards]
+        return merge_top_k(parts, k)
+
+
+class DistributedSearcher:
+    """Stateful actor pool of shard searchers (the query-time architecture
+    for a multi-node cluster; each actor would pin its shards' tables)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 4,
+                 params: BM25Params = BM25Params(), dtype=np.float32):
+        import ray
+
+        self.params = params
+        self.dtype = dtype
+        reader = IndexReader(index_dir)
+        self.doc_count = reader.doc_count
+        self.sum_ttf = reader.sum_total_term_freq
+        shard_ids = list(range(reader.num_shards))
+        num_actors = min(num_actors, max(1, len(shard_ids)))
+        assign = [shard_ids[i::num_actors] for i in range(num_actors)]
+        cls = ray.remote(_ShardServer)
+        dt = "float32" if dtype == np.float32 else "float64"
+        self.actors = [cls.remote(index_dir, ids, dt) for ids in assign if ids]
+
+    def search(self, query, k: int = 10, use_wand: bool = True) -> pa.Table:
+        import ray
+
+        from .bm25 import multi_term_weight, term_weight
+        from .query import Bool, Phrase, Term, query_terms
+
+        node = parse_query(query) if isinstance(query, str) else query
+        terms = query_terms(node)
+        # phase 1: global term stats (createWeight)
+        stats_parts = ray.get([a.term_stats.remote(terms) for a in self.actors])
+        df = {t: sum(p[t][0] for p in stats_parts) for t in terms}
+        weights: dict = {}
+
+        def walk(n):
+            if n is None:
+                return
+            if isinstance(n, Term):
+                key = (n.text, n.boost)
+                if key not in weights:
+                    weights[key] = term_weight(
+                        df[n.text], self.doc_count, self.sum_ttf, self.params, n.boost, self.dtype
+                    )
+            elif isinstance(n, Phrase):
+                key = ("\x1f".join(n.terms), n.boost)
+                if key not in weights:
+                    weights[key] = multi_term_weight(
+                        [df[t] for t in n.terms], self.doc_count, self.sum_ttf,
+                        self.params, n.boost, self.dtype,
+                    )
+            elif isinstance(n, Bool):
+                for c in n.must + n.should + n.must_not:
+                    walk(c)
+
+        walk(node)
+        # phase 2: scatter search, gather + merge
+        parts = ray.get([a.search.remote(node, weights, k, use_wand) for a in self.actors])
+        docs, scores = merge_top_k(parts, k)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores.astype(np.float64), pa.float64()),
+                "rank": pa.array(np.arange(1, len(docs) + 1), pa.int32()),
+            }
+        )
