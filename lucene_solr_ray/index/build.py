@@ -86,6 +86,10 @@ class IndexBuildConfig:
     head_sub_span: int = 1 << 20
     files_per_chunk: int = 64      # stage-A chunk = lineage/resume unit
     tokenize_concurrency: int | None = None
+    # when set, text is extracted from this html (binary) column via the
+    # HTMLStripCharFilter-equivalent; if text_col also exists, extraction is
+    # verified byte-identical per row (the input_hint per-row invariant)
+    html_col: str | None = None
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True, default=list)
@@ -111,7 +115,19 @@ class TokenizeExplode:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch[self.text_col].to_pylist()
+        if self.cfg.get("html_col"):
+            from ..analysis import html_to_text
+
+            texts = [html_to_text(h) for h in batch[self.cfg["html_col"]].to_pylist()]
+            if self.text_col in batch.column_names:
+                given = batch[self.text_col].to_pylist()
+                bad = sum(1 for a, b in zip(texts, given) if a != b)
+                if bad:
+                    raise ValueError(
+                        f"html extraction broke byte-identity for {bad} rows"
+                    )
+        else:
+            texts = batch[self.text_col].to_pylist()
 
         flat_terms: list[str] = []
         doc_rep: list[int] = []
@@ -422,7 +438,8 @@ def build_index(
         if chunk_id in lineage:
             continue
         out_dir = os.path.join(stage1_dir, f"part={chunk_id}")
-        ds = ray.data.read_parquet(chunk, columns=[key_col, text_col])
+        cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
+        ds = ray.data.read_parquet(chunk, columns=cols)
         # actor pool sized to the cluster: analyzer state (regexes, head-term
         # set) loads once per actor, work happens per batch
         import ray as _ray

@@ -1,0 +1,117 @@
+"""Deterministic Common-Crawl-style corpus synthesis (FIXTURES.md §F1).
+
+Schema is exactly the BASELINE.json input_hint:
+  (url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)
+plus a doc_id:int64 key for the engine.
+
+Everything is seeded (default 42) and reproducible: Zipf-distributed
+vocabulary (~10k terms, s≈1.1) for head-term skew, log-normal doc lengths,
+a small slice of docs containing >255-char tokens (the drop-not-truncate
+tokenizer rule), and mixed-script docs. `html` wraps `text` in one of
+several templates covering the html-strip cases (tags, comments, entities,
+script/style, CDATA); the invariant html_to_text(html) == text holds
+byte-identically for every row and is pinned by tests.
+"""
+
+from __future__ import annotations
+
+import html as _html
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB_SIZE = 10_000
+ZIPF_S = 1.1
+
+_SYL = ["ka", "to", "mi", "ra", "zu", "ne", "bo", "li", "sha", "ver",
+        "dun", "pel", "gor", "tis", "wam", "hex", "jor", "fen", "cry", "pli"]
+
+
+def _make_vocab(size: int) -> list[str]:
+    out = []
+    i = 0
+    while len(out) < size:
+        s = ""
+        j = i
+        while True:
+            s += _SYL[j % len(_SYL)]
+            j //= len(_SYL)
+            if j == 0:
+                break
+        out.append(s + str(i % 7) if i % 13 == 0 else s)
+        i += 1
+    return out[:size]
+
+
+_TEMPLATES = [
+    "<html><head></head><body><p>{t}</p></body></html>",
+    "<html><head><script>var x = 1 < 2 && 3 > 2;</script><style>p{{color:red}}</style></head>"
+    "<body><!-- crawler comment --><div class=\"main\">{t}</div></body></html>",
+    "<?xml version=\"1.0\"?><!DOCTYPE html><html><body><article>{t}</article>"
+    "<!-- trailing --></body></html>",
+    "<html><body><p><![CDATA[{raw}]]></p></body></html>",
+]
+
+
+def _wrap_html(text: str, variant: int) -> bytes:
+    tpl = _TEMPLATES[variant % len(_TEMPLATES)]
+    if "{raw}" in tpl:
+        h = tpl.format(raw=text)
+    else:
+        h = tpl.format(t=_html.escape(text))
+    return h.encode("utf-8")
+
+
+def corpus_table(n_docs: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = np.asarray(_make_vocab(VOCAB_SIZE), dtype=object)
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    probs = ranks ** (-ZIPF_S)
+    probs /= probs.sum()
+
+    doclens = np.clip(
+        rng.lognormal(mean=4.2, sigma=0.9, size=n_docs), 10, 2000
+    ).astype(np.int64)
+    total = int(doclens.sum())
+    tokens = rng.choice(VOCAB_SIZE, size=total, p=probs)
+    offsets = np.concatenate([[0], np.cumsum(doclens)])
+
+    overlong = "q" * 300  # dropped-not-truncated by the tokenizer
+    mixed = "数据 处理 エンジン"  # CJK/Katakana golden-script material
+
+    texts = []
+    words = vocab[tokens]
+    for i in range(n_docs):
+        ws = words[offsets[i]:offsets[i + 1]].tolist()
+        if i % 100 == 37:
+            ws.insert(len(ws) // 2, overlong)
+        if i % 97 == 11:
+            ws.append(mixed)
+        texts.append(" ".join(ws))
+
+    base_ts = np.datetime64("2024-01-01T00:00:00", "us")
+    jitter = rng.integers(0, 86_400_000_000, size=n_docs)
+    ts = base_ts + np.arange(n_docs) * np.int64(60_000_000) + jitter
+
+    urls = [f"https://site{i % 1000}.example/page/{i}" for i in range(n_docs)]
+    html_col = [_wrap_html(t, i) for i, t in enumerate(texts)]
+    langs = ["en" if i % 10 else ("de", "fr", "es", "zh", "ja")[i // 10 % 5] for i in range(1, n_docs + 1)]
+
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(html_col, pa.large_binary()),
+            "text": pa.array(texts, pa.large_string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def synthesize_corpus(n_docs: int, out_path: str, seed: int = 42,
+                      row_group_size: int = 4096) -> str:
+    t = corpus_table(n_docs, seed)
+    pq.write_table(t, out_path, row_group_size=row_group_size)
+    return out_path

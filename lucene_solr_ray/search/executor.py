@@ -101,10 +101,13 @@ def _score_phrase(shard: ShardReader, node: Phrase, weights, dtype):
 
 
 def _union(results, min_should: int, dtype):
+    """Union-sum: clause scores accumulate in double and cast to the scoring
+    dtype at the boolean boundary (DisjunctionSumScorer sums sub-scores as
+    double and returns (float) sum)."""
     docs = np.concatenate([d for d, _ in results]) if results else np.zeros(0, np.int64)
     if not len(docs):
         return np.zeros(0, np.int64), np.zeros(0, dtype)
-    scores = np.concatenate([s for _, s in results])
+    scores = np.concatenate([s for _, s in results]).astype(np.float64)
     order = np.argsort(docs, kind="stable")
     docs = docs[order]
     scores = scores[order]
@@ -136,17 +139,20 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         docs = must_res[0][0]
         for d, _ in must_res[1:]:
             docs = docs[np.isin(docs, d, assume_unique=True)]
-        scores = np.zeros(len(docs), dtype=dtype)
+        # double accumulation, float cast at the boolean boundary
+        # (ConjunctionScorer sums sub-scores as double)
+        acc = np.zeros(len(docs), dtype=np.float64)
         for d, s in must_res:
-            scores = (scores + s[np.searchsorted(d, docs)]).astype(dtype)
+            acc += s[np.searchsorted(d, docs)].astype(np.float64)
         # optional should clauses contribute where they match
         for d, s in should_res:
             m = np.isin(docs, d, assume_unique=True)
             if m.any():
                 idx = np.searchsorted(d, docs[m])
-                add = np.zeros(len(docs), dtype=dtype)
-                add[m] = s[idx]
-                scores = (scores + add).astype(dtype)
+                add = np.zeros(len(docs), dtype=np.float64)
+                add[m] = s[idx].astype(np.float64)
+                acc += add
+        scores = acc.astype(dtype)
     else:
         docs, scores = _union(should_res, node.min_should, dtype)
     for c in node.must_not:

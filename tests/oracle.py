@@ -77,32 +77,31 @@ class BruteForceIndex:
         if isinstance(node, Phrase):
             return self.phrase_scores(list(node.terms), node.boost)
         assert isinstance(node, Bool)
+        # clause scores accumulate in double, cast to scoring dtype at the
+        # boolean boundary (Disjunction/ConjunctionScorer double-sum rule)
         if node.must:
             parts = [self.eval(c) for c in node.must]
             docs = set(parts[0])
             for p in parts[1:]:
                 docs &= set(p)
-            out = {}
-            for d in docs:
-                s = np.float32(0.0) if self.dtype == np.float32 else 0.0
-                for p in parts:
-                    s = self.dtype(s + p[d])
-                out[d] = s
+            acc = {d: sum(float(p[d]) for p in parts) for d in docs}
             for c in node.should:
                 p = self.eval(c)
-                for d in list(out):
+                for d in list(acc):
                     if d in p:
-                        out[d] = self.dtype(out[d] + p[d])
+                        acc[d] += float(p[d])
+            out = {d: self.dtype(s) for d, s in acc.items()}
         else:
-            out = {}
+            accd: dict[int, float] = {}
             counts: dict[int, int] = {}
             for c in node.should:
                 p = self.eval(c)
                 for d, s in p.items():
-                    out[d] = self.dtype(out.get(d, 0.0) + s)
+                    accd[d] = accd.get(d, 0.0) + float(s)
                     counts[d] = counts.get(d, 0) + 1
             if node.min_should > 1:
-                out = {d: s for d, s in out.items() if counts[d] >= node.min_should}
+                accd = {d: s for d, s in accd.items() if counts[d] >= node.min_should}
+            out = {d: self.dtype(s) for d, s in accd.items()}
         for c in node.must_not:
             for d in self.eval(c):
                 out.pop(d, None)
