@@ -1,44 +1,665 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() exposes one entry per implemented operator family from
+SURVEY.md §2 (fulltext index/search, relational streaming ops, dedup, ANN,
+text stats, multimodal plumbing); oracle_sql() gives the DuckDB-equivalent
+for every SQL-expressible entry. Ray is initialised by the hosting process;
+nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+K1, B = 1.2, 0.75
+RND = 6
+
+_CACHE_ROOT = "/tmp/lsr_cache"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _rd():
+    import ray.data
+    return ray.data
+
+
+def _docs(sf_dir):
+    return _rd().read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (or reuse the committed) fulltext index for a corpus dir."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8, batch_size=512)
+    build_index(
+        f"{sf_dir}/documents.parquet", index_dir,
+        key_col="doc_id", text_col="text", cfg=cfg, resume=True,
+    )
+    return index_dir
+
+
+def _searcher64(sf_dir):
+    from lucene_solr_ray.search import IndexSearcher
+
+    return IndexSearcher(_index_for(sf_dir), dtype=np.float64)
+
+
+def _round_col(t: pa.Table, col: str, nd: int = RND) -> pa.Table:
+    v = np.round(np.asarray(t[col].to_pylist(), dtype=np.float64), nd)
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pa.array(v, pa.float64()))
+
+
+def _cents(arr) -> np.ndarray:
+    return np.rint(np.asarray(arr, dtype=np.float64) * 100).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# fulltext entries
+# ---------------------------------------------------------------------------
+
+def q_ft_term_df(sf_dir):
+    from ray.data.aggregate import Sum
+
+    idx = _index_for(sf_dir)
+    ds = _rd().read_parquet(os.path.join(idx, "postings"), columns=["term", "df", "ttf"])
+    return ds.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+    )
+
+
+def q_ft_top_terms(sf_dir):
+    ds = q_ft_term_df(sf_dir).select_columns(["term", "df"])
+    return ds.sort(["df", "term"], descending=[True, False]).limit(20)
+
+
+def q_ft_bm25_term(sf_dir):
+    s = _searcher64(sf_dir)
+    return _round_col(s.match_all("fast"), "score")
+
+
+def q_ft_bm25_or(sf_dir):
+    s = _searcher64(sf_dir)
+    return _round_col(s.match_all("fast OR query OR merge"), "score")
+
+
+def q_ft_bm25_and(sf_dir):
+    s = _searcher64(sf_dir)
+    return _round_col(s.match_all("fast AND query"), "score")
+
+
+def q_ft_count(sf_dir):
+    s = _searcher64(sf_dir)
+    return pa.table({"hits": pa.array([s.count("fast")], pa.int64())})
+
+
+def q_ft_phrase(sf_dir):
+    s = _searcher64(sf_dir)
+    t = s.match_all('"fast query"')
+    return t.select(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# relational entries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_select_project(sf_dir):
+    from lucene_solr_ray.relational import select
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t):
+        c = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.array(c * (100 - d), pa.int64())
+
+    return select(ds, {
+        "l_orderkey": "l_orderkey",
+        "l_linenumber": "l_linenumber",
+        "revenue_e4": rev,
+    })
+
+
+def q_filter_where(sf_dir):
+    from lucene_solr_ray.relational import having
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    )
+    return having(ds, lambda t: pc.greater(t["l_quantity"], 45.0))
+
+
+def q_sort_topk(sf_dir):
+    from lucene_solr_ray.relational import sort_limit
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return sort_limit(ds, [("o_totalprice", True), ("o_orderkey", False)], 100)
+
+
+def q_rollup_q1(sf_dir):
+    from lucene_solr_ray.relational import rollup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pa.array(np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)),
+            "base_cents": pa.array(_cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    agg = rollup(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("sum", "qty", "sum_qty"), ("sum", "base_cents", "sum_base_cents"),
+         ("count", None, "cnt")],
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        avg = np.round(
+            t["sum_qty"].to_numpy(zero_copy_only=False)
+            / t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64),
+            RND,
+        )
+        return t.append_column("avg_qty", pa.array(avg, pa.float64()))
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+def q_join_orders_customer(sf_dir):
+    from lucene_solr_ray.relational import broadcast_join
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    out = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+def q_join_large(sf_dir):
+    from lucene_solr_ray.relational import hash_join, rollup
+
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t):
+        c = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        d = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_e4": pa.array(c * (100 - d), pa.int64()),
+        })
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    return rollup(
+        j, ["o_orderpriority"],
+        [("sum", "rev_e4", "sum_rev_e4"), ("count", None, "cnt")],
+    )
+
+
+def q_left_join(sf_dir):
+    from lucene_solr_ray.relational import hash_join, rollup
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        how="left_outer", num_partitions=8,
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        has = pc.is_valid(t["o_orderkey"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"c_custkey": t["c_custkey"], "has": pa.array(has)})
+
+    return rollup(
+        j.map_batches(mark, batch_format="pyarrow"), ["c_custkey"],
+        [("sum", "has", "n_orders")],
+    )
+
+
+def q_semi_join(sf_dir):
+    from lucene_solr_ray.relational.ops import broadcast_semi
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+    return broadcast_semi(cust, keys.to_numpy(zero_copy_only=False), on="c_custkey")
+
+
+def q_anti_join(sf_dir):
+    # customers with no order above 200k (plain anti join is empty at this
+    # scale factor; the filter keeps the entry's result observable)
+    from lucene_solr_ray.relational.ops import broadcast_semi
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    big = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    keys = big.filter(pc.greater(big["o_totalprice"], 200000.0))["o_custkey"]
+    return broadcast_semi(cust, keys.to_numpy(zero_copy_only=False), on="c_custkey", anti=True)
+
+
+def q_distinct(sf_dir):
+    from lucene_solr_ray.relational import distinct
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    )
+    return distinct(ds, ["l_returnflag", "l_linestatus"])
+
+
+def q_facet_lang(sf_dir):
+    from lucene_solr_ray.relational import facet_counts
+
+    return facet_counts(_docs(sf_dir).select_columns(["lang"]), "lang", "cnt")
+
+
+def q_range_facet(sf_dir):
+    from lucene_solr_ray.relational import range_facet
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return range_facet(ds, "o_totalprice", 0.0, 600000.0, 50000.0)
+
+
+def q_timeseries(sf_dir):
+    from lucene_solr_ray.relational import timeseries
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    out = timeseries(ds, "ts", "day", [("count", None, "cnt")])
+    return out
+
+
+def q_group_topk(sf_dir):
+    from lucene_solr_ray.relational import group_top_k
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    return group_top_k(ds, "o_custkey", "o_totalprice", 2, descending=True)
+
+
+def q_dedup_exact(sf_dir):
+    from lucene_solr_ray.dedup import dedup_exact
+
+    return dedup_exact(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
+
+
+def q_explode_tokens(sf_dir):
+    from lucene_solr_ray.relational import explode_tokens
+
+    return explode_tokens(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
+
+
+def q_stats_metrics(sf_dir):
+    from lucene_solr_ray.relational import rollup
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def prep(t):
+        return pa.table({"cents": pa.array(_cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)))})
+
+    return rollup(
+        ds.map_batches(prep, batch_format="pyarrow"), [],
+        [("sum", "cents", "sum_cents"), ("min", "cents", "min_cents"),
+         ("max", "cents", "max_cents"), ("count", None, "cnt")],
+        pre_aggregate=False,
+    )
+
+
+def q_count_distinct(sf_dir):
+    from lucene_solr_ray.relational import distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    n = distinct(ds, ["l_partkey"]).count()
+    return pa.table({"n_parts": pa.array([n], pa.int64())})
+
+
+def q_percentile(sf_dir):
+    from lucene_solr_ray.relational.ops import percentile_exact
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    p = percentile_exact(ds, "o_totalprice", 0.5)
+    return pa.table({"p50": pa.array([round(p, 4)], pa.float64())})
+
+
+def q_window_sliding(sf_dir):
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def roll(df):
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        df["w_avg"] = df["value"].rolling(3, min_periods=1).mean().round(RND)
+        return df[["event_id", "w_avg"]]
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text stats / dedup / ANN / multimodal entries
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir):
+    from lucene_solr_ray.textstats import token_stats
+
+    return token_stats(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
+
+
+def q_quality(sf_dir):
+    from lucene_solr_ray.textstats import quality_score
+
+    out = quality_score(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("mean_token_len"), "mean_token_len",
+            pa.array(np.round(t["mean_token_len"].to_numpy(zero_copy_only=False), RND)),
+        )
+        return t.set_column(
+            t.column_names.index("stopword_ratio"), "stopword_ratio",
+            pa.array(np.round(t["stopword_ratio"].to_numpy(zero_copy_only=False), RND)),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir):
+    from lucene_solr_ray.textstats import language_id
+
+    return language_id(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
+
+
+def q_fingerprint(sf_dir):
+    from lucene_solr_ray.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
+
+
+def q_simhash(sf_dir):
+    from lucene_solr_ray.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
+
+
+def q_minhash_pairs(sf_dir):
+    from lucene_solr_ray.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text",
+        num_hashes=32, bands=8,
+    )
+
+
+def q_ann_topk(sf_dir):
+    from lucene_solr_ray.ann import brute_force_knn
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(qt["vec_id"])
+    qt = qt.take(order)
+    queries = np.asarray(qt["embedding"].to_pylist()[:3], dtype=np.float64)
+    out = brute_force_knn(emb, "vec_id", "embedding", queries, k=10)
+    out = _round_col(out, "cosine", 4)
+    return out.rename_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
+def q_ann_lsh(sf_dir):
+    from lucene_solr_ray.ann import lsh_knn
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = np.asarray(qt["embedding"].to_pylist()[:2], dtype=np.float64)
+    return lsh_knn(emb, "vec_id", "embedding", queries, k=10)
+
+
+def q_mm_decode(sf_dir):
+    from lucene_solr_ray.multimodal import decode_images
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "blob": pa.array([s.encode() for s in t["text"].to_pylist()], pa.large_binary()),
+        })
+
+    return decode_images(ds.map_batches(to_blob, batch_format="pyarrow"), "doc_id", "blob")
+
+
+def q_flagship_corpus(sf_dir):
+    """Flagship: synthetic web corpus -> html extract -> index -> top-k."""
+    from lucene_solr_ray.index import IndexBuildConfig
+    from lucene_solr_ray.pipelines import synthesize_corpus
+    from lucene_solr_ray.pipelines.flagship import build_corpus_index, run_queries
+
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    corpus = os.path.join(_CACHE_ROOT, "flagship_corpus.parquet")
+    if not os.path.exists(corpus):
+        synthesize_corpus(2000, corpus)
+    idx = os.path.join(_CACHE_ROOT, "flagship_idx")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8)
+    build_corpus_index(corpus, idx, cfg=cfg, from_html=True)
+    return run_queries(idx, k=10)
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the fulltext index over the
+    documents table and run the reference-style query set."""
+    sf_dir = "/root/testdata/sf0.001"
+    from lucene_solr_ray.pipelines.flagship import run_queries
+
+    idx = _index_for(sf_dir)
+    return run_queries(
+        idx,
+        queries=["fast", "query", "fast AND query", "fast OR merge", '"fast query"'],
+        k=10,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # fulltext engine
+        "ft_term_df": q_ft_term_df,
+        "ft_top_terms": q_ft_top_terms,
+        "ft_bm25_term": q_ft_bm25_term,
+        "ft_bm25_or": q_ft_bm25_or,
+        "ft_bm25_and": q_ft_bm25_and,
+        "ft_count": q_ft_count,
+        "ft_phrase": q_ft_phrase,
+        "flagship_corpus": q_flagship_corpus,
+        # relational / streaming-expression layer
+        "select_project": q_select_project,
+        "filter_where": q_filter_where,
+        "sort_topk": q_sort_topk,
+        "rollup_q1": q_rollup_q1,
+        "join_orders_customer": q_join_orders_customer,
+        "join_large": q_join_large,
+        "left_join": q_left_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "distinct_vals": q_distinct,
+        "facet_lang": q_facet_lang,
+        "range_facet": q_range_facet,
+        "timeseries_daily": q_timeseries,
+        "group_topk": q_group_topk,
+        "explode_tokens": q_explode_tokens,
+        "stats_metrics": q_stats_metrics,
+        "count_distinct": q_count_distinct,
+        "percentile_p50": q_percentile,
+        "window_sliding": q_window_sliding,
+        # dedup / curation
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_sigs": q_simhash,
+        "doc_fingerprint": q_fingerprint,
+        # text stats
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        # multimodal plumbing (stubbed decode)
+        "mm_decode": q_mm_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_solr_ray.search import oracle_sql as osql
+
+    return {
+        "ft_term_df": osql.sql_term_df(),
+        "ft_top_terms": osql.sql_top_terms(20),
+        "ft_bm25_term": osql.sql_bm25_term("fast"),
+        "ft_bm25_or": osql.sql_bm25_or(["fast", "query", "merge"]),
+        "ft_bm25_and": osql.sql_bm25_and(["fast", "query"]),
+        "ft_count": osql.sql_count_term("fast"),
+        "ft_phrase": osql.sql_phrase_docs("fast query"),
+        "select_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(l_extendedprice*100,0) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100,0) AS BIGINT)) AS revenue_e4
+            FROM lineitem""",
+        "filter_where": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_quantity > 45.0""",
+        "sort_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+        "rollup_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity,0) AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS sum_base_cents,
+                   count(*) AS cnt,
+                   round(sum(CAST(round(l_quantity,0) AS BIGINT)) * 1.0 / count(*), 6) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "join_orders_customer": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "join_large": """
+            SELECT o_orderpriority,
+                   sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                       * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS sum_rev_e4,
+                   count(*) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "left_join": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)""",
+        "distinct_vals": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+        "facet_lang": """
+            SELECT lang, count(*) AS cnt FROM documents GROUP BY lang""",
+        "range_facet": """
+            SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                   count(*) AS cnt
+            FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 600000
+            GROUP BY 1""",
+        "timeseries_daily": """
+            SELECT date_trunc('day', ts) AS bucket, count(*) AS cnt
+            FROM events GROUP BY 1""",
+        "group_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 2""",
+        "explode_tokens": """
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "stats_metrics": """
+            SELECT sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS sum_cents,
+                   min(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS min_cents,
+                   max(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS max_cents,
+                   count(*) AS cnt
+            FROM lineitem""",
+        "count_distinct": """
+            SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""",
+        "percentile_p50": """
+            SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50 FROM orders""",
+        "window_sliding": """
+            SELECT event_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS w_avg
+            FROM events""",
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
+            FROM documents""",
+        "quality_score": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ), t AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(length(term)), 6) AS mean_token_len,
+                     round(avg(CASE WHEN term IN
+                       ('the','a','an','and','or','of','to','in','is','was',
+                        'for','on','with','as','by','at','from','it','this','that')
+                       THEN 1.0 ELSE 0.0 END), 6) AS stopword_ratio
+              FROM tok GROUP BY doc_id
+            )
+            SELECT d.doc_id, length(d.text) AS n_chars, t.n_tokens,
+                   t.mean_token_len, t.stopword_ratio
+            FROM documents d JOIN t ON d.doc_id = t.doc_id""",
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ), sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              FROM sims) WHERE rank <= 10""",
+    }

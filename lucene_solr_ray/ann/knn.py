@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (KnnStream analog).
+
+Baseline: exact brute-force cosine top-k — the query matrix is broadcast
+once (ray.put) and every batch does one numpy matmul against it; per-shard
+top-k partial results are merged on the driver (the same scatter/gather
+shape as BM25 search). Scale path: LSH-bucketed variant that prunes each
+batch to candidate buckets before the matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _topk_merge(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]], k: int, nq: int):
+    """Merge per-batch (qid, key, sim) partials into per-query top-k."""
+    qid = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    key = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
+    sim = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.float64)
+    out_q, out_k, out_s, out_r = [], [], [], []
+    for q in range(nq):
+        m = qid == q
+        kk, ss = key[m], sim[m]
+        order = np.lexsort((kk, -ss))[:k]
+        out_q.extend([q] * len(order))
+        out_k.extend(kk[order].tolist())
+        out_s.extend(ss[order].tolist())
+        out_r.extend(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "key": pa.array(out_k, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )
+
+
+def brute_force_knn(
+    ds: Dataset, key_col: str, vec_col: str, queries: np.ndarray, k: int = 10,
+) -> pa.Table:
+    """Exact cosine top-k for each query row (queries: (nq, dim) float)."""
+    qm = np.asarray(queries, dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qm)
+    nq = len(qm)
+
+    class Scan:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # broadcast once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = self.q @ m.T  # (nq, batch)
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+            key = keys[idx.ravel()]
+            sim = np.take_along_axis(sims, idx, axis=1).ravel()
+            return pa.table(
+                {
+                    "query_id": pa.array(qid),
+                    "key": pa.array(key, pa.int64()),
+                    "cosine": pa.array(sim, pa.float64()),
+                }
+            )
+
+    partial = ds.select_columns([key_col, vec_col]).map_batches(
+        Scan, batch_format="pyarrow", batch_size=4096, concurrency=4
+    )
+    parts = []
+    for t in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
+        parts.append(
+            (
+                t["query_id"].to_numpy(zero_copy_only=False),
+                t["key"].to_numpy(zero_copy_only=False),
+                t["cosine"].to_numpy(zero_copy_only=False),
+            )
+        )
+    return _topk_merge(parts, k, nq)
+
+
+def lsh_knn(
+    ds: Dataset, key_col: str, vec_col: str, queries: np.ndarray, k: int = 10,
+    num_planes: int = 12, probes: int = 2, seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: random-hyperplane LSH buckets prune each batch to
+    vectors whose signature is within `probes` bit flips of the query's.
+
+    At 10^12 scale the bucket id becomes a partition key (write the corpus
+    bucketed once, then touch only candidate partitions per query)."""
+    rng = np.random.default_rng(seed)
+    qm = np.asarray(queries, dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    planes = rng.standard_normal((qm.shape[1], num_planes))
+    q_sig = (qm @ planes > 0).astype(np.uint32)
+    q_bits = (q_sig * (1 << np.arange(num_planes, dtype=np.uint32))).sum(axis=1)
+    ref = ray.put((qm, planes, q_bits))
+    nq = len(qm)
+
+    class Scan:
+        def __init__(self):
+            self.q, self.planes, self.q_bits = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sig = (m @ self.planes > 0).astype(np.uint32)
+            bits = (sig * (1 << np.arange(sig.shape[1], dtype=np.uint32))).sum(axis=1)
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            rows = {"query_id": [], "key": [], "cosine": []}
+            for q in range(len(self.q)):
+                x = (bits ^ self.q_bits[q]).astype(np.uint32)
+                ham = np.unpackbits(x.view(np.uint8).reshape(-1, 4), axis=1).sum(axis=1)
+                cand = np.flatnonzero(ham <= probes)
+                if not len(cand):
+                    continue
+                sims = m[cand] @ self.q[q]
+                rows["query_id"].extend([q] * len(cand))
+                rows["key"].extend(keys[cand].tolist())
+                rows["cosine"].extend(sims.tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(rows["query_id"], pa.int64()),
+                    "key": pa.array(rows["key"], pa.int64()),
+                    "cosine": pa.array(rows["cosine"], pa.float64()),
+                }
+            )
+
+    partial = ds.select_columns([key_col, vec_col]).map_batches(
+        Scan, batch_format="pyarrow", batch_size=4096, concurrency=4
+    )
+    parts = []
+    for t in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
+        parts.append(
+            (
+                t["query_id"].to_numpy(zero_copy_only=False),
+                t["key"].to_numpy(zero_copy_only=False),
+                t["cosine"].to_numpy(zero_copy_only=False),
+            )
+        )
+    return _topk_merge(parts, k, nq)

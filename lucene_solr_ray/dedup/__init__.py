@@ -1,0 +1,8 @@
+from .ops import (  # noqa: F401
+    dedup_exact,
+    dedup_minhash_lsh,
+    embedding_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary columns).
+
+The decode kernels are STUBBED (no image/audio libraries in this container):
+each stage's Ray-side plumbing — schema, actor-pool signature, batch sizing
+for wide binary rows, output layout — is real and tested with a
+deterministic fake decoder. Swapping in PIL/ffmpeg is a one-function change
+inside the actor's __init__/__call__.
+
+Batch-size guidance: binary payloads of ~100KB-10MB mean batches must be
+small (tens of rows) and blocks should not be split absurdly small — raise
+DataContext.target_max_block_size for very wide rows (ray_guide pitfalls).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+class _FakeDecoder:
+    """Deterministic stand-in for a real image decoder.
+
+    Raises NotImplementedError when strict=True (the honest stub); otherwise
+    produces a seeded fake (height, width, feature vector) from the bytes so
+    the pipeline shape is testable end to end.
+    """
+
+    def __init__(self, strict: bool = False, feat_dim: int = 8):
+        self.strict = strict
+        self.feat_dim = feat_dim
+
+    def decode(self, blob: bytes) -> tuple[int, int]:
+        if self.strict:
+            raise NotImplementedError(
+                "image decoding requires an image library not present in this "
+                "container; install one and replace _FakeDecoder"
+            )
+        h = hashlib.blake2b(blob or b"", digest_size=8).digest()
+        return 16 + h[0] % 240, 16 + h[1] % 240
+
+    def features(self, blob: bytes) -> np.ndarray:
+        h = hashlib.blake2b(blob or b"", digest_size=self.feat_dim).digest()
+        return np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
+
+
+def decode_images(
+    ds: Dataset, key_col: str, blob_col: str, strict: bool = False,
+    batch_size: int = 32, concurrency: int = 2,
+) -> Dataset:
+    """Actor-pool decode stage: (key, binary) -> (key, height, width)."""
+
+    class Decode:
+        def __init__(self):
+            self.dec = _FakeDecoder(strict=strict)  # model/codec load: once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            dims = [self.dec.decode(b) for b in t[blob_col].to_pylist()]
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "height": pa.array([d[0] for d in dims], pa.int32()),
+                    "width": pa.array([d[1] for d in dims], pa.int32()),
+                }
+            )
+
+    return ds.map_batches(
+        Decode, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def extract_image_features(
+    ds: Dataset, key_col: str, blob_col: str, feat_dim: int = 8,
+    batch_size: int = 32, concurrency: int = 2,
+) -> Dataset:
+    """Feature extraction stage -> fixed-size float vector per image."""
+
+    class Feats:
+        def __init__(self):
+            self.dec = _FakeDecoder(feat_dim=feat_dim)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            f = np.stack([self.dec.features(b) for b in t[blob_col].to_pylist()])
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "features": pa.FixedSizeListArray.from_arrays(
+                        pa.array(f.ravel(), pa.float32()), feat_dim
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        Feats, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def sample_frames(
+    ds: Dataset, key_col: str, blob_col: str, every_n: int = 10,
+    batch_size: int = 8, concurrency: int = 2,
+) -> Dataset:
+    """Video frame-sampling stage: one output row per sampled frame index.
+
+    The frame decode itself is stubbed; the explode layout (one row per
+    (video, frame_idx) with a binary frame payload) is the real contract."""
+
+    class Sample:
+        def __init__(self):
+            self.dec = _FakeDecoder()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys, idxs, frames = [], [], []
+            for k, b in zip(t[key_col].to_pylist(), t[blob_col].to_pylist()):
+                n_frames = 1 + (len(b or b"") % 50)
+                for i in range(0, n_frames, every_n):
+                    keys.append(k)
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.blake2b((b or b"") + i.to_bytes(4, "little"),
+                                        digest_size=16).digest()
+                    )
+            return pa.table(
+                {
+                    key_col: pa.array(keys, pa.int64()),
+                    "frame_idx": pa.array(idxs, pa.int32()),
+                    "frame": pa.array(frames, pa.large_binary()),
+                }
+            )
+
+    return ds.map_batches(
+        Sample, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

@@ -1,0 +1,313 @@
+"""Relational dataflow operators (the Solr streaming-expression layer).
+
+Each op is the Ray-Data-native form of a reference TupleStream / collector
+(SURVEY.md §2.8-2.11): SelectStream -> vectorized map_batches projection,
+RollupStream -> partial per-batch aggregation + small groupby, HashJoinStream
+-> Dataset.join (hash-partitioned) or a broadcast lookup for small sides,
+FacetsCollector -> groupby().count(), ExpandComponent dedup ->
+groupby(key).map_groups(first), ParallelStream -> the Ray Data executor
+itself.
+
+Scale notes are inline: every wide op states its shuffle key; small sides are
+broadcast once via ray.put, never per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+# ---------------------------------------------------------------------------
+# per-record ops (narrow, no shuffle)
+# ---------------------------------------------------------------------------
+
+def select(ds: Dataset, exprs: dict[str, Callable[[pa.Table], pa.Array] | str]) -> Dataset:
+    """SelectStream: projection / rename / computed columns.
+
+    exprs maps output name -> source column name or fn(table)->Array.
+    """
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, e in exprs.items():
+            cols[name] = t[e] if isinstance(e, str) else e(t)
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def having(ds: Dataset, pred: Callable[[pa.Table], pa.Array]) -> Dataset:
+    """HavingStream / filter: vectorized boolean predicate."""
+    return ds.map_batches(lambda t: t.filter(pred(t)), batch_format="pyarrow")
+
+
+def explode_tokens(ds: Dataset, key_col: str, text_col: str, out_col: str = "term") -> Dataset:
+    """CartesianProductStream-style explode: one row per whitespace token."""
+
+    def ex(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.repeat(t[key_col].to_numpy(zero_copy_only=False), lens)
+        return pa.table({key_col: pa.array(keys), out_col: flat})
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits
+# ---------------------------------------------------------------------------
+
+def sort_limit(ds: Dataset, keys: list[tuple[str, bool]], k: int | None = None) -> Dataset:
+    """SortStream / RankStream / ExportWriter: full sort (range-partitioned
+    shuffle) with optional top-k cut."""
+    cols = [c for c, _ in keys]
+    desc = [d for _, d in keys]
+    out = ds.sort(cols, descending=desc)
+    return out.limit(k) if k is not None else out
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+_AGGS = {"sum": Sum, "count": Count, "mean": Mean, "min": Min, "max": Max, "std": Std}
+
+
+def rollup(
+    ds: Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str | None, str]],
+    pre_aggregate: bool = True,
+) -> Dataset:
+    """RollupStream / StatsStream: groupby aggregate.
+
+    aggs: (kind, column|None, output_name). When pre_aggregate, sums/counts
+    are combined per batch first (map-side combine) so the shuffle moves one
+    row per (key, batch) instead of every input row — the partial+final
+    pattern the reference's distributed faceting uses.
+    """
+    simple = all(kind in ("sum", "count") for kind, _, _ in aggs)
+    if pre_aggregate and simple and keys:
+        sum_cols = [(c, name) for kind, c, name in aggs if kind == "sum"]
+        count_names = [name for kind, _, name in aggs if kind == "count"]
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(keys, sort=False)
+            pieces = {}
+            for c, name in sum_cols:
+                pieces[name] = g[c].sum()
+            for name in count_names:
+                pieces[name] = g.size()
+            return pd.DataFrame(pieces).reset_index()
+
+        part = ds.map_batches(partial, batch_format="pandas")
+        final_aggs = [Sum(name, alias_name=name) for _, _, name in [(k, c, n) for k, c, n in aggs]]
+        return part.groupby(keys).aggregate(*final_aggs)
+
+    ray_aggs = []
+    for kind, col, name in aggs:
+        cls = _AGGS[kind]
+        ray_aggs.append(cls(alias_name=name) if col is None else cls(col, alias_name=name))
+    return ds.groupby(keys if keys else None).aggregate(*ray_aggs)
+
+
+def facet_counts(ds: Dataset, key: str, count_name: str = "cnt") -> Dataset:
+    """FacetsCollector terms faceting: count per category (map-side combined)."""
+    return rollup(ds, [key], [("count", None, count_name)])
+
+
+def range_facet(
+    ds: Dataset, col: str, start: float, end: float, width: float,
+    bucket_name: str = "bucket", count_name: str = "cnt",
+) -> Dataset:
+    """LongRangeFacetCounts: fixed-width histogram buckets of a numeric col."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (v >= start) & (v < end)
+        b = np.floor((v[keep] - start) / width).astype(np.int64)
+        return pa.table({bucket_name: pa.array(b)})
+
+    return rollup(ds.map_batches(bucketize, batch_format="pyarrow"), [bucket_name],
+                  [("count", None, count_name)])
+
+
+def timeseries(
+    ds: Dataset, ts_col: str, unit: str, aggs: list[tuple[str, str | None, str]],
+    bucket_name: str = "bucket",
+) -> Dataset:
+    """TimeSeriesStream: date_trunc bucketing + aggregate."""
+
+    def trunc(t: pa.Table) -> pa.Table:
+        b = pc.floor_temporal(t[ts_col], unit=unit)
+        return t.append_column(bucket_name, b)
+
+    return rollup(ds.map_batches(trunc, batch_format="pyarrow"), [bucket_name], aggs)
+
+
+def percentile_exact(ds: Dataset, col: str, q: float) -> float:
+    """Exact linear-interpolated quantile (PercentileAgg exact mode).
+
+    Distributed sort of the single projected column, then a take of the two
+    straddling ranks — never materializes the column on the driver. (The
+    sketch path for 100 TB is a t-digest partial per batch + driver merge.)"""
+    n = ds.count()
+    if n == 0:
+        return float("nan")
+    h = (n - 1) * q
+    lo = int(np.floor(h))
+    hi = min(lo + 1, n - 1)
+    s = ds.select_columns([col]).sort(col)
+    frag = s.split_at_indices([lo, hi + 1])[1]
+    vals = [r[col] for r in frag.take(hi + 1 - lo)]
+    v_lo = float(vals[0])
+    v_hi = float(vals[-1])
+    return v_lo + (v_hi - v_lo) * (h - lo)
+
+
+def distinct(ds: Dataset, cols: list[str]) -> Dataset:
+    """UniqueStream / DistinctValuesCollector: distinct rows of cols."""
+    return ds.select_columns(cols).groupby(cols).aggregate(Count(alias_name="__c")).select_columns(cols)
+
+
+# ---------------------------------------------------------------------------
+# grouping / collapse
+# ---------------------------------------------------------------------------
+
+def group_top_k(
+    ds: Dataset, key: str, order_col: str, k: int, descending: bool = True,
+) -> Dataset:
+    """Two-pass grouping collapse: top-k rows per group by order_col
+    (grouping/FirstPassGroupingCollector + ExpandComponent semantics).
+    Shuffle key: `key`."""
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            [order_col, key], ascending=[not descending, True], kind="mergesort"
+        ).head(k)
+
+    return ds.groupby(key).map_groups(topk, batch_format="pandas")
+
+
+def collapse_first(ds: Dataset, key: str, order_col: str) -> Dataset:
+    """One row per key, minimal order_col (SignatureUpdateProcessor dedup /
+    field collapse). Implemented as a min-reduction rather than map_groups
+    when only the winner id is needed."""
+    return group_top_k(ds, key, order_col, 1, descending=False)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def broadcast_join(
+    big: Dataset, small: pa.Table, on: str, right_on: str | None = None,
+    how: str = "inner", suffix: str = "_r",
+) -> Dataset:
+    """FetchStream / JoinUtil-style broadcast lookup join: the small side is
+    put in the object store ONCE and read by every task (never re-shipped
+    per batch); lookup is a vectorized pandas merge per batch. No shuffle."""
+    right_on = right_on or on
+    small_ref = ray.put(small)
+
+    class Fetch:
+        def __init__(self):
+            t = ray.get(small_ref)
+            self.small = t.to_pandas()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = df.merge(
+                self.small, how=how, left_on=on, right_on=right_on,
+                suffixes=("", suffix),
+            )
+            if right_on != on and right_on in out.columns:
+                out = out.drop(columns=[right_on])
+            return out
+
+    return big.map_batches(Fetch, batch_format="pandas", concurrency=4)
+
+
+def broadcast_semi(big: Dataset, keys: pa.Array | np.ndarray, on: str, anti: bool = False) -> Dataset:
+    """IntersectStream/ComplementStream: semi/anti join via broadcast key set."""
+    key_ref = ray.put(np.unique(np.asarray(keys)))
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[on].to_numpy(zero_copy_only=False)
+            m = np.isin(v, self.keys, invert=anti)
+            return t.filter(pa.array(m))
+
+    return big.map_batches(Filter, batch_format="pyarrow", concurrency=4)
+
+
+def hash_join(
+    left: Dataset, right: Dataset, on: str | tuple, how: str = "inner",
+    num_partitions: int = 16, right_on: str | tuple | None = None,
+    left_suffix: str | None = None, right_suffix: str = "_r",
+) -> Dataset:
+    """HashJoinStream / InnerJoinStream for two large sides: Ray Data's
+    hash-partitioned Dataset.join (shuffle both sides on the key)."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    return left.join(
+        right, join_type=how, num_partitions=num_partitions, on=on_t,
+        right_on=r_t, left_suffix=left_suffix, right_suffix=right_suffix,
+    )
+
+
+def bucketed_join(
+    left: Dataset, right: Dataset, on: str, num_buckets: int = 16,
+    how: str = "inner", right_suffix: str = "_r",
+) -> Dataset:
+    """Explicit partitioned hash join (the portable pattern when Dataset.join
+    is unavailable): tag both sides with bucket=hash(key)%B, group each
+    bucket, join pairwise with pandas. Kept as the documented fallback and
+    for joins needing custom per-bucket logic (as-of / range joins)."""
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    # unified schema so the two tagged sides can union (missing cols -> null)
+    all_fields = [(n, l_schema.field(n).type) for n in l_cols]
+    all_fields += [(n, r_schema.field(n).type) for n in r_cols if n not in l_cols]
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = t[on].to_numpy(zero_copy_only=False)
+            b = (v.astype(np.int64) % num_buckets).astype(np.int32)
+            cols = {}
+            for n, typ in all_fields:
+                cols[n] = t[n] if n in t.column_names else pa.nulls(len(t), typ)
+            cols["__bucket"] = pa.array(b)
+            cols["__side"] = pa.array(np.full(len(v), side, dtype=np.int8))
+            return pa.table(cols)
+        return f
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        lf = df[df["__side"] == 0][[c for c in l_cols if c in df.columns]]
+        rf = df[df["__side"] == 1][[c for c in r_cols if c in df.columns]]
+        out = lf.merge(rf, how=how, on=on, suffixes=("", right_suffix))
+        return out
+
+    # union the two tagged sides; schemas differ -> align by promoting to a
+    # common schema with nulls (pandas concat semantics inside map_groups)
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")

@@ -1,0 +1,138 @@
+"""SQL (DuckDB) formulations of the engine's fulltext semantics.
+
+Used by the driver's correctness gate: the same BM25 computation the engine
+performs — including the SmallFloat norm quantization — expressed as ANSI
+SQL over the raw documents table. Tokenization in SQL is
+string_split(text, ' '), which is exactly the StandardAnalyzer output on the
+synthetic documents corpus (pure lowercase ASCII words, single-spaced).
+
+Scores here use the engine's float64 oracle mode (same formula, double
+precision); both sides round to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from ..util.smallfloat import byte4_to_int
+
+K1 = 1.2
+B = 0.75
+ROUND = 6
+
+
+def _lut_values() -> str:
+    """256-entry (quantized-length boundary) VALUES list: the quantized doc
+    length is the greatest representable value <= dl."""
+    vals = sorted({byte4_to_int(b) for b in range(256)})
+    return ", ".join(f"({v})" for v in vals)
+
+
+def bm25_cte(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Common CTEs: tok, dl (true + quantized), stats."""
+    return f"""
+tok AS (
+  SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS term
+  FROM {table}
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+),
+lut(v) AS (VALUES {_lut_values()}),
+qdl AS (
+  SELECT dl.doc_id, dl.dl, (SELECT max(l.v) FROM lut l WHERE l.v <= dl.dl) AS qlen
+  FROM dl
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sum_dl, sum(dl) * 1.0 / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)"""
+
+
+def bm25_term_score_sql(term_expr: str) -> str:
+    """Score expression for one term given tf row t, df row d, qdl row q,
+    stats row s — mirrors BM25Similarity: w - w/(1 + freq*normInverse)."""
+    return f"""
+  ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+  - ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+    / (1 + t.freq * (1.0 / ({K1} * ((1 - {B}) + {B} * q.qlen / s.avgdl))))"""
+
+
+def sql_term_df() -> str:
+    return f"""
+WITH {bm25_cte()}
+SELECT d.term AS term, d.df AS df, s.ttf AS ttf
+FROM df d
+JOIN (SELECT term, count(*) AS ttf FROM tok GROUP BY term) s USING (term)
+ORDER BY term"""
+
+
+def sql_top_terms(k: int = 20) -> str:
+    return f"""
+WITH {bm25_cte()}
+SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
+def sql_bm25_term(term: str) -> str:
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round({bm25_term_score_sql(term)}, {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
+def sql_bm25_or(terms: list[str]) -> str:
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(sum({bm25_term_score_sql("t.term")}), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term IN ({quoted})
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+
+
+def sql_bm25_and(terms: list[str]) -> str:
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    n = len(terms)
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(sum({bm25_term_score_sql("t.term")}), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term IN ({quoted})
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.term) = {n}
+ORDER BY t.doc_id"""
+
+
+def sql_count_term(term: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(DISTINCT doc_id) AS hits FROM tok WHERE term = '{term}'"""
+
+
+def sql_phrase_docs(phrase: str) -> str:
+    # word-boundary contains match on single-spaced corpus text
+    return f"""
+SELECT doc_id FROM documents
+WHERE (' ' || text || ' ') LIKE '% {phrase} %'
+ORDER BY doc_id"""
