@@ -1,0 +1,179 @@
+"""Benchmark harness.
+
+Headline: end-to-end inverted-index build (read -> html-extract+tokenize ->
+merge shuffle -> sharded segments) over the deterministic Common-Crawl-style
+synthetic corpus (BASELINE.json input_hint shape), reported as seconds and
+docs/sec, plus BM25 top-10 query p50 latency and a set of relational
+pipeline timings over $GRAFT_SF_DIR.
+
+  python bench.py             # one JSON line with all metrics
+  python bench.py --scaling   # same headline at num_cpus=8 and 32 in fresh
+                              # processes; reports both + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+BENCH_CORPUS_DOCS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "200000"))
+# realistic web-page token counts (lognormal mu=5.4 ~ 270 tokens/doc) and a
+# multi-file layout (a single parquet file serializes the read stage)
+CORPUS_PATH = f"/tmp/lsr_bench_corpus_{CORPUS_DOCS}"
+CORPUS_FILES = 64
+
+QUERY_SET = [
+    "ka", "to", "mi", "kato", "mito", "tomi",
+    "kato AND mito", "kato AND ne AND bo", "zune AND rako",
+    "kato OR mito", "kato OR mito OR rato OR zuka", "bo OR li OR sha",
+    '"ka to"', '"kato mito"',
+    "kato AND NOT mito", "(kato AND mito) OR zune",
+]
+
+
+def ensure_corpus() -> str:
+    if not os.path.exists(CORPUS_PATH):
+        from lucene_solr_ray.pipelines import synthesize_corpus
+
+        synthesize_corpus(
+            CORPUS_DOCS, CORPUS_PATH, doclen_mu=5.4, doclen_sigma=0.8,
+            n_files=CORPUS_FILES,
+        )
+    return CORPUS_PATH
+
+
+def run_bench(headline_only: bool = False) -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from lucene_solr_ray.index import IndexBuildConfig
+    from lucene_solr_ray.pipelines.flagship import build_corpus_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    import glob
+
+    corpus = ensure_corpus()
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+    for f in files:
+        pq.read_table(f)
+
+    results: dict[str, float] = {}
+
+    # --- headline: index build over the web corpus (best of N repeats; the
+    # sandbox host shows heavy run-to-run variance from neighbors)
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    index_dir = f"/tmp/lsr_bench_idx_{NUM_CPUS}"
+    cfg = IndexBuildConfig(num_shards=8, num_buckets=32, batch_size=1024)
+    build_sec = float("inf")
+    for _ in range(repeats):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        build_corpus_index(files, index_dir, cfg=cfg, from_html=True)
+        build_sec = min(build_sec, time.time() - t0)
+    results["index_build_sec"] = round(build_sec, 3)
+    results["index_docs_per_sec"] = round(CORPUS_DOCS / build_sec, 1)
+
+    # --- BM25 query latency (p50 over the query set, shards in-process)
+    searcher = IndexSearcher(index_dir)
+    lat = []
+    for _ in range(3):
+        for q in QUERY_SET:
+            tq = time.time()
+            searcher.search(q, k=10)
+            lat.append(time.time() - tq)
+    results["query_p50_ms"] = round(1000 * statistics.median(lat), 2)
+    results["query_p95_ms"] = round(
+        1000 * sorted(lat)[int(0.95 * len(lat)) - 1], 2
+    )
+
+    if not headline_only:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        for name in [
+            "rollup_q1", "join_large", "sort_topk", "dedup_exact",
+            "minhash_pairs", "ann_topk", "quality_score", "window_sliding",
+        ]:
+            tq = time.time()
+            res = qs[name](SF_DIR)
+            # consume to force execution
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+            results[name] = round(time.time() - tq, 3)
+
+    ray.shutdown()
+    return results
+
+
+def main():
+    if "--scaling" in sys.argv:
+        ensure_corpus()
+
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo_cpus, hi_cpus = 8, 32
+        lo = run(lo_cpus)
+        hi = run(hi_cpus)
+        tput_lo = lo["queries"]["index_docs_per_sec"]
+        tput_hi = hi["queries"]["index_docs_per_sec"]
+        eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+        print(json.dumps({
+            "metric": "index_build_scaling",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "docs_per_sec_8": tput_lo,
+            "docs_per_sec_32": tput_hi,
+            "sec_8": lo["queries"]["index_build_sec"],
+            "sec_32": hi["queries"]["index_build_sec"],
+            "corpus_docs": CORPUS_DOCS,
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    headline_only = "--headline-only" in sys.argv
+    results = run_bench(headline_only=headline_only)
+    print(json.dumps({
+        "metric": "index_build_sec",
+        "value": results["index_build_sec"],
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_docs": CORPUS_DOCS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

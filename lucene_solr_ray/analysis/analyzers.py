@@ -12,7 +12,7 @@ surface, SURVEY.md §2.15).
 from __future__ import annotations
 
 from .lowercase import java_lower
-from .tokenizer import MAX_TOKEN_LENGTH, standard_tokenize
+from .tokenizer import MAX_TOKEN_LENGTH, standard_tokenize, tokenize_fast_ascii
 
 
 def standard_analyzer(text: str, stopwords: frozenset[str] | None = None,
@@ -26,6 +26,16 @@ def standard_analyzer(text: str, stopwords: frozenset[str] | None = None,
         terms = [t for t, _ in kept]
         positions = [p for _, p in kept]
     return terms, positions
+
+
+def analyze_fast(text: str, max_token_length: int = MAX_TOKEN_LENGTH):
+    """ASCII fast path: lowercase the whole string once (ASCII lowercase
+    never moves UAX#29 word boundaries), tokenize with one C findall.
+    Returns the term list with implicit positions 0..n-1, or None when the
+    general path is required. Output is identical to standard_analyzer on
+    texts it accepts (property-tested)."""
+    toks = tokenize_fast_ascii(text.lower(), max_token_length)
+    return toks
 
 
 def tokenize_batch(texts, stopwords: frozenset[str] | None = None):

@@ -45,6 +45,21 @@ _UNI_RE = re.compile(
 )
 
 
+def tokenize_fast_ascii(text: str, max_token_length: int = MAX_TOKEN_LENGTH):
+    """C-speed fast path for ASCII text with no over-length tokens.
+
+    Returns the token list (positions are implicitly 0..n-1), or None when
+    the input needs the general path (non-ASCII, or a >max-length token whose
+    drop must leave a position hole).
+    """
+    if not text.isascii():
+        return None
+    toks = _ASCII_RE.findall(text)
+    if toks and max(map(len, toks)) > max_token_length:
+        return None
+    return toks
+
+
 def standard_tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH):
     """Tokenize -> (tokens, positions).
 

@@ -86,6 +86,15 @@ class IndexBuildConfig:
     head_sub_span: int = 1 << 20
     files_per_chunk: int = 64      # stage-A chunk = lineage/resume unit
     tokenize_concurrency: int | None = None
+    # True -> tokenize runs as an actor pool (state loads once per actor);
+    # False -> stateless tasks (lower startup overhead; tokenizer state is
+    # just module-level compiled regexes, so tasks are the default)
+    use_actor_pool: bool = False
+    # keep the stage-1 dataset materialized in the object store for the merge
+    # (still checkpointed to parquet for resume). Disk streaming measured
+    # faster even single-node (columnar re-read beats filtering the wide
+    # materialized blocks), so default False.
+    keep_stage1_in_memory: bool = False
     # when set, text is extracted from this html (binary) column via the
     # HTMLStripCharFilter-equivalent; if text_col also exists, extraction is
     # verified byte-identical per row (the input_hint per-row invariant)
@@ -129,15 +138,18 @@ class TokenizeExplode:
         else:
             texts = batch[self.text_col].to_pylist()
 
+        from ..analysis.analyzers import analyze_fast
+
         flat_terms: list[str] = []
-        doc_rep: list[int] = []
-        pos_chunks: list[list[int]] = []
+        fallback_pos: dict[int, list[int]] = {}
         doclens = np.zeros(len(texts), dtype=np.int64)
+        use_fast = not self.stop
         for i, text in enumerate(texts):
-            terms, positions = standard_analyzer(text or "", self.stop)
+            terms = analyze_fast(text or "") if use_fast else None
+            if terms is None:
+                terms, positions = standard_analyzer(text or "", self.stop)
+                fallback_pos[i] = positions
             flat_terms.extend(terms)
-            doc_rep.append(len(terms))
-            pos_chunks.append(positions)
             doclens[i] = len(terms)
 
         norm_bytes = int_to_byte4_vec(doclens)
@@ -145,11 +157,17 @@ class TokenizeExplode:
         n_tok = len(flat_terms)
         parts: list[pa.Table] = []
         if n_tok:
-            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), doclens)
+            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int32), doclens)
             codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
-            flat_pos = np.fromiter(
-                (p for ch in pos_chunks for p in ch), dtype=np.int32, count=n_tok
-            )
+            codes = codes.astype(np.int32)
+            # implicit positions 0..n-1 per doc; fallback docs overwrite
+            doc_offsets = np.concatenate([[0], np.cumsum(doclens)])
+            flat_pos = (
+                np.arange(n_tok, dtype=np.int64)
+                - np.repeat(doc_offsets[:-1], doclens)
+            ).astype(np.int32)
+            for i, plist in fallback_pos.items():
+                flat_pos[doc_offsets[i]:doc_offsets[i + 1]] = plist
             # sort tokens by term (stable keeps doc asc, position asc inside)
             order = np.argsort(codes, kind="stable")
             s_codes = codes[order]
@@ -168,22 +186,20 @@ class TokenizeExplode:
             td_shard = (td_doc % self.num_shards).astype(np.int32)
 
             # bucket: hash(term) salted with doc-range subkey for head terms
+            # (salt formula depends only on (term, sub) -> consistent across
+            # batches and parallelism levels)
             uniq_list = uniques.tolist()
-            base_bucket = term_bucket(uniques, self.num_buckets)
-            td_bucket = base_bucket[td_code]
+            crcs = np.array([crc32(t.encode("utf-8")) for t in uniq_list], dtype=np.uint64)
+            td_bucket = (crcs[td_code] % self.num_buckets).astype(np.int32)
             if self.head:
                 is_head = np.array([t in self.head for t in uniq_list], dtype=bool)
                 head_mask = is_head[td_code]
                 if head_mask.any():
-                    sub = (td_doc[head_mask] // self.sub_span).astype(np.int64)
-                    salted = np.array(
-                        [
-                            crc32(f"{uniq_list[c]}\x1f{s}".encode()) % self.num_buckets
-                            for c, s in zip(td_code[head_mask], sub)
-                        ],
-                        dtype=np.int32,
-                    )
-                    td_bucket = td_bucket.copy()
+                    sub = (td_doc[head_mask] // self.sub_span).astype(np.uint64)
+                    salted = (
+                        (crcs[td_code[head_mask]] + np.uint64(0x9E3779B9) * (sub + np.uint64(1)))
+                        % self.num_buckets
+                    ).astype(np.int32)
                     td_bucket[head_mask] = salted
 
             # second ordering: rows grouped per (term, shard), docs ascending
@@ -433,6 +449,7 @@ def build_index(
     stage1_dir = os.path.join(index_dir, "stage1")
     chunks = [paths[i:i + cfg.files_per_chunk] for i in range(0, len(paths), cfg.files_per_chunk)]
     cfg_dict = asdict(cfg)
+    stage1_mats: dict[str, "ray.data.Dataset"] = {}
     for ci, chunk in enumerate(chunks):
         chunk_id = f"c{ci:05d}_{crc32('|'.join(chunk).encode()):08x}"
         if chunk_id in lineage:
@@ -440,23 +457,35 @@ def build_index(
         out_dir = os.path.join(stage1_dir, f"part={chunk_id}")
         cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
         ds = ray.data.read_parquet(chunk, columns=cols)
-        # actor pool sized to the cluster: analyzer state (regexes, head-term
-        # set) loads once per actor, work happens per batch
-        import ray as _ray
+        fn_kwargs = dict(
+            key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms
+        )
+        if cfg.use_actor_pool:
+            import ray as _ray
 
-        concurrency = cfg.tokenize_concurrency or max(
-            2, int(_ray.cluster_resources().get("CPU", 4)) - 1
-        )
-        stage1 = ds.map_batches(
-            TokenizeExplode,
-            fn_constructor_kwargs=dict(
-                key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=concurrency,
-        )
+            # cap the pool below the cluster CPU count: a pool reserving
+            # every CPU starves the read/write tasks and the stage stalls
+            ncpu = int(_ray.cluster_resources().get("CPU", 4))
+            concurrency = min(
+                cfg.tokenize_concurrency or max(2, ncpu - 2), max(2, ncpu - 2)
+            )
+            stage1 = ds.map_batches(
+                TokenizeExplode,
+                fn_constructor_kwargs=fn_kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=concurrency,
+            )
+        else:
+            stage1 = ds.map_batches(
+                TokenizeExplode(**fn_kwargs),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
         tmp_dir = out_dir + ".tmp"
+        if cfg.keep_stage1_in_memory:
+            stage1 = stage1.materialize()
+            stage1_mats[chunk_id] = stage1
         stage1.write_parquet(tmp_dir, partition_cols=["kind"])
         os.replace(tmp_dir, out_dir)
         lineage[chunk_id] = {"files": chunk, "ts": time.time()}
@@ -473,24 +502,55 @@ def build_index(
             },
         )
 
-    part_dirs = sorted(
-        os.path.join(stage1_dir, d) for d in os.listdir(stage1_dir)
-        if d.startswith("part=") and not d.endswith(".tmp")
-    )
-    postings_in = [os.path.join(d, "kind=0") for d in part_dirs if os.path.exists(os.path.join(d, "kind=0"))]
-    docs_in = [os.path.join(d, "kind=1") for d in part_dirs if os.path.exists(os.path.join(d, "kind=1"))]
+    # assemble stage-1 inputs: chunks materialized this run stay in the
+    # object store; previously-checkpointed chunks stream from parquet
+    data_cols = ["shard", "bucket", "term", "docs", "freqs", "norms", "positions"]
 
-    # stage B: the wide merge shuffle
+    def _from_disk(kind: int) -> list:
+        part_dirs = sorted(
+            os.path.join(stage1_dir, d) for d in os.listdir(stage1_dir)
+            if d.startswith("part=") and not d.endswith(".tmp")
+        )
+        out = []
+        for d in part_dirs:
+            cid = os.path.basename(d)[len("part="):]
+            if cid in stage1_mats:
+                continue
+            sub = os.path.join(d, f"kind={kind}")
+            if os.path.exists(sub):
+                out.append(sub)
+        return out
+
+    def _stage1_ds(kind: int):
+        parts = []
+        disk = _from_disk(kind)
+        if disk:
+            parts.append(ray.data.read_parquet(disk).select_columns(data_cols))
+        for m in stage1_mats.values():
+            parts.append(
+                m.filter(expr=f"kind == {kind}").select_columns(data_cols)
+            )
+        ds0 = parts[0]
+        for p in parts[1:]:
+            ds0 = ds0.union(p)
+        return ds0
+
+    # stage B: the wide merge shuffle. Explicit shuffle partition count
+    # (~2x CPUs) — the auto partitioning over many small blocks is
+    # pathologically slow for this list-payload sort
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    np_merge = max(16, 2 * ncpu)
     postings_dir = os.path.join(index_dir, "postings")
-    ds = ray.data.read_parquet(postings_in)
-    merged = ds.groupby(["shard", "bucket"]).map_groups(
+    merged = _stage1_ds(0).groupby(["shard", "bucket"], num_partitions=np_merge).map_groups(
         encode_merge_group, batch_format="pyarrow"
     )
     merged.write_parquet(postings_dir, partition_cols=["shard"], mode="overwrite")
 
     # stage C: docs tables + collection stats
     docs_dir = os.path.join(index_dir, "docs")
-    dds = ray.data.read_parquet(docs_in).map_batches(docs_explode, batch_format="pyarrow")
+    dds = _stage1_ds(1).map_batches(docs_explode, batch_format="pyarrow")
     dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")
 
     from ray.data.aggregate import Count, Sum

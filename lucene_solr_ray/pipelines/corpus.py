@@ -63,7 +63,8 @@ def _wrap_html(text: str, variant: int) -> bytes:
     return h.encode("utf-8")
 
 
-def corpus_table(n_docs: int, seed: int = 42) -> pa.Table:
+def corpus_table(n_docs: int, seed: int = 42, doclen_mu: float = 4.2,
+                 doclen_sigma: float = 0.9) -> pa.Table:
     rng = np.random.default_rng(seed)
     vocab = np.asarray(_make_vocab(VOCAB_SIZE), dtype=object)
     ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
@@ -71,7 +72,7 @@ def corpus_table(n_docs: int, seed: int = 42) -> pa.Table:
     probs /= probs.sum()
 
     doclens = np.clip(
-        rng.lognormal(mean=4.2, sigma=0.9, size=n_docs), 10, 2000
+        rng.lognormal(mean=doclen_mu, sigma=doclen_sigma, size=n_docs), 10, 5000
     ).astype(np.int64)
     total = int(doclens.sum())
     tokens = rng.choice(VOCAB_SIZE, size=total, p=probs)
@@ -111,7 +112,26 @@ def corpus_table(n_docs: int, seed: int = 42) -> pa.Table:
 
 
 def synthesize_corpus(n_docs: int, out_path: str, seed: int = 42,
-                      row_group_size: int = 4096) -> str:
-    t = corpus_table(n_docs, seed)
-    pq.write_table(t, out_path, row_group_size=row_group_size)
+                      row_group_size: int = 4096, doclen_mu: float = 4.2,
+                      doclen_sigma: float = 0.9, n_files: int = 1) -> str:
+    """Write the corpus as one parquet file, or as a directory of n_files
+    part files (ray.data parallelizes reads per file — a single-file corpus
+    serializes the read stage, just like a single giant file would on a real
+    cluster)."""
+    t = corpus_table(n_docs, seed, doclen_mu, doclen_sigma)
+    if n_files <= 1:
+        pq.write_table(t, out_path, row_group_size=row_group_size)
+        return out_path
+    import os
+
+    os.makedirs(out_path, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    for i in range(n_files):
+        part = t.slice(i * per, per)
+        if part.num_rows == 0:
+            break
+        pq.write_table(
+            part, os.path.join(out_path, f"part-{i:05d}.parquet"),
+            row_group_size=row_group_size,
+        )
     return out_path
