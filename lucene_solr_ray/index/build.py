@@ -82,7 +82,7 @@ class IndexBuildConfig:
     # head-term skew handling: terms whose sampled token share exceeds
     # head_df_ratio are salted into doc-range sub-buckets of head_sub_span ids
     head_df_ratio: float = 0.005
-    head_sample_docs: int = 2000
+    head_sample_docs: int = 600   # Zipf head is stable under small samples
     head_sub_span: int = 1 << 20
     files_per_chunk: int = 64      # stage-A chunk = lineage/resume unit
     tokenize_concurrency: int | None = None

@@ -22,8 +22,10 @@ from .postings import decode_posting
 
 
 class ShardReader:
-    def __init__(self, index_dir: str, shard: int):
+    def __init__(self, index_dir: str, shard: int, cache_size: int = 256):
         self.shard = shard
+        self._cache: dict = {}          # decoded-postings LRU (LRUQueryCache role)
+        self._cache_size = cache_size
         pdir = os.path.join(index_dir, "postings", f"shard={shard}")
         ddir = os.path.join(index_dir, "docs", f"shard={shard}")
         t = pq.read_table(pdir) if os.path.exists(pdir) else None
@@ -68,6 +70,9 @@ class ShardReader:
         Multi-row (salted) terms concatenate in ascending doc order: sub
         ranges are disjoint, so ordering rows by their first doc suffices.
         """
+        key = (term, with_positions)
+        if key in self._cache:
+            return self._cache[key]
         rows = self.term_rows(term)
         if not rows:
             empty = (np.zeros(0, np.int64), np.zeros(0, np.int32))
@@ -89,10 +94,15 @@ class ShardReader:
         decoded.sort(key=lambda x: int(x[0][0]) if len(x[0]) else -1)
         docs = np.concatenate([d for d, _, _ in decoded])
         freqs = np.concatenate([f for _, f, _ in decoded])
-        if with_positions:
-            pos = np.concatenate([p for _, _, p in decoded])
-            return docs, freqs, pos
-        return docs, freqs
+        out = (
+            (docs, freqs, np.concatenate([p for _, _, p in decoded]))
+            if with_positions
+            else (docs, freqs)
+        )
+        if len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = out
+        return out
 
     def block_metadata(self, term: str):
         """Concatenated (block_first_docs, block_max_freq, block_min_norm,
