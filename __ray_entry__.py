@@ -113,6 +113,21 @@ def q_ft_phrase(sf_dir):
     return t.select(["doc_id"])
 
 
+def q_ft_prefix(sf_dir):
+    s = _searcher64(sf_dir)
+    return s.match_all("fa*").select(["doc_id"])
+
+
+def q_ft_wildcard(sf_dir):
+    s = _searcher64(sf_dir)
+    return s.match_all("s??t").select(["doc_id"])
+
+
+def q_ft_range(sf_dir):
+    s = _searcher64(sf_dir)
+    return s.match_all("[fast TO hash]").select(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # relational entries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -502,6 +517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_and": q_ft_bm25_and,
         "ft_count": q_ft_count,
         "ft_phrase": q_ft_phrase,
+        "ft_prefix": q_ft_prefix,
+        "ft_wildcard": q_ft_wildcard,
+        "ft_range": q_ft_range,
         "flagship_corpus": q_flagship_corpus,
         # relational / streaming-expression layer
         "select_project": q_select_project,
@@ -551,6 +569,19 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_and": osql.sql_bm25_and(["fast", "query"]),
         "ft_count": osql.sql_count_term("fast"),
         "ft_phrase": osql.sql_phrase_docs("fast query"),
+        "ft_prefix": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'fa%' ORDER BY doc_id""",
+        "ft_wildcard": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok WHERE term LIKE 's__t' ORDER BY doc_id""",
+        "ft_range": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok
+            WHERE term >= 'fast' AND term <= 'hash' ORDER BY doc_id""",
         "select_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice*100,0) AS BIGINT)

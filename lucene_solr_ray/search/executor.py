@@ -24,7 +24,17 @@ from .bm25 import (
     score_postings,
     term_weight,
 )
-from .query import Bool, Phrase, Term, query_terms
+from .query import (
+    Bool,
+    ConstantScore,
+    DisMax,
+    MatchAll,
+    Phrase,
+    Synonym,
+    Term,
+    TermInSet,
+    query_terms,
+)
 
 
 def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dict:
@@ -47,6 +57,18 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
             if key not in weights:
                 dfs = [reader.term_stats(t)[0] for t in n.terms]
                 weights[key] = multi_term_weight(dfs, N, sum_ttf, params, n.boost, dtype)
+        elif isinstance(n, Synonym):
+            # SynonymQuery blends stats: df = max over members, scored as one
+            # pseudo-term over the summed freqs (SynonymQuery.java:55)
+            key = ("\x1fSYN\x1f".join(n.terms), n.boost)
+            if key not in weights:
+                df = max((reader.term_stats(t)[0] for t in n.terms), default=0)
+                weights[key] = term_weight(df, N, sum_ttf, params, n.boost, dtype)
+        elif isinstance(n, ConstantScore):
+            walk(n.query)
+        elif isinstance(n, DisMax):
+            for c in n.clauses:
+                walk(c)
         elif isinstance(n, Bool):
             for c in n.must + n.should + n.must_not:
                 walk(c)
@@ -124,6 +146,14 @@ def _union(results, min_should: int, dtype):
     return udocs, usc
 
 
+def _docs_union(shard: ShardReader, terms) -> np.ndarray:
+    parts = [shard.postings(t)[0] for t in terms]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def eval_node(shard: ShardReader, node, weights, dtype):
     """Exhaustive evaluation -> (docs sorted asc, scores)."""
     if node is None:
@@ -132,6 +162,56 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         return _score_term(shard, node, weights, dtype)
     if isinstance(node, Phrase):
         return _score_phrase(shard, node, weights, dtype)
+    if isinstance(node, MatchAll):
+        docs = shard.doc_ids
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, TermInSet):
+        docs = _docs_union(shard, node.terms)
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, ConstantScore):
+        docs, _ = eval_node(shard, node.query, weights, dtype)
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, Synonym):
+        # summed member freqs scored as one term with blended stats
+        tw = weights[("\x1fSYN\x1f".join(node.terms), node.boost)]
+        agg: dict = {}
+        parts = []
+        for t in node.terms:
+            d, f = shard.postings(t)
+            if len(d):
+                parts.append((d, f))
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        docs = np.concatenate([d for d, _ in parts])
+        freqs = np.concatenate([f for _, f in parts]).astype(np.int64)
+        order = np.argsort(docs, kind="stable")
+        docs, freqs = docs[order], freqs[order]
+        new = np.empty(len(docs), dtype=bool)
+        new[0] = True
+        new[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(new)
+        udocs = docs[starts]
+        ufreqs = np.add.reduceat(freqs, starts)
+        norms = shard.norms_for(udocs)
+        return udocs, score_postings(tw, ufreqs, norms, dtype)
+    if isinstance(node, DisMax):
+        res = [eval_node(shard, c, weights, dtype) for c in node.clauses]
+        res = [(d, s) for d, s in res if len(d)]
+        if not res:
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        docs = np.concatenate([d for d, _ in res])
+        scores = np.concatenate([s for _, s in res]).astype(np.float64)
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        new = np.empty(len(docs), dtype=bool)
+        new[0] = True
+        new[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(new)
+        udocs = docs[starts]
+        mx = np.maximum.reduceat(scores, starts)
+        sm = np.add.reduceat(scores, starts)
+        out = mx + node.tiebreak * (sm - mx)
+        return udocs, out.astype(dtype)
     assert isinstance(node, Bool)
     must_res = [eval_node(shard, c, weights, dtype) for c in node.must]
     should_res = [eval_node(shard, c, weights, dtype) for c in node.should]

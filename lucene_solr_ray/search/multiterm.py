@@ -1,0 +1,141 @@
+"""Multi-term query rewriting (the reference's MultiTermQuery rewrite).
+
+Prefix / Wildcard / Regexp / TermRange / TermInSet rewrite to a
+constant-score filter over the expanded term set (the reference's
+CONSTANT_SCORE_REWRITE default — matching docs score `boost`). Fuzzy
+rewrites to a Synonym over the terms within edit distance (the reference
+blends stats via TopTermsBlendedFreqScoringRewrite; the synonym rewrite —
+summed tf, max df — is the documented approximation). Expansion scans the
+sorted term dictionary: ranges by binary search, patterns by a compiled
+regex over the dictionary slice (an FST/automaton intersection is the scale
+path; a sorted-column scan is the idiomatic Arrow substitution,
+SURVEY.md §2.3).
+
+Expansion is GLOBAL (union over shards) so scoring stats are consistent
+across shards regardless of which shard holds which matching term.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .query import (
+    Bool,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Regexp,
+    Synonym,
+    Term,
+    TermInSet,
+    TermRange,
+    Wildcard,
+)
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def expand_terms(terms_sorted: np.ndarray, node) -> list[str]:
+    """Matching dictionary terms for one multi-term node, one shard dict."""
+    n = len(terms_sorted)
+    if isinstance(node, Prefix):
+        lo = np.searchsorted(terms_sorted, node.prefix, side="left")
+        hi = np.searchsorted(terms_sorted, node.prefix + "\U0010FFFF", side="right")
+        return terms_sorted[lo:hi].tolist()
+    if isinstance(node, TermRange):
+        lo = 0 if node.lower is None else int(
+            np.searchsorted(terms_sorted, node.lower,
+                            side="left" if node.include_lower else "right")
+        )
+        hi = n if node.upper is None else int(
+            np.searchsorted(terms_sorted, node.upper,
+                            side="right" if node.include_upper else "left")
+        )
+        return terms_sorted[lo:hi].tolist()
+    if isinstance(node, (Wildcard, Regexp)):
+        pat = _wildcard_to_regex(node.pattern) if isinstance(node, Wildcard) else node.pattern
+        rx = re.compile(pat)
+        # narrow the scan with the literal prefix when one exists
+        m = re.match(r"^[^.*?+\[\](){}\\|^$]+", pat)
+        if m and isinstance(node, Wildcard):
+            pre = node.pattern[: len(m.group())]
+            lo = np.searchsorted(terms_sorted, pre, side="left")
+            hi = np.searchsorted(terms_sorted, pre + "\U0010FFFF", side="right")
+            cand = terms_sorted[lo:hi]
+        else:
+            cand = terms_sorted
+        return [t for t in cand.tolist() if rx.fullmatch(t)]
+    if isinstance(node, Fuzzy):
+        k = node.max_edits
+        return [
+            t for t in terms_sorted.tolist()
+            if abs(len(t) - len(node.text)) <= k and _levenshtein_leq(t, node.text, k)
+        ]
+    raise TypeError(f"not a multi-term node: {node}")
+
+
+MULTI_TERM_TYPES = (Prefix, Wildcard, Regexp, TermRange, Fuzzy)
+
+
+def rewrite(node, expander):
+    """Rewrite multi-term nodes into primitive ones.
+
+    `expander(node) -> list[str]` returns the globally-unioned matching
+    terms. Constant-score nodes become ConstantScore(TermInSet); Fuzzy
+    becomes Synonym (blended-stats approximation).
+    """
+    if node is None or isinstance(node, (Term, Phrase, MatchAll, TermInSet, Synonym)):
+        return node
+    if isinstance(node, Fuzzy):
+        terms = expander(node)
+        if not terms:
+            return Bool()
+        return Synonym(tuple(terms), node.boost)
+    if isinstance(node, MULTI_TERM_TYPES):
+        terms = expander(node)
+        if not terms:
+            return Bool()
+        return ConstantScore(TermInSet(tuple(terms)), node.boost)
+    if isinstance(node, ConstantScore):
+        return ConstantScore(rewrite(node.query, expander), node.boost)
+    if isinstance(node, DisMax):
+        return DisMax(tuple(rewrite(c, expander) for c in node.clauses), node.tiebreak)
+    if isinstance(node, Bool):
+        return Bool(
+            must=[rewrite(c, expander) for c in node.must],
+            should=[rewrite(c, expander) for c in node.should],
+            must_not=[rewrite(c, expander) for c in node.must_not],
+            min_should=node.min_should,
+        )
+    return node

@@ -28,6 +28,83 @@ class Phrase:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class Prefix:
+    """PrefixQuery (search/PrefixQuery.java:31): expands over the sorted
+    term dictionary, rewritten to a constant-score disjunction."""
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    """WildcardQuery (search/WildcardQuery.java:42): * and ? patterns."""
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Regexp:
+    """RegexpQuery (search/RegexpQuery.java:48)."""
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """FuzzyQuery (search/FuzzyQuery.java:56): terms within edit distance."""
+    text: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange:
+    """TermRangeQuery (search/TermRangeQuery.java:41): lexical term range."""
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSet:
+    """TermInSetQuery (search/TermInSetQuery.java:67): constant-score set
+    filter over many terms."""
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Synonym:
+    """SynonymQuery (search/SynonymQuery.java:55): multiple terms scored AS
+    ONE term — freqs summed before scoring, df blended (max)."""
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisMax:
+    """DisjunctionMaxQuery (search/DisjunctionMaxQuery.java:45): per-doc max
+    over clauses plus tiebreak * sum of the rest."""
+    clauses: tuple
+    tiebreak: float = 0.0
+
+
+@dataclass(frozen=True)
+class ConstantScore:
+    """ConstantScoreQuery (search/ConstantScoreQuery.java:32)."""
+    query: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAll:
+    """MatchAllDocsQuery: every doc, score = boost."""
+    boost: float = 1.0
+
+
 @dataclass
 class Bool:
     must: list = field(default_factory=list)
@@ -36,7 +113,7 @@ class Bool:
     min_should: int = 0
 
 
-_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|AND\b|OR\b|NOT\b|[^\s()]+')
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|\[[^\]]*\]|/[^/]*/|AND\b|OR\b|NOT\b|[^\s()]+')
 
 
 def _analyze_term(text: str):
@@ -110,11 +187,30 @@ def parse_query(q: str):
             if len(terms) == 1:
                 return Term(terms[0], boost)
             return Phrase(tuple(terms), boost)
-        # bare word (may carry ^boost suffix)
+        if t.startswith("[") and t.endswith("]"):
+            # classic range syntax: [a TO b]
+            body = t[1:-1].strip()
+            m = re.match(r"(\S+)\s+TO\s+(\S+)", body)
+            if m:
+                lo = None if m.group(1) == "*" else m.group(1).lower()
+                hi = None if m.group(2) == "*" else m.group(2).lower()
+                return TermRange(lo, hi)
+        if t.startswith("/") and t.endswith("/") and len(t) > 1:
+            return Regexp(t[1:-1])
+        # bare word (may carry ^boost / ~fuzzy suffixes)
         boost = 1.0
         m = re.match(r"^(.*)\^([\d.]+)$", t)
         if m:
             t, boost = m.group(1), float(m.group(2))
+        m = re.match(r"^(.+)~(\d*)$", t)
+        if m:
+            edits = int(m.group(2)) if m.group(2) else 2
+            return Fuzzy(m.group(1).lower(), max_edits=edits, boost=boost)
+        if "*" in t or "?" in t:
+            low = t.lower()
+            if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                return Prefix(low[:-1], boost)
+            return Wildcard(low, boost)
         terms = _analyze_term(t)
         if not terms:
             return None
@@ -151,6 +247,13 @@ def query_terms(node) -> list[str]:
             out.append(n.text)
         elif isinstance(n, Phrase):
             out.extend(n.terms)
+        elif isinstance(n, (Synonym, TermInSet)):
+            out.extend(n.terms)
+        elif isinstance(n, ConstantScore):
+            walk(n.query)
+        elif isinstance(n, DisMax):
+            for c in n.clauses:
+                walk(c)
         elif isinstance(n, Bool):
             for c in n.must + n.should + n.must_not:
                 walk(c)

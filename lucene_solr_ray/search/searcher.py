@@ -38,7 +38,17 @@ class IndexSearcher:
         self.dtype = dtype
 
     def _node(self, query):
-        return parse_query(query) if isinstance(query, str) else query
+        node = parse_query(query) if isinstance(query, str) else query
+        from .multiterm import MULTI_TERM_TYPES, expand_terms, rewrite
+        from .query import Fuzzy
+
+        def expander(n):
+            seen: set[str] = set()
+            for s in self.reader.shards:
+                seen.update(expand_terms(s.terms, n))
+            return sorted(seen)
+
+        return rewrite(node, expander)
 
     def search(self, query, k: int = 10, use_wand: bool = True) -> pa.Table:
         node = self._node(query)
@@ -98,6 +108,14 @@ class _ShardServer:
             out[t] = (df, ttf)
         return out
 
+    def expand(self, node):
+        from .multiterm import expand_terms
+
+        seen: set[str] = set()
+        for s in self.shards:
+            seen.update(expand_terms(s.terms, node))
+        return sorted(seen)
+
     def search(self, node, weights, k: int, use_wand: bool):
         parts = [shard_top_k(s, node, weights, k, self.dtype, use_wand) for s in self.shards]
         return merge_top_k(parts, k)
@@ -127,9 +145,28 @@ class DistributedSearcher:
         import ray
 
         from .bm25 import multi_term_weight, term_weight
-        from .query import Bool, Phrase, Term, query_terms
+        from .query import (
+            Bool,
+            ConstantScore,
+            DisMax,
+            Phrase,
+            Synonym,
+            Term,
+            query_terms,
+        )
 
         node = parse_query(query) if isinstance(query, str) else query
+
+        from .multiterm import MULTI_TERM_TYPES, rewrite
+
+        def expander(n):
+            parts = ray.get([a.expand.remote(n) for a in self.actors])
+            seen: set[str] = set()
+            for p in parts:
+                seen.update(p)
+            return sorted(seen)
+
+        node = rewrite(node, expander)
         terms = query_terms(node)
         # phase 1: global term stats (createWeight)
         stats_parts = ray.get([a.term_stats.remote(terms) for a in self.actors])
@@ -152,6 +189,18 @@ class DistributedSearcher:
                         [df[t] for t in n.terms], self.doc_count, self.sum_ttf,
                         self.params, n.boost, self.dtype,
                     )
+            elif isinstance(n, Synonym):
+                key = ("\x1fSYN\x1f".join(n.terms), n.boost)
+                if key not in weights:
+                    weights[key] = term_weight(
+                        max((df[t] for t in n.terms), default=0),
+                        self.doc_count, self.sum_ttf, self.params, n.boost, self.dtype,
+                    )
+            elif isinstance(n, ConstantScore):
+                walk(n.query)
+            elif isinstance(n, DisMax):
+                for c in n.clauses:
+                    walk(c)
             elif isinstance(n, Bool):
                 for c in n.must + n.should + n.must_not:
                     walk(c)
