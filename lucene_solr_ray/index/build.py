@@ -405,6 +405,20 @@ def detect_head_terms(paths: list[str], text_col: str, cfg: IndexBuildConfig) ->
     return [t for t, c in counts.items() if c / total >= cfg.head_df_ratio]
 
 
+def expand_parquet_dirs(paths: list[str]) -> list[str]:
+    """Expand directories to their parquet files (ray.data.read_parquet
+    treats multi-path lists as file paths, not directories)."""
+    import glob as _glob
+
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            out.append(p)
+    return out
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -525,7 +539,7 @@ def build_index(
         parts = []
         disk = _from_disk(kind)
         if disk:
-            parts.append(ray.data.read_parquet(disk).select_columns(data_cols))
+            parts.append(ray.data.read_parquet(expand_parquet_dirs(disk)).select_columns(data_cols))
         for m in stage1_mats.values():
             parts.append(
                 m.filter(expr=f"kind == {kind}").select_columns(data_cols)
