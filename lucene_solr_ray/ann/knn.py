@@ -1,10 +1,11 @@
 """Similarity search over an embedding column (KnnStream analog).
 
 Baseline: exact brute-force cosine top-k — the query matrix is broadcast
-once (ray.put) and every batch does one numpy matmul against it; per-shard
-top-k partial results are merged on the driver (the same scatter/gather
-shape as BM25 search). Scale path: LSH-bucketed variant that prunes each
-batch to candidate buckets before the matmul.
+once (ray.put; each task's ray.get is a local zero-copy plasma read) and
+every batch does one numpy matmul against it; per-batch top-k partials are
+merged on the driver (the same scatter/gather shape as BM25 search).
+Scale path: LSH-bucketed variant that prunes each batch to candidate
+buckets before the matmul.
 """
 
 from __future__ import annotations
@@ -49,30 +50,27 @@ def brute_force_knn(
     q_ref = ray.put(qm)
     nq = len(qm)
 
-    class Scan:
-        def __init__(self):
-            self.q = ray.get(q_ref)  # broadcast once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = self.q @ m.T  # (nq, batch)
-            keys = t[key_col].to_numpy(zero_copy_only=False)
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-            key = keys[idx.ravel()]
-            sim = np.take_along_axis(sims, idx, axis=1).ravel()
-            return pa.table(
-                {
-                    "query_id": pa.array(qid),
-                    "key": pa.array(key, pa.int64()),
-                    "cosine": pa.array(sim, pa.float64()),
-                }
-            )
+    def scan(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)  # local zero-copy plasma read (broadcast once)
+        m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = q @ m.T  # (nq, batch)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        key = keys[idx.ravel()]
+        sim = np.take_along_axis(sims, idx, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "key": pa.array(key, pa.int64()),
+                "cosine": pa.array(sim, pa.float64()),
+            }
+        )
 
     partial = ds.select_columns([key_col, vec_col]).map_batches(
-        Scan, batch_format="pyarrow", batch_size=4096, concurrency=4
+        scan, batch_format="pyarrow", batch_size=4096
     )
     parts = []
     for t in partial.iter_batches(batch_format="pyarrow", batch_size=65536):
@@ -104,37 +102,34 @@ def lsh_knn(
     ref = ray.put((qm, planes, q_bits))
     nq = len(qm)
 
-    class Scan:
-        def __init__(self):
-            self.q, self.planes, self.q_bits = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sig = (m @ self.planes > 0).astype(np.uint32)
-            bits = (sig * (1 << np.arange(sig.shape[1], dtype=np.uint32))).sum(axis=1)
-            keys = t[key_col].to_numpy(zero_copy_only=False)
-            rows = {"query_id": [], "key": [], "cosine": []}
-            for q in range(len(self.q)):
-                x = (bits ^ self.q_bits[q]).astype(np.uint32)
-                ham = np.unpackbits(x.view(np.uint8).reshape(-1, 4), axis=1).sum(axis=1)
-                cand = np.flatnonzero(ham <= probes)
-                if not len(cand):
-                    continue
-                sims = m[cand] @ self.q[q]
-                rows["query_id"].extend([q] * len(cand))
-                rows["key"].extend(keys[cand].tolist())
-                rows["cosine"].extend(sims.tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(rows["query_id"], pa.int64()),
-                    "key": pa.array(rows["key"], pa.int64()),
-                    "cosine": pa.array(rows["cosine"], pa.float64()),
-                }
-            )
+    def scan(t: pa.Table) -> pa.Table:
+        qm2, planes2, q_bits2 = ray.get(ref)
+        m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sig = (m @ planes2 > 0).astype(np.uint32)
+        bits = (sig * (1 << np.arange(sig.shape[1], dtype=np.uint32))).sum(axis=1)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        rows = {"query_id": [], "key": [], "cosine": []}
+        for q in range(len(qm2)):
+            x = (bits ^ q_bits2[q]).astype(np.uint32)
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 4), axis=1).sum(axis=1)
+            cand = np.flatnonzero(ham <= probes)
+            if not len(cand):
+                continue
+            sims = m[cand] @ qm2[q]
+            rows["query_id"].extend([q] * len(cand))
+            rows["key"].extend(keys[cand].tolist())
+            rows["cosine"].extend(sims.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "key": pa.array(rows["key"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
 
     partial = ds.select_columns([key_col, vec_col]).map_batches(
-        Scan, batch_format="pyarrow", batch_size=4096, concurrency=4
+        scan, batch_format="pyarrow", batch_size=4096
     )
     parts = []
     for t in partial.iter_batches(batch_format="pyarrow", batch_size=65536):

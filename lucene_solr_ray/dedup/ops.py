@@ -174,18 +174,23 @@ def ngram_jaccard_pairs(
 
     The candidate set is small relative to the corpus (LSH output); texts for
     the involved ids are fetched once and broadcast to the verify stage."""
+    pair_df = pairs.to_pandas()
+    if not len(pair_df):
+        return pa.table(
+            {"left": pa.array([], pa.int64()), "right": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    ids = np.unique(np.concatenate([pair_df["left"].values, pair_df["right"].values]))
     import ray
 
-    pair_tbl = pairs.to_arrow_refs()
-    pair_df = pa.concat_tables([ray.get(r) for r in pair_tbl]).to_pandas()
-    ids = np.unique(np.concatenate([pair_df["left"].values, pair_df["right"].values]))
-    texts = (
-        ds.map_batches(
-            lambda t: t.select([key_col, text_col]), batch_format="pyarrow"
-        )
-        .filter(expr=f"{key_col} in {ids.tolist()}")
-        .to_pandas()
-    )
+    id_ref = ray.put(ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        m = np.isin(t[key_col].to_numpy(zero_copy_only=False), wanted)
+        return t.select([key_col, text_col]).filter(pa.array(m))
+
+    texts = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
     lookup = dict(zip(texts[key_col], texts[text_col]))
 
     def shingles(s):

@@ -211,6 +211,19 @@ def collapse_first(ds: Dataset, key: str, order_col: str) -> Dataset:
 # joins
 # ---------------------------------------------------------------------------
 
+# worker-process-level memo for broadcast objects: tasks re-fetch via a local
+# zero-copy plasma read, and any per-worker transform (e.g. arrow -> pandas)
+# runs once per worker instead of once per batch
+_BCAST_CACHE: dict = {}
+
+
+def _cached_broadcast(ref, transform=None):
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        val = ray.get(ref)
+        _BCAST_CACHE[key] = transform(val) if transform else val
+    return _BCAST_CACHE[key]
+
 def broadcast_join(
     big: Dataset, small: pa.Table, on: str, right_on: str | None = None,
     how: str = "inner", suffix: str = "_r",
@@ -221,37 +234,29 @@ def broadcast_join(
     right_on = right_on or on
     small_ref = ray.put(small)
 
-    class Fetch:
-        def __init__(self):
-            t = ray.get(small_ref)
-            self.small = t.to_pandas()
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = _cached_broadcast(small_ref, lambda t: t.to_pandas())
+        out = df.merge(
+            lookup, how=how, left_on=on, right_on=right_on, suffixes=("", suffix)
+        )
+        if right_on != on and right_on in out.columns:
+            out = out.drop(columns=[right_on])
+        return out
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = df.merge(
-                self.small, how=how, left_on=on, right_on=right_on,
-                suffixes=("", suffix),
-            )
-            if right_on != on and right_on in out.columns:
-                out = out.drop(columns=[right_on])
-            return out
-
-    return big.map_batches(Fetch, batch_format="pandas", concurrency=4)
+    return big.map_batches(fetch, batch_format="pandas")
 
 
 def broadcast_semi(big: Dataset, keys: pa.Array | np.ndarray, on: str, anti: bool = False) -> Dataset:
     """IntersectStream/ComplementStream: semi/anti join via broadcast key set."""
     key_ref = ray.put(np.unique(np.asarray(keys)))
 
-    class Filter:
-        def __init__(self):
-            self.keys = ray.get(key_ref)
+    def sieve(t: pa.Table) -> pa.Table:
+        ks = _cached_broadcast(key_ref)
+        v = t[on].to_numpy(zero_copy_only=False)
+        m = np.isin(v, ks, invert=anti)
+        return t.filter(pa.array(m))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t[on].to_numpy(zero_copy_only=False)
-            m = np.isin(v, self.keys, invert=anti)
-            return t.filter(pa.array(m))
-
-    return big.map_batches(Filter, batch_format="pyarrow", concurrency=4)
+    return big.map_batches(sieve, batch_format="pyarrow")
 
 
 def hash_join(
@@ -282,9 +287,11 @@ def bucketed_join(
     r_schema = right.schema()
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
     # unified schema so the two tagged sides can union (missing cols -> null)
-    all_fields = [(n, l_schema.field(n).type) for n in l_cols]
-    all_fields += [(n, r_schema.field(n).type) for n in r_cols if n not in l_cols]
+    all_fields = [(n, l_types[n]) for n in l_cols]
+    all_fields += [(n, r_types[n]) for n in r_cols if n not in l_cols]
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:

@@ -1,0 +1,169 @@
+"""Operator-level tests for the relational / dedup / ANN / textstats /
+multimodal layers, cross-checked against DuckDB or pandas on sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def rd():
+    import ray.data
+    return ray.data
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "documents", "embeddings", "events"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_rollup_pre_aggregate(ray_session, con):
+    from lucene_solr_ray.relational import rollup
+
+    ds = rd().read_parquet(f"{SF}/lineitem.parquet",
+                           columns=["l_returnflag", "l_linenumber"])
+    out = rollup(ds, ["l_returnflag"],
+                 [("sum", "l_linenumber", "s"), ("count", None, "c")]).to_pandas()
+    exp = con.execute(
+        "SELECT l_returnflag, sum(l_linenumber) AS s, count(*) AS c "
+        "FROM lineitem GROUP BY 1").df()
+    pd.testing.assert_frame_equal(canon(out).astype({"s": "int64"}),
+                                  canon(exp).astype({"s": "int64"}))
+
+
+def test_hash_and_bucketed_join_agree(ray_session, con):
+    from lucene_solr_ray.relational import bucketed_join, hash_join
+
+    orders = rd().read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd().read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_name"])
+
+    a = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                  num_partitions=4).to_pandas()
+    exp = con.execute(
+        "SELECT o_orderkey, o_custkey, c_custkey, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey").df()
+    assert len(a) == len(exp)
+    # bucketed fallback join needs same-named key on both sides
+    import pyarrow as pa
+
+    cust2 = cust.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"], "c_name": t["c_name"]}),
+        batch_format="pyarrow")
+    b = bucketed_join(orders, cust2, on="o_custkey", num_buckets=4).to_pandas()
+    assert len(b) == len(exp)
+    assert set(b["o_orderkey"]) == set(exp["o_orderkey"])
+
+
+def test_percentile_matches_duckdb(ray_session, con):
+    from lucene_solr_ray.relational.ops import percentile_exact
+
+    ds = rd().read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    got = percentile_exact(ds, "o_totalprice", 0.5)
+    exp = con.execute("SELECT quantile_cont(o_totalprice, 0.5) FROM orders").fetchone()[0]
+    assert abs(got - exp) < 1e-9
+
+
+def test_dedup_exact_and_signatures(ray_session):
+    from lucene_solr_ray.dedup import dedup_exact, minhash_signatures, simhash_signatures
+
+    docs = rd().read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    w = dedup_exact(docs, "doc_id", "text").to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    exp = t.groupby("text")["doc_id"].min()
+    assert sorted(w["doc_id"]) == sorted(exp.tolist())
+
+    sig = minhash_signatures(docs, "doc_id", "text", num_hashes=16).to_pandas()
+    assert len(sig) == len(t)
+    # near-identical docs share most minhash rows; identical docs share all
+    sh = simhash_signatures(docs, "doc_id", "text").to_pandas()
+    assert sh["simhash"].nunique() > 1
+
+
+def test_minhash_lsh_finds_duplicates(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from lucene_solr_ray.dedup import dedup_minhash_lsh, ngram_jaccard_pairs
+
+    # construct a corpus with two near-duplicate pairs
+    texts = [f"totally unrelated document number {i} with words {i*7} {i*13}"
+             for i in range(50)]
+    texts[10] = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts[20] = "the quick brown fox jumps over the lazy dog near the river bend"
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    p = str(tmp_path / "dup.parquet")
+    pq.write_table(t, p)
+    ds = rd().read_parquet(p)
+    pairs = dedup_minhash_lsh(ds, "doc_id", "text", num_hashes=32, bands=16)
+    pdf = pairs.to_pandas()
+    assert (10, 20) in set(zip(pdf["left"], pdf["right"]))
+    verified = ngram_jaccard_pairs(ds, pairs, "doc_id", "text", threshold=0.5)
+    got = set(zip(verified["left"].to_pylist(), verified["right"].to_pylist()))
+    assert (10, 20) in got
+
+
+def test_ann_brute_force_exact(ray_session):
+    from lucene_solr_ray.ann import brute_force_knn, lsh_knn
+
+    emb = rd().read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = m[:2]
+    got = brute_force_knn(emb, "vec_id", "embedding", q, k=5)
+    # numpy reference
+    sims = q @ m.T
+    ids = np.asarray(t["vec_id"].to_pylist())
+    for qi in range(2):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        exp = ids[order].tolist()
+        rows = got.filter(__import__("pyarrow").compute.equal(got["query_id"], qi))
+        assert rows["key"].to_pylist() == exp
+    # LSH recall: top-1 (the vector itself) is always found
+    lsh = lsh_knn(emb, "vec_id", "embedding", q, k=5, num_planes=8, probes=3)
+    top1 = {r["query_id"]: r["key"] for r in lsh.to_pylist() if r["rank"] == 1}
+    assert top1[0] == ids[np.argmax(sims[0])]
+
+
+def test_textstats_and_multimodal(ray_session):
+    import pyarrow as pa
+
+    from lucene_solr_ray.multimodal import decode_images, extract_image_features, sample_frames
+    from lucene_solr_ray.textstats import doc_fingerprint, language_id, quality_score, token_stats
+
+    docs = rd().read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    q = quality_score(docs, "doc_id", "text").to_pandas()
+    assert (q["n_tokens"] > 0).all()
+    ts = token_stats(docs, "doc_id", "text").to_pandas()
+    assert (ts["ws_tokens"] == ts["bpe_tokens"]).all()  # no punctuation corpus
+    fp = doc_fingerprint(docs, "doc_id", "text").to_pandas()
+    assert fp["fingerprint"].nunique() > 1
+    li = language_id(docs, "doc_id", "text").to_pandas()
+    assert set(li.columns) == {"doc_id", "lang_guess", "confidence"}
+
+    blobs = docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "blob": pa.array(
+            [s.encode() for s in t["text"].to_pylist()], pa.large_binary())}),
+        batch_format="pyarrow")
+    d = decode_images(blobs, "doc_id", "blob").to_pandas()
+    assert (d["height"] >= 16).all()
+    f = extract_image_features(blobs, "doc_id", "blob", feat_dim=8).to_pandas()
+    assert len(f["features"].iloc[0]) == 8
+    fr = sample_frames(blobs, "doc_id", "blob", every_n=20).to_pandas()
+    assert len(fr) >= len(d)
+    # strict mode raises the honest stub error
+    from lucene_solr_ray.multimodal.ops import _FakeDecoder
+
+    with pytest.raises(NotImplementedError):
+        _FakeDecoder(strict=True).decode(b"xx")
