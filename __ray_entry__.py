@@ -382,6 +382,80 @@ def q_window_sliding(sf_dir):
     return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
 
 
+def q_eval_scalars(sf_dir):
+    # SelectStream evaluators (string/date/math scalar functions)
+    from lucene_solr_ray.relational import select
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
+    )
+
+    def year(t):
+        return pc.year(t["o_orderdate"])
+
+    def month(t):
+        return pc.month(t["o_orderdate"])
+
+    def upper_pri(t):
+        return pc.utf8_upper(t["o_orderpriority"])
+
+    def tenth(t):
+        v = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 0.1, 4)
+        return pa.array(v, pa.float64())
+
+    return select(ds, {
+        "o_orderkey": "o_orderkey",
+        "yr": year,
+        "mo": month,
+        "pri_up": upper_pri,
+        "tenth": tenth,
+    })
+
+
+def q_having_groups(sf_dir):
+    from lucene_solr_ray.relational import having, rollup
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    agg = rollup(ds, ["o_custkey"], [("count", None, "cnt")])
+    return having(agg, lambda t: pc.greater_equal(t["cnt"], 15))
+
+
+def q_merge_union(sf_dir):
+    # MergeStream: union of two filtered streams
+    from lucene_solr_ray.relational import having
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    hi = having(ds, lambda t: pc.greater(t["o_totalprice"], 300000.0))
+    lo = having(ds, lambda t: pc.less(t["o_totalprice"], 50000.0))
+    return hi.union(lo)
+
+
+def q_significant_terms(sf_dir):
+    from lucene_solr_ray.search.services import significant_terms
+
+    s = _searcher64(sf_dir)
+    return significant_terms(s, "fast", top_n=10, min_df=2)
+
+
+def q_hll_distinct(sf_dir):
+    from lucene_solr_ray.relational.sketches import approx_count_distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    est = approx_count_distinct(ds, "l_partkey")
+    return pa.table({"approx_parts": pa.array([round(est)], pa.int64())})
+
+
+def q_tdigest_quantiles(sf_dir):
+    from lucene_solr_ray.relational.sketches import approx_quantiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    qs = approx_quantiles(ds, "o_totalprice", [0.25, 0.5, 0.75])
+    return pa.table({
+        "q": pa.array([0.25, 0.5, 0.75], pa.float64()),
+        "value": pa.array([round(x, 2) for x in qs], pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # text stats / dedup / ANN / multimodal entries
 # ---------------------------------------------------------------------------
@@ -541,6 +615,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": q_count_distinct,
         "percentile_p50": q_percentile,
         "window_sliding": q_window_sliding,
+        "eval_scalars": q_eval_scalars,
+        "having_groups": q_having_groups,
+        "merge_union": q_merge_union,
+        "significant_terms": q_significant_terms,
+        "hll_distinct": q_hll_distinct,
+        "tdigest_quantiles": q_tdigest_quantiles,
         # dedup / curation
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
@@ -651,6 +731,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem""",
         "count_distinct": """
             SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""",
+        "eval_scalars": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   upper(o_orderpriority) AS pri_up,
+                   round(o_totalprice * 0.1, 4) AS tenth
+            FROM orders""",
+        "having_groups": """
+            SELECT o_custkey, count(*) AS cnt FROM orders
+            GROUP BY o_custkey HAVING count(*) >= 15""",
+        "merge_union": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 50000.0""",
+        "significant_terms": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ), fg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast'),
+            consts AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT count(*) FROM fg) AS fgs
+            ),
+            tfg AS (
+              SELECT t.term, count(DISTINCT t.doc_id) AS fg_df
+              FROM tok t JOIN fg USING (doc_id) GROUP BY t.term
+            ),
+            tbg AS (
+              SELECT term, count(DISTINCT doc_id) AS bg_df FROM tok GROUP BY term
+            )
+            SELECT term,
+                   round((fg_df * 1.0 / fgs) / (bg_df * 1.0 / n), 6) AS score,
+                   fg_df, bg_df
+            FROM tfg JOIN tbg USING (term) CROSS JOIN consts
+            WHERE bg_df >= 2
+            ORDER BY (fg_df * 1.0 / fgs) / (bg_df * 1.0 / n) DESC, term ASC
+            LIMIT 10""",
         "percentile_p50": """
             SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50 FROM orders""",
         "window_sliding": """
