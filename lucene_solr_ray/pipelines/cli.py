@@ -1,0 +1,120 @@
+"""CLI entry points (the `ray job submit` surface of the north rule).
+
+  python -m lucene_solr_ray.pipelines.cli build  --corpus DIR_OR_GLOB --index-dir DIR
+  python -m lucene_solr_ray.pipelines.cli search --index-dir DIR --query "a AND b" [-k 10]
+  python -m lucene_solr_ray.pipelines.cli append --corpus ... --index-dir DIR
+  python -m lucene_solr_ray.pipelines.cli check  --index-dir DIR
+  python -m lucene_solr_ray.pipelines.cli bench  (delegates to bench.py semantics)
+
+Only this CLI owns the Ray session (guarded init); library code never calls
+ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray() -> bool:
+    """Init Ray if this process doesn't have a session; returns True when we
+    own it (and should shut it down)."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    ray.init(
+        address=os.environ.get("RAY_ADDRESS", "local"),
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    return True
+
+
+def _paths(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+    out = sorted(glob.glob(spec))
+    return out or [spec]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lucene_solr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--key-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--html-col", default=None)
+    b.add_argument("--num-shards", type=int, default=8)
+    b.add_argument("--num-buckets", type=int, default=32)
+    b.add_argument("--dedup-recrawls", action="store_true",
+                   help="keep only the newest warc_ts per url before indexing")
+
+    a = sub.add_parser("append")
+    a.add_argument("--corpus", required=True)
+    a.add_argument("--index-dir", required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--distributed", action="store_true")
+
+    c = sub.add_parser("check")
+    c.add_argument("--index-dir", required=True)
+    c.add_argument("--sample-terms", type=int, default=None)
+
+    args = p.parse_args(argv)
+    owns_session = _init_ray()
+
+    if args.cmd == "build":
+        from ..index import IndexBuildConfig, build_index
+
+        paths = _paths(args.corpus)
+        if args.dedup_recrawls:
+            from .flagship import dedup_recrawls
+
+            paths = dedup_recrawls(paths, os.path.join(args.index_dir, "deduped"))
+        cfg = IndexBuildConfig(
+            num_shards=args.num_shards, num_buckets=args.num_buckets,
+            html_col=args.html_col,
+        )
+        m = build_index(paths, args.index_dir, key_col=args.key_col,
+                        text_col=args.text_col, cfg=cfg)
+        print(json.dumps({"committed": m["committed"], "stats": m["stats"],
+                          "metrics": m.get("metrics", {})}))
+    elif args.cmd == "append":
+        from ..index.maintenance import append_index
+
+        m = append_index(args.index_dir, _paths(args.corpus))
+        print(json.dumps({"num_shards": m["num_shards"], "stats": m["stats"]}))
+    elif args.cmd == "search":
+        if args.distributed:
+            from ..search import DistributedSearcher
+
+            res = DistributedSearcher(args.index_dir).search(args.query, k=args.k)
+        else:
+            from ..search import IndexSearcher
+
+            res = IndexSearcher(args.index_dir).search(args.query, k=args.k)
+        print(json.dumps(res.to_pylist()))
+    elif args.cmd == "check":
+        from ..index.maintenance import check_index
+
+        print(json.dumps(check_index(args.index_dir, args.sample_terms)))
+
+    if owns_session:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

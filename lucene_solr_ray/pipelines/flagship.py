@@ -28,6 +28,25 @@ DEFAULT_QUERIES = [
 ]
 
 
+def dedup_recrawls(corpus_paths, out_dir: str) -> list[str]:
+    """Update-by-key semantics (SURVEY.md §2.14): among re-crawls of the same
+    url keep only the newest warc_ts (version max-wins, the reference's
+    optimistic-concurrency rule). groupby(url) shuffle; output is a parquet
+    dir consumed by build_index."""
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus_paths)
+
+    def newest(df):
+        return df.sort_values("warc_ts", kind="mergesort").tail(1)
+
+    out = ds.groupby("url").map_groups(newest, batch_format="pandas")
+    out.write_parquet(out_dir, mode="overwrite")
+    import glob
+
+    return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
 def build_corpus_index(
     corpus_path: str,
     index_dir: str,

@@ -1,0 +1,66 @@
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import IndexBuildConfig, build_index
+from lucene_solr_ray.pipelines import synthesize_corpus
+from lucene_solr_ray.pipelines.flagship import dedup_recrawls
+from lucene_solr_ray.search import IndexSearcher
+
+
+def test_dedup_recrawls(tmp_path, ray_session):
+    # duplicate urls with newer warc_ts must win
+    base = pq.read_table(synthesize_corpus(100, str(tmp_path / "c.parquet")))
+    dup = base.slice(0, 10)
+    newer = dup.set_column(
+        dup.column_names.index("warc_ts"), "warc_ts",
+        pa.array([v.as_py() + __import__("datetime").timedelta(days=30)
+                  for v in dup["warc_ts"]], pa.timestamp("us")),
+    )
+    newer = newer.set_column(
+        newer.column_names.index("doc_id"), "doc_id",
+        pa.array([v.as_py() + 1000 for v in dup["doc_id"]], pa.int64()),
+    )
+    both = pa.concat_tables([base, newer])
+    src = str(tmp_path / "recrawl.parquet")
+    pq.write_table(both, src)
+    out = dedup_recrawls([src], str(tmp_path / "dedup"))
+    t = pq.read_table(out)
+    assert t.num_rows == 100
+    kept = dict(zip(t["url"].to_pylist(), t["doc_id"].to_pylist()))
+    for u, d in zip(newer["url"].to_pylist(), newer["doc_id"].to_pylist()):
+        assert kept[u] == d  # newer crawl won
+
+
+def test_resume_extends_with_new_files(tmp_path, ray_session):
+    d = synthesize_corpus(400, str(tmp_path / "multi"), n_files=2)
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    cfg = IndexBuildConfig(num_shards=2, num_buckets=4, batch_size=128,
+                           files_per_chunk=1)
+    # interrupted run: only the first file made it
+    part = str(tmp_path / "idx_part")
+    build_index(files[:1], part, key_col="doc_id", text_col="text", cfg=cfg)
+    # resumed run over the full input reuses the first chunk's stage-1 output
+    m = build_index(files, part, key_col="doc_id", text_col="text", cfg=cfg)
+    assert len(m["lineage"]) == 2
+    fresh = str(tmp_path / "idx_fresh")
+    build_index(files, fresh, key_col="doc_id", text_col="text", cfg=cfg)
+    a = IndexSearcher(part).search("kato OR mito", k=10)
+    b = IndexSearcher(fresh).search("kato OR mito", k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_cli_build_search_check(tmp_path, ray_session):
+    from lucene_solr_ray.pipelines import cli
+
+    corpus = synthesize_corpus(150, str(tmp_path / "cli.parquet"))
+    idx = str(tmp_path / "cli_idx")
+    cli.main(["build", "--corpus", corpus, "--index-dir", idx,
+              "--num-shards", "2", "--num-buckets", "4", "--html-col", "html"])
+    cli.main(["search", "--index-dir", idx, "--query", "ka OR to", "-k", "5"])
+    cli.main(["check", "--index-dir", idx])
