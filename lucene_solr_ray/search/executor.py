@@ -86,49 +86,65 @@ def _score_term(shard: ShardReader, node: Term, weights, dtype):
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
+_POS_SHIFT = 22  # doclen bound 2^21; (doc << SHIFT) | adjusted-position keys
+
+
 def _score_phrase(shard: ShardReader, node: Phrase, weights, dtype):
-    """ExactPhraseMatcher semantics: doc matches when positions align."""
-    post = []
-    for t in node.terms:
+    """ExactPhraseMatcher semantics, fully vectorized: each term's postings
+    become (doc << SHIFT | (position - term_offset)) keys; the phrase
+    occurrences are the intersection of the key sets across terms, and the
+    per-doc phrase freq falls out of a run-length over the surviving keys."""
+    keyed = None
+    margin = len(node.terms)  # keep adjusted positions non-negative
+    for i, t in enumerate(node.terms):
         docs, freqs, pos = shard.postings(t, with_positions=True)
         if not len(docs):
             return np.zeros(0, np.int64), np.zeros(0, dtype)
-        post.append((docs, freqs, pos, np.concatenate([[0], np.cumsum(freqs.astype(np.int64))])))
-    cand = post[0][0]
-    for docs, _, _, _ in post[1:]:
-        cand = cand[np.isin(cand, docs, assume_unique=True)]
-    if not len(cand):
-        return np.zeros(0, np.int64), np.zeros(0, dtype)
-    out_docs = []
-    out_freqs = []
-    for d in cand:
-        base = None
-        for i, (docs, freqs, pos, cum) in enumerate(post):
-            j = int(np.searchsorted(docs, d))
-            p = pos[cum[j]:cum[j + 1]] - i
-            base = p if base is None else np.intersect1d(base, p, assume_unique=True)
-            if not len(base):
-                break
-        pf = len(base) if base is not None else 0
-        if pf:
-            out_docs.append(d)
-            out_freqs.append(pf)
-    if not out_docs:
-        return np.zeros(0, np.int64), np.zeros(0, dtype)
-    docs = np.asarray(out_docs, dtype=np.int64)
-    freqs = np.asarray(out_freqs, dtype=np.int32)
+        doc_rep = np.repeat(docs, freqs)
+        keys = (doc_rep << _POS_SHIFT) | (pos.astype(np.int64) - i + margin)
+        keyed = keys if keyed is None else np.intersect1d(keyed, keys, assume_unique=True)
+        if not len(keyed):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+    occ_docs = keyed >> _POS_SHIFT
+    new = np.empty(len(occ_docs), dtype=bool)
+    new[0] = True
+    new[1:] = occ_docs[1:] != occ_docs[:-1]
+    starts = np.flatnonzero(new)
+    docs = occ_docs[starts]
+    freqs = np.diff(np.append(starts, len(occ_docs))).astype(np.int32)
     tw = weights[("\x1f".join(node.terms), node.boost)]
     norms = shard.norms_for(docs)
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
-def _union(results, min_should: int, dtype):
+def _union(results, min_should: int, dtype, shard: ShardReader | None = None):
     """Union-sum: clause scores accumulate in double and cast to the scoring
     dtype at the boolean boundary (DisjunctionSumScorer sums sub-scores as
-    double and returns (float) sum)."""
-    docs = np.concatenate([d for d, _ in results]) if results else np.zeros(0, np.int64)
-    if not len(docs):
+    double and returns (float) sum).
+
+    With a shard, uses a dense accumulator over shard-local doc slots (the
+    reference's BooleanScorer window-accumulator, vectorized: O(postings),
+    no sort); clause accumulation order matches the sequential clause order
+    either way."""
+    results = [(d, s) for d, s in results if len(d)]
+    if not results:
         return np.zeros(0, np.int64), np.zeros(0, dtype)
+    if shard is not None and len(shard.doc_ids):
+        n = len(shard.doc_ids)
+        acc = np.zeros(n, dtype=np.float64)
+        hit = np.zeros(n, dtype=bool)
+        counts = np.zeros(n, dtype=np.int32) if min_should > 1 else None
+        for d, s in results:
+            idx = np.searchsorted(shard.doc_ids, d)
+            acc[idx] += s.astype(np.float64)
+            hit[idx] = True
+            if counts is not None:
+                counts[idx] += 1
+        if counts is not None:
+            hit &= counts >= min_should
+        sel = np.flatnonzero(hit)
+        return shard.doc_ids[sel], acc[sel].astype(dtype)
+    docs = np.concatenate([d for d, _ in results])
     scores = np.concatenate([s for _, s in results]).astype(np.float64)
     order = np.argsort(docs, kind="stable")
     docs = docs[order]
@@ -234,7 +250,7 @@ def eval_node(shard: ShardReader, node, weights, dtype):
                 acc += add
         scores = acc.astype(dtype)
     else:
-        docs, scores = _union(should_res, node.min_should, dtype)
+        docs, scores = _union(should_res, node.min_should, dtype, shard)
     for c in node.must_not:
         nd, _ = eval_node(shard, c, weights, dtype)
         if len(nd):
@@ -295,26 +311,33 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype):
 
     boundaries = np.unique(np.concatenate([p[3] for p in per_term]))
     n_win = len(boundaries)
+    bounds_ext = np.append(boundaries, np.iinfo(np.int64).max)
     ub_sum = np.zeros(n_win, dtype=np.float64)
+    # one vectorized searchsorted per term gives every window's slice and its
+    # active block's upper bound (no per-window binary searches)
+    slices = []
     for docs, freqs, tw, firsts, ub in per_term:
         idx = np.searchsorted(firsts, boundaries, side="right") - 1
         active = (idx >= 0) & (boundaries <= docs[-1])
         contrib = np.zeros(n_win, dtype=np.float64)
         contrib[active] = ub[idx[active]]
         ub_sum += contrib
+        pos = np.searchsorted(docs, bounds_ext, side="left")
+        slices.append(pos)
 
     top_docs = np.zeros(0, np.int64)
     top_scores = np.zeros(0, dtype)
     theta = -np.inf
-    bounds_ext = np.append(boundaries, np.iinfo(np.int64).max)
-    for w in range(n_win):
+    # visit windows in descending upper-bound order: θ converges after the
+    # first few windows and the tail is pruned wholesale (correct because a
+    # window is skipped only when its own bound is below the current θ)
+    visit = np.argsort(-ub_sum, kind="stable")
+    for w in visit:
         if len(top_docs) >= k and ub_sum[w] < theta:
-            continue
-        lo_d, hi_d = bounds_ext[w], bounds_ext[w + 1]
+            break  # bounds are visited descending: the rest are lower still
         parts = []
-        for docs, freqs, tw, firsts, ub in per_term:
-            lo = np.searchsorted(docs, lo_d, side="left")
-            hi = np.searchsorted(docs, hi_d, side="left")
+        for t, (docs, freqs, tw, firsts, ub) in enumerate(per_term):
+            lo, hi = slices[t][w], slices[t][w + 1]
             if lo == hi:
                 continue
             d = docs[lo:hi]
@@ -335,6 +358,19 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype):
 def shard_top_k(shard: ShardReader, node, weights, k: int, dtype, use_wand: bool = True):
     terms = _pure_disjunction_terms(node) if use_wand else None
     if terms is not None:
+        # cost-based physical plan (the reference's Boolean2ScorerSupplier
+        # choice between WANDScorer and the bulk BooleanScorer): block-max
+        # pruning only pays when the block upper bounds actually spread —
+        # on a flat score landscape the dense one-pass accumulator wins
+        dfs = [weights[(t.text, t.boost)].df for t in terms]
+        if use_wand != "force" and sum(dfs) <= (1 << 21):
+            docs, scores = eval_node(
+                shard,
+                terms[0] if len(terms) == 1 else Bool(should=list(terms), min_should=1),
+                weights,
+                dtype,
+            )
+            return top_k_select(docs, scores, k)
         return wand_top_k(shard, terms, weights, k, dtype)
     docs, scores = eval_node(shard, node, weights, dtype)
     return top_k_select(docs, scores, k)

@@ -86,7 +86,9 @@ def test_rank_identity_vs_bruteforce(built, brute, q):
 def test_wand_equals_exhaustive(built, q):
     index_dir, _ = built
     searcher = IndexSearcher(index_dir)
-    a = searcher.search(q, k=10, use_wand=True)
+    # "force" bypasses the cost-based plan choice so the block-max pruning
+    # path itself is what gets compared against the exhaustive scorer
+    a = searcher.search(q, k=10, use_wand="force")
     b = searcher.search(q, k=10, use_wand=False)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
