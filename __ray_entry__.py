@@ -382,6 +382,41 @@ def q_window_sliding(sf_dir):
     return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
 
 
+def q_to_parent_join(sf_dir):
+    # ToParentBlockJoinQuery semantics: children (orders) matching a child
+    # filter roll up to their parent (customer) with a max score aggregation
+    from lucene_solr_ray.relational import having, rollup
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    kids = having(ds, lambda t: pc.greater(t["o_totalprice"], 300000.0))
+    out = rollup(kids, ["o_custkey"], [("max", "o_totalprice", "max_total")],
+                 pre_aggregate=False)
+    return out.rename_columns(["c_custkey", "max_total"])
+
+
+def q_drill_sideways(sf_dir):
+    # DrillSideways: facet counts per dimension computed with every OTHER
+    # drill-down applied but the dimension's own filter removed
+    from lucene_solr_ray.relational import facet_counts, having
+
+    docs = _docs(sf_dir).select_columns(["lang", "source"])
+    by_lang = facet_counts(
+        having(docs, lambda t: pc.equal(t["source"], "src1")), "lang", "cnt"
+    ).map_batches(
+        lambda t: pa.table({"dim": pa.array(["lang"] * len(t), pa.string()),
+                            "value": t["lang"], "cnt": t["cnt"]}),
+        batch_format="pyarrow",
+    )
+    by_source = facet_counts(
+        having(docs, lambda t: pc.equal(t["lang"], "en")), "source", "cnt"
+    ).map_batches(
+        lambda t: pa.table({"dim": pa.array(["source"] * len(t), pa.string()),
+                            "value": t["source"], "cnt": t["cnt"]}),
+        batch_format="pyarrow",
+    )
+    return by_lang.union(by_source)
+
+
 def q_eval_scalars(sf_dir):
     # SelectStream evaluators (string/date/math scalar functions)
     from lucene_solr_ray.relational import select
@@ -616,6 +651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_p50": q_percentile,
         "window_sliding": q_window_sliding,
         "eval_scalars": q_eval_scalars,
+        "to_parent_join": q_to_parent_join,
+        "drill_sideways": q_drill_sideways,
         "having_groups": q_having_groups,
         "merge_union": q_merge_union,
         "significant_terms": q_significant_terms,
@@ -741,6 +778,15 @@ def oracle_sql() -> dict[str, str]:
         "having_groups": """
             SELECT o_custkey, count(*) AS cnt FROM orders
             GROUP BY o_custkey HAVING count(*) >= 15""",
+        "to_parent_join": """
+            SELECT o_custkey AS c_custkey, max(o_totalprice) AS max_total
+            FROM orders WHERE o_totalprice > 300000.0 GROUP BY 1""",
+        "drill_sideways": """
+            SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+            FROM documents WHERE source = 'src1' GROUP BY lang
+            UNION ALL
+            SELECT 'source' AS dim, source AS value, count(*) AS cnt
+            FROM documents WHERE lang = 'en' GROUP BY source""",
         "merge_union": """
             SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0
             UNION ALL

@@ -93,7 +93,12 @@ def _score_phrase(shard: ShardReader, node: Phrase, weights, dtype):
     """ExactPhraseMatcher semantics, fully vectorized: each term's postings
     become (doc << SHIFT | (position - term_offset)) keys; the phrase
     occurrences are the intersection of the key sets across terms, and the
-    per-doc phrase freq falls out of a run-length over the surviving keys."""
+    per-doc phrase freq falls out of a run-length over the surviving keys.
+
+    slop > 0 routes to the sloppy matcher (documented approximation of
+    SloppyPhraseMatcher: per-match weight 1/(1+displacement))."""
+    if node.slop > 0:
+        return _score_sloppy_phrase(shard, node, weights, dtype)
     keyed = None
     margin = len(node.terms)  # keep adjusted positions non-negative
     for i, t in enumerate(node.terms):
@@ -112,6 +117,57 @@ def _score_phrase(shard: ShardReader, node: Phrase, weights, dtype):
     starts = np.flatnonzero(new)
     docs = occ_docs[starts]
     freqs = np.diff(np.append(starts, len(occ_docs))).astype(np.int32)
+    tw = weights[("\x1f".join(node.terms), node.boost)]
+    norms = shard.norms_for(docs)
+    return docs, score_postings(tw, freqs, norms, dtype)
+
+
+def _score_sloppy_phrase(shard: ShardReader, node: Phrase, weights, dtype):
+    """Sloppy phrase (PhraseQuery slop>0). For each occurrence of the last
+    term, the nearest preceding-term occurrence in the same doc determines
+    the displacement d from the exact offset; matches with d <= slop score
+    1/(1+d) each (the reference's sloppyFreq shape — an approximation of
+    SloppyPhraseMatcher's full repeats handling, documented)."""
+    post = []
+    for i, t in enumerate(node.terms):
+        docs, freqs, pos = shard.postings(t, with_positions=True)
+        if not len(docs):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        doc_rep = np.repeat(docs, freqs)
+        keys = (doc_rep << _POS_SHIFT) | pos.astype(np.int64)
+        post.append(np.sort(keys))
+    # anchor on the first term; each later term contributes its minimal
+    # displacement from the expected offset i
+    anchor = post[0]
+    disp = np.zeros(len(anchor), dtype=np.float64)
+    alive = np.ones(len(anchor), dtype=bool)
+    a_doc = anchor >> _POS_SHIFT
+    a_pos = anchor & ((1 << _POS_SHIFT) - 1)
+    for i in range(1, len(post)):
+        target = ((a_doc << _POS_SHIFT) | (a_pos + i)).astype(np.int64)
+        j = np.searchsorted(post[i], target)
+        best = np.full(len(anchor), np.inf)
+        for cand in (np.clip(j - 1, 0, len(post[i]) - 1), np.clip(j, 0, len(post[i]) - 1)):
+            c_doc = post[i][cand] >> _POS_SHIFT
+            c_pos = post[i][cand] & ((1 << _POS_SHIFT) - 1)
+            d = np.abs(c_pos - (a_pos + i)).astype(np.float64)
+            d[c_doc != a_doc] = np.inf
+            best = np.minimum(best, d)
+        disp += np.where(np.isfinite(best), best, np.inf)
+        alive &= np.isfinite(best)
+    alive &= disp <= node.slop
+    if not alive.any():
+        return np.zeros(0, np.int64), np.zeros(0, dtype)
+    m_doc = a_doc[alive]
+    m_w = 1.0 / (1.0 + disp[alive])
+    order = np.argsort(m_doc, kind="stable")
+    m_doc, m_w = m_doc[order], m_w[order]
+    new = np.empty(len(m_doc), dtype=bool)
+    new[0] = True
+    new[1:] = m_doc[1:] != m_doc[:-1]
+    starts = np.flatnonzero(new)
+    docs = m_doc[starts]
+    freqs = np.add.reduceat(m_w, starts).astype(np.float32)
     tw = weights[("\x1f".join(node.terms), node.boost)]
     norms = shard.norms_for(docs)
     return docs, score_postings(tw, freqs, norms, dtype)

@@ -26,6 +26,7 @@ class Term:
 class Phrase:
     terms: tuple
     boost: float = 1.0
+    slop: int = 0  # 0 = exact (ExactPhraseMatcher); >0 = sloppy window
 
 
 @dataclass(frozen=True)
@@ -179,6 +180,9 @@ def parse_query(q: str):
         if t.startswith('"'):
             body = t[1:-1]
             boost = 1.0
+            slop = 0
+            if peek() and peek().startswith("~"):
+                slop = int(advance()[1:] or "0")
             if peek() and peek().startswith("^"):
                 boost = float(advance()[1:])
             terms = _analyze_term(body)
@@ -186,7 +190,7 @@ def parse_query(q: str):
                 return None
             if len(terms) == 1:
                 return Term(terms[0], boost)
-            return Phrase(tuple(terms), boost)
+            return Phrase(tuple(terms), boost, slop)
         if t.startswith("[") and t.endswith("]"):
             # classic range syntax: [a TO b]
             body = t[1:-1].strip()

@@ -98,6 +98,131 @@ def more_like_this(searcher: IndexSearcher, doc_text: str, max_terms: int = 10,
     return searcher.search(Bool(should=[Term(t) for t in sel], min_should=1), k=k)
 
 
+def suggest(searcher: IndexSearcher, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+    """Prefix suggester (AnalyzingSuggester role): dictionary terms starting
+    with the prefix, ranked by global df desc then term asc. The FST is
+    replaced by the sorted-term-table range scan."""
+    from .multiterm import expand_terms
+    from .query import Prefix
+
+    seen: set[str] = set()
+    for s in searcher.reader.shards:
+        seen.update(expand_terms(s.terms, Prefix(prefix.lower())))
+    ranked = sorted(
+        ((searcher.reader.term_stats(t)[0], t) for t in seen),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return [(t, df) for df, t in ranked[:k]]
+
+
+def spell_correct(searcher: IndexSearcher, word: str, max_edits: int = 2,
+                  k: int = 3) -> list[tuple[str, int]]:
+    """DirectSpellChecker role: dictionary terms within edit distance,
+    ranked by df desc (more frequent spelling wins), distance asc."""
+    from .multiterm import _levenshtein_leq, expand_terms
+    from .query import Fuzzy
+
+    seen: set[str] = set()
+    for s in searcher.reader.shards:
+        seen.update(expand_terms(s.terms, Fuzzy(word.lower(), max_edits)))
+    def dist(t):
+        for d in range(max_edits + 1):
+            if _levenshtein_leq(t, word.lower(), d):
+                return d
+        return max_edits
+    ranked = sorted(
+        ((dist(t), -searcher.reader.term_stats(t)[0], t) for t in seen if t != word.lower()),
+    )
+    return [(t, -negdf) for d, negdf, t in ranked[:k]]
+
+
+def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
+                           k: int = 10, descending: bool = True) -> "pa.Table":
+    """TopFieldCollector role: top-k matching docs ordered by a docvalues
+    column instead of score (supported per-shard fields: doclen, doc_id)."""
+    node = searcher._node(query)
+    from .executor import eval_node, resolve_weights
+
+    weights = resolve_weights(searcher.reader, node, searcher.params, searcher.dtype)
+    all_docs, all_vals = [], []
+    for s in searcher.reader.shards:
+        docs, _ = eval_node(s, node, weights, searcher.dtype)
+        if not len(docs):
+            continue
+        if field == "doclen":
+            idx = np.searchsorted(s.doc_ids, docs)
+            vals = s.doclens[idx]
+        elif field == "doc_id":
+            vals = docs
+        else:
+            raise ValueError(f"unknown sort field {field!r}")
+        all_docs.append(docs)
+        all_vals.append(vals)
+    if not all_docs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         field: pa.array([], pa.int64())})
+    docs = np.concatenate(all_docs)
+    vals = np.concatenate(all_vals).astype(np.int64)
+    order = np.lexsort((docs, -vals if descending else vals))[:k]
+    return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
+                     field: pa.array(vals[order], pa.int64())})
+
+
+def rescore(searcher: IndexSearcher, query: str, rescore_query: str,
+            first_pass_n: int = 50, weight: float = 1.0, k: int = 10) -> "pa.Table":
+    """QueryRescorer role: take the first-pass top-N, add weight * second
+    query's scores on those docs, re-rank."""
+    import numpy as _np
+
+    first = searcher.search(query, k=first_pass_n)
+    ids = first["doc_id"].to_pylist()
+    base = dict(zip(ids, first["score"].to_pylist()))
+    second = searcher.match_all(rescore_query)
+    add = dict(zip(second["doc_id"].to_pylist(), second["score"].to_pylist()))
+    combined = [(d, base[d] + weight * add.get(d, 0.0)) for d in ids]
+    combined.sort(key=lambda x: (-x[1], x[0]))
+    combined = combined[:k]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in combined], pa.int64()),
+        "score": pa.array([s for _, s in combined], pa.float64()),
+    })
+
+
+class Monitor:
+    """Reverse search (lucene/monitor Monitor.java:48 / percolator): register
+    queries once, stream documents through, get matching query ids.
+
+    Ray-native use: pass an instance to map_batches as an actor-pool stage —
+    the compiled query set loads once per actor; each batch of docs is
+    indexed into an in-memory mini index (the MemoryIndex role is played by
+    the brute-force postings dict) and every registered query runs over it.
+    """
+
+    def __init__(self, queries: dict[str, str], key_col: str = "doc_id",
+                 text_col: str = "text"):
+        from .query import parse_query
+
+        self.key_col = key_col
+        self.text_col = text_col
+        self.compiled = {qid: parse_query(q) for qid, q in queries.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .memory import MemoryIndex
+
+        mini = MemoryIndex(
+            batch[self.key_col].to_pylist(), batch[self.text_col].to_pylist()
+        )
+        out_doc, out_q = [], []
+        for qid, node in self.compiled.items():
+            for d in sorted(mini.matches(node)):
+                out_doc.append(d)
+                out_q.append(qid)
+        return pa.table({
+            self.key_col: pa.array(out_doc, pa.int64()),
+            "query_id": pa.array(out_q, pa.string()),
+        })
+
+
 def significant_terms(searcher: IndexSearcher, query: str, top_n: int = 10,
                       min_df: int = 2) -> pa.Table:
     """Terms over-represented in the matching set vs the background.

@@ -1,0 +1,86 @@
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import IndexBuildConfig, build_index
+from lucene_solr_ray.search import IndexSearcher, parse_query
+from lucene_solr_ray.search.query import Phrase
+from lucene_solr_ray.search.services import (
+    Monitor,
+    rescore,
+    search_sorted_by_field,
+    spell_correct,
+    suggest,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("svc2_idx"))
+    build_index(DOCS, d, key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    return d
+
+
+def test_suggest(idx):
+    s = IndexSearcher(idx)
+    out = suggest(s, "fa", k=3)
+    assert out and all(t.startswith("fa") for t, _ in out)
+    dfs = [d for _, d in out]
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_spell_correct(idx):
+    s = IndexSearcher(idx)
+    out = spell_correct(s, "fsat", max_edits=2, k=3)
+    assert "fast" in [t for t, _ in out]
+
+
+def test_sort_by_field(idx):
+    s = IndexSearcher(idx)
+    out = search_sorted_by_field(s, "fast", "doclen", k=10, descending=True)
+    vals = out["doclen"].to_pylist()
+    assert vals == sorted(vals, reverse=True)
+    # matches really contain the term
+    brute = pq.read_table(DOCS, columns=["doc_id", "text"])
+    texts = dict(zip(brute["doc_id"].to_pylist(), brute["text"].to_pylist()))
+    for d in out["doc_id"].to_pylist():
+        assert "fast" in texts[d].split(" ")
+
+
+def test_rescore(idx):
+    s = IndexSearcher(idx)
+    out = rescore(s, "fast", "query", first_pass_n=30, weight=2.0, k=10)
+    assert out.num_rows == 10
+    scores = out["score"].to_pylist()
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_sloppy_phrase(idx):
+    s = IndexSearcher(idx)
+    exact = set(s.match_all('"fast query"')["doc_id"].to_pylist())
+    sloppy = set(s.match_all(parse_query('"fast query"~2'))["doc_id"].to_pylist())
+    assert exact <= sloppy  # slop relaxes the match set
+    # and slop actually adds docs where the words are 1 apart
+    brute = pq.read_table(DOCS, columns=["doc_id", "text"])
+    extra = sloppy - exact
+    for d in list(extra)[:5]:
+        toks = dict(zip(brute["doc_id"].to_pylist(), brute["text"].to_pylist()))[d].split(" ")
+        assert "fast" in toks and "query" in toks
+
+
+def test_monitor_percolation(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    mon = Monitor({"q_fast": "fast", "q_both": "fast AND query", "q_none": "zzzznope"})
+    out = ds.map_batches(mon, batch_format="pyarrow", batch_size=256,
+                         concurrency=2).to_pandas()
+    brute = pq.read_table(DOCS, columns=["doc_id", "text"])
+    texts = dict(zip(brute["doc_id"].to_pylist(), brute["text"].to_pylist()))
+    fast_docs = {d for d, t in texts.items() if "fast" in t.split(" ")}
+    got_fast = set(out[out.query_id == "q_fast"]["doc_id"])
+    assert got_fast == fast_docs
+    assert not len(out[out.query_id == "q_none"])
