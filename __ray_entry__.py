@@ -128,6 +128,15 @@ def q_ft_range(sf_dir):
     return s.match_all("[fast TO hash]").select(["doc_id"])
 
 
+def q_ft_numeric_range(sf_dir):
+    # PointRangeQuery-style filter (doclen in [50, 80]) AND a scoring term
+    from lucene_solr_ray.search.query import Bool, NumericRange, Term
+
+    s = _searcher64(sf_dir)
+    node = Bool(must=[Term("fast")], filter=[NumericRange("doclen", 50, 80)])
+    return s.match_all(node).select(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # relational entries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -629,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix": q_ft_prefix,
         "ft_wildcard": q_ft_wildcard,
         "ft_range": q_ft_range,
+        "ft_numeric_range": q_ft_numeric_range,
         "flagship_corpus": q_flagship_corpus,
         # relational / streaming-expression layer
         "select_project": q_select_project,
@@ -699,6 +709,13 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents)
             SELECT DISTINCT doc_id FROM tok
             WHERE term >= 'fast' AND term <= 'hash' ORDER BY doc_id""",
+        "ft_numeric_range": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+            SELECT DISTINCT t.doc_id FROM tok t JOIN dl ON t.doc_id = dl.doc_id
+            WHERE t.term = 'fast' AND dl.dl BETWEEN 50 AND 80
+            ORDER BY t.doc_id""",
         "select_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice*100,0) AS BIGINT)

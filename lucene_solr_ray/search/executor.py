@@ -29,6 +29,7 @@ from .query import (
     ConstantScore,
     DisMax,
     MatchAll,
+    NumericRange,
     Phrase,
     Synonym,
     Term,
@@ -70,7 +71,7 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
             for c in n.clauses:
                 walk(c)
         elif isinstance(n, Bool):
-            for c in n.must + n.should + n.must_not:
+            for c in n.must + n.should + n.must_not + n.filter:
                 walk(c)
 
     walk(node)
@@ -237,6 +238,20 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     if isinstance(node, MatchAll):
         docs = shard.doc_ids
         return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, NumericRange):
+        if node.field == "doclen":
+            vals = shard.doclens
+        elif node.field == "doc_id":
+            vals = shard.doc_ids
+        else:
+            raise ValueError(f"unknown numeric field {node.field!r}")
+        m = np.ones(len(vals), dtype=bool)
+        if node.lower is not None:
+            m &= vals >= node.lower
+        if node.upper is not None:
+            m &= vals <= node.upper
+        docs = shard.doc_ids[m]
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, TermInSet):
         docs = _docs_union(shard, node.terms)
         return docs, np.full(len(docs), node.boost, dtype=dtype)
@@ -287,6 +302,19 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     assert isinstance(node, Bool)
     must_res = [eval_node(shard, c, weights, dtype) for c in node.must]
     should_res = [eval_node(shard, c, weights, dtype) for c in node.should]
+    if node.filter and not node.must and not node.should:
+        # FILTER-only boolean: matching set with zero scores
+        docs = eval_node(shard, node.filter[0], weights, dtype)[0]
+        for c in node.filter[1:]:
+            docs = docs[np.isin(docs, eval_node(shard, c, weights, dtype)[0],
+                                assume_unique=True)]
+        scores = np.zeros(len(docs), dtype=dtype)
+        for c in node.must_not:
+            nd, _ = eval_node(shard, c, weights, dtype)
+            if len(nd):
+                keep = ~np.isin(docs, nd, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+        return docs, scores
     if node.must:
         docs = must_res[0][0]
         for d, _ in must_res[1:]:
@@ -307,6 +335,10 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         scores = acc.astype(dtype)
     else:
         docs, scores = _union(should_res, node.min_should, dtype, shard)
+    for c in node.filter:
+        fd, _ = eval_node(shard, c, weights, dtype)
+        keep = np.isin(docs, fd, assume_unique=True)
+        docs, scores = docs[keep], scores[keep]
     for c in node.must_not:
         nd, _ = eval_node(shard, c, weights, dtype)
         if len(nd):

@@ -136,6 +136,7 @@ def rewrite(node, expander):
             must=[rewrite(c, expander) for c in node.must],
             should=[rewrite(c, expander) for c in node.should],
             must_not=[rewrite(c, expander) for c in node.must_not],
+            filter=[rewrite(c, expander) for c in node.filter],
             min_should=node.min_should,
         )
     return node

@@ -106,11 +106,25 @@ class MatchAll:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class NumericRange:
+    """PointRangeQuery / docvalues range (search/PointRangeQuery.java:47,
+    IndexOrDocValuesQuery role): constant-score filter on a columnar per-doc
+    numeric field. Supported fields: any docs-table column (doclen, doc_id).
+    The BKD tree is replaced by a vectorized Arrow/numpy compare over the
+    columnar sidecar — the idiomatic substitution (SURVEY.md §2.5)."""
+    field: str
+    lower: float | None = None
+    upper: float | None = None
+    boost: float = 1.0
+
+
 @dataclass
 class Bool:
     must: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)
+    filter: list = field(default_factory=list)  # match-only, no score (FILTER)
     min_should: int = 0
 
 
@@ -259,7 +273,7 @@ def query_terms(node) -> list[str]:
             for c in n.clauses:
                 walk(c)
         elif isinstance(n, Bool):
-            for c in n.must + n.should + n.must_not:
+            for c in n.must + n.should + n.must_not + n.filter:
                 walk(c)
 
     walk(node)

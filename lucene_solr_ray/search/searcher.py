@@ -202,7 +202,7 @@ class DistributedSearcher:
                 for c in n.clauses:
                     walk(c)
             elif isinstance(n, Bool):
-                for c in n.must + n.should + n.must_not:
+                for c in n.must + n.should + n.must_not + n.filter:
                     walk(c)
 
         walk(node)
