@@ -75,9 +75,13 @@ def term_bucket(terms: np.ndarray, num_buckets: int) -> np.ndarray:
 @dataclass
 class IndexBuildConfig:
     num_shards: int = 4
-    num_buckets: int = 16          # merge-shuffle groups per shard
+    # stage-1 row count scales with num_batches * num_shards (one row per
+    # (term, doc-shard) per batch): bigger batches and fewer shards shrink
+    # the merge shuffle; smaller batches improve stage-A cache locality for
+    # very long documents. 2048 balances both on measured corpora.
+    num_buckets: int = 32          # merge-shuffle groups per shard
     store_positions: bool = True
-    batch_size: int = 512          # docs per tokenize batch
+    batch_size: int = 2048         # docs per tokenize batch
     stopwords: tuple = ()
     # head-term skew handling: terms whose sampled token share exceeds
     # head_df_ratio are salted into doc-range sub-buckets of head_sub_span ids
