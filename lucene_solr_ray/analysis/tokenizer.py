@@ -24,23 +24,24 @@ import re
 
 MAX_TOKEN_LENGTH = 255  # reference default, StandardAnalyzer.java:39
 
+# one alphanumeric run; medial ' and . join any alnum (MidLetter/MidNumLet),
+# medial , joins only digit-digit (MidNum) — so "2B", "21.35", "1,000" and
+# "don't" are single tokens while "dogs,chase" splits
 _ASCII_RE = re.compile(
-    r"\d+(?:[.,]\d+)*"                      # numbers with medial . ,
-    r"|[A-Za-z0-9_]+(?:['.][A-Za-z0-9_]+)*"  # words with medial ' .
+    r"[A-Za-z0-9_]+(?:(?:['.]|(?<=\d),(?=\d))[A-Za-z0-9_]+)*"
 )
 
 _CJK = (
     "⺀-⻿㐀-䶿一-鿿豈-﫿"
     "\U00020000-\U0002fa1f"
 )
+_W = rf"(?:(?![{_CJK}぀-ヿ가-힯])[^\W])"  # word char minus CJK/kana/hangul
 _UNI_RE = re.compile(
     rf"[぀-ゟ]"                     # hiragana: one char per token
     rf"|[{_CJK}]"                            # ideographic: one char per token
     rf"|[゠-ヿ]+"                    # katakana run
     rf"|[가-힯]+"                    # hangul run
-    rf"|\d+(?:[.,]\d+)*"
-    rf"|(?:(?![{_CJK}぀-ヿ가-힯])[^\W])+"
-    rf"(?:['.’](?:(?![{_CJK}぀-ヿ가-힯])[^\W])+)*",
+    rf"|{_W}+(?:(?:['.’]|(?<=\d),(?=\d)){_W}+)*",
     re.UNICODE,
 )
 
