@@ -140,6 +140,8 @@ def _analyze_term(text: str):
 
 def parse_query(q: str):
     toks = _TOKEN_RE.findall(q)
+    if not toks:
+        return Bool()  # empty query matches nothing
     pos = 0
 
     def peek():
@@ -184,6 +186,8 @@ def parse_query(q: str):
         return parse_primary()
 
     def parse_primary():
+        if pos >= len(toks):
+            return None  # dangling operator / unbalanced paren
         t = advance()
         if t == "(":
             node = parse_or()
