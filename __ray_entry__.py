@@ -577,6 +577,26 @@ def q_ann_lsh(sf_dir):
     return lsh_knn(emb, "vec_id", "embedding", queries, k=10)
 
 
+def q_logit_train(sf_dir):
+    # TextLogitStream: distributed logistic regression over embeddings
+    from lucene_solr_ray.relational.ml import score_logistic, train_logistic
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"])
+
+    def binarize(t):
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        y = (lab == 0).astype(np.int32)
+        return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
+                         "y": pa.array(y, pa.int32())})
+
+    ds = emb.map_batches(binarize, batch_format="pyarrow")
+    model = train_logistic(ds, "embedding", "y", iterations=15, lr=1.0)
+    return score_logistic(ds, "embedding", "vec_id", model).select_columns(
+        ["vec_id", "pred"]
+    )
+
+
 def q_mm_decode(sf_dir):
     from lucene_solr_ray.multimodal import decode_images
 
@@ -680,6 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        # model training / scoring (TextLogitStream)
+        "logit_train": q_logit_train,
         # multimodal plumbing (stubbed decode)
         "mm_decode": q_mm_decode,
     }
