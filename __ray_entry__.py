@@ -577,6 +577,23 @@ def q_ann_lsh(sf_dir):
     return lsh_knn(emb, "vec_id", "embedding", queries, k=10)
 
 
+def q_sessionize(sf_dir):
+    # gap-based sessionization (streaming-shaped workload over the ordered
+    # events log: partition by user, order by ts, new session when the gap
+    # exceeds 30 minutes)
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def sess(df):
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = df["ts"].diff().dt.total_seconds().fillna(0.0)
+        df["session_id"] = (gap > 1800.0).cumsum().astype("int64")
+        return df[["event_id", "session_id"]]
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
 def q_logit_train(sf_dir):
     # TextLogitStream: distributed logistic regression over embeddings
     from lucene_solr_ray.relational.ml import score_logistic, train_logistic
@@ -680,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": q_count_distinct,
         "percentile_p50": q_percentile,
         "window_sliding": q_window_sliding,
+        "sessionize": q_sessionize,
         "eval_scalars": q_eval_scalars,
         "to_parent_join": q_to_parent_join,
         "drill_sideways": q_drill_sideways,
@@ -860,6 +878,17 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS w_avg
             FROM events""",
+        "sessionize": """
+            SELECT event_id,
+                   CAST(sum(new_sess) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+              FROM events)""",
         "token_stats": r"""
             SELECT doc_id,
                    len(string_split(text, ' ')) AS ws_tokens,

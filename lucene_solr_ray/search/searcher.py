@@ -37,6 +37,15 @@ class IndexSearcher:
         self.params = params
         self.dtype = dtype
 
+    def warmup(self) -> "IndexSearcher":
+        """Load all shard tables concurrently (parquet reads release the
+        GIL); the first query otherwise pays a sequential shard-load."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(self.reader.shard, range(self.reader.num_shards)))
+        return self
+
     def _node(self, query):
         node = parse_query(query) if isinstance(query, str) else query
         from .multiterm import MULTI_TERM_TYPES, expand_terms, rewrite

@@ -64,3 +64,18 @@ def test_cli_build_search_check(tmp_path, ray_session):
               "--num-shards", "2", "--num-buckets", "4", "--html-col", "html"])
     cli.main(["search", "--index-dir", idx, "--query", "ka OR to", "-k", "5"])
     cli.main(["check", "--index-dir", idx])
+
+
+def test_read_line_docs(tmp_path, ray_session):
+    from lucene_solr_ray.pipelines.sources import read_line_docs
+
+    p = tmp_path / "docs.txt"
+    p.write_text(
+        "Title One\t2024-01-01\tthe quick brown fox\n"
+        "Title Two\t2024-01-02\tjumps over the lazy dog\n"
+    )
+    ds = read_line_docs(str(p))
+    df = ds.to_pandas().sort_values("title").reset_index(drop=True)
+    assert list(df["title"]) == ["Title One", "Title Two"]
+    assert df["text"][0] == "the quick brown fox"
+    assert df["doc_id"].nunique() == 2
