@@ -128,6 +128,21 @@ def q_ft_range(sf_dir):
     return s.match_all("[fast TO hash]").select(["doc_id"])
 
 
+def q_ft_field_filter(sf_dir):
+    # multi-field Document: keyword field (StringField) filter + scored text
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|kw").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           keyword_fields=("lang", "source"))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    return s.match_all("fast AND lang:en").select(["doc_id"])
+
+
 def q_ft_numeric_range(sf_dir):
     # PointRangeQuery-style filter (doclen in [50, 80]) AND a scoring term
     from lucene_solr_ray.search.query import Bool, NumericRange, Term
@@ -676,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard": q_ft_wildcard,
         "ft_range": q_ft_range,
         "ft_numeric_range": q_ft_numeric_range,
+        "ft_field_filter": q_ft_field_filter,
         "flagship_corpus": q_flagship_corpus,
         # relational / streaming-expression layer
         "select_project": q_select_project,
@@ -749,6 +765,12 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents)
             SELECT DISTINCT doc_id FROM tok
             WHERE term >= 'fast' AND term <= 'hash' ORDER BY doc_id""",
+        "ft_field_filter": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                         FROM documents)
+            SELECT DISTINCT t.doc_id
+            FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+            WHERE t.term = 'fast' AND d.lang = 'en' ORDER BY t.doc_id""",
         "ft_numeric_range": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                          FROM documents),

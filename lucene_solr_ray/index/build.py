@@ -103,6 +103,11 @@ class IndexBuildConfig:
     # HTMLStripCharFilter-equivalent; if text_col also exists, extraction is
     # verified byte-identical per row (the input_hint per-row invariant)
     html_col: str | None = None
+    # keyword fields (the reference's StringField / multi-field Document,
+    # document/Field.java:62): each listed column is indexed untokenized as
+    # one term "column:value" per doc. Keyword terms do not contribute to
+    # the text field's length/norm (StringFields carry no norms).
+    keyword_fields: tuple = ()
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True, default=list)
@@ -158,20 +163,47 @@ class TokenizeExplode:
 
         norm_bytes = int_to_byte4_vec(doclens)
 
+        # keyword fields: one "column:value" term per doc, appended AFTER
+        # doclen/norm computation so they never affect the text norms;
+        # position -1 marks a non-positional posting
+        kw_terms: list[str] = []
+        kw_doc: list[int] = []
+        for col in self.cfg.get("keyword_fields") or ():
+            vals = batch[col].to_pylist()
+            for i, v in enumerate(vals):
+                if v is not None:
+                    kw_terms.append(f"{col}:{v}")
+                    kw_doc.append(i)
+
         n_tok = len(flat_terms)
         parts: list[pa.Table] = []
+        if kw_terms:
+            # fold keyword tokens into the flat stream with synthetic counts
+            flat_terms = flat_terms + kw_terms
+            ext_counts = np.bincount(np.asarray(kw_doc, np.int64), minlength=len(texts))
+            n_tok = len(flat_terms)
         if n_tok:
-            doc_idx = np.repeat(np.arange(len(texts), dtype=np.int32), doclens)
+            doc_idx_text = np.repeat(np.arange(len(texts), dtype=np.int32), doclens)
+            doc_idx = (
+                np.concatenate([doc_idx_text, np.asarray(kw_doc, np.int32)])
+                if kw_terms else doc_idx_text
+            )
             codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
             codes = codes.astype(np.int32)
-            # implicit positions 0..n-1 per doc; fallback docs overwrite
+            # implicit positions 0..n-1 per doc; fallback docs overwrite;
+            # keyword tokens (appended after the text stream) sit at pos 0
+            n_text = int(doclens.sum())
             doc_offsets = np.concatenate([[0], np.cumsum(doclens)])
-            flat_pos = (
-                np.arange(n_tok, dtype=np.int64)
+            text_pos = (
+                np.arange(n_text, dtype=np.int64)
                 - np.repeat(doc_offsets[:-1], doclens)
             ).astype(np.int32)
             for i, plist in fallback_pos.items():
-                flat_pos[doc_offsets[i]:doc_offsets[i + 1]] = plist
+                text_pos[doc_offsets[i]:doc_offsets[i + 1]] = plist
+            flat_pos = (
+                np.concatenate([text_pos, np.zeros(len(kw_terms), np.int32)])
+                if kw_terms else text_pos
+            )
             # sort tokens by term (stable keeps doc asc, position asc inside)
             order = np.argsort(codes, kind="stable")
             s_codes = codes[order]
@@ -474,6 +506,7 @@ def build_index(
             continue
         out_dir = os.path.join(stage1_dir, f"part={chunk_id}")
         cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
+        cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
         fn_kwargs = dict(
             key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms

@@ -219,6 +219,11 @@ def parse_query(q: str):
                 return TermRange(lo, hi)
         if t.startswith("/") and t.endswith("/") and len(t) > 1:
             return Regexp(t[1:-1])
+        # field:value — keyword-field term (StringField; untokenized, exact
+        # value). Constant-score: keyword fields carry no norms.
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):([^\s:]+)$", t)
+        if m:
+            return ConstantScore(Term(f"{m.group(1)}:{m.group(2)}"), 1.0)
         # bare word (may carry ^boost / ~fuzzy suffixes)
         boost = 1.0
         m = re.match(r"^(.*)\^([\d.]+)$", t)
