@@ -172,6 +172,81 @@ def append_index(
     return manifest
 
 
+def add_indexes(dst_index_dir: str, src_index_dir: str) -> dict:
+    """IndexWriter.addIndexes (index/IndexWriter.java:2750): import another
+    committed index's segments into this one as new generations.
+
+    The source's stage-1 segments are re-sharded (shard id += destination
+    shard count — the docID-rebase analog) and merged as fresh shards; the
+    source index is untouched. Doc keys must be disjoint (same append-only
+    contract as append_index)."""
+    import pyarrow as pa
+
+    dst = load_manifest(dst_index_dir)
+    src = load_manifest(src_index_dir)
+    if not (dst and dst.get("committed") and src and src.get("committed")):
+        raise ValueError("add_indexes requires two committed indexes")
+    offset = dst["num_shards"]
+    src_stage1 = os.path.join(src_index_dir, "stage1")
+    part_dirs = sorted(
+        os.path.join(src_stage1, d) for d in os.listdir(src_stage1)
+        if d.startswith("part=") and not d.endswith(".tmp")
+    )
+
+    def reshard(t: pa.Table) -> pa.Table:
+        sh = t["shard"].to_numpy(zero_copy_only=False) + offset
+        return t.set_column(t.column_names.index("shard"), "shard",
+                            pa.array(sh.astype(np.int32)))
+
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    postings_in = [os.path.join(d, "kind=0") for d in part_dirs
+                   if os.path.exists(os.path.join(d, "kind=0"))]
+    docs_in = [os.path.join(d, "kind=1") for d in part_dirs
+               if os.path.exists(os.path.join(d, "kind=1"))]
+    merged = ray.data.read_parquet(expand_parquet_dirs(postings_in)).map_batches(
+        reshard, batch_format="pyarrow"
+    ).groupby(["shard", "bucket"], num_partitions=max(16, 2 * ncpu)).map_groups(
+        encode_merge_group, batch_format="pyarrow"
+    )
+    merged.write_parquet(os.path.join(dst_index_dir, "postings"), partition_cols=["shard"])
+    dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
+        reshard, batch_format="pyarrow"
+    ).map_batches(docs_explode, batch_format="pyarrow")
+    dds.write_parquet(os.path.join(dst_index_dir, "docs"), partition_cols=["shard"])
+
+    # also import the source stage-1 parts (resharded) so force_merge and
+    # future lineage operations see the full corpus
+    dst_stage1 = os.path.join(dst_index_dir, "stage1")
+    for d in part_dirs:
+        pid = os.path.basename(d)[len("part="):]
+        out_dir = os.path.join(dst_stage1, f"part=ax{offset}_{pid}")
+        if os.path.exists(out_dir):
+            continue
+        tmp = out_dir + ".tmp"
+        for kind in (0, 1):
+            sub = os.path.join(d, f"kind={kind}")
+            if not os.path.exists(sub):
+                continue
+            ds_k = ray.data.read_parquet(expand_parquet_dirs([sub])).map_batches(
+                reshard, batch_format="pyarrow"
+            )
+            ds_k.write_parquet(os.path.join(tmp, f"kind={kind}"))
+        os.replace(tmp, out_dir)
+        dst["lineage"][f"ax{offset}_{pid}"] = {
+            "imported_from": src_index_dir, "ts": time.time(),
+        }
+
+    dst["num_shards"] = offset + src["num_shards"]
+    dst["stats"]["doc_count"] += src["stats"]["doc_count"]
+    dst["stats"]["sum_total_term_freq"] += src["stats"]["sum_total_term_freq"]
+    dst["generation"] = int(time.time() * 1000)
+    dst["sources"] = dst["sources"] + src["sources"]
+    _atomic_write_json(os.path.join(dst_index_dir, "manifest.json"), dst)
+    return dst
+
+
 def force_merge(index_dir: str) -> dict:
     """Re-merge all generations into the base shard layout (forceMerge(1))."""
     import pyarrow as pa

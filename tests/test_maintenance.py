@@ -78,3 +78,25 @@ def test_check_index_detects_corruption(corpus2, cfg, tmp_path_factory):
     pq.write_table(t.slice(0, max(1, t.num_rows // 2)), f)
     with pytest.raises(AssertionError):
         check_index(d)
+
+
+def test_add_indexes_matches_combined_build(corpus2, cfg, full_idx, tmp_path_factory):
+    from lucene_solr_ray.index.maintenance import add_indexes
+
+    a_dir = str(tmp_path_factory.mktemp("ax_a"))
+    b_dir = str(tmp_path_factory.mktemp("ax_b"))
+    build_index(corpus2[:1], a_dir, key_col="doc_id", text_col="text", cfg=cfg)
+    build_index(corpus2[1:], b_dir, key_col="doc_id", text_col="text", cfg=cfg)
+    m = add_indexes(a_dir, b_dir)
+    assert m["num_shards"] == 2 * cfg.num_shards
+    exp = _results(full_idx)
+    got = _results(a_dir)
+    for q in QUERIES:
+        assert got[q][0] == exp[q][0], q
+        assert got[q][1] == exp[q][1], q
+    assert check_index(a_dir)["ok"]
+    # and force_merge still collapses correctly after an import
+    force_merge(a_dir)
+    got2 = _results(a_dir)
+    for q in QUERIES:
+        assert got2[q][0] == exp[q][0], q
