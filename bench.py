@@ -111,6 +111,15 @@ def run_bench(headline_only: bool = False) -> dict:
         1000 * sorted(lat)[int(0.95 * len(lat)) - 1], 2
     )
 
+    # --- bulk query throughput: queries-as-a-Dataset over an actor pool
+    from lucene_solr_ray.search.searcher import batch_search
+
+    bulk_queries = QUERY_SET * 20  # 320 queries
+    tq = time.time()
+    n = batch_search(index_dir, bulk_queries, k=10,
+                     concurrency=max(2, min(8, NUM_CPUS // 4))).count()
+    results["bulk_queries_per_sec"] = round(len(bulk_queries) / (time.time() - tq), 1)
+
     if not headline_only:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         import __ray_entry__ as entry_mod

@@ -130,6 +130,47 @@ class _ShardServer:
         return merge_top_k(parts, k)
 
 
+def batch_search(index_dir: str, queries, k: int = 10, concurrency: int = 2,
+                 dtype=np.float32) -> "ray.data.Dataset":
+    """Throughput-oriented query evaluation: queries as a Dataset through an
+    actor pool of full-index searchers (each actor pins all shard tables
+    once; per batch it evaluates many queries). Returns rows
+    (query, rank, doc_id, score).
+
+    This is the bulk/offline complement to DistributedSearcher's
+    latency-oriented scatter-gather: relevance-eval sweeps, query-log
+    replays, and training-data mining run here."""
+    import ray
+    import ray.data
+
+    if not isinstance(queries, ray.data.Dataset):
+        queries = ray.data.from_items([{"query": q} for q in queries])
+
+    class Searcher:
+        def __init__(self):
+            self.s = IndexSearcher(index_dir, dtype=dtype).warmup()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = {"query": [], "rank": [], "doc_id": [], "score": []}
+            for q in t["query"].to_pylist():
+                res = self.s.search(q, k=k)
+                n = res.num_rows
+                out["query"].extend([q] * n)
+                out["rank"].extend(res["rank"].to_pylist())
+                out["doc_id"].extend(res["doc_id"].to_pylist())
+                out["score"].extend(res["score"].to_pylist())
+            return pa.table({
+                "query": pa.array(out["query"], pa.string()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            })
+
+    return queries.map_batches(
+        Searcher, batch_format="pyarrow", batch_size=32, concurrency=concurrency
+    )
+
+
 class DistributedSearcher:
     """Stateful actor pool of shard searchers (the query-time architecture
     for a multi-node cluster; each actor would pin its shards' tables)."""

@@ -84,3 +84,16 @@ def test_monitor_percolation(ray_session):
     got_fast = set(out[out.query_id == "q_fast"]["doc_id"])
     assert got_fast == fast_docs
     assert not len(out[out.query_id == "q_none"])
+
+
+def test_batch_search_matches_sequential(idx):
+    from lucene_solr_ray.search.searcher import batch_search
+
+    qs = ["fast", "fast AND query", '"fast query"', "fa*"]
+    out = batch_search(idx, qs, k=5, concurrency=2).to_pandas()
+    s = IndexSearcher(idx)
+    for q in qs:
+        seq = s.search(q, k=5)
+        got = out[out["query"] == q].sort_values("rank")
+        assert list(got["doc_id"]) == seq["doc_id"].to_pylist(), q
+        assert list(got["score"]) == seq["score"].to_pylist(), q
