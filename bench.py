@@ -114,10 +114,10 @@ def run_bench(headline_only: bool = False) -> dict:
     # --- bulk query throughput: queries-as-a-Dataset over an actor pool
     from lucene_solr_ray.search.searcher import batch_search
 
-    bulk_queries = QUERY_SET * 20  # 320 queries
+    bulk_queries = QUERY_SET * 60  # 960 queries: amortize the actor warmup
     tq = time.time()
     n = batch_search(index_dir, bulk_queries, k=10,
-                     concurrency=max(2, min(8, NUM_CPUS // 4))).count()
+                     concurrency=max(2, min(4, NUM_CPUS // 8))).count()
     results["bulk_queries_per_sec"] = round(len(bulk_queries) / (time.time() - tq), 1)
 
     if not headline_only:
