@@ -418,6 +418,15 @@ def q_to_parent_join(sf_dir):
     return out.rename_columns(["c_custkey", "max_total"])
 
 
+def q_nested_facets(sf_dir):
+    # Solr JSON nested facets: top-2 sources per lang bucket with counts
+    from lucene_solr_ray.relational import group_top_k, rollup
+
+    docs = _docs(sf_dir).select_columns(["lang", "source"])
+    counts = rollup(docs, ["lang", "source"], [("count", None, "cnt")])
+    return group_top_k(counts, "lang", "cnt", 2, descending=True)
+
+
 def q_drill_sideways(sf_dir):
     # DrillSideways: facet counts per dimension computed with every OTHER
     # drill-down applied but the dimension's own filter removed
@@ -717,6 +726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_scalars": q_eval_scalars,
         "to_parent_join": q_to_parent_join,
         "drill_sideways": q_drill_sideways,
+        "nested_facets": q_nested_facets,
         "having_groups": q_having_groups,
         "merge_union": q_merge_union,
         "significant_terms": q_significant_terms,
@@ -866,6 +876,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source' AS dim, source AS value, count(*) AS cnt
             FROM documents WHERE lang = 'en' GROUP BY source""",
+        "nested_facets": """
+            SELECT lang, source, cnt FROM (
+              SELECT lang, source, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY count(*) DESC, source ASC) AS rn
+              FROM documents GROUP BY lang, source)
+            WHERE rn <= 2""",
         "merge_union": """
             SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0
             UNION ALL

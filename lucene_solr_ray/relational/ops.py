@@ -187,14 +187,18 @@ def distinct(ds: Dataset, cols: list[str]) -> Dataset:
 
 def group_top_k(
     ds: Dataset, key: str, order_col: str, k: int, descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> Dataset:
     """Two-pass grouping collapse: top-k rows per group by order_col
     (grouping/FirstPassGroupingCollector + ExpandComponent semantics).
-    Shuffle key: `key`."""
+    Shuffle key: `key`. Ties on order_col break by tiebreak_cols ascending
+    (default: every other column, for a deterministic cut)."""
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
+        ties = tiebreak_cols or [c for c in df.columns if c not in (order_col,)]
         return df.sort_values(
-            [order_col, key], ascending=[not descending, True], kind="mergesort"
+            [order_col] + ties, ascending=[not descending] + [True] * len(ties),
+            kind="mergesort",
         ).head(k)
 
     return ds.groupby(key).map_groups(topk, batch_format="pandas")
