@@ -491,6 +491,13 @@ def build_index(
         manifest = None
     if manifest and manifest.get("committed") and manifest.get("sources") == paths:
         return manifest  # identical committed build — reuse
+    if manifest is None:
+        # config changed (or resume disabled): stale stage-1/segment output
+        # is unusable — start the directory clean
+        import shutil as _shutil
+
+        for sub in ("stage1", "postings", "docs"):
+            _shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     t0 = time.time()
     lineage = dict(manifest["lineage"]) if manifest else {}
