@@ -16,7 +16,6 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min

@@ -16,7 +16,6 @@ import argparse
 import glob
 import json
 import os
-import sys
 
 
 def _init_ray() -> bool:

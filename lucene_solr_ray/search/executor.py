@@ -16,7 +16,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..index.reader import IndexReader, ShardReader
-from ..util.packing import BLOCK_SIZE
 from .bm25 import (
     BM25Params,
     TermWeight,
@@ -34,7 +33,6 @@ from .query import (
     Synonym,
     Term,
     TermInSet,
-    query_terms,
 )
 
 

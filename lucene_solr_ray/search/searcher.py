@@ -48,8 +48,7 @@ class IndexSearcher:
 
     def _node(self, query):
         node = parse_query(query) if isinstance(query, str) else query
-        from .multiterm import MULTI_TERM_TYPES, expand_terms, rewrite
-        from .query import Fuzzy
+        from .multiterm import expand_terms, rewrite
 
         def expander(n):
             seen: set[str] = set()
@@ -207,7 +206,7 @@ class DistributedSearcher:
 
         node = parse_query(query) if isinstance(query, str) else query
 
-        from .multiterm import MULTI_TERM_TYPES, rewrite
+        from .multiterm import rewrite
 
         def expander(n):
             parts = ray.get([a.expand.remote(n) for a in self.actors])

@@ -172,8 +172,6 @@ def rescore(searcher: IndexSearcher, query: str, rescore_query: str,
             first_pass_n: int = 50, weight: float = 1.0, k: int = 10) -> "pa.Table":
     """QueryRescorer role: take the first-pass top-N, add weight * second
     query's scores on those docs, re-rank."""
-    import numpy as _np
-
     first = searcher.search(query, k=first_pass_n)
     ids = first["doc_id"].to_pylist()
     base = dict(zip(ids, first["score"].to_pylist()))
