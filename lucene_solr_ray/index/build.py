@@ -61,6 +61,9 @@ STAGE1_SCHEMA = pa.schema(
         ("freqs", pa.large_list(pa.int32())),   # doc rows: doclen
         ("norms", pa.large_list(pa.int32())),   # norm byte per doc
         ("positions", pa.large_list(pa.int32())),
+        # docvalues sidecar (doc rows only): per doc, the values of
+        # cfg.docvalues_fields concatenated in declared order (float64)
+        ("dv", pa.large_list(pa.float64())),
     ]
 )
 
@@ -108,6 +111,10 @@ class IndexBuildConfig:
     # one term "column:value" per doc. Keyword terms do not contribute to
     # the text field's length/norm (StringFields carry no norms).
     keyword_fields: tuple = ()
+    # numeric docvalues columns stored alongside each doc (the reference's
+    # NUMERIC DocValues, index/DocValuesType.java): sortable/filterable at
+    # query time without touching the corpus
+    docvalues_fields: tuple = ()
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True, default=list)
@@ -291,12 +298,19 @@ class TokenizeExplode:
                         "freqs": freqs_col,
                         "norms": norms_col,
                         "positions": pos_col,
+                        "dv": pa.array([None] * n_rows, pa.large_list(pa.float64())),
                     },
                     schema=STAGE1_SCHEMA,
                 )
             )
 
         # doc rows: one per shard present in this batch
+        dv_fields = tuple(self.cfg.get("docvalues_fields") or ())
+        if dv_fields:
+            dv_mat = np.stack(
+                [batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                 for c in dv_fields], axis=1,
+            )  # (n_docs, n_fields)
         shard_of_doc = (keys % self.num_shards).astype(np.int32)
         d_order = np.argsort(shard_of_doc, kind="stable")
         dk = keys[d_order]
@@ -311,6 +325,14 @@ class TokenizeExplode:
             rl = np.diff(np.append(rs, len(dk)))
             off = np.concatenate([[0], np.cumsum(rl)]).astype(np.int64)
             nr = len(rs)
+            if dv_fields:
+                dv_sorted = dv_mat[d_order]  # row-aligned with dk
+                dv_off = (off * len(dv_fields)).astype(np.int64)
+                dv_col = pa.LargeListArray.from_arrays(
+                    dv_off, pa.array(dv_sorted.ravel(), pa.float64())
+                )
+            else:
+                dv_col = pa.array([None] * nr, pa.large_list(pa.float64()))
             parts.append(
                 pa.table(
                     {
@@ -322,6 +344,7 @@ class TokenizeExplode:
                         "freqs": pa.LargeListArray.from_arrays(off, pa.array(dl, pa.int32())),
                         "norms": pa.LargeListArray.from_arrays(off, pa.array(dn, pa.int32())),
                         "positions": pa.array([None] * nr, pa.large_list(pa.int32())),
+                        "dv": dv_col,
                     },
                     schema=STAGE1_SCHEMA,
                 )
@@ -396,23 +419,27 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
     )
 
 
-def docs_explode(batch: pa.Table) -> pa.Table:
-    """Stage C: doc list rows -> one row per document."""
+def docs_explode(batch: pa.Table, dv_fields: tuple = ()) -> pa.Table:
+    """Stage C: doc list rows -> one row per document (+ docvalues columns)."""
     docs_ch = batch["docs"].combine_chunks()
     lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
     shard = np.repeat(batch["shard"].to_numpy(zero_copy_only=False), lens)
-    return pa.table(
-        {
-            "shard": pa.array(shard, pa.int32()),
-            "doc_id": pa.array(docs_ch.values.to_numpy(zero_copy_only=False), pa.int64()),
-            "doclen": pa.array(
-                batch["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False), pa.int32()
-            ),
-            "norm": pa.array(
-                batch["norms"].combine_chunks().values.to_numpy(zero_copy_only=False), pa.int32()
-            ),
-        }
-    )
+    cols = {
+        "shard": pa.array(shard, pa.int32()),
+        "doc_id": pa.array(docs_ch.values.to_numpy(zero_copy_only=False), pa.int64()),
+        "doclen": pa.array(
+            batch["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False), pa.int32()
+        ),
+        "norm": pa.array(
+            batch["norms"].combine_chunks().values.to_numpy(zero_copy_only=False), pa.int32()
+        ),
+    }
+    if dv_fields and "dv" in batch.column_names:
+        flat = batch["dv"].combine_chunks().values.to_numpy(zero_copy_only=False)
+        mat = flat.reshape(-1, len(dv_fields))
+        for j, name in enumerate(dv_fields):
+            cols[f"dv_{name}"] = pa.array(mat[:, j], pa.float64())
+    return pa.table(cols)
 
 
 def detect_head_terms(paths: list[str], text_col: str, cfg: IndexBuildConfig) -> list[str]:
@@ -514,6 +541,7 @@ def build_index(
         out_dir = os.path.join(stage1_dir, f"part={chunk_id}")
         cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
         cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
+        cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
         fn_kwargs = dict(
             key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms
@@ -562,7 +590,7 @@ def build_index(
 
     # assemble stage-1 inputs: chunks materialized this run stay in the
     # object store; previously-checkpointed chunks stream from parquet
-    data_cols = ["shard", "bucket", "term", "docs", "freqs", "norms", "positions"]
+    data_cols = ["shard", "bucket", "term", "docs", "freqs", "norms", "positions", "dv"]
 
     def _from_disk(kind: int) -> list:
         part_dirs = sorted(
@@ -608,7 +636,10 @@ def build_index(
 
     # stage C: docs tables + collection stats
     docs_dir = os.path.join(index_dir, "docs")
-    dds = _stage1_ds(1).map_batches(docs_explode, batch_format="pyarrow")
+    dv_fields = tuple(cfg.docvalues_fields or ())
+    dds = _stage1_ds(1).map_batches(
+        lambda t: docs_explode(t, dv_fields), batch_format="pyarrow"
+    )
     dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")
 
     from ray.data.aggregate import Count, Sum

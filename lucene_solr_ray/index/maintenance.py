@@ -120,6 +120,8 @@ def append_index(
             new_chunk_dirs.append(out_dir)
             continue
         cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
+        cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
+        cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
         fn = TokenizeExplode(
             key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms
@@ -153,13 +155,15 @@ def append_index(
         ["shard", "bucket"], num_partitions=max(16, 2 * ncpu)
     ).map_groups(encode_merge_group, batch_format="pyarrow")
     merged.write_parquet(os.path.join(index_dir, "postings"), partition_cols=["shard"])
-    dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(docs_explode, batch_format="pyarrow")
+    dvf = tuple(cfg.docvalues_fields or ())
+    dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
+        lambda t: docs_explode(t, dvf), batch_format="pyarrow")
     dds.write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
 
     from ray.data.aggregate import Count, Sum
 
     delta = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
-        docs_explode, batch_format="pyarrow"
+        lambda t: docs_explode(t, dvf), batch_format="pyarrow"
     ).aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
 
     manifest["num_shards"] = shard_offset + cfg.num_shards
@@ -211,9 +215,10 @@ def add_indexes(dst_index_dir: str, src_index_dir: str) -> dict:
         encode_merge_group, batch_format="pyarrow"
     )
     merged.write_parquet(os.path.join(dst_index_dir, "postings"), partition_cols=["shard"])
+    dvf_dst = tuple(IndexBuildConfig(**dst["config"]).docvalues_fields or ())
     dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
         reshard, batch_format="pyarrow"
-    ).map_batches(docs_explode, batch_format="pyarrow")
+    ).map_batches(lambda t: docs_explode(t, dvf_dst), batch_format="pyarrow")
     dds.write_parquet(os.path.join(dst_index_dir, "docs"), partition_cols=["shard"])
 
     # also import the source stage-1 parts (resharded) so force_merge and
@@ -285,9 +290,10 @@ def force_merge(index_dir: str) -> dict:
     merged.write_parquet(tmp_post, partition_cols=["shard"])
     tmp_docs = os.path.join(index_dir, "docs.merged")
     shutil.rmtree(tmp_docs, ignore_errors=True)
+    dvf_fm = tuple(cfg.docvalues_fields or ())
     dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
         reshard, batch_format="pyarrow"
-    ).map_batches(docs_explode, batch_format="pyarrow")
+    ).map_batches(lambda t: docs_explode(t, dvf_fm), batch_format="pyarrow")
     dds.write_parquet(tmp_docs, partition_cols=["shard"])
 
     # two-phase commit: swap dirs, then write the manifest last

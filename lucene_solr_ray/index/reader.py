@@ -37,12 +37,18 @@ class ShardReader:
             self.terms = np.zeros(0, dtype=object)
         self.table = t
         d = pq.read_table(ddir) if os.path.exists(ddir) else None
+        self.docvalues: dict[str, np.ndarray] = {}
         if d is not None and d.num_rows:
             order = pa.compute.sort_indices(d["doc_id"])
             d = d.take(order).combine_chunks()
             self.doc_ids = d["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             self.doclens = d["doclen"].to_numpy(zero_copy_only=False).astype(np.int32)
             self.norms = d["norm"].to_numpy(zero_copy_only=False).astype(np.uint8)
+            for name in d.column_names:
+                if name.startswith("dv_"):
+                    self.docvalues[name[3:]] = d[name].to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.float64)
         else:
             self.doc_ids = np.zeros(0, dtype=np.int64)
             self.doclens = np.zeros(0, dtype=np.int32)

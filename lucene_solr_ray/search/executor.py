@@ -241,6 +241,8 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             vals = shard.doclens
         elif node.field == "doc_id":
             vals = shard.doc_ids
+        elif node.field in getattr(shard, "docvalues", {}):
+            vals = shard.docvalues[node.field]
         else:
             raise ValueError(f"unknown numeric field {node.field!r}")
         m = np.ones(len(vals), dtype=bool)

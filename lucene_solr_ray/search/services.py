@@ -154,6 +154,9 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
             vals = s.doclens[idx]
         elif field == "doc_id":
             vals = docs
+        elif field in getattr(s, "docvalues", {}):
+            idx = np.searchsorted(s.doc_ids, docs)
+            vals = s.docvalues[field][idx]
         else:
             raise ValueError(f"unknown sort field {field!r}")
         all_docs.append(docs)
