@@ -56,3 +56,27 @@ def test_docvalues_sort(idx, raw):
     lookup = dict(zip(raw["doc_id"], raw["n_chars"]))
     for d, v in zip(out["doc_id"].to_pylist(), vals):
         assert lookup[d] == v
+
+
+def test_append_preserves_docvalues_and_keywords(tmp_path, ray_session):
+    import glob
+
+    from lucene_solr_ray.index.maintenance import append_index
+    from lucene_solr_ray.pipelines import synthesize_corpus
+    from lucene_solr_ray.search.query import parse_query
+
+    d = synthesize_corpus(400, str(tmp_path / "c"), n_files=2)
+    files = sorted(glob.glob(d + "/*.parquet"))
+    idx = str(tmp_path / "idx")
+    cfg = IndexBuildConfig(num_shards=2, num_buckets=4, files_per_chunk=1,
+                           keyword_fields=("lang",), docvalues_fields=("doc_id",))
+    build_index(files[:1], idx, key_col="doc_id", text_col="text", cfg=cfg)
+    append_index(idx, files[1:])
+    s = IndexSearcher(idx)
+    # keyword field works across generations
+    n_en = s.count(parse_query("lang:en"))
+    t = pq.read_table(d, columns=["lang"])
+    assert n_en == sum(1 for x in t["lang"].to_pylist() if x == "en")
+    # docvalues present in delta shards too
+    total = sum(len(sh.docvalues.get("doc_id", [])) for sh in s.reader.shards)
+    assert total == 400
