@@ -10,13 +10,18 @@ Pipeline shape (SURVEY.md §3.1 / §7.2, re-expressed Ray-Data-first):
            doc rows (doc_id, doclen, norm). Stage-1 parquet is the
            checkpointed "segment" layer — the per-partition lineage unit.
 
-  stage B  read stage1 postings -> groupby(shard, bucket) -> map_groups(encode)
-           -> write_parquet(index_dir/postings, partitioned by shard)
+  stage B  read stage1 postings -> groupby(shard, bucket, sub) -> map_groups
+           (encode) -> write_parquet(index_dir/postings, partitioned by shard)
            The wide shuffle (the reference's SegmentMerger/TieredMergePolicy
            role): bucket = hash(term) % num_buckets spreads the term space;
-           head terms (detected by a sampling pre-pass) are salted with a
-           doc-range subkey so no single group holds a full Zipf-head posting
-           list — the explicit skew handling the merge needs at 10^12 docs.
+           head terms (detected by a sampling pre-pass) additionally carry a
+           doc-range subkey sub = doc_id // head_sub_span so no single group
+           holds a full Zipf-head posting list — the explicit skew handling
+           the merge needs at 10^12 docs. Because sub is a CONTIGUOUS doc
+           range (not a hash), a head term's encoded rows cover disjoint
+           ascending doc intervals: the reader concatenates them in
+           first-doc order and the result is globally doc-sorted, and each
+           row's block metadata stays doc-ascending too.
 
   stage C  read stage1 docs -> explode -> write_parquet(index_dir/docs,
            partitioned by shard); tiny aggregate -> collection stats.
@@ -56,6 +61,7 @@ STAGE1_SCHEMA = pa.schema(
         ("kind", pa.int8()),  # 0 = postings row, 1 = docs row
         ("shard", pa.int32()),
         ("bucket", pa.int32()),
+        ("sub", pa.int32()),   # head-term doc-range subkey (0 for tail terms)
         ("term", pa.large_string()),
         ("docs", pa.large_list(pa.int64())),
         ("freqs", pa.large_list(pa.int32())),   # doc rows: doclen
@@ -87,10 +93,13 @@ class IndexBuildConfig:
     batch_size: int = 2048         # docs per tokenize batch
     stopwords: tuple = ()
     # head-term skew handling: terms whose sampled token share exceeds
-    # head_df_ratio are salted into doc-range sub-buckets of head_sub_span ids
+    # head_df_ratio get a doc-range subkey sub = doc_id // head_sub_span so
+    # their merge work splits across groups in contiguous doc intervals
     head_df_ratio: float = 0.005
     head_sample_docs: int = 600   # Zipf head is stable under small samples
     head_sub_span: int = 1 << 20
+    # stage-1 / postings layout version: bump invalidates old checkpoints
+    format_version: int = 2
     files_per_chunk: int = 64      # stage-A chunk = lineage/resume unit
     tokenize_concurrency: int | None = None
     # True -> tokenize runs as an actor pool (state loads once per actor);
@@ -168,6 +177,22 @@ class TokenizeExplode:
             flat_terms.extend(terms)
             doclens[i] = len(terms)
 
+        # position bound: query-time phrase matching packs (doc << 22) | pos,
+        # so any position >= 2^22 would silently corrupt phrase results. Fail
+        # loudly instead (the reference likewise rejects positions beyond
+        # IndexWriter.MAX_POSITION rather than wrapping).
+        _MAX_POS = (1 << 22) - 1
+        if len(doclens) and int(doclens.max()) > _MAX_POS:
+            raise ValueError(
+                f"document exceeds max token positions ({_MAX_POS}); "
+                "split or truncate it before indexing"
+            )
+        for plist in fallback_pos.values():
+            if plist and plist[-1] > _MAX_POS:
+                raise ValueError(
+                    f"document position {plist[-1]} exceeds max {_MAX_POS}"
+                )
+
         norm_bytes = int_to_byte4_vec(doclens)
 
         # keyword fields: one "column:value" term per doc, appended AFTER
@@ -228,35 +253,38 @@ class TokenizeExplode:
             td_norm = norm_bytes[td_docidx].astype(np.int32)
             td_shard = (td_doc % self.num_shards).astype(np.int32)
 
-            # bucket: hash(term) salted with doc-range subkey for head terms
-            # (salt formula depends only on (term, sub) -> consistent across
-            # batches and parallelism levels)
+            # bucket: hash(term); head terms also carry a contiguous doc-range
+            # subkey (sub = doc // span) — depends only on (term, doc), so it
+            # is consistent across batches and parallelism levels, and the
+            # per-(term, sub) doc intervals are disjoint AND ordered
             uniq_list = uniques.tolist()
             crcs = np.array([crc32(t.encode("utf-8")) for t in uniq_list], dtype=np.uint64)
             td_bucket = (crcs[td_code] % self.num_buckets).astype(np.int32)
+            td_sub = np.zeros(len(td_code), dtype=np.int32)
             if self.head:
                 is_head = np.array([t in self.head for t in uniq_list], dtype=bool)
                 head_mask = is_head[td_code]
                 if head_mask.any():
-                    sub = (td_doc[head_mask] // self.sub_span).astype(np.uint64)
-                    salted = (
-                        (crcs[td_code[head_mask]] + np.uint64(0x9E3779B9) * (sub + np.uint64(1)))
-                        % self.num_buckets
-                    ).astype(np.int32)
-                    td_bucket[head_mask] = salted
+                    td_sub[head_mask] = (td_doc[head_mask] // self.sub_span).astype(np.int32)
 
             # second ordering: rows grouped per (term, shard), docs ascending
+            # (sub ascends with doc inside a run, so runs split cleanly)
             order2 = np.lexsort((td_doc, td_shard, td_code))
             g_code = td_code[order2]
             g_shard = td_shard[order2]
             g_bucket = td_bucket[order2]
+            g_sub = td_sub[order2]
             g_doc = td_doc[order2]
             g_freq = td_freq[order2]
             g_norm = td_norm[order2]
 
             row_break = np.empty(len(g_code), dtype=bool)
             row_break[0] = True
-            row_break[1:] = (g_code[1:] != g_code[:-1]) | (g_shard[1:] != g_shard[:-1])
+            row_break[1:] = (
+                (g_code[1:] != g_code[:-1])
+                | (g_shard[1:] != g_shard[:-1])
+                | (g_sub[1:] != g_sub[:-1])
+            )
             row_starts = np.flatnonzero(row_break)
             row_lens = np.diff(np.append(row_starts, len(g_code)))
             offsets = np.concatenate([[0], np.cumsum(row_lens)]).astype(np.int64)
@@ -293,6 +321,7 @@ class TokenizeExplode:
                         "kind": pa.array(np.zeros(n_rows, np.int8)),
                         "shard": pa.array(g_shard[row_starts], pa.int32()),
                         "bucket": pa.array(g_bucket[row_starts], pa.int32()),
+                        "sub": pa.array(g_sub[row_starts], pa.int32()),
                         "term": terms_col,
                         "docs": docs_col,
                         "freqs": freqs_col,
@@ -339,6 +368,7 @@ class TokenizeExplode:
                         "kind": pa.array(np.ones(nr, np.int8)),
                         "shard": pa.array(dsh[rs], pa.int32()),
                         "bucket": pa.array(np.zeros(nr, np.int32)),
+                        "sub": pa.array(np.zeros(nr, np.int32)),
                         "term": pa.array([""] * nr, pa.large_string()),
                         "docs": pa.LargeListArray.from_arrays(off, pa.array(dk, pa.int64())),
                         "freqs": pa.LargeListArray.from_arrays(off, pa.array(dl, pa.int32())),
@@ -533,6 +563,28 @@ def build_index(
     stage1_dir = os.path.join(index_dir, "stage1")
     chunks = [paths[i:i + cfg.files_per_chunk] for i in range(0, len(paths), cfg.files_per_chunk)]
     cfg_dict = asdict(cfg)
+
+    # Resume safety: a changed file list can regroup the same source files
+    # under NEW chunk ids. Stage-1 part dirs from chunk ids not in the
+    # CURRENT grouping would double-index their documents if merged, so they
+    # (and their lineage entries) are dropped before any work happens.
+    current_ids = {
+        f"c{ci:05d}_{crc32('|'.join(chunk).encode()):08x}"
+        for ci, chunk in enumerate(chunks)
+    }
+    stale = set(lineage) - current_ids
+    if stale or os.path.isdir(stage1_dir):
+        import shutil as _shutil
+
+        on_disk = (
+            {d[len("part="):] for d in os.listdir(stage1_dir)
+             if d.startswith("part=")}
+            if os.path.isdir(stage1_dir) else set()
+        )
+        for cid in (on_disk - current_ids) | stale:
+            _shutil.rmtree(os.path.join(stage1_dir, f"part={cid}"), ignore_errors=True)
+        lineage = {k: v for k, v in lineage.items() if k in current_ids}
+
     stage1_mats: dict[str, "ray.data.Dataset"] = {}
     for ci, chunk in enumerate(chunks):
         chunk_id = f"c{ci:05d}_{crc32('|'.join(chunk).encode()):08x}"
@@ -590,7 +642,7 @@ def build_index(
 
     # assemble stage-1 inputs: chunks materialized this run stay in the
     # object store; previously-checkpointed chunks stream from parquet
-    data_cols = ["shard", "bucket", "term", "docs", "freqs", "norms", "positions", "dv"]
+    data_cols = ["shard", "bucket", "sub", "term", "docs", "freqs", "norms", "positions", "dv"]
 
     def _from_disk(kind: int) -> list:
         part_dirs = sorted(
@@ -629,7 +681,7 @@ def build_index(
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
     np_merge = max(16, 2 * ncpu)
     postings_dir = os.path.join(index_dir, "postings")
-    merged = _stage1_ds(0).groupby(["shard", "bucket"], num_partitions=np_merge).map_groups(
+    merged = _stage1_ds(0).groupby(["shard", "bucket", "sub"], num_partitions=np_merge).map_groups(
         encode_merge_group, batch_format="pyarrow"
     )
     merged.write_parquet(postings_dir, partition_cols=["shard"], mode="overwrite")

@@ -152,7 +152,7 @@ def append_index(
     docs_in = [os.path.join(d, "kind=1") for d in new_chunk_dirs
                if os.path.exists(os.path.join(d, "kind=1"))]
     merged = ray.data.read_parquet(expand_parquet_dirs(postings_in)).groupby(
-        ["shard", "bucket"], num_partitions=max(16, 2 * ncpu)
+        ["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)
     ).map_groups(encode_merge_group, batch_format="pyarrow")
     merged.write_parquet(os.path.join(index_dir, "postings"), partition_cols=["shard"])
     dvf = tuple(cfg.docvalues_fields or ())
@@ -211,7 +211,7 @@ def add_indexes(dst_index_dir: str, src_index_dir: str) -> dict:
                if os.path.exists(os.path.join(d, "kind=1"))]
     merged = ray.data.read_parquet(expand_parquet_dirs(postings_in)).map_batches(
         reshard, batch_format="pyarrow"
-    ).groupby(["shard", "bucket"], num_partitions=max(16, 2 * ncpu)).map_groups(
+    ).groupby(["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)).map_groups(
         encode_merge_group, batch_format="pyarrow"
     )
     merged.write_parquet(os.path.join(dst_index_dir, "postings"), partition_cols=["shard"])
@@ -284,7 +284,7 @@ def force_merge(index_dir: str) -> dict:
     shutil.rmtree(tmp_post, ignore_errors=True)
     merged = ray.data.read_parquet(expand_parquet_dirs(postings_in)).map_batches(
         reshard, batch_format="pyarrow"
-    ).groupby(["shard", "bucket"], num_partitions=max(16, 2 * ncpu)).map_groups(
+    ).groupby(["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)).map_groups(
         encode_merge_group, batch_format="pyarrow"
     )
     merged.write_parquet(tmp_post, partition_cols=["shard"])

@@ -100,11 +100,24 @@ class ShardReader:
         decoded.sort(key=lambda x: int(x[0][0]) if len(x[0]) else -1)
         docs = np.concatenate([d for d, _, _ in decoded])
         freqs = np.concatenate([f for _, f, _ in decoded])
-        out = (
-            (docs, freqs, np.concatenate([p for _, _, p in decoded]))
-            if with_positions
-            else (docs, freqs)
-        )
+        pos_all = np.concatenate([p for _, _, p in decoded]) if with_positions else None
+        if len(decoded) > 1 and np.any(np.diff(docs) < 0):
+            # Defensive merge: salted rows are CONTIGUOUS doc sub-ranges by
+            # construction (build.py sub = doc // span), so first-doc order
+            # should already be globally sorted — but if an older layout (or
+            # an external segment import) interleaves ranges, fall back to a
+            # full doc-order merge, gathering positions segment-wise.
+            order = np.argsort(docs, kind="stable")
+            if with_positions:
+                seg_starts = np.concatenate([[0], np.cumsum(freqs.astype(np.int64))])[:-1]
+                sl = freqs.astype(np.int64)[order]
+                ss = seg_starts[order]
+                cum = np.concatenate([[0], np.cumsum(sl)])
+                ranges = np.repeat(ss - cum[:-1], sl) + np.arange(int(sl.sum()))
+                pos_all = pos_all[ranges]
+            docs = docs[order]
+            freqs = freqs[order]
+        out = (docs, freqs, pos_all) if with_positions else (docs, freqs)
         if len(self._cache) >= self._cache_size:
             self._cache.pop(next(iter(self._cache)))
         self._cache[key] = out

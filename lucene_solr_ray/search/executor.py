@@ -324,7 +324,13 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         acc = np.zeros(len(docs), dtype=np.float64)
         for d, s in must_res:
             acc += s[np.searchsorted(d, docs)].astype(np.float64)
-        # optional should clauses contribute where they match
+        # optional should clauses contribute where they match; with
+        # min_should > 0 they are also REQUIRED to reach the quorum
+        # (BooleanQuery keeps minimumNumberShouldMatch semantics even when
+        # must clauses are present — BooleanQuery.java rewrite rules)
+        should_hits = (
+            np.zeros(len(docs), dtype=np.int32) if node.min_should > 0 else None
+        )
         for d, s in should_res:
             m = np.isin(docs, d, assume_unique=True)
             if m.any():
@@ -332,6 +338,11 @@ def eval_node(shard: ShardReader, node, weights, dtype):
                 add = np.zeros(len(docs), dtype=np.float64)
                 add[m] = s[idx].astype(np.float64)
                 acc += add
+                if should_hits is not None:
+                    should_hits[m] += 1
+        if should_hits is not None and node.should:
+            keep = should_hits >= node.min_should
+            docs, acc = docs[keep], acc[keep]
         scores = acc.astype(dtype)
     else:
         docs, scores = _union(should_res, node.min_should, dtype, shard)

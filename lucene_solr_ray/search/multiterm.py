@@ -39,17 +39,31 @@ from .query import (
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Restricted Damerau-Levenshtein distance(a, b) <= k.
+
+    Adjacent transpositions count as ONE edit, matching the reference's
+    FuzzyQuery default (transpositions=true, LevenshteinAutomata with
+    transpositions — search/FuzzyQuery.java:56): 'ab'~1 matches 'ba'.
+    Early-exits when a full row exceeds k."""
     if abs(len(a) - len(b)) > k:
         return False
+    prev2: list[int] | None = None
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i] + [0] * len(b)
         lo = len(b) + 1
         for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            lo = min(lo, cur[j])
+            c = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if (
+                prev2 is not None and i > 1 and j > 1
+                and ca == b[j - 2] and a[i - 2] == cb
+            ):
+                c = min(c, prev2[j - 2] + 1)
+            cur[j] = c
+            lo = min(lo, c)
         if lo > k:
             return False
+        prev2 = prev
         prev = cur
     return prev[-1] <= k
 

@@ -53,10 +53,15 @@ class Regexp:
 
 @dataclass(frozen=True)
 class Fuzzy:
-    """FuzzyQuery (search/FuzzyQuery.java:56): terms within edit distance."""
+    """FuzzyQuery (search/FuzzyQuery.java:56): terms within Damerau-
+    Levenshtein edit distance (transpositions count as one edit, the
+    reference default). Expansion is capped at max_expansions dictionary
+    terms ranked by df descending (FuzzyQuery.defaultMaxExpansions = 50,
+    top-terms blended rewrite)."""
     text: str
     max_edits: int = 2
     boost: float = 1.0
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)

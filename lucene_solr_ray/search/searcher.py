@@ -73,12 +73,21 @@ class IndexSearcher:
     def _node(self, query):
         node = parse_query(query) if isinstance(query, str) else query
         from .multiterm import expand_terms, rewrite
+        from .query import Fuzzy
 
         def expander(n):
             seen: set[str] = set()
             for s in self.reader.shards:
                 seen.update(expand_terms(s.terms, n))
-            return sorted(seen)
+            terms = sorted(seen)
+            if isinstance(n, Fuzzy) and len(terms) > n.max_expansions:
+                # FuzzyQuery top-terms rewrite: keep the max_expansions
+                # highest-df dictionary terms (FuzzyQuery.java:56)
+                ranked = sorted(
+                    terms, key=lambda t: (-self.reader.term_stats(t)[0], t)
+                )
+                terms = sorted(ranked[: n.max_expansions])
+            return terms
 
         return rewrite(node, expander)
 
@@ -238,12 +247,21 @@ class DistributedSearcher:
 
         from .multiterm import rewrite
 
+        from .query import Fuzzy
+
         def expander(n):
             parts = ray.get([a.expand.remote(n) for a in self.actors])
             seen: set[str] = set()
             for p in parts:
                 seen.update(p)
-            return sorted(seen)
+            out = sorted(seen)
+            if isinstance(n, Fuzzy) and len(out) > n.max_expansions:
+                sp = ray.get([a.term_stats.remote(out) for a in self.actors])
+                dfm = {t: sum(p[t][0] for p in sp) for t in out}
+                out = sorted(
+                    sorted(out, key=lambda t: (-dfm[t], t))[: n.max_expansions]
+                )
+            return out
 
         node = rewrite(node, expander)
         terms = query_terms(node)

@@ -140,3 +140,65 @@ def test_distributed_multiterm(idx):
         b = dist.search(q, k=10)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+def test_fuzzy_damerau_transposition():
+    # 'ab'~1 must match 'ba' (adjacent transposition = one edit)
+    from lucene_solr_ray.search.multiterm import _levenshtein_leq
+
+    assert _levenshtein_leq("ab", "ba", 1)
+    assert not _levenshtein_leq("abcd", "badc", 1)  # two transpositions
+    assert _levenshtein_leq("abcd", "badc", 2)
+
+
+def test_fuzzy_max_expansions_cap(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Fuzzy, Synonym
+
+    # many one-edit neighbours of 'cat': cap must keep the highest-df ones
+    variants = ["cat" + c for c in "abcdefgh"]  # cata..cath (8 edits of 'cat')
+    texts = ["cat common common"] * 50
+    for i, v in enumerate(variants):
+        texts.extend([v] * (i + 1))  # df ladder: cata=1 ... cath=8
+    ids = np.arange(len(texts), dtype=np.int64)
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids),
+                             "text": pa.array(texts, pa.string())}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    s = IndexSearcher(idx)
+    node = s._node(Fuzzy("cat", max_edits=1, max_expansions=3))
+    assert isinstance(node, Synonym)
+    # 'cat' itself (df=50) plus the two highest-df variants
+    assert set(node.terms) == {"cat", "cath", "catg"}
+
+
+def test_bool_must_with_min_should(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Bool, Term
+
+    texts = ["alpha beta", "alpha gamma", "alpha delta", "alpha beta gamma"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                             "text": pa.array(texts, pa.string())}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=1, num_buckets=2))
+    s = IndexSearcher(idx)
+    # must=alpha, should=[beta, gamma], min_should=1: doc 2 (alpha delta)
+    # matches the must clause but NO should clause -> excluded
+    node = Bool(must=[Term("alpha")], should=[Term("beta"), Term("gamma")],
+                min_should=1)
+    assert s.match_all(node)["doc_id"].to_pylist() == [0, 1, 3]
+    node2 = Bool(must=[Term("alpha")], should=[Term("beta"), Term("gamma")],
+                 min_should=2)
+    assert s.match_all(node2)["doc_id"].to_pylist() == [3]
