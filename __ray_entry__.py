@@ -58,8 +58,20 @@ def _searcher64(sf_dir):
     return IndexSearcher(_index_for(sf_dir), dtype=np.float64)
 
 
+def _round_half_away(v, nd: int = RND) -> np.ndarray:
+    """round-half-away-from-zero, replicating DuckDB's round(x, nd)
+    (std::round on the scaled value) — numpy's np.round is half-EVEN and
+    disagrees with the oracle on exact .5 ties."""
+    v = np.asarray(v, dtype=np.float64)
+    p = 10.0 ** nd
+    ax = np.abs(v) * p
+    fl = np.floor(ax)
+    r = fl + (ax - fl >= 0.5)
+    return np.sign(v) * r / p
+
+
 def _round_col(t: pa.Table, col: str, nd: int = RND) -> pa.Table:
-    v = np.round(np.asarray(t[col].to_pylist(), dtype=np.float64), nd)
+    v = _round_half_away(np.asarray(t[col].to_pylist(), dtype=np.float64), nd)
     i = t.column_names.index(col)
     return t.set_column(i, col, pa.array(v, pa.float64()))
 
@@ -219,7 +231,7 @@ def q_rollup_q1(sf_dir):
     )
 
     def post(t: pa.Table) -> pa.Table:
-        avg = np.round(
+        avg = _round_half_away(
             t["sum_qty"].to_numpy(zero_copy_only=False)
             / t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64),
             RND,
@@ -400,7 +412,7 @@ def q_window_sliding(sf_dir):
 
     def roll(df):
         df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        df["w_avg"] = df["value"].rolling(3, min_periods=1).mean().round(RND)
+        df["w_avg"] = _round_half_away(df["value"].rolling(3, min_periods=1).mean().to_numpy(), RND)
         return df[["event_id", "w_avg"]]
 
     return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
@@ -468,7 +480,7 @@ def q_eval_scalars(sf_dir):
         return pc.utf8_upper(t["o_orderpriority"])
 
     def tenth(t):
-        v = np.round(t["o_totalprice"].to_numpy(zero_copy_only=False) * 0.1, 4)
+        v = _round_half_away(t["o_totalprice"].to_numpy(zero_copy_only=False) * 0.1, 4)
         return pa.array(v, pa.float64())
 
     return select(ds, {
@@ -542,11 +554,11 @@ def q_quality(sf_dir):
     def rnd(t: pa.Table) -> pa.Table:
         t = t.set_column(
             t.column_names.index("mean_token_len"), "mean_token_len",
-            pa.array(np.round(t["mean_token_len"].to_numpy(zero_copy_only=False), RND)),
+            pa.array(_round_half_away(t["mean_token_len"].to_numpy(zero_copy_only=False), RND)),
         )
         return t.set_column(
             t.column_names.index("stopword_ratio"), "stopword_ratio",
-            pa.array(np.round(t["stopword_ratio"].to_numpy(zero_copy_only=False), RND)),
+            pa.array(_round_half_away(t["stopword_ratio"].to_numpy(zero_copy_only=False), RND)),
         )
 
     return out.map_batches(rnd, batch_format="pyarrow")

@@ -102,24 +102,55 @@ def rollup(
         sum_cols = [(c, name) for kind, c, name in aggs if kind == "sum"]
         count_names = [name for kind, _, name in aggs if kind == "count"]
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(keys, sort=False)
-            pieces = {}
+        # Arrow-native partial with an explicit typed result: an EMPTY batch
+        # still yields a typed empty table, so downstream block schemas never
+        # degrade to the schema-less pandas form whose dtype resolution was
+        # run-to-run unstable (round-1 hash_match flake on rollup entries).
+        def partial(t: pa.Table) -> pa.Table:
+            specs = [(c, "sum") for c, _ in sum_cols]
+            if count_names:
+                specs.append(([], "count_all"))
+            g = t.group_by(keys, use_threads=False).aggregate(specs)
+            cols = {k: g[k] for k in keys}
             for c, name in sum_cols:
-                pieces[name] = g[c].sum()
+                cols[name] = g[f"{c}_sum"]
             for name in count_names:
-                pieces[name] = g.size()
-            return pd.DataFrame(pieces).reset_index()
+                cols[name] = pc.cast(g["count_all"], pa.int64())
+            return pa.table(cols)
 
-        part = ds.map_batches(partial, batch_format="pandas")
-        final_aggs = [Sum(name, alias_name=name) for _, _, name in [(k, c, n) for k, c, n in aggs]]
-        return part.groupby(keys).aggregate(*final_aggs)
+        part = ds.map_batches(partial, batch_format="pyarrow")
+        final_aggs = [Sum(name, alias_name=name) for _, _, name in aggs]
+        out = part.groupby(keys).aggregate(*final_aggs)
+    else:
+        ray_aggs = []
+        for kind, col, name in aggs:
+            cls = _AGGS[kind]
+            ray_aggs.append(cls(alias_name=name) if col is None else cls(col, alias_name=name))
+        out = ds.groupby(keys if keys else None).aggregate(*ray_aggs)
 
-    ray_aggs = []
-    for kind, col, name in aggs:
-        cls = _AGGS[kind]
-        ray_aggs.append(cls(alias_name=name) if col is None else cls(col, alias_name=name))
-    return ds.groupby(keys if keys else None).aggregate(*ray_aggs)
+    # Deterministic output dtypes: Ray's combine can promote an integer sum /
+    # min / max through float when some partials are empty (None -> NaN), so
+    # the final block dtype depended on scheduling. Cast integer-derived
+    # aggregates back to int64 explicitly.
+    int_out = [name for kind, _, name in aggs if kind == "count"]
+    try:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        for kind, col, name in aggs:
+            if kind in ("sum", "min", "max") and col in types and pa.types.is_integer(types[col]):
+                int_out.append(name)
+    except Exception:
+        pass
+    if int_out:
+        def cast_ints(t: pa.Table) -> pa.Table:
+            for name in int_out:
+                if name in t.column_names and not pa.types.is_integer(t[name].type):
+                    i = t.column_names.index(name)
+                    t = t.set_column(i, name, pc.cast(pc.round(t[name]), pa.int64()))
+            return t
+
+        out = out.map_batches(cast_ints, batch_format="pyarrow")
+    return out
 
 
 def facet_counts(ds: Dataset, key: str, count_name: str = "cnt") -> Dataset:
