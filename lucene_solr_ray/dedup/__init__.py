@@ -1,6 +1,7 @@
 from .ops import (  # noqa: F401
     dedup_exact,
     dedup_minhash_lsh,
+    dedup_minhash_verified,
     embedding_dup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

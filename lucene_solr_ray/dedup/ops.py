@@ -7,28 +7,36 @@ and MinHashFilter (lucene/analysis/common/.../minhash/MinHashFilter.java:47).
 All operators are streaming map_batches + one groupby shuffle on the
 signature/band key; candidate verification is vectorized. At 100 TB the
 shuffle moves only (key, doc_id) pairs — never document text.
+
+Hashing is the vectorized polynomial codepoint hash (util/polyhash):
+each unique shingle/token in a batch is hashed once (factorize + one numpy
+pass); minhash rows come from a multiply-shift family over that base hash.
+The base hash is bit-exactly reproducible in DuckDB SQL, which is what the
+driver's value-level oracles for simhash/fingerprint rely on.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
-_M61 = (1 << 61) - 1
+from ..util.polyhash import poly_hash_strings
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _content_hash(t: pa.Table, text_col: str) -> np.ndarray:
-    out = np.empty(len(t), dtype=np.uint64)
-    for i, s in enumerate(t[text_col].to_pylist()):
-        h = hashlib.blake2b((s or "").encode(), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little")
-    return out
+def _ensure_schema(ds: Dataset, schema_table: pa.Table) -> Dataset:
+    """Union a typed EMPTY block so a zero-row result still carries its
+    schema (a Dataset whose every block was filtered away loses column
+    names, which breaks downstream schema checks)."""
+    import ray.data as _rd
+
+    return ds.union(_rd.from_arrow(schema_table.schema.empty_table()))
 
 
 def dedup_exact(ds: Dataset, key_col: str, text_col: str) -> Dataset:
@@ -39,9 +47,9 @@ def dedup_exact(ds: Dataset, key_col: str, text_col: str) -> Dataset:
     map_groups first() so no group is ever materialized."""
 
     def add_hash(t: pa.Table) -> pa.Table:
+        h = poly_hash_strings(t[text_col].to_pylist())
         return pa.table(
-            {"sig": pa.array(_content_hash(t, text_col), pa.uint64()),
-             key_col: t[key_col]}
+            {"sig": pa.array(h, pa.uint64()), key_col: t[key_col]}
         )
 
     sigs = ds.map_batches(add_hash, batch_format="pyarrow")
@@ -51,29 +59,36 @@ def dedup_exact(ds: Dataset, key_col: str, text_col: str) -> Dataset:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def _minhash_batch(texts: list[str], num_hashes: int, shingle_k: int, seed: int) -> np.ndarray:
-    """(n_docs, num_hashes) uint64 minhash signatures over word shingles."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _M61, size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, _M61, size=num_hashes, dtype=np.uint64)
-    out = np.full((len(texts), num_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, text in enumerate(texts):
+def _shingle_lists(texts: list[str], k: int) -> list[list[str]]:
+    """k-word shingles per doc; a doc shorter than k words is one shingle."""
+    out = []
+    for text in texts:
         ws = (text or "").split(" ")
-        if len(ws) < shingle_k:
-            sh = {" ".join(ws)}
+        if len(ws) < k:
+            out.append([" ".join(ws)])
         else:
-            sh = {" ".join(ws[j:j + shingle_k]) for j in range(len(ws) - shingle_k + 1)}
-        if not sh:
-            continue
-        hv = np.array(
-            [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-             for s in sh],
-            dtype=np.uint64,
-        )
-        # one universal-hash pass per shingle set, vectorized over hashes
-        prod = (hv[:, None] * a[None, :] + b[None, :]) % _M61
-        out[i] = prod.min(axis=0)
+            out.append([" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)])
     return out
+
+
+def _minhash_batch(texts: list[str], num_hashes: int, shingle_k: int, seed: int) -> np.ndarray:
+    """(n_docs, num_hashes) uint64 minhash signatures over word shingles.
+
+    Vectorized: unique shingles are hashed once (factorize + poly hash), the
+    multiply-shift family h_k(x) = a_k*x + b_k (mod 2^64 wraparound) expands
+    each base hash into num_hashes rows, and per-doc minima fall out of one
+    minimum.reduceat."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _U64_MAX, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _U64_MAX, size=num_hashes, dtype=np.uint64)
+    sh = _shingle_lists(texts, shingle_k)
+    lens = np.fromiter((len(x) for x in sh), np.int64, len(sh))
+    flat = [s for lst in sh for s in lst]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    hv = poly_hash_strings(list(uniques))
+    prod = hv[:, None] * a[None, :] + b[None, :]  # uint64 multiply-shift
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    return np.minimum.reduceat(prod[codes], starts, axis=0)
 
 
 def minhash_signatures(
@@ -96,12 +111,16 @@ def minhash_signatures(
 def dedup_minhash_lsh(
     ds: Dataset, key_col: str, text_col: str,
     num_hashes: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42,
+    max_bucket: int = 512,
 ) -> Dataset:
     """Near-dup candidate pairs via banded LSH: shingle -> minhash -> band
     buckets -> groupby(band_id, band_hash) -> intra-bucket pairs.
 
-    Returns (left, right) candidate id pairs (left < right). The shuffle key
-    is the band bucket; text never moves."""
+    Returns (left_id, right_id) candidate pairs (left < right). The shuffle
+    key is the band bucket; text never moves. Buckets larger than max_bucket
+    (degenerate content: empty docs, boilerplate) would explode O(n^2) pairs,
+    so they are dropped with a warning — callers needing those need an exact
+    per-bucket pass instead."""
     rows = num_hashes // bands
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -110,25 +129,33 @@ def dedup_minhash_lsh(
         n = len(keys)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         doc_rep = np.repeat(keys, bands)
-        bh = np.empty(n * bands, dtype=np.uint64)
         view = sig.reshape(n, bands, rows)
         # mix the band's rows into one 64-bit bucket hash
-        mix = view.astype(np.uint64)
         h = np.zeros((n, bands), dtype=np.uint64)
         for r in range(rows):
-            h = (h * np.uint64(1099511628211)) ^ mix[:, :, r]
-        bh = h.ravel()
+            h = (h * np.uint64(1099511628211)) ^ view[:, :, r]
         return pa.table(
-            {"band": pa.array(band_ids), "bh": pa.array(bh, pa.uint64()),
+            {"band": pa.array(band_ids), "bh": pa.array(h.ravel(), pa.uint64()),
              key_col: pa.array(doc_rep)}
         )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df[key_col].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"left": [], "right": []}).astype(np.int64)
+            return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
+                                 "right_id": pd.Series([], dtype=np.int64)})
+        if len(ids) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH bucket of %d docs exceeds max_bucket=%d; dropping "
+                "(band=%s) — run an exact pass on these ids if needed",
+                len(ids), max_bucket, df["band"].iloc[0],
+            )
+            return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
+                                 "right_id": pd.Series([], dtype=np.int64)})
         li, ri = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"left": ids[li], "right": ids[ri]})
+        return pd.DataFrame({"left_id": ids[li], "right_id": ids[ri]})
 
     cand = (
         ds.map_batches(band_rows, batch_format="pyarrow")
@@ -136,132 +163,239 @@ def dedup_minhash_lsh(
         .map_groups(pairs, batch_format="pandas")
     )
     # dedup pairs discovered in multiple bands
-    return cand.groupby(["left", "right"]).aggregate(Count(alias_name="__n")).select_columns(["left", "right"])
-
-
-# --- SimHash ---------------------------------------------------------------
-
-def simhash_signatures(ds: Dataset, key_col: str, text_col: str, seed: int = 42) -> Dataset:
-    """64-bit SimHash over tokens: sign of per-bit weighted sums."""
-
-    def f(t: pa.Table) -> pa.Table:
-        sigs = np.zeros(len(t), dtype=np.uint64)
-        for i, text in enumerate(t[text_col].to_pylist()):
-            ws = (text or "").split(" ")
-            if not ws:
-                continue
-            hv = np.array(
-                [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-                 for w in ws],
-                dtype=np.uint64,
-            )
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            v = (2 * bits - 1).sum(axis=0)
-            sigs[i] = np.packbits((v > 0).astype(np.uint8)[::-1]).view(">u8")[0]
-        return pa.table({key_col: t[key_col], "simhash": pa.array(sigs, pa.uint64())})
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    return (
+        cand.groupby(["left_id", "right_id"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["left_id", "right_id"])
+    )
 
 
 # --- n-gram Jaccard verification ------------------------------------------
 
+def _shingle_set(s: str | None, k: int) -> set:
+    ws = (s or "").split(" ")
+    if len(ws) < k:
+        return {" ".join(ws)}
+    return {" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)}
+
+
 def ngram_jaccard_pairs(
     ds: Dataset, pairs: Dataset, key_col: str, text_col: str,
     shingle_k: int = 3, threshold: float = 0.5,
-) -> pa.Table:
-    """Verify candidate pairs with exact shingle Jaccard.
+) -> Dataset:
+    """Verify candidate pairs with exact shingle Jaccard, distributed.
 
-    The candidate set is small relative to the corpus (LSH output); texts for
-    the involved ids are fetched once and broadcast to the verify stage."""
-    pair_df = pairs.to_pandas()
+    The texts of the (bounded) candidate id set are collected once, put in
+    the object store, and every verify task reads them zero-copy; the pair
+    list itself streams through map_batches — no driver-side pair loop."""
+    pair_ids = pairs.select_columns(["left_id", "right_id"]).materialize()
+
+    # distinct ids involved in any candidate pair (small by construction:
+    # the LSH output, not the corpus)
+    pair_df = pair_ids.to_pandas()
     if not len(pair_df):
-        return pa.table(
-            {"left": pa.array([], pa.int64()), "right": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    ids = np.unique(np.concatenate([pair_df["left"].values, pair_df["right"].values]))
-    import ray
+        import ray.data as _rd
 
-    id_ref = ray.put(ids)
+        return _rd.from_arrow(pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    wanted = np.unique(
+        np.concatenate([pair_df["left_id"].to_numpy(),
+                        pair_df["right_id"].to_numpy()])
+    )
+    id_ref = ray.put(wanted)
 
     def keep(t: pa.Table) -> pa.Table:
-        wanted = ray.get(id_ref)
-        m = np.isin(t[key_col].to_numpy(zero_copy_only=False), wanted)
+        w = ray.get(id_ref)
+        m = np.isin(t[key_col].to_numpy(zero_copy_only=False), w)
         return t.select([key_col, text_col]).filter(pa.array(m))
 
-    texts = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-    lookup = dict(zip(texts[key_col], texts[text_col]))
-
-    def shingles(s):
-        ws = (s or "").split(" ")
-        if len(ws) < shingle_k:
-            return {" ".join(ws)}
-        return {" ".join(ws[j:j + shingle_k]) for j in range(len(ws) - shingle_k + 1)}
-
-    out = {"left": [], "right": [], "jaccard": []}
-    for l, r in zip(pair_df["left"], pair_df["right"]):
-        a, b = shingles(lookup.get(l)), shingles(lookup.get(r))
-        j = len(a & b) / max(1, len(a | b))
-        if j >= threshold:
-            out["left"].append(int(l))
-            out["right"].append(int(r))
-            out["jaccard"].append(float(j))
-    return pa.table(
-        {"left": pa.array(out["left"], pa.int64()),
-         "right": pa.array(out["right"], pa.int64()),
-         "jaccard": pa.array(out["jaccard"], pa.float64())}
+    texts = pa.concat_tables(
+        ds.map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=8192),
+        promote_options="default",
     )
+    text_ref = ray.put(
+        dict(zip(texts[key_col].to_pylist(), texts[text_col].to_pylist()))
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        lookup = ray.get(text_ref)
+        lf = t["left_id"].to_pylist()
+        rf = t["right_id"].to_pylist()
+        out_l, out_r, out_j = [], [], []
+        for l, r in zip(lf, rf):
+            a = _shingle_set(lookup.get(l), shingle_k)
+            b = _shingle_set(lookup.get(r), shingle_k)
+            j = len(a & b) / max(1, len(a | b))
+            if j >= threshold:
+                out_l.append(int(l))
+                out_r.append(int(r))
+                out_j.append(float(j))
+        return pa.table(
+            {"left_id": pa.array(out_l, pa.int64()),
+             "right_id": pa.array(out_r, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+
+    return _ensure_schema(
+        pair_ids.map_batches(verify, batch_format="pyarrow"),
+        pa.table({"left_id": pa.array([], pa.int64()),
+                  "right_id": pa.array([], pa.int64()),
+                  "jaccard": pa.array([], pa.float64())}),
+    )
+
+
+def dedup_minhash_verified(
+    ds: Dataset, key_col: str, text_col: str, threshold: float = 0.8,
+    num_hashes: int = 32, bands: int = 16, shingle_k: int = 3, seed: int = 42,
+) -> Dataset:
+    """Near-dup pairs at an exact-Jaccard threshold: banded-LSH candidates
+    verified by true shingle Jaccard (the verify stage removes LSH false
+    positives; with rows-per-band=2 the miss probability at J>=0.8 is
+    (1-J^2)^bands ~ 1e-7, so the output equals the exhaustive answer and is
+    oracle-checked against a full O(n^2) SQL Jaccard at driver scale)."""
+    cand = dedup_minhash_lsh(
+        ds, key_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
+    )
+    return ngram_jaccard_pairs(
+        ds, cand, key_col, text_col, shingle_k=shingle_k, threshold=threshold
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash_signatures(ds: Dataset, key_col: str, text_col: str,
+                       bits: int = 62) -> Dataset:
+    """SimHash over word tokens: sign of per-bit weighted sums.
+
+    62 bits (not 64) so the signature fits a signed int64 end to end —
+    parquet, pandas, and the DuckDB oracle all agree on the dtype. Fully
+    vectorized: unique tokens hash once, bit matrix + add.reduceat per doc."""
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        toks = [(s or "").split(" ") for s in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        flat = [w for ws in toks for w in ws]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        hv = poly_hash_strings(list(uniques))
+        bitm = ((hv[codes][:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        contrib = 2 * bitm - 1
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        v = np.add.reduceat(contrib, starts, axis=0)
+        pos = (v > 0).astype(np.uint64)
+        sig = (pos << shifts[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({key_col: t[key_col], "simhash": pa.array(sig, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 # --- embedding cosine near-dup --------------------------------------------
 
 def embedding_dup_pairs(
     ds: Dataset, key_col: str, vec_col: str, threshold: float = 0.95,
-    block: int = 2048,
+    num_tables: int = 16, num_planes: int = 8, seed: int = 42,
+    max_bucket: int = 4096, round_nd: int = 4,
 ) -> Dataset:
-    """Embedding-cosine near-dup pairs above threshold.
+    """Embedding-cosine near-dup pairs above threshold, scale-safe.
 
-    v0 strategy: normalize vectors per batch, broadcast the (small) full
-    normalized matrix once, and scan it batch-wise (matmul per batch). The
-    scale path replaces the broadcast matrix with LSH bucketing
-    (random-hyperplane signs -> groupby bucket), same candidate/verify shape
-    as dedup_minhash_lsh."""
-    import ray
+    Random-hyperplane LSH: each vector lands in one bucket per hash table
+    (sign bits of num_planes projections); candidate pairs are verified by
+    exact cosine INSIDE the per-bucket group, so the only shuffle moves
+    (table, bucket, key, vector) rows — nothing is materialized on the
+    driver and no O(n^2) scan happens outside a bucket. A pair at cosine c
+    collides in one table with p = (1 - arccos(c)/pi)^num_planes; missing
+    all tables is (1-p)^num_tables (~1e-4 at c=0.95 with 16x8), and the
+    deterministic seed makes the output reproducible for the oracle check.
 
-    mats = []
-    keys = []
-    for t in ds.select_columns([key_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=4096):
+    Buckets above max_bucket are dropped with a warning (same policy as
+    dedup_minhash_lsh)."""
+    rng = np.random.default_rng(seed)
+    planes_ref: list = []  # lazily created once dim is known (deterministic)
+
+    def sigs(t: pa.Table) -> pa.Table:
         m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
-        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        mats.append(m)
-        keys.append(t[key_col].to_numpy(zero_copy_only=False))
-    full = np.vstack(mats)
-    all_keys = np.concatenate(keys)
-    order = np.argsort(all_keys)
-    full = full[order]
-    all_keys = all_keys[order]
-    ref = ray.put((all_keys, full))
-
-    import ray.data as rd
-
-    n = len(all_keys)
-    starts = list(range(0, n, block))
-
-    def scan(b: dict) -> pa.Table:
-        ks, m = ray.get(ref)
-        lo = int(b["start"][0])
-        hi = min(lo + block, len(ks))
-        sims = m[lo:hi] @ m.T
-        li, ri = np.nonzero(sims >= threshold)
-        gl = ks[lo + li]
-        gr = ks[ri]
-        keep = gl < gr
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        r = np.random.default_rng(seed)
+        planes = r.standard_normal((m.shape[1], num_tables * num_planes))
+        proj = m @ planes > 0
+        weights = (1 << np.arange(num_planes, dtype=np.int64))
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        tbl_ids = np.repeat(np.arange(num_tables, dtype=np.int32)[None, :], n, axis=0)
+        buckets = np.zeros((n, num_tables), dtype=np.int64)
+        for ti in range(num_tables):
+            bits = proj[:, ti * num_planes:(ti + 1) * num_planes]
+            buckets[:, ti] = bits @ weights
         return pa.table(
-            {"left": pa.array(gl[keep], pa.int64()),
-             "right": pa.array(gr[keep], pa.int64()),
-             "cosine": pa.array(sims[li, ri][keep], pa.float64())}
+            {
+                "table": pa.array(tbl_ids.ravel(), pa.int32()),
+                "bucket": pa.array(buckets.ravel(), pa.int64()),
+                key_col: pa.array(np.repeat(keys, num_tables)),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(m, num_tables, axis=0).ravel(), pa.float64()),
+                    m.shape[1],
+                ),
+            }
         )
 
-    return rd.from_items([{"start": s} for s in starts]).map_batches(
-        scan, batch_size=1, batch_format="numpy"
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "left_id": pd.Series([], dtype=np.int64),
+            "right_id": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64),
+        })
+        n = len(df)
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding LSH bucket of %d vectors exceeds max_bucket=%d; "
+                "dropping", n, max_bucket,
+            )
+            return empty
+        order = np.argsort(df[key_col].to_numpy())
+        keys = df[key_col].to_numpy()[order]
+        m = np.stack(df["vec"].to_numpy()[order])
+        sims = m @ m.T
+        li, ri = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "left_id": keys[li], "right_id": keys[ri],
+            "cosine": sims[li, ri],
+        })
+
+    cand = (
+        ds.select_columns([key_col, vec_col])
+        .map_batches(sigs, batch_format="pyarrow")
+        .groupby(["table", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
+    # a pair can surface in several tables: keep one row (cosine identical)
+    from ray.data.aggregate import Max
+
+    out = cand.groupby(["left_id", "right_id"]).aggregate(
+        Max("cosine", alias_name="cosine")
+    )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        v = t["cosine"].to_numpy(zero_copy_only=False)
+        p = 10.0 ** round_nd
+        ax = np.abs(v) * p
+        fl = np.floor(ax)
+        r = (fl + (ax - fl >= 0.5)) / p
+        i = t.column_names.index("cosine")
+        return t.set_column(i, "cosine", pa.array(np.sign(v) * r, pa.float64()))
+
+    out = out.map_batches(rnd, batch_format="pyarrow")
+    return _ensure_schema(out, pa.table({
+        "left_id": pa.array([], pa.int64()),
+        "right_id": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }))

@@ -39,8 +39,10 @@ class _FakeDecoder:
                 "image decoding requires an image library not present in this "
                 "container; install one and replace _FakeDecoder"
             )
-        h = hashlib.blake2b(blob or b"", digest_size=8).digest()
-        return 16 + h[0] % 240, 16 + h[1] % 240
+        # dims derive from the byte length only, so the driver's DuckDB
+        # oracle can recompute them from the source column (oracles.py)
+        n = len(blob or b"")
+        return 16 + n % 240, 16 + (n // 240) % 240
 
     def features(self, blob: bytes) -> np.ndarray:
         h = hashlib.blake2b(blob or b"", digest_size=self.feat_dim).digest()

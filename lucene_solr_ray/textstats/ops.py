@@ -20,43 +20,56 @@ _STOPWORDS = frozenset(
     "the a an and or of to in is was for on with as by at from it this that".split()
 )
 
-# tiny trigram profiles for a heuristic language guess (deterministic, no
-# external models; real deployments would plug a fasttext-style model into
-# the same actor-pool stage)
+# Character-trigram profiles per language: the most frequent trigrams from
+# published frequency tables (the same signal the reference's langid
+# contribs use). Scoring counts non-overlapping OCCURRENCES of each profile
+# trigram in the lowercased text — a deterministic rule that a SQL oracle
+# replicates exactly via length(replace(...)) arithmetic, so the operator
+# is value-checked end to end (a learned fasttext-style model would slot
+# into the same actor-pool stage).
 _LANG_PROFILES = {
-    "en": ["the", "and", "ing", "ion", "ent"],
-    "de": ["der", "ein", "ich", "sch", "und"],
-    "fr": ["les", "ent", "que", "des", "ion"],
-    "es": ["que", "los", "ent", "ión", "del"],
+    "de": ["er ", "en ", "ch ", "der", "ein", "ich", "sch", "und", "die", "ng "],
+    "en": ["th", "the", " th", "he ", "ing", "and", "ion", "ent", " of", "ed "],
+    "es": ["de ", " de", "os ", "que", "los", "ent", "ión", "del", "as ", "la "],
+    "fr": ["es ", " de", "de ", "les", "ent", "que", "des", "ion", "la ", "le "],
+    "it": ["di ", " di", "to ", "che", "la ", "re ", "no ", "one", "ell", "zio"],
+    "nl": ["en ", "de ", "an ", "van", "een", "het", "aar", "en.", "ij ", "er "],
+    "pt": ["de ", "o d", "os ", "que", " co", "ão ", "da ", "em ", "ra ", "as "],
 }
+
 
 _BPE_RE = re.compile(r"\w+|[^\w\s]")
 
 
+def _count_occurrences(s: str, sub: str) -> int:
+    """Non-overlapping left-to-right count — identical to SQL's
+    (length(s) - length(replace(s, sub, ''))) / length(sub)."""
+    return s.count(sub)
+
+
 def language_id(ds: Dataset, key_col: str, text_col: str) -> Dataset:
-    """Heuristic n-gram language ID -> (key, lang_guess, confidence)."""
+    """Heuristic n-gram language ID -> (key, lang_guess, score).
+
+    score = total occurrences of the winning language's profile trigrams;
+    ties break to the lexicographically smallest language code; a text
+    matching no profile is 'und' with score 0."""
+    profiles = sorted(_LANG_PROFILES.items())
 
     class LangId:
-        def __init__(self):
-            self.profiles = {
-                lang: set(tris) for lang, tris in _LANG_PROFILES.items()
-            }
-
         def __call__(self, t: pa.Table) -> pa.Table:
-            langs, confs = [], []
+            langs, scores = [], []
             for s in t[text_col].to_pylist():
                 s = (s or "").lower()
-                tris = {s[i:i + 3] for i in range(len(s) - 2)}
-                best, score = "und", 0
-                for lang, prof in self.profiles.items():
-                    hits = len(tris & prof)
-                    if hits > score:
-                        best, score = lang, hits
+                best, best_score = "und", 0
+                for lang, tris in profiles:
+                    sc = sum(_count_occurrences(s, tri) for tri in tris)
+                    if sc > best_score:
+                        best, best_score = lang, sc
                 langs.append(best)
-                confs.append(score / 5.0)
+                scores.append(best_score)
             return pa.table(
                 {key_col: t[key_col], "lang_guess": pa.array(langs, pa.string()),
-                 "confidence": pa.array(confs, pa.float64())}
+                 "score": pa.array(scores, pa.int64())}
             )
 
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
@@ -118,29 +131,36 @@ def token_stats(ds: Dataset, key_col: str, text_col: str) -> Dataset:
 
 
 def doc_fingerprint(ds: Dataset, key_col: str, text_col: str, window: int = 16) -> Dataset:
-    """Rolling polynomial hash fingerprint (winnowing-lite): min rolling hash
-    over character windows — a stable near-identity document signature."""
-    B = np.uint64(1099511628211)
+    """Rolling polynomial hash fingerprint (winnowing-lite): min hash over
+    all `window`-codepoint character windows — a stable near-identity
+    document signature. Uses the engine's poly codepoint hash (mod 2^64)
+    and emits the top 62 bits (h >> 2) as int64, so the value is portable
+    through parquet/pandas and bit-exactly checkable by the DuckDB oracle
+    (min over substring(text, i, window) hashes)."""
+    from ..util.polyhash import POLY_B
+
+    B = np.uint64(POLY_B)
 
     def f(t: pa.Table) -> pa.Table:
         out = np.zeros(len(t), dtype=np.uint64)
+        pw = np.ones(window, dtype=np.uint64)
+        for j in range(1, window):
+            pw[j] = pw[j - 1] * B
+        pw = pw[::-1].copy()
         for i, s in enumerate(t[text_col].to_pylist()):
-            b = np.frombuffer((s or "").encode(), dtype=np.uint8).astype(np.uint64)
-            if len(b) < window:
+            s = s or ""
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            if len(cp) < window:
                 h = np.uint64(0)
-                for c in b:
+                for c in cp:
                     h = h * B + c
                 out[i] = h
                 continue
-            # rolling hash over all windows, vectorized via cumulative powers
-            pw = np.ones(window, dtype=np.uint64)
-            for j in range(1, window):
-                pw[j] = pw[j - 1] * B
-            pw = pw[::-1]
-            n = len(b) - window + 1
+            n = len(cp) - window + 1
             idx = np.arange(n)[:, None] + np.arange(window)[None, :]
-            hashes = (b[idx] * pw[None, :]).sum(axis=1, dtype=np.uint64)
+            hashes = (cp[idx] * pw[None, :]).sum(axis=1, dtype=np.uint64)
             out[i] = hashes.min()
-        return pa.table({key_col: t[key_col], "fingerprint": pa.array(out, pa.uint64())})
+        fp = (out >> np.uint64(2)).astype(np.int64)
+        return pa.table({key_col: t[key_col], "fingerprint": pa.array(fp, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")

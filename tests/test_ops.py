@@ -107,9 +107,10 @@ def test_minhash_lsh_finds_duplicates(ray_session, tmp_path):
     ds = rd().read_parquet(p)
     pairs = dedup_minhash_lsh(ds, "doc_id", "text", num_hashes=32, bands=16)
     pdf = pairs.to_pandas()
-    assert (10, 20) in set(zip(pdf["left"], pdf["right"]))
+    assert (10, 20) in set(zip(pdf["left_id"], pdf["right_id"]))
     verified = ngram_jaccard_pairs(ds, pairs, "doc_id", "text", threshold=0.5)
-    got = set(zip(verified["left"].to_pylist(), verified["right"].to_pylist()))
+    vdf = verified.to_pandas()
+    got = set(zip(vdf["left_id"], vdf["right_id"]))
     assert (10, 20) in got
 
 
@@ -150,7 +151,7 @@ def test_textstats_and_multimodal(ray_session):
     fp = doc_fingerprint(docs, "doc_id", "text").to_pandas()
     assert fp["fingerprint"].nunique() > 1
     li = language_id(docs, "doc_id", "text").to_pandas()
-    assert set(li.columns) == {"doc_id", "lang_guess", "confidence"}
+    assert set(li.columns) == {"doc_id", "lang_guess", "score"}
 
     blobs = docs.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "blob": pa.array(
