@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..util.vectors import vec_matrix
+
 
 def _topk_merge(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]], k: int, nq: int):
     """Merge per-batch (qid, key, sim) partials into per-query top-k."""
@@ -52,7 +54,7 @@ def brute_force_knn(
 
     def scan(t: pa.Table) -> pa.Table:
         q = ray.get(q_ref)  # local zero-copy plasma read (broadcast once)
-        m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        m = vec_matrix(t[vec_col])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = q @ m.T  # (nq, batch)
         keys = t[key_col].to_numpy(zero_copy_only=False)
@@ -104,7 +106,7 @@ def lsh_knn(
 
     def scan(t: pa.Table) -> pa.Table:
         qm2, planes2, q_bits2 = ray.get(ref)
-        m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        m = vec_matrix(t[vec_col])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sig = (m @ planes2 > 0).astype(np.uint32)
         bits = (sig * (1 << np.arange(sig.shape[1], dtype=np.uint32))).sum(axis=1)

@@ -26,6 +26,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from ..util.polyhash import poly_hash_strings
+from ..util.vectors import vec_matrix
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -319,7 +320,7 @@ def embedding_dup_pairs(
     planes_ref: list = []  # lazily created once dim is known (deterministic)
 
     def sigs(t: pa.Table) -> pa.Table:
-        m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        m = vec_matrix(t[vec_col])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         r = np.random.default_rng(seed)
         planes = r.standard_normal((m.shape[1], num_tables * num_planes))

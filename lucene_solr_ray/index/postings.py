@@ -161,6 +161,17 @@ def encode_postings_group(
     )
 
 
+def decode_doc_ids(df: int, short_bin: bytes | None, docs_bin: bytes | None) -> np.ndarray:
+    """Decode just the doc ids of one postings row (no freqs) — the lean
+    path for set operations like significant-terms foreground counting."""
+    if short_bin is not None:
+        vals = varint_decode_all(np.frombuffer(short_bin, dtype=np.uint8), 2 * df)
+        gaps = vals[0::2]
+    else:
+        gaps = decode_blocks(docs_bin, df).astype(np.uint64)
+    return np.cumsum(gaps.astype(np.int64))
+
+
 def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray]:
     """Decode one POSTINGS_SCHEMA row -> (docs int64, freqs int32)."""
     df = int(row["df"])

@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..util.vectors import vec_matrix
+
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
@@ -40,7 +42,7 @@ def train_logistic(
 
         def grad_partial(t: pa.Table) -> pa.Table:
             wt = ray.get(w_ref)
-            X = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+            X = vec_matrix(t[vec_col])
             y = t[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
             z = X @ wt[1:] + wt[0]
             p = _sigmoid(z)
@@ -76,7 +78,7 @@ def score_logistic(ds: Dataset, vec_col: str, key_col: str, model: dict) -> Data
 
     def sc(t: pa.Table) -> pa.Table:
         b, wt = ray.get(ref)
-        X = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        X = vec_matrix(t[vec_col])
         p = _sigmoid(X @ wt + b)
         return pa.table({
             key_col: t[key_col],
