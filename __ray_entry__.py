@@ -155,6 +155,27 @@ def q_ft_field_filter(sf_dir):
     return s.match_all("fast AND lang:en").select(["doc_id"])
 
 
+def q_ft_after_delete(sf_dir):
+    """Delete + physical purge: index the corpus with lang as a keyword
+    field, deleteDocuments(Term('lang:zh')), forceMerge to drop them, then
+    score a term query — values must equal BM25 over the surviving docs."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.index.maintenance import delete_by_term, force_merge
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|del").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           keyword_fields=("lang",))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    _, n = delete_by_term(index_dir, "lang:zh")
+    if n:
+        force_merge(index_dir)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    return _round_col(s.match_all("fast"), "score")
+
+
 def q_ft_numeric_range(sf_dir):
     # PointRangeQuery-style filter (doclen in [50, 80]) AND a scoring term
     from lucene_solr_ray.search.query import Bool, NumericRange, Term
@@ -782,6 +803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard": q_ft_wildcard,
         "ft_range": q_ft_range,
         "ft_numeric_range": q_ft_numeric_range,
+        "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
         "flagship_corpus": q_flagship_corpus,
         # relational / streaming-expression layer
@@ -877,6 +899,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_df": osql.sql_term_df(),
         "ft_top_terms": osql.sql_top_terms(20),
         "ft_bm25_term": osql.sql_bm25_term("fast"),
+        "ft_after_delete": osql.sql_bm25_term(
+            "fast", table="(SELECT * FROM documents WHERE lang <> 'zh') live_docs"),
         "ft_bm25_or": osql.sql_bm25_or(["fast", "query", "merge"]),
         "ft_bm25_and": osql.sql_bm25_and(["fast", "query"]),
         "ft_count": osql.sql_count_term("fast"),

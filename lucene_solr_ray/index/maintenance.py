@@ -55,7 +55,10 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
         assert np.all(np.diff(s.doc_ids) > 0) or len(s.doc_ids) <= 1, "docs table not unique-sorted"
         check = uniq if sample_terms is None else uniq[:: max(1, len(uniq) // sample_terms)]
         for term in check.tolist():
-            docs, freqs = s.postings(term)
+            # raw storage view: df/ttf invariants include tombstoned docs
+            # until forceMerge (the reference's CheckIndex likewise ignores
+            # liveDocs when validating postings)
+            docs, freqs = s.postings(term, live_only=False)
             df, ttf = s.term_stats(term)
             assert df == len(docs), f"df mismatch for {term!r}"
             assert ttf == int(freqs.sum()), f"ttf mismatch for {term!r}"
@@ -80,6 +83,78 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
         assert total_ttf == reader.sum_total_term_freq, "manifest sum_ttf mismatch"
     report["ok"] = True
     return report
+
+
+def delete_by_ids(index_dir: str, ids) -> dict:
+    """Delete documents by key: tombstone sidecar + manifest bump (the
+    reference's deleteDocuments -> liveDocs overlay,
+    IndexWriter.java:1518 / Lucene50LiveDocsFormat). Searchers mask the
+    tombstoned docs immediately; term statistics stay raw until force_merge
+    physically drops them (Lucene's docFreq-includes-deleted semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    manifest = load_manifest(index_dir)
+    if not manifest or not manifest.get("committed"):
+        raise ValueError("delete_by_ids requires a committed index")
+    ids = np.unique(np.asarray(list(ids), dtype=np.int64))
+    if not len(ids):
+        return manifest
+    dels = manifest.get("deletes") or []
+    rel = os.path.join("deletes", f"del_{len(dels)}_{int(time.time() * 1000)}.parquet")
+    os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                   os.path.join(index_dir, rel))
+    dels.append({"file": rel, "max_shard": manifest["num_shards"],
+                 "count": int(len(ids))})
+    manifest["deletes"] = dels
+    manifest["generation"] = int(time.time() * 1000)
+    _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    return manifest
+
+
+def delete_by_term(index_dir: str, term: str) -> tuple[dict, int]:
+    """deleteDocuments(Term): collect the term's live postings docs across
+    shards, tombstone them. Returns (manifest, n_deleted)."""
+    import numpy as np
+
+    reader = IndexReader(index_dir)
+    parts = [s.postings(term)[0] for s in reader.shards]
+    ids = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    if not len(ids):
+        return load_manifest(index_dir), 0
+    return delete_by_ids(index_dir, ids), int(len(ids))
+
+
+def delete_by_query(index_dir: str, query) -> tuple[dict, int]:
+    """deleteDocuments(Query): matching live docs -> tombstones."""
+    from ..search.searcher import IndexSearcher
+
+    res = IndexSearcher(index_dir).match_all(query)
+    ids = res["doc_id"].to_numpy(zero_copy_only=False)
+    if not len(ids):
+        return load_manifest(index_dir), 0
+    return delete_by_ids(index_dir, ids), int(len(ids))
+
+
+def update_documents(index_dir: str, new_paths, key_col: str = "doc_id",
+                     text_col: str = "text") -> dict:
+    """updateDocument semantics (IndexWriter.java:1276): delete-by-key then
+    append the new versions as a fresh generation. Old copies are masked by
+    the tombstone (scoped to pre-update shards), the new generation's shards
+    carry the reindexed docs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if isinstance(new_paths, str):
+        new_paths = [new_paths]
+    keys = np.concatenate([
+        pq.read_table(p, columns=[key_col])[key_col].to_numpy(zero_copy_only=False)
+        for p in new_paths
+    ])
+    delete_by_ids(index_dir, keys)
+    return append_index(index_dir, new_paths, key_col=key_col, text_col=text_col)
 
 
 def append_index(
@@ -252,8 +327,119 @@ def add_indexes(dst_index_dir: str, src_index_dir: str) -> dict:
     return dst
 
 
+def _tombstone_gens(index_dir: str, manifest: dict):
+    """[(sorted ids, max_shard)] for every tombstone generation."""
+    import pyarrow.parquet as pq
+
+    gens = []
+    for d in manifest.get("deletes") or []:
+        t = pq.read_table(os.path.join(index_dir, d["file"]), columns=["doc_id"])
+        gens.append((np.sort(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                     int(d["max_shard"])))
+    return gens
+
+
+def _dead_mask(flat_docs: np.ndarray, shard_rep: np.ndarray, gens) -> np.ndarray:
+    dead = np.zeros(len(flat_docs), dtype=bool)
+    for ids, ms in gens:
+        if not len(ids):
+            continue
+        idx = np.minimum(np.searchsorted(ids, flat_docs), len(ids) - 1)
+        dead |= (ids[idx] == flat_docs) & (shard_rep < ms)
+    return dead
+
+
+def _purge_stage1_postings(t, gens):
+    """Drop tombstoned docs from stage-1 postings rows (list payloads)."""
+    import pyarrow as pa
+
+    docs_ch = t["docs"].combine_chunks()
+    offs = docs_ch.offsets.to_numpy()
+    row_lens = np.diff(offs).astype(np.int64)
+    flat_docs = docs_ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    shard_rep = np.repeat(t["shard"].to_numpy(zero_copy_only=False), row_lens)
+    dead = _dead_mask(flat_docs, shard_rep, gens)
+    if not dead.any():
+        return t
+    keep = ~dead
+    flat_freqs = t["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_norms = t["norms"].combine_chunks().values.to_numpy(zero_copy_only=False)
+    new_lens = np.add.reduceat(keep.astype(np.int64), offs[:-1]) if len(row_lens) else row_lens
+    new_lens[row_lens == 0] = 0
+    pos_list = t["positions"].combine_chunks()
+    has_pos = pos_list.null_count < len(pos_list)
+    cols = {}
+    row_keep = new_lens > 0
+    new_offs = np.concatenate([[0], np.cumsum(new_lens[row_keep])]).astype(np.int64)
+    for name in ("shard", "bucket", "sub", "term"):
+        cols[name] = t[name].combine_chunks().filter(pa.array(row_keep))
+    cols["docs"] = pa.LargeListArray.from_arrays(
+        new_offs, pa.array(flat_docs[keep], pa.int64()))
+    cols["freqs"] = pa.LargeListArray.from_arrays(
+        new_offs, pa.array(flat_freqs[keep].astype(np.int32), pa.int32()))
+    cols["norms"] = pa.LargeListArray.from_arrays(
+        new_offs, pa.array(flat_norms[keep].astype(np.int32), pa.int32()))
+    if has_pos:
+        flat_pos = pos_list.values.to_numpy(zero_copy_only=False)
+        pos_keep = np.repeat(keep, flat_freqs)
+        pos_lens = np.add.reduceat((flat_freqs * keep).astype(np.int64), offs[:-1]) \
+            if len(row_lens) else row_lens
+        pos_offs = np.concatenate([[0], np.cumsum(pos_lens[row_keep])]).astype(np.int64)
+        cols["positions"] = pa.LargeListArray.from_arrays(
+            pos_offs, pa.array(flat_pos[pos_keep], pa.int32()))
+    else:
+        cols["positions"] = pa.array([None] * int(row_keep.sum()),
+                                     pa.large_list(pa.int32()))
+    cols["dv"] = pa.array([None] * int(row_keep.sum()), pa.large_list(pa.float64()))
+    return pa.table(cols)
+
+
+def _purge_stage1_docs(t, gens, n_dv: int):
+    """Drop tombstoned docs from stage-1 doc rows (doclen/norm/dv lists)."""
+    import pyarrow as pa
+
+    docs_ch = t["docs"].combine_chunks()
+    offs = docs_ch.offsets.to_numpy()
+    row_lens = np.diff(offs).astype(np.int64)
+    flat_docs = docs_ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    shard_rep = np.repeat(t["shard"].to_numpy(zero_copy_only=False), row_lens)
+    dead = _dead_mask(flat_docs, shard_rep, gens)
+    if not dead.any():
+        return t
+    keep = ~dead
+    flat_dl = t["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False)
+    flat_nm = t["norms"].combine_chunks().values.to_numpy(zero_copy_only=False)
+    new_lens = np.add.reduceat(keep.astype(np.int64), offs[:-1]) if len(row_lens) else row_lens
+    new_lens[row_lens == 0] = 0
+    row_keep = new_lens > 0
+    new_offs = np.concatenate([[0], np.cumsum(new_lens[row_keep])]).astype(np.int64)
+    cols = {}
+    for name in ("shard", "bucket", "sub", "term"):
+        cols[name] = t[name].combine_chunks().filter(pa.array(row_keep))
+    cols["docs"] = pa.LargeListArray.from_arrays(
+        new_offs, pa.array(flat_docs[keep], pa.int64()))
+    cols["freqs"] = pa.LargeListArray.from_arrays(
+        new_offs, pa.array(flat_dl[keep].astype(np.int32), pa.int32()))
+    cols["norms"] = pa.LargeListArray.from_arrays(
+        new_offs, pa.array(flat_nm[keep].astype(np.int32), pa.int32()))
+    cols["positions"] = pa.array([None] * int(row_keep.sum()),
+                                 pa.large_list(pa.int32()))
+    dv_list = t["dv"].combine_chunks()
+    if n_dv and dv_list.null_count < len(dv_list):
+        flat_dv = dv_list.values.to_numpy(zero_copy_only=False)
+        dv_keep = np.repeat(keep, n_dv)
+        dv_offs = (new_offs * n_dv).astype(np.int64)
+        cols["dv"] = pa.LargeListArray.from_arrays(
+            dv_offs, pa.array(flat_dv[dv_keep], pa.float64()))
+    else:
+        cols["dv"] = pa.array([None] * int(row_keep.sum()), pa.large_list(pa.float64()))
+    return pa.table(cols)
+
+
 def force_merge(index_dir: str) -> dict:
-    """Re-merge all generations into the base shard layout (forceMerge(1))."""
+    """Re-merge all generations into the base shard layout (forceMerge(1)),
+    physically dropping tombstoned documents and clearing the tombstones
+    (the reference's forceMerge purging deleted docs)."""
     import pyarrow as pa
     import shutil
 
@@ -277,12 +463,22 @@ def force_merge(index_dir: str) -> dict:
         return t.set_column(t.column_names.index("shard"), "shard",
                             pa.array(sh.astype(np.int32)))
 
+    # tombstone purge: filter the list payloads BEFORE resharding (the
+    # max_shard scoping refers to pre-merge shard ids). `gens` rides in the
+    # task closure — serialized once into the task spec, not per batch.
+    gens = _tombstone_gens(index_dir, manifest)
+    dvf_fm = tuple(cfg.docvalues_fields or ())
+
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
     tmp_post = os.path.join(index_dir, "postings.merged")
     shutil.rmtree(tmp_post, ignore_errors=True)
-    merged = ray.data.read_parquet(expand_parquet_dirs(postings_in)).map_batches(
+    post_ds = ray.data.read_parquet(expand_parquet_dirs(postings_in))
+    if gens:
+        post_ds = post_ds.map_batches(
+            lambda t: _purge_stage1_postings(t, gens), batch_format="pyarrow")
+    merged = post_ds.map_batches(
         reshard, batch_format="pyarrow"
     ).groupby(["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)).map_groups(
         encode_merge_group, batch_format="pyarrow"
@@ -290,17 +486,64 @@ def force_merge(index_dir: str) -> dict:
     merged.write_parquet(tmp_post, partition_cols=["shard"])
     tmp_docs = os.path.join(index_dir, "docs.merged")
     shutil.rmtree(tmp_docs, ignore_errors=True)
-    dvf_fm = tuple(cfg.docvalues_fields or ())
-    dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
+    doc_ds = ray.data.read_parquet(expand_parquet_dirs(docs_in))
+    if gens:
+        doc_ds = doc_ds.map_batches(
+            lambda t: _purge_stage1_docs(t, gens, len(dvf_fm)),
+            batch_format="pyarrow")
+    dds = doc_ds.map_batches(
         reshard, batch_format="pyarrow"
     ).map_batches(lambda t: docs_explode(t, dvf_fm), batch_format="pyarrow")
     dds.write_parquet(tmp_docs, partition_cols=["shard"])
+
+    # Normalize stage-1 to the merged layout whenever tombstones were purged
+    # or generations collapsed: purge dead docs from the checkpointed parts
+    # and renumber their shards % K, so no later append/force_merge can
+    # resurrect a deleted doc or mis-scope a future tombstone against stale
+    # generation shard ids.
+    needs_stage1_rewrite = bool(gens) or manifest["num_shards"] != K
+    if needs_stage1_rewrite:
+        for d in part_dirs:
+            tmp = d + ".rewrite"
+            shutil.rmtree(tmp, ignore_errors=True)
+            for kind in (0, 1):
+                sub = os.path.join(d, f"kind={kind}")
+                if not os.path.exists(sub):
+                    continue
+                k_ds = ray.data.read_parquet(expand_parquet_dirs([sub]))
+                if gens:
+                    purge = (
+                        (lambda t: _purge_stage1_postings(t, gens)) if kind == 0
+                        else (lambda t: _purge_stage1_docs(t, gens, len(dvf_fm)))
+                    )
+                    k_ds = k_ds.map_batches(purge, batch_format="pyarrow")
+                k_ds = k_ds.map_batches(reshard, batch_format="pyarrow")
+                k_ds.write_parquet(os.path.join(tmp, f"kind={kind}"))
+            shutil.rmtree(d)
+            os.replace(tmp, d)
 
     # two-phase commit: swap dirs, then write the manifest last
     shutil.rmtree(os.path.join(index_dir, "postings"))
     os.replace(tmp_post, os.path.join(index_dir, "postings"))
     shutil.rmtree(os.path.join(index_dir, "docs"))
     os.replace(tmp_docs, os.path.join(index_dir, "docs"))
+    if gens:
+        from ray.data.aggregate import Count, Sum
+
+        stats_row = (
+            ray.data.read_parquet(os.path.join(index_dir, "docs"), columns=["doclen"])
+            .aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
+        )
+        manifest["stats"] = {
+            "doc_count": int(stats_row["count()"]),
+            "sum_total_term_freq": int(stats_row["sum_dl"]),
+        }
+        for d in manifest.get("deletes") or []:
+            try:
+                os.remove(os.path.join(index_dir, d["file"]))
+            except OSError:
+                pass
+        manifest["deletes"] = []
     manifest["num_shards"] = K
     manifest["generation"] = int(time.time() * 1000)
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)

@@ -21,6 +21,26 @@ import pyarrow.parquet as pq
 from .postings import decode_posting
 
 
+def _load_shard_deletes(index_dir: str, shard: int) -> np.ndarray:
+    """Sorted doc ids deleted from this shard (live-docs overlay,
+    Lucene50LiveDocsFormat role). A tombstone generation applies only to
+    shards that existed when it was written (max_shard) — appended
+    generations may legitimately reuse a deleted doc id."""
+    mpath = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        return np.zeros(0, dtype=np.int64)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    parts = []
+    for d in manifest.get("deletes") or []:
+        if shard < d["max_shard"]:
+            t = pq.read_table(os.path.join(index_dir, d["file"]), columns=["doc_id"])
+            parts.append(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 class ShardReader:
     def __init__(self, index_dir: str, shard: int, cache_size: int = 256):
         self.shard = shard
@@ -28,6 +48,7 @@ class ShardReader:
         self._cache_size = cache_size
         pdir = os.path.join(index_dir, "postings", f"shard={shard}")
         ddir = os.path.join(index_dir, "docs", f"shard={shard}")
+        self.dead = _load_shard_deletes(index_dir, shard)
         t = pq.read_table(pdir) if os.path.exists(pdir) else None
         if t is not None and t.num_rows:
             idx = pa.compute.sort_indices(t, sort_keys=[("term", "ascending")])
@@ -53,6 +74,33 @@ class ShardReader:
             self.doc_ids = np.zeros(0, dtype=np.int64)
             self.doclens = np.zeros(0, dtype=np.int32)
             self.norms = np.zeros(0, dtype=np.uint8)
+        # restrict tombstones to ids actually present in this shard, and
+        # precompute the live view of the docs table (the raw table stays:
+        # norms/stats keep including deleted docs until forceMerge, matching
+        # the reference's Terms.getDocCount()/docFreq() semantics)
+        if len(self.dead):
+            idx = np.searchsorted(self.doc_ids, self.dead)
+            idx_c = np.minimum(idx, max(0, len(self.doc_ids) - 1))
+            present = len(self.doc_ids) > 0
+            self.dead = self.dead[present & (self.doc_ids[idx_c] == self.dead)]
+        if len(self.dead):
+            live = np.ones(len(self.doc_ids), dtype=bool)
+            live[np.searchsorted(self.doc_ids, self.dead)] = False
+            self.live_doc_ids = self.doc_ids[live]
+            self.live_doclens = self.doclens[live]
+            self._live_mask = live
+        else:
+            self.live_doc_ids = self.doc_ids
+            self.live_doclens = self.doclens
+            self._live_mask = None
+
+    def _live_filter(self, docs: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask over a sorted doc array (True = live)."""
+        if not len(self.dead):
+            return np.ones(len(docs), dtype=bool)
+        idx = np.searchsorted(self.dead, docs)
+        idx_c = np.minimum(idx, len(self.dead) - 1)
+        return self.dead[idx_c] != docs
 
     # --- term dictionary -------------------------------------------------
     def term_rows(self, term: str) -> list[int]:
@@ -70,13 +118,16 @@ class ShardReader:
         ttf = sum(int(self.table["ttf"][r].as_py()) for r in rows)
         return df, ttf
 
-    def postings(self, term: str, with_positions: bool = False):
+    def postings(self, term: str, with_positions: bool = False,
+                 live_only: bool = True):
         """Decode a term's postings -> (docs, freqs[, positions_flat]).
 
         Multi-row (salted) terms concatenate in ascending doc order: sub
         ranges are disjoint, so ordering rows by their first doc suffices.
+        live_only masks tombstoned docs (the live-docs overlay); pass False
+        to see raw storage (check_index validates the encoded invariants).
         """
-        key = (term, with_positions)
+        key = (term, with_positions, live_only)
         if key in self._cache:
             return self._cache[key]
         rows = self.term_rows(term)
@@ -117,6 +168,14 @@ class ShardReader:
                 pos_all = pos_all[ranges]
             docs = docs[order]
             freqs = freqs[order]
+        if live_only and len(self.dead):
+            keep = self._live_filter(docs)
+            if not keep.all():
+                if with_positions:
+                    pos_keep = np.repeat(keep, freqs)
+                    pos_all = pos_all[pos_keep]
+                docs = docs[keep]
+                freqs = freqs[keep]
         out = (docs, freqs, pos_all) if with_positions else (docs, freqs)
         if len(self._cache) >= self._cache_size:
             self._cache.pop(next(iter(self._cache)))

@@ -70,6 +70,15 @@ def main(argv=None):
     c.add_argument("--index-dir", required=True)
     c.add_argument("--sample-terms", type=int, default=None)
 
+    d = sub.add_parser("delete")
+    d.add_argument("--index-dir", required=True)
+    g = d.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="delete docs matching this query")
+    g.add_argument("--term", help="delete docs containing this exact term")
+    g.add_argument("--ids", help="comma-separated doc ids to delete")
+    d.add_argument("--merge", action="store_true",
+                   help="force-merge afterwards to physically drop the docs")
+
     args = p.parse_args(argv)
     owns_session = _init_ray()
 
@@ -108,6 +117,29 @@ def main(argv=None):
         from ..index.maintenance import check_index
 
         print(json.dumps(check_index(args.index_dir, args.sample_terms)))
+    elif args.cmd == "delete":
+        from ..index.maintenance import (
+            delete_by_ids,
+            delete_by_query,
+            delete_by_term,
+            force_merge,
+        )
+
+        if args.ids:
+            ids = [int(x) for x in args.ids.split(",") if x.strip()]
+            delete_by_ids(args.index_dir, ids)
+            n = len(ids)
+        elif args.term:
+            _, n = delete_by_term(args.index_dir, args.term)
+        else:
+            _, n = delete_by_query(args.index_dir, args.query)
+        if args.merge and n:
+            force_merge(args.index_dir)
+        from ..index.build import load_manifest
+
+        m = load_manifest(args.index_dir)
+        print(json.dumps({"deleted": n, "merged": bool(args.merge and n),
+                          "stats": m["stats"]}))
 
     if owns_session:
         import ray

@@ -234,7 +234,7 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     if isinstance(node, Phrase):
         return _score_phrase(shard, node, weights, dtype)
     if isinstance(node, MatchAll):
-        docs = shard.doc_ids
+        docs = shard.live_doc_ids
         return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, NumericRange):
         if node.field == "doclen":
@@ -250,6 +250,8 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             m &= vals >= node.lower
         if node.upper is not None:
             m &= vals <= node.upper
+        if shard._live_mask is not None:
+            m &= shard._live_mask
         docs = shard.doc_ids[m]
         return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, TermInSet):

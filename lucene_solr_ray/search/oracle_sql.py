@@ -77,9 +77,9 @@ WITH {bm25_cte()}
 SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {k}"""
 
 
-def sql_bm25_term(term: str) -> str:
+def sql_bm25_term(term: str, table: str = "documents") -> str:
     return f"""
-WITH {bm25_cte()}
+WITH {bm25_cte(table=table)}
 SELECT t.doc_id AS doc_id,
        round({bm25_term_score_sql(term)}, {ROUND}) AS score
 FROM tf t
