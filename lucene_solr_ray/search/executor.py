@@ -373,6 +373,114 @@ def top_k_select(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[sel], scores[sel]
 
 
+class MaxScoreAccumulator:
+    """Shared min-competitive score across concurrently-searched shards
+    (search/MaxScoreAccumulator.java wired at IndexSearcher.java:468-473).
+
+    Any shard that has k hits with scores >= t proves the global k-th best
+    is >= t, so every other shard may prune blocks whose upper bound is
+    below t. Reads/writes are GIL-atomic floats; a lock guards the
+    read-modify-write max."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.value = -np.inf
+
+    def publish(self, theta: float) -> None:
+        if theta > self.value:
+            with self._lock:
+                if theta > self.value:
+                    self.value = theta
+
+    def get(self) -> float:
+        return self.value
+
+
+def _pure_conjunction_terms(node):
+    """Terms list if node is a scoring conjunction of plain terms, else None."""
+    if (
+        isinstance(node, Bool)
+        and node.must
+        and not node.should
+        and not node.must_not
+        and not node.filter
+        and all(isinstance(c, Term) for c in node.must)
+    ):
+        return list(node.must)
+    return None
+
+
+def conj_top_k(shard: ShardReader, terms: list, weights, k: int, dtype,
+               acc: "MaxScoreAccumulator | None" = None):
+    """Block-max conjunction (BlockMaxConjunctionScorer.java:30 semantics,
+    vectorized): intersect doc ids first (no scoring), bound each surviving
+    doc by the sum of its per-term block maxima, then score candidates in
+    descending-bound chunks, stopping when a chunk's best bound is below the
+    min-competitive score θ. Results are float-exact vs exhaustive."""
+    per_term = []
+    for t in terms:
+        docs, freqs = shard.postings(t.text)
+        if not len(docs):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        per_term.append((docs, freqs, t))
+    per_term.sort(key=lambda p: len(p[0]))  # lead with the rarest term
+    docs = per_term[0][0]
+    for d, _, _ in per_term[1:]:
+        docs = docs[np.isin(docs, d, assume_unique=True)]
+        if not len(docs):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+
+    # exact per-doc scores are needed for any candidate we keep; freqs are
+    # gathered per term by searchsorted into its postings
+    def exact_scores(cand: np.ndarray) -> np.ndarray:
+        norms = shard.norms_for(cand)
+        total = np.zeros(len(cand), dtype=np.float64)
+        for d, f, t in per_term:
+            idx = np.searchsorted(d, cand)
+            tw = weights[(t.text, t.boost)]
+            total += score_postings(tw, f[idx], norms, dtype).astype(np.float64)
+        return total.astype(dtype)
+
+    if len(docs) <= max(k, 256):
+        return top_k_select(docs, exact_scores(docs), k)
+
+    # per-doc upper bound: sum of the containing block's impact bound
+    ub = np.zeros(len(docs), dtype=np.float64)
+    for d, f, t in per_term:
+        firsts, maxf, minn = shard.block_metadata(t.text)
+        tw = weights[(t.text, t.boost)]
+        block_ub = score_postings(tw, maxf, minn.astype(np.int64), dtype).astype(np.float64)
+        bi = np.maximum(np.searchsorted(firsts, docs, side="right") - 1, 0)
+        ub += block_ub[bi]
+
+    order = np.argsort(-ub, kind="stable")
+    top_docs = np.zeros(0, np.int64)
+    top_scores = np.zeros(0, dtype)
+    theta = acc.get() if acc is not None else -np.inf
+    chunk = 1024
+    for s in range(0, len(order), chunk):
+        sel = order[s:s + chunk]
+        # a shared-accumulator θ is a GLOBAL bound: prune on it even before
+        # this shard has k local hits (the merged top-k can't use such docs)
+        if ub[sel[0]] < theta and (len(top_docs) >= k or acc is not None):
+            break  # bounds descend: everything after is below θ too
+        cand = docs[sel]
+        c_order = np.argsort(cand)
+        cand = cand[c_order]
+        scores = exact_scores(cand)
+        top_docs, top_scores = top_k_select(
+            np.concatenate([top_docs, cand]),
+            np.concatenate([top_scores, scores]), k,
+        )
+        if len(top_docs) >= k:
+            theta = max(theta, float(top_scores[-1]))
+            if acc is not None:
+                acc.publish(float(top_scores[-1]))
+    return top_docs, top_scores
+
+
 def _pure_disjunction_terms(node):
     """Terms list if node is a scoring disjunction of plain terms, else None."""
     if isinstance(node, Term):
@@ -389,7 +497,8 @@ def _pure_disjunction_terms(node):
     return None
 
 
-def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype):
+def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype,
+               acc: "MaxScoreAccumulator | None" = None):
     """Block-max WAND over a pure term disjunction (WANDScorer.java:45 /
     ImpactsDISI.java:32 semantics at 128-doc block granularity).
 
@@ -428,13 +537,13 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype):
 
     top_docs = np.zeros(0, np.int64)
     top_scores = np.zeros(0, dtype)
-    theta = -np.inf
+    theta = acc.get() if acc is not None else -np.inf
     # visit windows in descending upper-bound order: θ converges after the
     # first few windows and the tail is pruned wholesale (correct because a
     # window is skipped only when its own bound is below the current θ)
     visit = np.argsort(-ub_sum, kind="stable")
     for w in visit:
-        if len(top_docs) >= k and ub_sum[w] < theta:
+        if ub_sum[w] < theta and (len(top_docs) >= k or acc is not None):
             break  # bounds are visited descending: the rest are lower still
         parts = []
         for t, (docs, freqs, tw, firsts, ub) in enumerate(per_term):
@@ -452,11 +561,15 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype):
         cs = np.concatenate([top_scores, ws])
         top_docs, top_scores = top_k_select(cd, cs, k)
         if len(top_docs) >= k:
-            theta = float(top_scores[-1])
+            theta = max(theta, float(top_scores[-1]))
+            if acc is not None:
+                acc.publish(float(top_scores[-1]))
     return top_docs, top_scores
 
 
-def shard_top_k(shard: ShardReader, node, weights, k: int, dtype, use_wand: bool = True):
+def shard_top_k(shard: ShardReader, node, weights, k: int, dtype,
+                use_wand: bool = True,
+                acc: "MaxScoreAccumulator | None" = None):
     terms = _pure_disjunction_terms(node) if use_wand else None
     if terms is not None:
         # cost-based physical plan (the reference's Boolean2ScorerSupplier
@@ -472,6 +585,11 @@ def shard_top_k(shard: ShardReader, node, weights, k: int, dtype, use_wand: bool
                 dtype,
             )
             return top_k_select(docs, scores, k)
-        return wand_top_k(shard, terms, weights, k, dtype)
+        return wand_top_k(shard, terms, weights, k, dtype, acc=acc)
+    cterms = _pure_conjunction_terms(node) if use_wand else None
+    if cterms is not None:
+        dfs = [weights[(t.text, t.boost)].df for t in cterms]
+        if use_wand == "force" or min(dfs) > (1 << 17):
+            return conj_top_k(shard, cterms, weights, k, dtype, acc=acc)
     docs, scores = eval_node(shard, node, weights, dtype)
     return top_k_select(docs, scores, k)

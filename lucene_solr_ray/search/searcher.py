@@ -92,10 +92,16 @@ class IndexSearcher:
         return rewrite(node, expander)
 
     def search(self, query, k: int = 10, use_wand: bool = True) -> pa.Table:
+        from .executor import MaxScoreAccumulator
+
         node = self._node(query)
         weights = resolve_weights(self.reader, node, self.params, self.dtype)
+        # shared min-competitive score: a shard that fills its top-k raises
+        # θ for every concurrently-running shard (MaxScoreAccumulator role)
+        acc = MaxScoreAccumulator()
         parts = self._map_shards(
-            lambda s: shard_top_k(s, node, weights, k, self.dtype, use_wand),
+            lambda s: shard_top_k(s, node, weights, k, self.dtype, use_wand,
+                                  acc=acc),
             parallel=self._big_query(weights),
         )
         docs, scores = merge_top_k(parts, k)
@@ -164,7 +170,16 @@ class _ShardServer:
         return sorted(seen)
 
     def search(self, node, weights, k: int, use_wand: bool):
-        parts = [shard_top_k(s, node, weights, k, self.dtype, use_wand) for s in self.shards]
+        # θ is shared across the shards THIS actor owns (cross-actor sharing
+        # would need an accumulator actor round-trip per update; the
+        # reference likewise shares within one searcher process)
+        from .executor import MaxScoreAccumulator
+
+        acc = MaxScoreAccumulator()
+        parts = [
+            shard_top_k(s, node, weights, k, self.dtype, use_wand, acc=acc)
+            for s in self.shards
+        ]
         return merge_top_k(parts, k)
 
 
