@@ -176,6 +176,39 @@ def q_ft_after_delete(sf_dir):
     return _round_col(s.match_all("fast"), "score")
 
 
+def q_ft_stemmed(sf_dir):
+    """Stemmed index (EnglishMinimalStemFilter role): query 'tables' stems
+    to 'table' and scores against the stemmed postings; the oracle applies
+    the same stemmer as a SQL CASE over every corpus token."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|stem").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8, stemmer="minimal_english")
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    return _round_col(s.match_all("tables"), "score")
+
+
+def q_ft_synonym(sf_dir):
+    """Index-time synonym expansion (SynonymGraphFilter role): group
+    'fast,quick' makes the query 'quick' match every doc containing 'fast'
+    (the synthetic vocabulary has no native 'quick')."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|syn").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           synonyms=("fast,quick",))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir)
+    return s.match_all("quick").select(["doc_id"])
+
+
 def q_ft_numeric_range(sf_dir):
     # PointRangeQuery-style filter (doclen in [50, 80]) AND a scoring term
     from lucene_solr_ray.search.query import Bool, NumericRange, Term
@@ -804,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range": q_ft_range,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_after_delete": q_ft_after_delete,
+        "ft_stemmed": q_ft_stemmed,
+        "ft_synonym": q_ft_synonym,
         "ft_field_filter": q_ft_field_filter,
         "flagship_corpus": q_flagship_corpus,
         # relational / streaming-expression layer
@@ -856,6 +891,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sql_ft_stemmed() -> str:
+    from lucene_solr_ray.analysis.stem import sql_minimal_stem
+    from lucene_solr_ray.search import oracle_sql as osql
+
+    return osql.sql_bm25_term("table", term_expr=sql_minimal_stem("raw"))
+
+
 def oracle_sql() -> dict[str, str]:
     from lucene_solr_ray import oracles
     from lucene_solr_ray.search import oracle_sql as osql
@@ -899,6 +941,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_df": osql.sql_term_df(),
         "ft_top_terms": osql.sql_top_terms(20),
         "ft_bm25_term": osql.sql_bm25_term("fast"),
+        "ft_stemmed": _sql_ft_stemmed(),
+        "ft_synonym": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents)
+            SELECT DISTINCT doc_id FROM tok WHERE term = 'fast' ORDER BY doc_id""",
         "ft_after_delete": osql.sql_bm25_term(
             "fast", table="(SELECT * FROM documents WHERE lang <> 'zh') live_docs"),
         "ft_bm25_or": osql.sql_bm25_or(["fast", "query", "merge"]),

@@ -124,6 +124,15 @@ class IndexBuildConfig:
     # NUMERIC DocValues, index/DocValuesType.java): sortable/filterable at
     # query time without touching the corpus
     docvalues_fields: tuple = ()
+    # analysis-chain extensions (SURVEY.md §2.2): optional stemmer
+    # ("porter" | "minimal_english", en/PorterStemFilter.java:56 role) and
+    # index-time synonym groups ("a,b,c" strings; every member of a group
+    # indexes every other member at the same position with posIncrement-0
+    # semantics, SynonymGraphFilter.java:81 role). Synonym insertions do NOT
+    # count toward field length/norms (keeps doclen equal to the visible
+    # token count; a deliberate, documented divergence).
+    stemmer: str | None = None
+    synonyms: tuple = ()
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True, default=list)
@@ -146,6 +155,17 @@ class TokenizeExplode:
         self.num_buckets = cfg["num_buckets"]
         self.sub_span = cfg["head_sub_span"]
         self.store_positions = cfg["store_positions"]
+        from ..analysis.stem import get_stemmer
+
+        self.stem = get_stemmer(cfg.get("stemmer"))
+        syn: dict[str, tuple] = {}
+        for group in cfg.get("synonyms") or ():
+            members = [m.strip() for m in group.split(",") if m.strip()]
+            for m in members:
+                others = tuple(x for x in members if x != m)
+                if others:
+                    syn[m] = tuple(sorted(set(syn.get(m, ())) | set(others)))
+        self.syn = syn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -207,37 +227,66 @@ class TokenizeExplode:
                     kw_terms.append(f"{col}:{v}")
                     kw_doc.append(i)
 
-        n_tok = len(flat_terms)
         parts: list[pa.Table] = []
-        if kw_terms:
-            # fold keyword tokens into the flat stream with synthetic counts
-            flat_terms = flat_terms + kw_terms
-            ext_counts = np.bincount(np.asarray(kw_doc, np.int64), minlength=len(texts))
-            n_tok = len(flat_terms)
+        # --- assemble the token stream: text [+ synonym insertions] [+ kw]
+        n_text = int(doclens.sum())
+        text_arr = np.asarray(flat_terms, dtype=object)
+        if self.stem is not None and n_text:
+            # stem each UNIQUE token once per batch (stemming is 1:1, so
+            # doclen/norms/positions are unaffected)
+            c, u = pd.factorize(text_arr)
+            u2 = np.array([self.stem(x) for x in u], dtype=object)
+            text_arr = u2[c]
+        doc_idx_text = np.repeat(np.arange(len(texts), dtype=np.int32), doclens)
+        doc_offsets = np.concatenate([[0], np.cumsum(doclens)])
+        # implicit positions 0..n-1 per doc; fallback docs overwrite
+        text_pos = (
+            np.arange(n_text, dtype=np.int64)
+            - np.repeat(doc_offsets[:-1], doclens)
+        ).astype(np.int32)
+        for i, plist in fallback_pos.items():
+            text_pos[doc_offsets[i]:doc_offsets[i + 1]] = plist
+
+        # synonym insertions: same doc, same position, zero length
+        # contribution (posIncrement-0 stacked tokens)
+        syn_terms: list = []
+        syn_doc_parts: list = []
+        syn_pos_parts: list = []
+        if self.syn and n_text:
+            for key, additions in self.syn.items():
+                occ = np.flatnonzero(text_arr == key)
+                if not len(occ):
+                    continue
+                for s in additions:
+                    syn_terms.extend([s] * len(occ))
+                    syn_doc_parts.append(doc_idx_text[occ])
+                    syn_pos_parts.append(text_pos[occ])
+        n_syn = len(syn_terms)
+
+        n_tok = n_text + n_syn + len(kw_terms)
         if n_tok:
-            doc_idx_text = np.repeat(np.arange(len(texts), dtype=np.int32), doclens)
-            doc_idx = (
-                np.concatenate([doc_idx_text, np.asarray(kw_doc, np.int32)])
-                if kw_terms else doc_idx_text
-            )
-            codes, uniques = pd.factorize(np.asarray(flat_terms, dtype=object))
-            codes = codes.astype(np.int32)
-            # implicit positions 0..n-1 per doc; fallback docs overwrite;
-            # keyword tokens (appended after the text stream) sit at pos 0
-            n_text = int(doclens.sum())
-            doc_offsets = np.concatenate([[0], np.cumsum(doclens)])
-            text_pos = (
-                np.arange(n_text, dtype=np.int64)
-                - np.repeat(doc_offsets[:-1], doclens)
+            all_parts = [text_arr]
+            if n_syn:
+                all_parts.append(np.asarray(syn_terms, dtype=object))
+            if kw_terms:
+                all_parts.append(np.asarray(kw_terms, dtype=object))
+            flat_all = np.concatenate(all_parts) if len(all_parts) > 1 else all_parts[0]
+            doc_idx = np.concatenate(
+                [doc_idx_text]
+                + (syn_doc_parts if n_syn else [])
+                + ([np.asarray(kw_doc, np.int32)] if kw_terms else [])
             ).astype(np.int32)
-            for i, plist in fallback_pos.items():
-                text_pos[doc_offsets[i]:doc_offsets[i + 1]] = plist
-            flat_pos = (
-                np.concatenate([text_pos, np.zeros(len(kw_terms), np.int32)])
-                if kw_terms else text_pos
-            )
-            # sort tokens by term (stable keeps doc asc, position asc inside)
-            order = np.argsort(codes, kind="stable")
+            flat_pos = np.concatenate(
+                [text_pos]
+                + (syn_pos_parts if n_syn else [])
+                + ([np.zeros(len(kw_terms), np.int32)] if kw_terms else [])
+            ).astype(np.int32)
+            codes, uniques = pd.factorize(flat_all)
+            codes = codes.astype(np.int32)
+            # sort tokens by (term, doc, position): explicit doc/pos keys —
+            # synonym insertions append out of doc order, so input order
+            # alone no longer guarantees contiguous (term, doc) runs
+            order = np.lexsort((flat_pos, doc_idx, codes))
             s_codes = codes[order]
             s_doc = doc_idx[order]
             s_pos = flat_pos[order]

@@ -74,13 +74,22 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
             report["terms_checked"] += 1
             report["postings_checked"] += len(docs)
         if sample_terms is None:
-            # full mode: per-shard sum(ttf) over unique terms == sum(doclen)
+            # full mode: per-shard sum(ttf) over unique terms == sum(doclen).
+            # Index-time synonym insertions add postings without adding to
+            # doclen (documented), so the invariant relaxes to >= there.
+            has_syn = bool((reader.manifest.get("config") or {}).get("synonyms"))
             shard_ttf = sum(s.term_stats(t)[0:2][1] for t in uniq.tolist())
-            assert shard_ttf == int(s.doclens.sum()), "shard ttf != sum(doclen)"
+            if has_syn:
+                assert shard_ttf >= int(s.doclens.sum()), "shard ttf < sum(doclen)"
+            else:
+                assert shard_ttf == int(s.doclens.sum()), "shard ttf != sum(doclen)"
             total_ttf += shard_ttf
     assert total_docs == reader.doc_count, "manifest doc_count mismatch"
     if sample_terms is None:
-        assert total_ttf == reader.sum_total_term_freq, "manifest sum_ttf mismatch"
+        if (reader.manifest.get("config") or {}).get("synonyms"):
+            assert total_ttf >= reader.sum_total_term_freq, "manifest sum_ttf mismatch"
+        else:
+            assert total_ttf == reader.sum_total_term_freq, "manifest sum_ttf mismatch"
     report["ok"] = True
     return report
 

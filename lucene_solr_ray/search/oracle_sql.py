@@ -26,12 +26,22 @@ def _lut_values() -> str:
     return ", ".join(f"({v})" for v in vals)
 
 
-def bm25_cte(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
-    """Common CTEs: tok, dl (true + quantized), stats."""
+def bm25_cte(table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+             term_expr: str | None = None) -> str:
+    """Common CTEs: tok, dl (true + quantized), stats. term_expr maps each
+    raw token (column `raw`) through an analysis expression — e.g. the
+    minimal stemmer — before stats are computed (1:1, so dl is unchanged)."""
+    tok = (
+        f"SELECT doc_id, {term_expr} AS term FROM ("
+        f"SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS raw"
+        f" FROM {table})"
+        if term_expr else
+        f"SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS term"
+        f" FROM {table}"
+    )
     return f"""
 tok AS (
-  SELECT {id_col} AS doc_id, unnest(string_split({text_col}, ' ')) AS term
-  FROM {table}
+  {tok}
 ),
 dl AS (
   SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
@@ -77,9 +87,10 @@ WITH {bm25_cte()}
 SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {k}"""
 
 
-def sql_bm25_term(term: str, table: str = "documents") -> str:
+def sql_bm25_term(term: str, table: str = "documents",
+                  term_expr: str | None = None) -> str:
     return f"""
-WITH {bm25_cte(table=table)}
+WITH {bm25_cte(table=table, term_expr=term_expr)}
 SELECT t.doc_id AS doc_id,
        round({bm25_term_score_sql(term)}, {ROUND}) AS score
 FROM tf t

@@ -268,6 +268,40 @@ def parse_query(q: str):
     return node if node is not None else Bool()
 
 
+def apply_stemmer(node, stem):
+    """Apply an index-configured stemmer to the query's analyzed terms
+    (Term/Phrase/Synonym/TermInSet/Fuzzy text). Pattern nodes (Prefix/
+    Wildcard/Regexp/TermRange) are left alone — the reference likewise does
+    not analyze multi-term patterns."""
+    if stem is None or node is None:
+        return node
+    if isinstance(node, Term):
+        return Term(stem(node.text), node.boost)
+    if isinstance(node, Phrase):
+        return Phrase(tuple(stem(t) for t in node.terms), node.boost, node.slop)
+    if isinstance(node, Synonym):
+        return Synonym(tuple(stem(t) for t in node.terms), node.boost)
+    if isinstance(node, TermInSet):
+        return TermInSet(tuple(stem(t) for t in node.terms), node.boost)
+    if isinstance(node, Fuzzy):
+        return Fuzzy(stem(node.text), node.max_edits, node.boost,
+                     node.max_expansions)
+    if isinstance(node, ConstantScore):
+        return ConstantScore(apply_stemmer(node.query, stem), node.boost)
+    if isinstance(node, DisMax):
+        return DisMax(tuple(apply_stemmer(c, stem) for c in node.clauses),
+                      node.tiebreak)
+    if isinstance(node, Bool):
+        return Bool(
+            must=[apply_stemmer(c, stem) for c in node.must],
+            should=[apply_stemmer(c, stem) for c in node.should],
+            must_not=[apply_stemmer(c, stem) for c in node.must_not],
+            filter=[apply_stemmer(c, stem) for c in node.filter],
+            min_should=node.min_should,
+        )
+    return node
+
+
 def query_terms(node) -> list[str]:
     """All positive terms referenced by a query (for stats resolution)."""
     out: list[str] = []

@@ -70,8 +70,19 @@ class IndexSearcher:
             list(self._pool.map(self.reader.shard, idxs))
         return self
 
+    @property
+    def _stemmer(self):
+        from ..analysis.stem import get_stemmer
+
+        return get_stemmer(
+            (self.reader.manifest.get("config") or {}).get("stemmer")
+        )
+
     def _node(self, query):
+        from .query import apply_stemmer
+
         node = parse_query(query) if isinstance(query, str) else query
+        node = apply_stemmer(node, self._stemmer)
         from .multiterm import expand_terms, rewrite
         from .query import Fuzzy
 
@@ -104,6 +115,34 @@ class IndexSearcher:
                                   acc=acc),
             parallel=self._big_query(weights),
         )
+        docs, scores = merge_top_k(parts, k)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores.astype(np.float64), pa.float64()),
+                "rank": pa.array(np.arange(1, len(docs) + 1), pa.int32()),
+            }
+        )
+
+    def search_after(self, query, after: tuple[float, int] | None = None,
+                     k: int = 10) -> pa.Table:
+        """Paged search (IndexSearcher.searchAfter, IndexSearcher.java:459):
+        top-k strictly after the (score, doc_id) cursor in (score desc,
+        doc asc) order. Page 1 (after=None) uses the pruned search path;
+        later pages evaluate exhaustively and filter past-cursor hits (the
+        reference's PagingTopScoreDocCollector role)."""
+        if after is None:
+            return self.search(query, k=k)
+        a_score, a_doc = float(after[0]), int(after[1])
+        node = self._node(query)
+        weights = resolve_weights(self.reader, node, self.params, self.dtype)
+
+        def page(s):
+            d, sc = eval_node(s, node, weights, self.dtype)
+            keep = (sc < a_score) | ((sc == a_score) & (d > a_doc))
+            return top_k_select(d[keep], sc[keep], k)
+
+        parts = self._map_shards(page, parallel=self._big_query(weights))
         docs, scores = merge_top_k(parts, k)
         return pa.table(
             {
@@ -237,6 +276,11 @@ class DistributedSearcher:
         reader = IndexReader(index_dir)
         self.doc_count = reader.doc_count
         self.sum_ttf = reader.sum_total_term_freq
+        from ..analysis.stem import get_stemmer
+
+        self._stem = get_stemmer(
+            (reader.manifest.get("config") or {}).get("stemmer")
+        )
         shard_ids = list(range(reader.num_shards))
         num_actors = min(num_actors, max(1, len(shard_ids)))
         assign = [shard_ids[i::num_actors] for i in range(num_actors)]
@@ -259,6 +303,9 @@ class DistributedSearcher:
         )
 
         node = parse_query(query) if isinstance(query, str) else query
+        from .query import apply_stemmer
+
+        node = apply_stemmer(node, self._stem)
 
         from .multiterm import rewrite
 

@@ -97,3 +97,33 @@ def test_batch_search_matches_sequential(idx):
         got = out[out["query"] == q].sort_values("rank")
         assert list(got["doc_id"]) == seq["doc_id"].to_pylist(), q
         assert list(got["score"]) == seq["score"].to_pylist(), q
+
+
+def test_search_after_paging(ray_session, tmp_path):
+    """page k followed by page k+1 must equal top-2k exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    rng = np.random.default_rng(5)
+    n = 500
+    texts = [" ".join(["hit"] * int(rng.integers(1, 9)) +
+                      ["pad"] * int(rng.integers(1, 30))) for _ in range(n)]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                             "text": pa.array(texts, pa.string())}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=4, num_buckets=8))
+    s = IndexSearcher(idx)
+    for q in ("hit", "hit OR pad"):
+        full = s.search(q, k=20)
+        p1 = s.search_after(q, None, k=10)
+        cursor = (p1["score"][9].as_py(), p1["doc_id"][9].as_py())
+        p2 = s.search_after(q, cursor, k=10)
+        got = p1["doc_id"].to_pylist() + p2["doc_id"].to_pylist()
+        assert got == full["doc_id"].to_pylist()
+        gsc = p1["score"].to_pylist() + p2["score"].to_pylist()
+        assert gsc == full["score"].to_pylist()
