@@ -209,6 +209,23 @@ def q_ft_synonym(sf_dir):
     return s.match_all("quick").select(["doc_id"])
 
 
+def q_ft_facet_index(sf_dir):
+    """String facet computed only from index columns (SortedSet-docvalues
+    substitute): lang counts from the keyword postings' df, corpus unread."""
+    from lucene_solr_ray.search.services import facet_keyword_field
+
+    # reuse the keyword-field index the ft_field_filter entry builds
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|kw").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           keyword_fields=("lang", "source"))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    return facet_keyword_field(index_dir, "lang")
+
+
 def q_ft_numeric_range(sf_dir):
     # PointRangeQuery-style filter (doclen in [50, 80]) AND a scoring term
     from lucene_solr_ray.search.query import Bool, NumericRange, Term
@@ -839,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_after_delete": q_ft_after_delete,
         "ft_stemmed": q_ft_stemmed,
         "ft_synonym": q_ft_synonym,
+        "ft_facet_index": q_ft_facet_index,
         "ft_field_filter": q_ft_field_filter,
         "flagship_corpus": q_flagship_corpus,
         # relational / streaming-expression layer
@@ -942,6 +960,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_top_terms": osql.sql_top_terms(20),
         "ft_bm25_term": osql.sql_bm25_term("fast"),
         "ft_stemmed": _sql_ft_stemmed(),
+        "ft_facet_index": """
+            SELECT lang AS value, count(*) AS cnt FROM documents
+            GROUP BY lang ORDER BY cnt DESC, value ASC""",
         "ft_synonym": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents)

@@ -143,3 +143,107 @@ def lsh_knn(
             )
         )
     return _topk_merge(parts, k, nq)
+
+
+# --- bucketed LSH index: the 10^12-scale layout ---------------------------
+
+def build_lsh_index(
+    ds: Dataset, index_dir: str, key_col: str, vec_col: str,
+    num_planes: int = 8, seed: int = 42,
+) -> dict:
+    """Write the corpus partitioned by LSH bucket (one parquet dir per
+    bucket) so a query touches only its probe buckets' partitions — the
+    scale path where brute_force_knn's full scan stops being viable. One
+    pass, one write, no shuffle (partitioned write groups by bucket)."""
+    import json
+    import os
+
+    rng = np.random.default_rng(seed)
+    meta = {"num_planes": num_planes, "seed": seed,
+            "key_col": key_col, "vec_col": vec_col}
+
+    def tag(t: pa.Table) -> pa.Table:
+        m = vec_matrix(t[vec_col])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        r = np.random.default_rng(seed)
+        planes = r.standard_normal((m.shape[1], num_planes))
+        bits = (mn @ planes > 0).astype(np.uint32)
+        bucket = (bits * (1 << np.arange(num_planes, dtype=np.uint32))).sum(axis=1)
+        return pa.table({
+            key_col: t[key_col],
+            vec_col: t[vec_col],
+            "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
+        })
+
+    ds.select_columns([key_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["bucket"], mode="overwrite")
+    with open(os.path.join(index_dir, "lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_index_search(
+    index_dir: str, queries: np.ndarray, k: int = 10, probes: int = 2,
+) -> pa.Table:
+    """ANN over the bucketed layout: compute each query's bucket, expand to
+    every bucket within `probes` bit flips, and scan ONLY those partitions
+    (multiprobe LSH; the reference-scale win is the partition pruning)."""
+    import itertools
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "lsh_meta.json")) as f:
+        meta = json.load(f)
+    num_planes = meta["num_planes"]
+    key_col, vec_col = meta["key_col"], meta["vec_col"]
+    qm = np.asarray(queries, dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(meta["seed"])
+    planes = rng.standard_normal((qm.shape[1], num_planes))
+    q_bits = ((qm @ planes > 0).astype(np.uint32)
+              * (1 << np.arange(num_planes, dtype=np.uint32))).sum(axis=1)
+
+    wanted: set[int] = set()
+    for qb in q_bits.tolist():
+        for r in range(probes + 1):
+            for flips in itertools.combinations(range(num_planes), r):
+                b = qb
+                for f in flips:
+                    b ^= 1 << f
+                wanted.add(int(b))
+    dirs = [os.path.join(index_dir, f"bucket={b}") for b in sorted(wanted)]
+    dirs = [d for d in dirs if os.path.exists(d)]
+    if not dirs:
+        return _topk_merge([], k, len(qm))
+    from ..index.build import expand_parquet_dirs
+
+    ds = ray.data.read_parquet(expand_parquet_dirs(dirs))
+    q_ref = ray.put(qm)
+    nq = len(qm)
+
+    def scan(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = vec_matrix(t[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = q @ m.T
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
+            "key": pa.array(keys[idx.ravel()], pa.int64()),
+            "cosine": pa.array(np.take_along_axis(sims, idx, axis=1).ravel(),
+                               pa.float64()),
+        })
+
+    partial = ds.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+    parts = [
+        (t["query_id"].to_numpy(zero_copy_only=False),
+         t["key"].to_numpy(zero_copy_only=False),
+         t["cosine"].to_numpy(zero_copy_only=False))
+        for t in partial.iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    return _topk_merge(parts, k, nq)

@@ -224,6 +224,75 @@ class Monitor:
         })
 
 
+def facet_keyword_field(index_dir: str, field: str, query=None,
+                        top_n: int | None = None) -> pa.Table:
+    """String-field facet counts computed ONLY from index columns (the
+    SortedSetDocValuesFacetCounts role, facet/sortedset/
+    SortedSetDocValuesFacetCounts.java:66): keyword fields are indexed as
+    'field:value' terms, so the unconstrained facet is a groupby-sum of df
+    over the postings parquet — the corpus is never read. With a query, the
+    matching doc-id set is broadcast and each value's postings are decoded
+    and intersected (same partial+final shape as significant_terms).
+
+    Returns (value, cnt) sorted by cnt desc, value asc."""
+    import os
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..index.postings import decode_doc_ids
+
+    prefix = field + ":"
+    postings_dir = os.path.join(index_dir, "postings")
+    if query is None:
+        cols = ["term", "df"]
+    else:
+        cols = ["term", "df", "short_bin", "docs_bin"]
+    ds = ray.data.read_parquet(postings_dir, columns=cols)
+
+    fg_ref = None
+    if query is not None:
+        searcher = IndexSearcher(index_dir)
+        res = searcher.match_all(query)
+        fg_ref = ray.put(np.sort(res["doc_id"].to_numpy()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        sel = [i for i, x in enumerate(terms) if x.startswith(prefix)]
+        if not sel:
+            return pa.table({"value": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        values = [terms[i][len(prefix):] for i in sel]
+        if fg_ref is None:
+            cnt = t["df"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
+        else:
+            fg = ray.get(fg_ref)
+            dfs = t["df"].to_numpy(zero_copy_only=False)
+            shorts = t["short_bin"].to_pylist()
+            longs = t["docs_bin"].to_pylist()
+            cnt = np.zeros(len(sel), dtype=np.int64)
+            for j, i in enumerate(sel):
+                docs = decode_doc_ids(int(dfs[i]), shorts[i], longs[i])
+                idx = np.minimum(np.searchsorted(fg, docs), len(fg) - 1)
+                cnt[j] = int(np.count_nonzero(fg[idx] == docs)) if len(fg) else 0
+        return pa.table({"value": pa.array(values, pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("value").aggregate(
+        Sum("cnt", alias_name="cnt")
+    )
+    rows = agg.sort(["cnt", "value"], descending=[True, False])
+    if top_n is not None:
+        rows = rows.limit(top_n)
+    out = rows.take_all()
+    out = [r for r in out if r["cnt"] > 0]
+    return pa.table({
+        "value": pa.array([r["value"] for r in out], pa.string()),
+        "cnt": pa.array([r["cnt"] for r in out], pa.int64()),
+    })
+
+
 def significant_terms(searcher: IndexSearcher, query: str, top_n: int = 10,
                       min_df: int = 2) -> pa.Table:
     """Terms over-represented in the matching set vs the background.

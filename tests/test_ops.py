@@ -168,3 +168,26 @@ def test_textstats_and_multimodal(ray_session):
 
     with pytest.raises(NotImplementedError):
         _FakeDecoder(strict=True).decode(b"xx")
+
+
+def test_lsh_bucketed_index(ray_session, tmp_path):
+    """Bucketed layout: search touches only probe partitions yet finds the
+    planted exact duplicates (same bucket structurally)."""
+    import os
+
+    from lucene_solr_ray.ann.knn import build_lsh_index, lsh_index_search
+
+    emb = rd().read_parquet(f"{SF}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "annidx")
+    build_lsh_index(emb, idx, "vec_id", "embedding", num_planes=8)
+    n_parts = len([d for d in os.listdir(idx) if d.startswith("bucket=")])
+    assert n_parts > 30  # corpus spreads across many partitions
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = m[:2]
+    got = lsh_index_search(idx, q, k=1, probes=1)
+    # top-1 of each query is the query vector itself (identical bucket)
+    ids = np.asarray(t["vec_id"].to_pylist())
+    top1 = {r["query_id"]: r["key"] for r in got.to_pylist() if r["rank"] == 1}
+    assert top1[0] == ids[0] and top1[1] == ids[1]

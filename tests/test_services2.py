@@ -127,3 +127,35 @@ def test_search_after_paging(ray_session, tmp_path):
         assert got == full["doc_id"].to_pylist()
         gsc = p1["score"].to_pylist() + p2["score"].to_pylist()
         assert gsc == full["score"].to_pylist()
+
+
+def test_facet_keyword_field_from_index(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search.services import facet_keyword_field
+
+    n = 300
+    langs = ["en", "de", "fr"]
+    rows = {
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["alpha beta" if i % 2 else "alpha gamma" for i in range(n)],
+        "lang": [langs[i % 3] for i in range(n)],
+    }
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({k: pa.array(v) for k, v in rows.items()}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4,
+                                             keyword_fields=("lang",)))
+    t = facet_keyword_field(idx, "lang")
+    got = dict(zip(t["value"].to_pylist(), t["cnt"].to_pylist()))
+    assert got == {"en": 100, "de": 100, "fr": 100}
+    # query-constrained facet: only 'gamma' docs (doc_id % 2 == 0)
+    t2 = facet_keyword_field(idx, "lang", query="gamma")
+    got2 = dict(zip(t2["value"].to_pylist(), t2["cnt"].to_pylist()))
+    exp2 = {}
+    for i in range(0, n, 2):
+        exp2[langs[i % 3]] = exp2.get(langs[i % 3], 0) + 1
+    assert got2 == exp2
