@@ -87,3 +87,56 @@ def score_logistic(ds: Dataset, vec_col: str, key_col: str, model: dict) -> Data
         })
 
     return ds.map_batches(sc, batch_format="pyarrow", batch_size=4096)
+
+
+def knn_classify(
+    train_ds: Dataset, queries: np.ndarray, vec_col: str, label_col: str,
+    k: int = 5,
+) -> pa.Table:
+    """kNN classifier (classification/KNearestNeighborClassifier.java:51):
+    majority label among the k cosine-nearest training vectors; ties break
+    to the smallest label. Distributed exactly like brute_force_knn — the
+    query matrix broadcasts once, per-batch top-k partials merge on the
+    driver."""
+    qm = np.asarray(queries, dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qm)
+    nq = len(qm)
+
+    def scan(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = vec_matrix(t[vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = q @ m.T
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
+            "label": pa.array(labels[idx.ravel()].astype(np.int64), pa.int64()),
+            "cosine": pa.array(np.take_along_axis(sims, idx, axis=1).ravel(),
+                               pa.float64()),
+        })
+
+    partial = train_ds.select_columns([vec_col, label_col]).map_batches(
+        scan, batch_format="pyarrow", batch_size=4096
+    )
+    parts = [b for b in partial.iter_batches(batch_format="pyarrow",
+                                             batch_size=65536)]
+    cat = pa.concat_tables(parts) if parts else None
+    out_q, out_l = [], []
+    for qi in range(nq):
+        if cat is None:
+            break
+        mask = pa.compute.equal(cat["query_id"], qi)
+        sub = cat.filter(mask)
+        sims = sub["cosine"].to_numpy(zero_copy_only=False)
+        labs = sub["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(-sims, kind="stable")[:k]
+        top_labs = labs[order]
+        vals, counts = np.unique(top_labs, return_counts=True)
+        best = vals[np.lexsort((vals, -counts))][0]
+        out_q.append(qi)
+        out_l.append(int(best))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "label": pa.array(out_l, pa.int64())})

@@ -353,3 +353,31 @@ def bucketed_join(
     # common schema with nulls (pandas concat semantics inside map_groups)
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
+
+
+def sampled_facet_counts(
+    ds: Dataset, key: str, id_col: str, rate: float = 0.1, seed: int = 42,
+    count_name: str = "cnt",
+) -> Dataset:
+    """RandomSamplingFacetsCollector (facet/RandomSamplingFacetsCollector
+    .java:43): facet counts over a deterministic doc sample, scaled back by
+    1/rate. Sampling hashes the doc id (multiply-shift, seeded) so the
+    sample is stable across runs and partitionings."""
+    a = np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * seed + 1)
+    threshold = np.uint64(int(rate * 2**64))
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (ids * a) < threshold
+        return t.select([key]).filter(pa.array(keep))
+
+    counts = rollup(ds.map_batches(sample, batch_format="pyarrow"),
+                    [key], [("count", None, count_name)])
+
+    def scale(t: pa.Table) -> pa.Table:
+        v = t[count_name].to_numpy(zero_copy_only=False)
+        est = np.rint(v / rate).astype(np.int64)
+        i = t.column_names.index(count_name)
+        return t.set_column(i, count_name, pa.array(est, pa.int64()))
+
+    return counts.map_batches(scale, batch_format="pyarrow")

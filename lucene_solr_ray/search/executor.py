@@ -27,7 +27,10 @@ from .query import (
     Bool,
     ConstantScore,
     DisMax,
+    FeatureQuery,
     MatchAll,
+    MultiPhrase,
+    NumericInSet,
     NumericRange,
     Phrase,
     Synonym,
@@ -63,6 +66,14 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
             if key not in weights:
                 df = max((reader.term_stats(t)[0] for t in n.terms), default=0)
                 weights[key] = term_weight(df, N, sum_ttf, params, n.boost, dtype)
+        elif isinstance(n, MultiPhrase):
+            key = ("\x1fMP\x1f".join("|".join(p) for p in n.positions), n.boost)
+            if key not in weights:
+                dfs = [
+                    max((reader.term_stats(t)[0] for t in pos), default=0)
+                    for pos in n.positions
+                ]
+                weights[key] = multi_term_weight(dfs, N, sum_ttf, params, n.boost, dtype)
         elif isinstance(n, ConstantScore):
             walk(n.query)
         elif isinstance(n, DisMax):
@@ -117,6 +128,41 @@ def _score_phrase(shard: ShardReader, node: Phrase, weights, dtype):
     docs = occ_docs[starts]
     freqs = np.diff(np.append(starts, len(occ_docs))).astype(np.int32)
     tw = weights[("\x1f".join(node.terms), node.boost)]
+    norms = shard.norms_for(docs)
+    return docs, score_postings(tw, freqs, norms, dtype)
+
+
+def _score_multi_phrase(shard: ShardReader, node: MultiPhrase, weights, dtype):
+    """MultiPhraseQuery exact matching: each position's key set is the UNION
+    over its alternative terms' (doc << SHIFT | adjusted-pos) keys; the
+    phrase occurrences are the intersection across positions (the
+    reference's UnionPostingsEnum feeding ExactPhraseMatcher)."""
+    keyed = None
+    margin = len(node.positions)
+    for i, alts in enumerate(node.positions):
+        keys_parts = []
+        for t in alts:
+            docs, freqs, pos = shard.postings(t, with_positions=True)
+            if not len(docs):
+                continue
+            doc_rep = np.repeat(docs, freqs)
+            keys_parts.append(
+                (doc_rep << _POS_SHIFT) | (pos.astype(np.int64) - i + margin)
+            )
+        if not keys_parts:
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        keys = np.unique(np.concatenate(keys_parts))
+        keyed = keys if keyed is None else np.intersect1d(keyed, keys, assume_unique=True)
+        if not len(keyed):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+    occ_docs = keyed >> _POS_SHIFT
+    new = np.empty(len(occ_docs), dtype=bool)
+    new[0] = True
+    new[1:] = occ_docs[1:] != occ_docs[:-1]
+    starts = np.flatnonzero(new)
+    docs = occ_docs[starts]
+    freqs = np.diff(np.append(starts, len(occ_docs))).astype(np.int32)
+    tw = weights[("\x1fMP\x1f".join("|".join(p) for p in node.positions), node.boost)]
     norms = shard.norms_for(docs)
     return docs, score_postings(tw, freqs, norms, dtype)
 
@@ -254,6 +300,40 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             m &= shard._live_mask
         docs = shard.doc_ids[m]
         return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, NumericInSet):
+        if node.field == "doclen":
+            vals = shard.doclens
+        elif node.field == "doc_id":
+            vals = shard.doc_ids
+        elif node.field in getattr(shard, "docvalues", {}):
+            vals = shard.docvalues[node.field]
+        else:
+            raise ValueError(f"unknown numeric field {node.field!r}")
+        m = np.isin(vals, np.asarray(node.values))
+        if shard._live_mask is not None:
+            m &= shard._live_mask
+        docs = shard.doc_ids[m]
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, FeatureQuery):
+        if node.field in getattr(shard, "docvalues", {}):
+            vals = shard.docvalues[node.field]
+        elif node.field == "doclen":
+            vals = shard.doclens.astype(np.float64)
+        else:
+            raise ValueError(f"unknown feature field {node.field!r}")
+        m = vals > 0
+        if shard._live_mask is not None:
+            m &= shard._live_mask
+        v = vals[m].astype(np.float64)
+        if node.function == "satu":
+            sc = node.weight * v / (v + node.pivot)
+        elif node.function == "log":
+            sc = node.weight * np.log(1.0 + v / node.pivot)
+        else:
+            raise ValueError(f"unknown feature function {node.function!r}")
+        return shard.doc_ids[m], sc.astype(dtype)
+    if isinstance(node, MultiPhrase):
+        return _score_multi_phrase(shard, node, weights, dtype)
     if isinstance(node, TermInSet):
         docs = _docs_union(shard, node.terms)
         return docs, np.full(len(docs), node.boost, dtype=dtype)

@@ -112,6 +112,37 @@ class MatchAll:
 
 
 @dataclass(frozen=True)
+class MultiPhrase:
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:56): a phrase where
+    each position accepts any of several terms ("app* store" style). Scored
+    like Phrase with blended stats (max df per position — the documented
+    approximation of the reference's UnionPostingsEnum scoring)."""
+    positions: tuple  # tuple of tuples of terms
+    boost: float = 1.0
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class NumericInSet:
+    """PointInSetQuery (search/PointInSetQuery.java:53): constant-score
+    membership filter on a numeric docvalues column."""
+    field: str
+    values: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FeatureQuery:
+    """FeatureField scoring (document/FeatureField.java): a static per-doc
+    feature (numeric docvalues column) contributes weight * fn(value) to
+    the score. fn: 'satu' = v/(v+pivot), 'log' = log(1 + v/pivot)."""
+    field: str
+    weight: float = 1.0
+    function: str = "satu"
+    pivot: float = 1.0
+
+
+@dataclass(frozen=True)
 class NumericRange:
     """PointRangeQuery / docvalues range (search/PointRangeQuery.java:47,
     IndexOrDocValuesQuery role): constant-score filter on a columnar per-doc

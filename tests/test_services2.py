@@ -159,3 +159,69 @@ def test_facet_keyword_field_from_index(ray_session, tmp_path):
     for i in range(0, n, 2):
         exp2[langs[i % 3]] = exp2.get(langs[i % 3], 0) + 1
     assert got2 == exp2
+
+
+def test_multiphrase_pointinset_feature(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import (
+        Bool, FeatureQuery, MultiPhrase, NumericInSet, Term,
+    )
+
+    texts = ["big apple store", "small apple shop", "big orange store",
+             "apple bar"]
+    rank = [3.0, 1.0, 8.0, 0.5]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "pagerank": pa.array(rank, pa.float64()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, docvalues_fields=("pagerank",)))
+    s = IndexSearcher(idx)
+    # MultiPhrase: "(apple|orange) store"
+    mp = MultiPhrase((("apple", "orange"), ("store",)))
+    assert s.match_all(mp)["doc_id"].to_pylist() == [0, 2]
+    # PointInSetQuery over docvalues
+    nis = NumericInSet("pagerank", (3.0, 0.5))
+    assert s.match_all(nis)["doc_id"].to_pylist() == [0, 3]
+    # FeatureField: static boost added to a term query
+    node = Bool(must=[Term("apple")],
+                should=[FeatureQuery("pagerank", weight=10.0, pivot=1.0)])
+    res = s.search(node, k=4)
+    # doc 0 (rank 3) outranks docs 1/3 despite identical term scores order
+    assert res["doc_id"][0].as_py() == 0
+
+
+def test_knn_classifier_and_sampled_facets(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from lucene_solr_ray.relational.ml import knn_classify
+    from lucene_solr_ray.relational.ops import sampled_facet_counts
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding", "label"])
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    q = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    out = knn_classify(emb, q, "embedding", "label", k=1)
+    # k=1 self-match returns the query's own label
+    assert out["label"].to_pylist() == t["label"].to_pylist()[:3]
+
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    est = sampled_facet_counts(docs, "lang", "doc_id", rate=0.5).to_pandas()
+    exact = pq.read_table(f"{sf}/documents.parquet", columns=["lang"]
+                          ).to_pandas()["lang"].value_counts()
+    for _, row in est.iterrows():
+        assert abs(row["cnt"] - exact[row["lang"]]) <= max(6, 0.8 * exact[row["lang"]])
