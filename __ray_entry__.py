@@ -299,6 +299,7 @@ def q_rollup_q1(sf_dir):
         ["l_returnflag", "l_linestatus"],
         [("sum", "qty", "sum_qty"), ("sum", "base_cents", "sum_base_cents"),
          ("count", None, "cnt")],
+        int_outputs=("sum_qty", "sum_base_cents"),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -349,6 +350,7 @@ def q_join_large(sf_dir):
     return rollup(
         j, ["o_orderpriority"],
         [("sum", "rev_e4", "sum_rev_e4"), ("count", None, "cnt")],
+        int_outputs=("sum_rev_e4",),
     )
 
 
@@ -370,7 +372,7 @@ def q_left_join(sf_dir):
 
     return rollup(
         j.map_batches(mark, batch_format="pyarrow"), ["c_custkey"],
-        [("sum", "has", "n_orders")],
+        [("sum", "has", "n_orders")], int_outputs=("n_orders",),
     )
 
 
@@ -457,6 +459,7 @@ def q_stats_metrics(sf_dir):
         [("sum", "cents", "sum_cents"), ("min", "cents", "min_cents"),
          ("max", "cents", "max_cents"), ("count", None, "cnt")],
         pre_aggregate=False,
+        int_outputs=("sum_cents", "min_cents", "max_cents"),
     )
 
 

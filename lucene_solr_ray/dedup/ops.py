@@ -75,21 +75,69 @@ def _shingle_lists(texts: list[str], k: int) -> list[list[str]]:
 def _minhash_batch(texts: list[str], num_hashes: int, shingle_k: int, seed: int) -> np.ndarray:
     """(n_docs, num_hashes) uint64 minhash signatures over word shingles.
 
-    Vectorized: unique shingles are hashed once (factorize + poly hash), the
-    multiply-shift family h_k(x) = a_k*x + b_k (mod 2^64 wraparound) expands
-    each base hash into num_hashes rows, and per-doc minima fall out of one
-    minimum.reduceat."""
+    Vectorized end to end: unique TOKENS are hashed once (factorize + poly
+    hash); a k-shingle's hash is the polynomial combination of its k
+    consecutive token hashes (one shifted-add per k over the flat token-hash
+    array — no shingle strings are ever built); the multiply-shift family
+    h_j(x) = a_j*x + b_j (mod 2^64 wraparound) expands each shingle hash,
+    and per-doc minima fall out of one minimum.reduceat. Docs shorter than
+    k words contribute one shingle over all their tokens."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _U64_MAX, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, _U64_MAX, size=num_hashes, dtype=np.uint64)
-    sh = _shingle_lists(texts, shingle_k)
-    lens = np.fromiter((len(x) for x in sh), np.int64, len(sh))
-    flat = [s for lst in sh for s in lst]
+    B = np.uint64(1099511628211)
+
+    toks = [(t or "").split(" ") for t in texts]
+    tlens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    flat = [w for ws in toks for w in ws]
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
-    hv = poly_hash_strings(list(uniques))
-    prod = hv[:, None] * a[None, :] + b[None, :]  # uint64 multiply-shift
-    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-    return np.minimum.reduceat(prod[codes], starts, axis=0)
+    htok = poly_hash_strings(list(uniques))[codes]
+
+    ends = np.cumsum(tlens)
+    starts_tok = ends - tlens
+    n_flat = len(htok)
+
+    # windows of k token hashes, doc-boundary aware
+    sh_hash_parts = []
+    doc_of_sh_parts = []
+    long_mask = tlens >= shingle_k
+    if long_mask.any() and n_flat:
+        n_windows = n_flat - shingle_k + 1
+        if n_windows > 0:
+            win = htok[:n_windows].copy()
+            for j in range(1, shingle_k):
+                win = win * B + htok[j:n_windows + j]
+            # a window is valid when it does not cross a doc boundary
+            doc_idx = np.repeat(np.arange(len(toks)), tlens)
+            valid = doc_idx[:n_windows] == doc_idx[shingle_k - 1:n_flat]
+            sh_hash_parts.append(win[valid])
+            doc_of_sh_parts.append(doc_idx[:n_windows][valid])
+    short_idx = np.flatnonzero(~long_mask)
+    if len(short_idx):
+        short_h = np.empty(len(short_idx), dtype=np.uint64)
+        for i, d in enumerate(short_idx):
+            h = np.uint64(0)
+            for x in htok[starts_tok[d]:ends[d]]:
+                h = h * B + x
+            short_h[i] = h
+        sh_hash_parts.append(short_h)
+        doc_of_sh_parts.append(short_idx.astype(np.int64))
+
+    out = np.full((len(texts), num_hashes), np.iinfo(np.uint64).max,
+                  dtype=np.uint64)
+    if not sh_hash_parts:
+        return out
+    sh_hash = np.concatenate(sh_hash_parts)
+    doc_of_sh = np.concatenate(doc_of_sh_parts)
+    order = np.argsort(doc_of_sh, kind="stable")
+    sh_hash = sh_hash[order]
+    doc_of_sh = doc_of_sh[order]
+    # hash only the UNIQUE shingle hashes through the family, then gather
+    uniq_h, inv = np.unique(sh_hash, return_inverse=True)
+    prod = uniq_h[:, None] * a[None, :] + b[None, :]
+    present, sh_starts = np.unique(doc_of_sh, return_index=True)
+    out[present] = np.minimum.reduceat(prod[inv], sh_starts, axis=0)
+    return out
 
 
 def minhash_signatures(
@@ -128,46 +176,127 @@ def dedup_minhash_lsh(
         sig = _minhash_batch(t[text_col].to_pylist(), num_hashes, shingle_k, seed)
         keys = t[key_col].to_numpy(zero_copy_only=False)
         n = len(keys)
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         doc_rep = np.repeat(keys, bands)
         view = sig.reshape(n, bands, rows)
-        # mix the band's rows into one 64-bit bucket hash
-        h = np.zeros((n, bands), dtype=np.uint64)
+        # mix the band's rows + band id into ONE 64-bit bucket key: a single
+        # groupby column is far cheaper to shuffle/aggregate than (band, bh)
+        base = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        h = np.broadcast_to(base, (n, bands)).copy()
         for r in range(rows):
             h = (h * np.uint64(1099511628211)) ^ view[:, :, r]
         return pa.table(
-            {"band": pa.array(band_ids), "bh": pa.array(h.ravel(), pa.uint64()),
+            {"bkey": pa.array(h.ravel(), pa.uint64()),
              key_col: pa.array(doc_rep)}
         )
+
+    # Pass 1: vectorized bucket-size count. Nearly every bucket is a
+    # singleton, so running per-group Python over all of them (the naive
+    # groupby().map_groups) costs millions of empty pandas calls; instead
+    # the multi-member bucket KEYS (bounded by the duplicate clusters) are
+    # collected, and only their rows take the pair-expansion path.
+    band = ds.map_batches(band_rows, batch_format="pyarrow").materialize()
+
+    # cost-based plan: below the driver threshold the whole (bkey, id) table
+    # is two small columns — one lexsort beats several Ray passes' scheduling
+    # latency. The distributed path is the 10^12-doc plan.
+    if band.count() <= 2_000_000:
+        pdf = band.to_pandas()
+        bk = pdf["bkey"].to_numpy().astype(np.uint64)
+        ids = pdf[key_col].to_numpy()
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        brk = np.empty(len(bk), dtype=bool)
+        out_l: list = []
+        out_r: list = []
+        if len(bk):
+            brk[0] = True
+            brk[1:] = bk[1:] != bk[:-1]
+            starts = np.flatnonzero(brk)
+            lens = np.diff(np.append(starts, len(bk)))
+            dropped = 0
+            for s, ln in zip(starts[lens > 1], lens[lens > 1]):
+                if ln > max_bucket:
+                    dropped += 1
+                    continue
+                grp = ids[s:s + ln]
+                li, ri = np.triu_indices(ln, k=1)
+                out_l.append(grp[li])
+                out_r.append(grp[ri])
+            if dropped:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%d LSH buckets exceeded max_bucket=%d; dropped",
+                    dropped, max_bucket,
+                )
+        import ray.data as _rd
+
+        if not out_l:
+            return _rd.from_arrow(pa.table({
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+            }))
+        pair_mat = np.unique(
+            np.stack([np.concatenate(out_l).astype(np.int64),
+                      np.concatenate(out_r).astype(np.int64)], axis=1),
+            axis=0,
+        )
+        return _rd.from_arrow(pa.table({
+            "left_id": pa.array(pair_mat[:, 0], pa.int64()),
+            "right_id": pa.array(pair_mat[:, 1], pa.int64()),
+        }))
+    sizes = band.groupby("bkey").aggregate(Count(alias_name="n"))
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        over = n > max_bucket
+        if over.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%d LSH buckets exceed max_bucket=%d (largest %d); dropping "
+                "them — run an exact pass on those ids if needed",
+                int(over.sum()), max_bucket, int(n.max()),
+            )
+        return t.filter(pa.array((n > 1) & ~over))
+
+    multi = sizes.map_batches(keep_multi, batch_format="pyarrow").to_pandas()
+    empty = pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64())})
+    import ray.data as _rd
+
+    if not len(multi):
+        return _rd.from_arrow(empty)
+    wanted = np.sort(multi["bkey"].to_numpy().astype(np.uint64))
+    w_ref = ray.put(wanted)
+
+    def sieve(t: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        v = t["bkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(w, v), len(w) - 1)
+        return t.filter(pa.array(w[idx] == v))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df[key_col].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
                                  "right_id": pd.Series([], dtype=np.int64)})
-        if len(ids) > max_bucket:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "LSH bucket of %d docs exceeds max_bucket=%d; dropping "
-                "(band=%s) — run an exact pass on these ids if needed",
-                len(ids), max_bucket, df["band"].iloc[0],
-            )
-            return pd.DataFrame({"left_id": pd.Series([], dtype=np.int64),
-                                 "right_id": pd.Series([], dtype=np.int64)})
         li, ri = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"left_id": ids[li], "right_id": ids[ri]})
 
     cand = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bh"])
+        band.map_batches(sieve, batch_format="pyarrow")
+        .groupby("bkey")
         .map_groups(pairs, batch_format="pandas")
     )
     # dedup pairs discovered in multiple bands
-    return (
+    return _ensure_schema(
         cand.groupby(["left_id", "right_id"])
         .aggregate(Count(alias_name="__n"))
-        .select_columns(["left_id", "right_id"])
+        .select_columns(["left_id", "right_id"]),
+        empty,
     )
 
 
@@ -218,9 +347,30 @@ def ngram_jaccard_pairs(
         .iter_batches(batch_format="pyarrow", batch_size=8192),
         promote_options="default",
     )
-    text_ref = ray.put(
-        dict(zip(texts[key_col].to_pylist(), texts[text_col].to_pylist()))
-    )
+    lookup_local = dict(zip(texts[key_col].to_pylist(), texts[text_col].to_pylist()))
+
+    # cost-based: a small candidate set verifies faster on the driver than
+    # the scheduling latency of another distributed pass (the texts are
+    # already here); big candidate sets stream through map_batches below
+    if len(pair_df) <= 200_000:
+        import ray.data as _rd
+
+        out_l, out_r, out_j = [], [], []
+        for l, r in zip(pair_df["left_id"], pair_df["right_id"]):
+            a = _shingle_set(lookup_local.get(l), shingle_k)
+            b = _shingle_set(lookup_local.get(r), shingle_k)
+            j = len(a & b) / max(1, len(a | b))
+            if j >= threshold:
+                out_l.append(int(l))
+                out_r.append(int(r))
+                out_j.append(float(j))
+        return _rd.from_arrow(pa.table(
+            {"left_id": pa.array(out_l, pa.int64()),
+             "right_id": pa.array(out_r, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        ))
+
+    text_ref = ray.put(lookup_local)
 
     def verify(t: pa.Table) -> pa.Table:
         lookup = ray.get(text_ref)

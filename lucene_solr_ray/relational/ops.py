@@ -89,6 +89,7 @@ def rollup(
     keys: list[str],
     aggs: list[tuple[str, str | None, str]],
     pre_aggregate: bool = True,
+    int_outputs: tuple = (),
 ) -> Dataset:
     """RollupStream / StatsStream: groupby aggregate.
 
@@ -96,6 +97,13 @@ def rollup(
     are combined per batch first (map-side combine) so the shuffle moves one
     row per (key, batch) instead of every input row — the partial+final
     pattern the reference's distributed faceting uses.
+
+    int_outputs: output names that must come back int64 even if Ray's
+    combine promoted them through float (empty partials become None/NaN and
+    the final block dtype would otherwise depend on scheduling). Count
+    aggregates are always included; pass sum/min/max names over integer
+    inputs explicitly — deriving them from ds.schema() would trigger a
+    partial execution of the upstream pipeline.
     """
     simple = all(kind in ("sum", "count") for kind, _, _ in aggs)
     if pre_aggregate and simple and keys:
@@ -133,14 +141,7 @@ def rollup(
     # the final block dtype depended on scheduling. Cast integer-derived
     # aggregates back to int64 explicitly.
     int_out = [name for kind, _, name in aggs if kind == "count"]
-    try:
-        sch = ds.schema()
-        types = dict(zip(sch.names, sch.types))
-        for kind, col, name in aggs:
-            if kind in ("sum", "min", "max") and col in types and pa.types.is_integer(types[col]):
-                int_out.append(name)
-    except Exception:
-        pass
+    int_out += [n for n in int_outputs if n not in int_out]
     if int_out:
         def cast_ints(t: pa.Table) -> pa.Table:
             for name in int_out:
