@@ -128,6 +128,8 @@ def run_bench(headline_only: bool = False) -> dict:
         for name in [
             "rollup_q1", "join_large", "sort_topk", "dedup_exact",
             "minhash_pairs", "ann_topk", "quality_score", "window_sliding",
+            "simhash_sigs", "significant_terms", "embedding_dups",
+            "ft_after_delete",
         ]:
             tq = time.time()
             res = qs[name](SF_DIR)
@@ -148,7 +150,7 @@ def main():
 
         def run(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       BENCH_REPEATS=os.environ.get("BENCH_REPEATS", "2"))
+                       BENCH_REPEATS=os.environ.get("BENCH_REPEATS", "1"))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,
@@ -159,25 +161,31 @@ def main():
         # at 16-32 workers this single host's shared memory bandwidth — which
         # a real 4N-node cluster would multiply — becomes the ceiling; both
         # levels must be below it to measure the engine rather than the box.
+        # The shared host also shows ±30% run-to-run noise, so efficiency is
+        # reported as the MEDIAN over BENCH_SCALE_RUNS alternating pairs.
         lo_cpus = int(os.environ.get("RAY_GRAFT_SCALE_LO", "2"))
         hi_cpus = int(os.environ.get("RAY_GRAFT_SCALE_HI", "8"))
-        lo = run(lo_cpus)
-        hi = run(hi_cpus)
-        tput_lo = lo["queries"]["index_docs_per_sec"]
-        tput_hi = hi["queries"]["index_docs_per_sec"]
-        eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+        n_runs = int(os.environ.get("BENCH_SCALE_RUNS", "5"))
+        lo_t, hi_t, effs = [], [], []
+        for _ in range(n_runs):
+            lo = run(lo_cpus)
+            hi = run(hi_cpus)
+            lo_t.append(lo["queries"]["index_docs_per_sec"])
+            hi_t.append(hi["queries"]["index_docs_per_sec"])
+            effs.append((hi_t[-1] / lo_t[-1]) / (hi_cpus / lo_cpus))
+        med_eff = statistics.median(effs)
         print(json.dumps({
             "metric": "index_build_scaling",
-            "value": round(eff, 3),
+            "value": round(med_eff, 3),
             "unit": "efficiency",
             "cpus_lo": lo_cpus,
             "cpus_hi": hi_cpus,
-            "docs_per_sec_lo": tput_lo,
-            "docs_per_sec_hi": tput_hi,
-            "sec_lo": lo["queries"]["index_build_sec"],
-            "sec_hi": hi["queries"]["index_build_sec"],
+            "docs_per_sec_lo": statistics.median(lo_t),
+            "docs_per_sec_hi": statistics.median(hi_t),
+            "runs": n_runs,
+            "efficiency_runs": [round(e, 3) for e in sorted(effs)],
             "corpus_docs": CORPUS_DOCS,
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": round(med_eff, 3),
         }))
         return
 

@@ -99,7 +99,7 @@ class IndexBuildConfig:
     head_sample_docs: int = 600   # Zipf head is stable under small samples
     head_sub_span: int = 1 << 20
     # stage-1 / postings layout version: bump invalidates old checkpoints
-    format_version: int = 2
+    format_version: int = 3
     files_per_chunk: int = 64      # stage-A chunk = lineage/resume unit
     tokenize_concurrency: int | None = None
     # True -> tokenize runs as an actor pool (state loads once per actor);

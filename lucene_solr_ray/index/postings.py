@@ -38,9 +38,35 @@ POSTINGS_SCHEMA = pa.schema(
         ("block_first_docs", pa.large_list(pa.int64())),
         ("block_max_freq", pa.large_list(pa.int32())),
         ("block_min_norm", pa.large_list(pa.int32())),
+        # per-block competitive-impact Pareto frontier (long terms only):
+        # varint stream [n_pairs, (freq, norm)*n_pairs] per block — the
+        # reduced form of CompetitiveImpactAccumulator.java:33-80. Tightens
+        # WAND/conjunction bounds vs the single (max_freq, min_norm) point.
+        ("impacts_bin", pa.large_binary()),
         ("positions", pa.large_list(pa.int32())),  # flat; split by freqs
     ]
 )
+
+
+def impact_frontier(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pareto frontier of (freq, norm) pairs: keep pairs not dominated by a
+    (freq' >= freq, norm' <= norm) competitor. Returned sorted by norm asc
+    (freq strictly increasing)."""
+    order = np.lexsort((-freqs.astype(np.int64), norms.astype(np.int64)))
+    f = freqs[order].astype(np.int64)
+    nm = norms[order].astype(np.int64)
+    # first occurrence per norm (highest freq at that norm)
+    first = np.empty(len(nm), dtype=bool)
+    first[0] = True
+    first[1:] = nm[1:] != nm[:-1]
+    f = f[first]
+    nm = nm[first]
+    # keep only strictly increasing freq as norm grows
+    best = np.maximum.accumulate(f)
+    keep = np.empty(len(f), dtype=bool)
+    keep[0] = True
+    keep[1:] = f[1:] > best[:-1]
+    return f[keep], nm[keep]
 
 
 def encode_postings_group(
@@ -111,7 +137,19 @@ def encode_postings_group(
         firsts = d[bstarts]
         bmax = np.maximum.reduceat(f, bstarts).astype(np.int32)
         bmin = np.minimum.reduceat(nm, bstarts).astype(np.int32)
-        long_rows[t] = (docs_bin, freqs_bin, firsts, bmax, bmin)
+        # per-block impact frontier -> one varint stream for the whole term
+        imp_vals: list[int] = []
+        for bi in range(nblk):
+            lo = bi * BLOCK_SIZE
+            hi = min(lo + BLOCK_SIZE, len(f))
+            ff, nn = impact_frontier(f[lo:hi], nm[lo:hi])
+            imp_vals.append(len(ff))
+            for a, b in zip(ff.tolist(), nn.tolist()):
+                imp_vals.append(a)
+                imp_vals.append(b)
+        imp_bytes, _ = varint_encode_all(np.asarray(imp_vals, dtype=np.uint64))
+        long_rows[t] = (docs_bin, freqs_bin, firsts, bmax, bmin,
+                        imp_bytes.tobytes())
 
     # ---- assemble arrow arrays in term order
     order = np.arange(n_terms)
@@ -124,14 +162,16 @@ def encode_postings_group(
     bfd: list = [None] * n_terms
     bmf: list = [None] * n_terms
     bmn: list = [None] * n_terms
+    imp: list = [None] * n_terms
     for t in order:
         if t in long_rows:
-            db, fb, firsts, bmax, bmin = long_rows[t]
+            db, fb, firsts, bmax, bmin, ib = long_rows[t]
             docs_bin_vals[t] = db
             freqs_bin_vals[t] = fb
             bfd[t] = firsts.tolist()
             bmf[t] = bmax.tolist()
             bmn[t] = bmin.tolist()
+            imp[t] = ib
         else:
             bfd[t] = [int(docs[run_starts[t]])] if dfs[t] else []
             bmf[t] = [int(max_freq[t])] if dfs[t] else []
@@ -155,10 +195,30 @@ def encode_postings_group(
             "block_first_docs": pa.array(bfd, type=pa.large_list(pa.int64())),
             "block_max_freq": pa.array(bmf, type=pa.large_list(pa.int32())),
             "block_min_norm": pa.array(bmn, type=pa.large_list(pa.int32())),
+            "impacts_bin": pa.array(imp, type=pa.large_binary()),
             "positions": pa.array(pos_col, type=pa.large_list(pa.int32())),
         },
         schema=POSTINGS_SCHEMA,
     )
+
+
+def decode_impacts(b: bytes | None):
+    """Decode one row's impacts_bin -> list of (freq_arr, norm_arr) per
+    block, or None when absent (short terms / legacy rows)."""
+    if b is None:
+        return None
+    raw = np.frombuffer(b, dtype=np.uint8)
+    n_total = int((raw < 0x80).sum())
+    vals = varint_decode_all(raw, n_total)
+    out = []
+    i = 0
+    while i < n_total:
+        k = int(vals[i])
+        i += 1
+        pairs = vals[i:i + 2 * k]
+        i += 2 * k
+        out.append((pairs[0::2].astype(np.int64), pairs[1::2].astype(np.int64)))
+    return out
 
 
 def decode_doc_ids(df: int, short_bin: bytes | None, docs_bin: bytes | None) -> np.ndarray:

@@ -208,6 +208,29 @@ class ShardReader:
             np.asarray(minn, dtype=np.int32),
         )
 
+    def block_impacts(self, term: str):
+        """Per-block competitive-impact frontier (freq_arr, norm_arr) lists,
+        concatenated across rows in the same first-doc order block_metadata
+        uses; None when the term has no stored frontier (short term or a
+        legacy index without the impacts_bin column)."""
+        if self.table is None or "impacts_bin" not in self.table.column_names:
+            return None
+        from .postings import decode_impacts
+
+        rows = self.term_rows(term)
+        chunks = []
+        for r in rows:
+            f = self.table["block_first_docs"][r].as_py() or []
+            dec = decode_impacts(self.table["impacts_bin"][r].as_py())
+            if dec is None or len(dec) != len(f):
+                return None
+            chunks.append((f, dec))
+        chunks.sort(key=lambda c: c[0][0] if c[0] else -1)
+        out = []
+        for _, dec in chunks:
+            out.extend(dec)
+        return out
+
     # --- norms -----------------------------------------------------------
     def norms_for(self, docs: np.ndarray) -> np.ndarray:
         """Vectorized doc_id -> norm byte lookup (searchsorted on sorted ids)."""

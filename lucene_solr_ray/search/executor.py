@@ -453,6 +453,23 @@ def top_k_select(docs: np.ndarray, scores: np.ndarray, k: int):
     return docs[sel], scores[sel]
 
 
+def _block_upper_bounds(shard: ShardReader, term_text: str, tw, firsts,
+                        maxf, minn, dtype) -> np.ndarray:
+    """Per-block score upper bounds. With a stored competitive-impact
+    frontier the bound is max over the block's Pareto (freq, norm) pairs —
+    tighter than scoring the single (max_freq, min_norm) point, which pairs
+    a freq and a norm that may come from different docs."""
+    imps = shard.block_impacts(term_text)
+    if imps is None:
+        return score_postings(tw, maxf, minn.astype(np.int64), dtype).astype(np.float64)
+    lens = np.fromiter((len(f) for f, _ in imps), np.int64, len(imps))
+    flat_f = np.concatenate([f for f, _ in imps])
+    flat_n = np.concatenate([n for _, n in imps])
+    scores = score_postings(tw, flat_f, flat_n, dtype).astype(np.float64)
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    return np.maximum.reduceat(scores, starts)
+
+
 class MaxScoreAccumulator:
     """Shared min-competitive score across concurrently-searched shards
     (search/MaxScoreAccumulator.java wired at IndexSearcher.java:468-473).
@@ -531,7 +548,7 @@ def conj_top_k(shard: ShardReader, terms: list, weights, k: int, dtype,
     for d, f, t in per_term:
         firsts, maxf, minn = shard.block_metadata(t.text)
         tw = weights[(t.text, t.boost)]
-        block_ub = score_postings(tw, maxf, minn.astype(np.int64), dtype).astype(np.float64)
+        block_ub = _block_upper_bounds(shard, t.text, tw, firsts, maxf, minn, dtype)
         bi = np.maximum(np.searchsorted(firsts, docs, side="right") - 1, 0)
         ub += block_ub[bi]
 
@@ -594,7 +611,7 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype,
             continue
         firsts, maxf, minn = shard.block_metadata(t.text)
         tw = weights[(t.text, t.boost)]
-        ub = score_postings(tw, maxf, minn.astype(np.int64), dtype).astype(np.float64)
+        ub = _block_upper_bounds(shard, t.text, tw, firsts, maxf, minn, dtype)
         per_term.append((docs, freqs, tw, firsts, ub))
     if not per_term:
         return np.zeros(0, np.int64), np.zeros(0, dtype)

@@ -346,6 +346,9 @@ def query_terms(node) -> list[str]:
             out.extend(n.terms)
         elif isinstance(n, (Synonym, TermInSet)):
             out.extend(n.terms)
+        elif isinstance(n, MultiPhrase):
+            for pos_terms in n.positions:
+                out.extend(pos_terms)
         elif isinstance(n, ConstantScore):
             walk(n.query)
         elif isinstance(n, DisMax):

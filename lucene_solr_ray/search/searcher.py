@@ -296,6 +296,7 @@ class DistributedSearcher:
             Bool,
             ConstantScore,
             DisMax,
+            MultiPhrase,
             Phrase,
             Synonym,
             Term,
@@ -353,6 +354,14 @@ class DistributedSearcher:
                 if key not in weights:
                     weights[key] = term_weight(
                         max((df[t] for t in n.terms), default=0),
+                        self.doc_count, self.sum_ttf, self.params, n.boost, self.dtype,
+                    )
+            elif isinstance(n, MultiPhrase):
+                key = ("\x1fMP\x1f".join("|".join(p) for p in n.positions), n.boost)
+                if key not in weights:
+                    weights[key] = multi_term_weight(
+                        [max((df.get(t, 0) for t in pos), default=0)
+                         for pos in n.positions],
                         self.doc_count, self.sum_ttf, self.params, n.boost, self.dtype,
                     )
             elif isinstance(n, ConstantScore):

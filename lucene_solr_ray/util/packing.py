@@ -47,37 +47,106 @@ def unpack_bits(data: bytes, width: int, n: int) -> np.ndarray:
     return np.packbits(out.ravel()).view(">u4").astype(np.uint32)
 
 
-def encode_blocks(values: np.ndarray) -> bytes:
-    """Encode values as a sequence of 128-value FOR blocks.
+MAX_EXCEPTIONS = 7  # as in the reference (PForUtil.java:49 allows <= 7)
+_PFOR_FLAG = 0x80
 
-    Layout per block: [count:u8==128 or tail count][width:u8][packed bytes].
-    The tail block (len < 128) is packed at its own width (no zero padding
-    on disk beyond bit alignment).
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Per-value bit length (uint32, exact via the float64 exponent)."""
+    out = np.zeros(len(v), dtype=np.int64)
+    nz = v != 0
+    if nz.any():
+        out[nz] = np.frexp(v[nz].astype(np.float64))[1]
+    return out
+
+
+def encode_blocks(values: np.ndarray) -> bytes:
+    """Encode values as a sequence of 128-value FOR/PFor blocks.
+
+    Per-block layout:
+      plain FOR:  [count:u8][width:u8][packed bytes]
+      PFor:       [count:u8][0x80|width:u8][n_exc:u8][packed low bits]
+                  [exc positions:u8 * n_exc][exc high bits as varints]
+    The patched form (PForUtil.java:49-93 semantics) is chosen per block
+    when pulling up to MAX_EXCEPTIONS outliers out of the packed width
+    shrinks the block: each exception keeps its low `width` bits in place
+    and patches the remainder back at decode.
     """
     values = np.asarray(values, dtype=np.uint32)
     out = bytearray()
     for start in range(0, len(values), BLOCK_SIZE):
         blk = values[start:start + BLOCK_SIZE]
-        w = bit_width(blk)
-        out.append(len(blk))
-        out.append(w)
-        out += pack_bits(blk, w)
+        cnt = len(blk)
+        bl = _bit_lengths(blk)
+        order_desc = np.argsort(-bl, kind="stable")
+        sorted_bl = bl[order_desc]
+        best_cost = None
+        best = None  # (w, exc_idx)
+        for ne in range(0, min(MAX_EXCEPTIONS, cnt - 1) + 1):
+            w = max(1, int(sorted_bl[ne]) if ne < cnt else 1)
+            exc_idx = order_desc[:ne][bl[order_desc[:ne]] > w]
+            n_exc = len(exc_idx)
+            if ne > 0 and n_exc == 0:
+                continue  # same as a smaller ne
+            highs = (blk[exc_idx] >> w).astype(np.uint64)
+            hi_bytes = int(sum(max(1, (int(h).bit_length() + 6) // 7) for h in highs))
+            cost = 2 + (cnt * w + 7) // 8 + (1 + n_exc + hi_bytes if ne else 0)
+            if best_cost is None or cost < best_cost:
+                best_cost = cost
+                best = (w, exc_idx)
+        w, exc_idx = best
+        out.append(cnt)
+        if len(exc_idx):
+            exc_idx = np.sort(exc_idx)
+            low = blk & np.uint32((1 << w) - 1)
+            out.append(_PFOR_FLAG | w)
+            out.append(len(exc_idx))
+            out += pack_bits(low, w)
+            out += bytes(int(i) for i in exc_idx)
+            hv, _ = varint_encode_all((blk[exc_idx] >> w).astype(np.uint64))
+            out += hv.tobytes()
+        else:
+            out.append(w)
+            out += pack_bits(blk, w)
     return bytes(out)
 
 
 def decode_blocks(data: bytes, n: int) -> np.ndarray:
-    """Decode n values written by encode_blocks."""
+    """Decode n values written by encode_blocks (FOR and PFor blocks)."""
     out = np.empty(n, dtype=np.uint32)
     pos = 0
     got = 0
     mv = memoryview(data)
     while got < n:
         cnt = mv[pos]
-        w = mv[pos + 1]
+        wbyte = mv[pos + 1]
         pos += 2
-        nbytes = (cnt * w + 7) // 8
-        out[got:got + cnt] = unpack_bits(bytes(mv[pos:pos + nbytes]), w, cnt)
-        pos += nbytes
+        w = wbyte & 0x7F
+        if wbyte & _PFOR_FLAG:
+            n_exc = mv[pos]
+            pos += 1
+            nbytes = (cnt * w + 7) // 8
+            vals = unpack_bits(bytes(mv[pos:pos + nbytes]), w, cnt)
+            pos += nbytes
+            exc_pos = np.frombuffer(mv[pos:pos + n_exc], dtype=np.uint8)
+            pos += n_exc
+            # exceptions' high bits: n_exc varints follow
+            hp = pos
+            seen = 0
+            while seen < n_exc:
+                if mv[hp] < 0x80:
+                    seen += 1
+                hp += 1
+            highs = varint_decode_all(
+                np.frombuffer(mv[pos:hp], dtype=np.uint8), n_exc
+            )
+            pos = hp
+            vals[exc_pos] |= (highs << np.uint64(w)).astype(np.uint32)
+            out[got:got + cnt] = vals
+        else:
+            nbytes = (cnt * w + 7) // 8
+            out[got:got + cnt] = unpack_bits(bytes(mv[pos:pos + nbytes]), w, cnt)
+            pos += nbytes
         got += cnt
     return out
 

@@ -80,3 +80,37 @@ def test_accumulator_bound_is_safe(conj_index):
     got = merge_top_k(parts, 10)
     assert got[0].tolist() == exp[0].tolist()
     assert got[1].tolist() == pytest.approx(exp[1].tolist())
+
+
+def test_impact_frontier_tightens_bounds(conj_index):
+    """Stored frontier bounds must be valid (>= every real doc score in the
+    block) and no looser than the single-point (max_freq, min_norm) bound."""
+    import numpy as np
+
+    from lucene_solr_ray.search.bm25 import score_postings
+    from lucene_solr_ray.search.executor import (
+        _block_upper_bounds, resolve_weights,
+    )
+
+    s = IndexSearcher(conj_index)
+    weights = resolve_weights(s.reader, Term("filler1"), s.params, s.dtype)
+    checked = 0
+    for sh in s.reader.shards:
+        for term in ("alpha", "beta", "filler1"):
+            imps = sh.block_impacts(term)
+            if imps is None:
+                continue
+            firsts, maxf, minn = sh.block_metadata(term)
+            w = resolve_weights(s.reader, Term(term), s.params, s.dtype)
+            tw = w[(term, 1.0)]
+            ub = _block_upper_bounds(sh, term, tw, firsts, maxf, minn, s.dtype)
+            loose = score_postings(tw, maxf, minn.astype(np.int64), s.dtype)
+            assert np.all(ub <= loose.astype(np.float64) + 1e-9)
+            # validity: every real doc score in each block <= its ub
+            docs, freqs = sh.postings(term)
+            norms = sh.norms_for(docs)
+            scores = score_postings(tw, freqs, norms, s.dtype)
+            bi = np.maximum(np.searchsorted(firsts, docs, side="right") - 1, 0)
+            assert np.all(scores.astype(np.float64) <= ub[bi] + 1e-9)
+            checked += 1
+    assert checked > 0

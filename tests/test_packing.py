@@ -50,3 +50,36 @@ def test_varint_empty():
     data, nbytes = pk.varint_encode_all(np.array([], dtype=np.uint64))
     assert len(data) == 0
     assert len(pk.varint_decode_all(data, 0)) == 0
+
+
+def test_pfor_exception_patching_roundtrip():
+    import numpy as np
+
+    from lucene_solr_ray.util.packing import decode_blocks, encode_blocks
+
+    rng = np.random.default_rng(9)
+    # skewed data: mostly small gaps + a few huge outliers per block — the
+    # PFor case (plain FOR would pay the outlier width for every value)
+    v = rng.integers(0, 16, size=1000, dtype=np.uint32)
+    v[rng.choice(1000, 25, replace=False)] = rng.integers(
+        1 << 20, 1 << 30, size=25, dtype=np.uint32)
+    enc = encode_blocks(v)
+    assert np.array_equal(decode_blocks(enc, len(v)), v)
+    # the patched encoding must beat pure FOR at the outlier width
+    pure_for_cost = sum(
+        2 + (len(v[i:i + 128]) * max(1, int(v[i:i + 128].max()).bit_length()) + 7) // 8
+        for i in range(0, len(v), 128)
+    )
+    assert len(enc) < pure_for_cost
+
+    # uniform data stays plain FOR (no regression)
+    u = rng.integers(0, 1 << 12, size=256, dtype=np.uint32)
+    assert np.array_equal(decode_blocks(encode_blocks(u), len(u)), u)
+    # adversarial: every value is an outlier candidate
+    w = rng.integers(1 << 28, 1 << 31, size=200, dtype=np.uint32)
+    assert np.array_equal(decode_blocks(encode_blocks(w), len(w)), w)
+    # zeros / singletons
+    z = np.zeros(130, dtype=np.uint32)
+    assert np.array_equal(decode_blocks(encode_blocks(z), len(z)), z)
+    s = np.array([7], dtype=np.uint32)
+    assert np.array_equal(decode_blocks(encode_blocks(s), 1), s)
