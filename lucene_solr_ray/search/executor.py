@@ -39,6 +39,12 @@ from .query import (
 )
 
 
+def _is_span(n) -> bool:
+    from .query import SpanFirst, SpanNear
+
+    return isinstance(n, (SpanNear, SpanFirst))
+
+
 def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dict:
     """Global-stats Weight resolution (the reference's createWeight step):
     df summed across shards once per query, then broadcast to every shard."""
@@ -74,6 +80,20 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
                     for pos in n.positions
                 ]
                 weights[key] = multi_term_weight(dfs, N, sum_ttf, params, n.boost, dtype)
+        elif _is_span(n):
+            from .spans import _span_key, span_clause_terms
+            from .query import SpanNear as _SN
+
+            key = _span_key(n)
+            if key not in weights:
+                clauses = n.clauses if isinstance(n, _SN) else (n.clause,)
+                dfs = [
+                    max((reader.term_stats(t)[0] for t in span_clause_terms(c)),
+                        default=0)
+                    for c in clauses
+                ]
+                weights[key] = multi_term_weight(dfs, N, sum_ttf, params,
+                                                 n.boost, dtype)
         elif isinstance(n, ConstantScore):
             walk(n.query)
         elif isinstance(n, DisMax):
@@ -334,6 +354,16 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         return shard.doc_ids[m], sc.astype(dtype)
     if isinstance(node, MultiPhrase):
         return _score_multi_phrase(shard, node, weights, dtype)
+    from .query import SpanFirst, SpanNear
+
+    if isinstance(node, SpanNear):
+        from .spans import eval_span_near
+
+        return eval_span_near(shard, node, weights, dtype)
+    if isinstance(node, SpanFirst):
+        from .spans import eval_span_first
+
+        return eval_span_first(shard, node, weights, dtype)
     if isinstance(node, TermInSet):
         docs = _docs_union(shard, node.terms)
         return docs, np.full(len(docs), node.boost, dtype=dtype)

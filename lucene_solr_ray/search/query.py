@@ -112,6 +112,42 @@ class MatchAll:
 
 
 @dataclass(frozen=True)
+class SpanTerm:
+    """SpanTermQuery (search/spans/SpanTermQuery.java): one-position spans."""
+    text: str
+
+
+@dataclass(frozen=True)
+class SpanOrQ:
+    """SpanOrQuery (search/spans/SpanOrQuery.java): union of span clauses
+    (members restricted to SpanTerm here)."""
+    clauses: tuple
+
+
+@dataclass(frozen=True)
+class SpanNear:
+    """SpanNearQuery (search/spans/SpanNearQuery.java /
+    NearSpansOrdered.java): clauses co-occur within `slop` intervening
+    positions; in_order additionally requires the clause order (classic
+    proximity algebra / queries/intervals Intervals.java:46 role). Scored
+    like a phrase with blended clause stats; freq = number of distinct
+    first-clause anchors starting a valid window (a documented
+    simplification of the reference's span iterator enumeration)."""
+    clauses: tuple  # SpanTerm | SpanOrQ
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirst:
+    """SpanFirstQuery: clause matches wholly before position `end`."""
+    clause: object  # SpanTerm | SpanOrQ
+    end: int = 1
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MultiPhrase:
     """MultiPhraseQuery (search/MultiPhraseQuery.java:56): a phrase where
     each position accepts any of several terms ("app* store" style). Scored
