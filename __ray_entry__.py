@@ -209,6 +209,28 @@ def q_ft_synonym(sf_dir):
     return s.match_all("quick").select(["doc_id"])
 
 
+def q_ft_suggest(sf_dir):
+    """Prefix suggester (AnalyzingSuggester role): top-5 dictionary terms
+    starting 's', ranked by global df desc then term asc."""
+    from lucene_solr_ray.search.services import suggest
+
+    s = _searcher64(sf_dir)
+    out = suggest(s, "s", k=5)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
+def q_ft_sort_by_field(sf_dir):
+    """TopFieldCollector: docs matching 'fast' ordered by doclen desc then
+    doc_id asc, top 10 (sort on an index column, not score)."""
+    from lucene_solr_ray.search.services import search_sorted_by_field
+
+    s = _searcher64(sf_dir)
+    return search_sorted_by_field(s, "fast", "doclen", k=10, descending=True)
+
+
 def q_ft_facet_index(sf_dir):
     """String facet computed only from index columns (SortedSet-docvalues
     substitute): lang counts from the keyword postings' df, corpus unread."""
@@ -502,6 +524,21 @@ def q_to_parent_join(sf_dir):
     out = rollup(kids, ["o_custkey"], [("max", "o_totalprice", "max_total")],
                  pre_aggregate=False)
     return out.rename_columns(["c_custkey", "max_total"])
+
+
+def q_to_child_join(sf_dir):
+    # ToChildBlockJoinQuery semantics: parents (customers) matching a filter
+    # project down to their child rows (orders) — a broadcast semi join on
+    # the parent key (join/ToChildBlockJoinQuery.java role)
+    from lucene_solr_ray.relational.ops import broadcast_semi
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    return broadcast_semi(orders, keys.to_numpy(zero_copy_only=False),
+                          on="o_custkey")
 
 
 def q_nested_facets(sf_dir):
@@ -860,6 +897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stemmed": q_ft_stemmed,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
+        "ft_suggest": q_ft_suggest,
+        "ft_sort_by_field": q_ft_sort_by_field,
         "ft_field_filter": q_ft_field_filter,
         "flagship_corpus": q_flagship_corpus,
         # relational / streaming-expression layer
@@ -885,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "eval_scalars": q_eval_scalars,
         "to_parent_join": q_to_parent_join,
+        "to_child_join": q_to_child_join,
         "drill_sideways": q_drill_sideways,
         "nested_facets": q_nested_facets,
         "having_groups": q_having_groups,
@@ -966,6 +1006,20 @@ def oracle_sql() -> dict[str, str]:
         "ft_facet_index": """
             SELECT lang AS value, count(*) AS cnt FROM documents
             GROUP BY lang ORDER BY cnt DESC, value ASC""",
+        "ft_suggest": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                   WHERE term LIKE 's%' GROUP BY term)
+            SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
+        "ft_sort_by_field": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen
+                   FROM tok GROUP BY doc_id),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast')
+            SELECT h.doc_id, dl.doclen FROM hits h JOIN dl USING (doc_id)
+            ORDER BY dl.doclen DESC, h.doc_id ASC LIMIT 10""",
         "ft_synonym": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents)
@@ -1081,6 +1135,10 @@ def oracle_sql() -> dict[str, str]:
         "having_groups": """
             SELECT o_custkey, count(*) AS cnt FROM orders
             GROUP BY o_custkey HAVING count(*) >= 15""",
+        "to_child_join": """
+            SELECT o_orderkey, o_custkey FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'""",
         "to_parent_join": """
             SELECT o_custkey AS c_custkey, max(o_totalprice) AS max_total
             FROM orders WHERE o_totalprice > 300000.0 GROUP BY 1""",

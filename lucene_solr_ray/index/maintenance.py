@@ -115,7 +115,9 @@ def delete_by_ids(index_dir: str, ids) -> dict:
     os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
     pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
                    os.path.join(index_dir, rel))
-    dels.append({"file": rel, "max_shard": manifest["num_shards"],
+    dels.append({"file": rel,
+                 "max_shard": manifest.get("next_shard_offset",
+                                           manifest["num_shards"]),
                  "count": int(len(ids))})
     manifest["deletes"] = dels
     manifest["generation"] = int(time.time() * 1000)
@@ -188,7 +190,7 @@ def append_index(
         new_paths = [new_paths]
     new_paths = sorted(new_paths)
     cfg = IndexBuildConfig(**manifest["config"])
-    shard_offset = manifest["num_shards"]
+    shard_offset = manifest.get("next_shard_offset", manifest["num_shards"])
     lineage = dict(manifest["lineage"])
     head_terms = manifest["head_terms"]
     cfg_dict = asdict(cfg)
@@ -250,7 +252,11 @@ def append_index(
         lambda t: docs_explode(t, dvf), batch_format="pyarrow"
     ).aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
 
-    manifest["num_shards"] = shard_offset + cfg.num_shards
+    prev_ids = manifest.get("shard_ids") or list(range(manifest["num_shards"]))
+    manifest["shard_ids"] = prev_ids + list(
+        range(shard_offset, shard_offset + cfg.num_shards))
+    manifest["next_shard_offset"] = shard_offset + cfg.num_shards
+    manifest["num_shards"] = len(manifest["shard_ids"])
     manifest["stats"]["doc_count"] += int(delta["count()"])
     manifest["stats"]["sum_total_term_freq"] += int(delta["sum_dl"])
     manifest["lineage"] = lineage
@@ -274,7 +280,7 @@ def add_indexes(dst_index_dir: str, src_index_dir: str) -> dict:
     src = load_manifest(src_index_dir)
     if not (dst and dst.get("committed") and src and src.get("committed")):
         raise ValueError("add_indexes requires two committed indexes")
-    offset = dst["num_shards"]
+    offset = dst.get("next_shard_offset", dst["num_shards"])
     src_stage1 = os.path.join(src_index_dir, "stage1")
     part_dirs = sorted(
         os.path.join(src_stage1, d) for d in os.listdir(src_stage1)
@@ -327,7 +333,12 @@ def add_indexes(dst_index_dir: str, src_index_dir: str) -> dict:
             "imported_from": src_index_dir, "ts": time.time(),
         }
 
-    dst["num_shards"] = offset + src["num_shards"]
+    prev_ids = dst.get("shard_ids") or list(range(dst["num_shards"]))
+    src_ids = src.get("shard_ids") or list(range(src["num_shards"]))
+    dst["shard_ids"] = prev_ids + [offset + i for i in src_ids]
+    dst["next_shard_offset"] = offset + (
+        src.get("next_shard_offset", src["num_shards"]))
+    dst["num_shards"] = len(dst["shard_ids"])
     dst["stats"]["doc_count"] += src["stats"]["doc_count"]
     dst["stats"]["sum_total_term_freq"] += src["stats"]["sum_total_term_freq"]
     dst["generation"] = int(time.time() * 1000)
@@ -445,6 +456,186 @@ def _purge_stage1_docs(t, gens, n_dv: int):
     return pa.table(cols)
 
 
+def _gen_offsets(manifest: dict, K: int) -> list[int]:
+    ids = manifest.get("shard_ids") or list(range(manifest["num_shards"]))
+    return sorted({i - (i % K) for i in ids})
+
+
+def _docs_rows_in(index_dir: str, shard_ids) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for s in shard_ids:
+        for f in glob.glob(os.path.join(index_dir, "docs", f"shard={s}", "*.parquet")):
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def merge_generations(index_dir: str, offsets: list[int]) -> dict:
+    """Selective (tiered) merge: collapse the given generations into ONE new
+    generation, leaving every other generation untouched (the incremental
+    TieredMergePolicy step, index/TieredMergePolicy.java:88-101 — force_merge
+    is the full forceMerge(1) collapse). Tombstoned docs of the merged
+    generations are physically dropped on the way."""
+    import shutil
+
+    import pyarrow as pa
+
+    manifest = load_manifest(index_dir)
+    if not manifest or not manifest.get("committed"):
+        raise ValueError("merge_generations requires a committed index")
+    cfg = IndexBuildConfig(**manifest["config"])
+    K = cfg.num_shards
+    merged_ids = sorted(i for off in offsets for i in range(off, off + K))
+    shard_ids = manifest.get("shard_ids") or list(range(manifest["num_shards"]))
+    missing = set(merged_ids) - set(shard_ids)
+    if missing:
+        raise ValueError(f"generations reference absent shards {sorted(missing)}")
+    new_off = manifest.get("next_shard_offset", manifest["num_shards"])
+    gens = _tombstone_gens(index_dir, manifest)
+    dvf = tuple(cfg.docvalues_fields or ())
+    merged_arr = np.asarray(merged_ids, dtype=np.int64)
+
+    def sel_mask(t: pa.Table) -> np.ndarray:
+        sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(merged_arr, sh), len(merged_arr) - 1)
+        return merged_arr[idx] == sh
+
+    def reshard_new(t: pa.Table) -> pa.Table:
+        sh = t["shard"].to_numpy(zero_copy_only=False)
+        return t.set_column(
+            t.column_names.index("shard"), "shard",
+            pa.array((new_off + (sh % K)).astype(np.int32)),
+        )
+
+    stage1_dir = os.path.join(index_dir, "stage1")
+    part_dirs = sorted(
+        os.path.join(stage1_dir, d) for d in os.listdir(stage1_dir)
+        if d.startswith("part=") and not d.endswith(".tmp")
+    )
+
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+
+    def _selected(kind: int):
+        subs = [os.path.join(d, f"kind={kind}") for d in part_dirs
+                if os.path.exists(os.path.join(d, f"kind={kind}"))]
+        ds = ray.data.read_parquet(expand_parquet_dirs(subs))
+        ds = ds.map_batches(
+            lambda t: t.filter(pa.array(sel_mask(t))), batch_format="pyarrow")
+        if gens:
+            purge = (
+                (lambda t: _purge_stage1_postings(t, gens)) if kind == 0
+                else (lambda t: _purge_stage1_docs(t, gens, len(dvf)))
+            )
+            ds = ds.map_batches(purge, batch_format="pyarrow")
+        return ds.map_batches(reshard_new, batch_format="pyarrow")
+
+    merged = _selected(0).groupby(
+        ["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)
+    ).map_groups(encode_merge_group, batch_format="pyarrow")
+    merged.write_parquet(os.path.join(index_dir, "postings"),
+                         partition_cols=["shard"])
+    _selected(1).map_batches(
+        lambda t: docs_explode(t, dvf), batch_format="pyarrow"
+    ).write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
+
+    # rewrite stage-1 parts: merged-generation rows move to the new shard
+    # range (purged); everything else is byte-identical
+    for d in part_dirs:
+        touched = False
+        tmp = d + ".rewrite"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for kind in (0, 1):
+            sub = os.path.join(d, f"kind={kind}")
+            if not os.path.exists(sub):
+                continue
+            k_ds = ray.data.read_parquet(expand_parquet_dirs([sub]))
+
+            def transform(t: pa.Table, _kind=kind) -> pa.Table:
+                m = sel_mask(t)
+                if not m.any():
+                    return t
+                keep = t.filter(pa.array(~m))
+                moved = t.filter(pa.array(m))
+                if gens:
+                    moved = (_purge_stage1_postings(moved, gens) if _kind == 0
+                             else _purge_stage1_docs(moved, gens, len(dvf)))
+                moved = reshard_new(moved)
+                return pa.concat_tables([keep, moved], promote_options="default")
+
+            # probe: does this part contain merged rows at all?
+            any_sel = False
+            for b in k_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+                if sel_mask(b).any():
+                    any_sel = True
+                    break
+            if not any_sel:
+                continue
+            touched = True
+            ray.data.read_parquet(expand_parquet_dirs([sub])).map_batches(
+                transform, batch_format="pyarrow"
+            ).write_parquet(os.path.join(tmp, f"kind={kind}"))
+        if touched:
+            # kinds not rewritten (no merged rows) are copied over
+            for kind in (0, 1):
+                src = os.path.join(d, f"kind={kind}")
+                dst = os.path.join(tmp, f"kind={kind}")
+                if os.path.exists(src) and not os.path.exists(dst):
+                    shutil.copytree(src, dst)
+            shutil.rmtree(d)
+            os.replace(tmp, d)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    for s in merged_ids:
+        shutil.rmtree(os.path.join(index_dir, "postings", f"shard={s}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "docs", f"shard={s}"),
+                      ignore_errors=True)
+
+    from ray.data.aggregate import Count, Sum
+
+    stats_row = (
+        ray.data.read_parquet(os.path.join(index_dir, "docs"), columns=["doclen"])
+        .aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
+    )
+    manifest["shard_ids"] = sorted(
+        [i for i in shard_ids if i not in set(merged_ids)]
+        + list(range(new_off, new_off + K))
+    )
+    manifest["next_shard_offset"] = new_off + K
+    manifest["num_shards"] = len(manifest["shard_ids"])
+    manifest["stats"] = {"doc_count": int(stats_row["count()"]),
+                         "sum_total_term_freq": int(stats_row["sum_dl"])}
+    manifest["generation"] = int(time.time() * 1000)
+    _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    return manifest
+
+
+def maybe_tiered_merge(index_dir: str, max_generations: int = 4) -> dict | None:
+    """TieredMergePolicy planner: when the generation count exceeds
+    max_generations, merge the SMALLEST generations (by doc count) down to
+    the budget in one selective merge — the incremental alternative to a
+    full force_merge at 10^12-doc scale."""
+    manifest = load_manifest(index_dir)
+    if not manifest or not manifest.get("committed"):
+        raise ValueError("maybe_tiered_merge requires a committed index")
+    K = IndexBuildConfig(**manifest["config"]).num_shards
+    offsets = _gen_offsets(manifest, K)
+    if len(offsets) <= max_generations:
+        return None
+    sizes = {
+        off: _docs_rows_in(index_dir, range(off, off + K)) for off in offsets
+    }
+    n_merge = len(offsets) - max_generations + 1
+    pick = sorted(offsets, key=lambda o: (sizes[o], o))[:n_merge]
+    return merge_generations(index_dir, pick)
+
+
 def force_merge(index_dir: str) -> dict:
     """Re-merge all generations into the base shard layout (forceMerge(1)),
     physically dropping tombstoned documents and clearing the tombstones
@@ -510,7 +701,7 @@ def force_merge(index_dir: str) -> dict:
     # and renumber their shards % K, so no later append/force_merge can
     # resurrect a deleted doc or mis-scope a future tombstone against stale
     # generation shard ids.
-    needs_stage1_rewrite = bool(gens) or manifest["num_shards"] != K
+    needs_stage1_rewrite = bool(gens) or manifest.get("next_shard_offset", manifest["num_shards"]) != K
     if needs_stage1_rewrite:
         for d in part_dirs:
             tmp = d + ".rewrite"
@@ -554,6 +745,8 @@ def force_merge(index_dir: str) -> dict:
                 pass
         manifest["deletes"] = []
     manifest["num_shards"] = K
+    manifest["shard_ids"] = list(range(K))
+    manifest["next_shard_offset"] = K
     manifest["generation"] = int(time.time() * 1000)
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest

@@ -247,7 +247,14 @@ class IndexReader:
             self.manifest = json.load(f)
         if not self.manifest.get("committed"):
             raise ValueError(f"index at {index_dir} has no committed manifest")
-        self.num_shards = self.manifest["num_shards"]
+        # shard ids may be NON-contiguous after a tiered (selective) merge:
+        # the manifest's shard_ids list is authoritative; legacy manifests
+        # imply range(num_shards)
+        self.shard_ids: list[int] = (
+            self.manifest.get("shard_ids")
+            or list(range(self.manifest["num_shards"]))
+        )
+        self.num_shards = len(self.shard_ids)
         self._shards: dict[int, ShardReader] = {}
 
     def shard(self, i: int) -> ShardReader:
@@ -257,7 +264,7 @@ class IndexReader:
 
     @property
     def shards(self) -> list[ShardReader]:
-        return [self.shard(i) for i in range(self.num_shards)]
+        return [self.shard(i) for i in self.shard_ids]
 
     @property
     def doc_count(self) -> int:

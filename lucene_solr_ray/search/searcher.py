@@ -62,7 +62,7 @@ class IndexSearcher:
     def warmup(self) -> "IndexSearcher":
         """Load all shard tables concurrently (parquet reads release the
         GIL); the first query otherwise pays a sequential shard-load."""
-        idxs = range(self.reader.num_shards)
+        idxs = self.reader.shard_ids
         if self._pool is None:
             for i in idxs:
                 self.reader.shard(i)
@@ -281,7 +281,7 @@ class DistributedSearcher:
         self._stem = get_stemmer(
             (reader.manifest.get("config") or {}).get("stemmer")
         )
-        shard_ids = list(range(reader.num_shards))
+        shard_ids = list(reader.shard_ids)
         num_actors = min(num_actors, max(1, len(shard_ids)))
         assign = [shard_ids[i::num_actors] for i in range(num_actors)]
         cls = ray.remote(_ShardServer)
