@@ -86,7 +86,7 @@ def run_bench(headline_only: bool = False) -> dict:
     # sandbox host shows heavy run-to-run variance from neighbors)
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     index_dir = f"/tmp/lsr_bench_idx_{NUM_CPUS}"
-    cfg = IndexBuildConfig(num_shards=8, num_buckets=32, batch_size=2048)
+    cfg = IndexBuildConfig(num_shards=8, num_buckets=32, batch_size=4096)
     build_sec = float("inf")
     for _ in range(repeats):
         shutil.rmtree(index_dir, ignore_errors=True)

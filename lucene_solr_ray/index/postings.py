@@ -48,6 +48,29 @@ POSTINGS_SCHEMA = pa.schema(
 )
 
 
+def impact_frontiers_batch(freqs2d: np.ndarray, norms2d: np.ndarray):
+    """Pareto frontiers for many equal-size blocks at once: one packed-key
+    sort per matrix instead of a lexsort per block. Returns a list of
+    (freq_arr, norm_arr) per row."""
+    f = freqs2d.astype(np.uint64)
+    nm = norms2d.astype(np.uint64)
+    key = (nm << np.uint64(32)) | (np.uint64(0xFFFFFFFF) - f)
+    ks = np.sort(key, axis=1)
+    nms = (ks >> np.uint64(32)).astype(np.int64)
+    frs = (np.uint64(0xFFFFFFFF) - (ks & np.uint64(0xFFFFFFFF))).astype(np.int64)
+    first = np.ones(ks.shape, dtype=bool)
+    first[:, 1:] = nms[:, 1:] != nms[:, :-1]
+    fr_eff = np.where(first, frs, 0)
+    runmax = np.maximum.accumulate(fr_eff, axis=1)
+    keep = first.copy()
+    keep[:, 1:] &= fr_eff[:, 1:] > runmax[:, :-1]
+    out = []
+    for r in range(ks.shape[0]):
+        m = keep[r]
+        out.append((frs[r][m], nms[r][m]))
+    return out
+
+
 def impact_frontier(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Pareto frontier of (freq, norm) pairs: keep pairs not dominated by a
     (freq' >= freq, norm' <= norm) competitor. Returned sorted by norm asc
@@ -137,12 +160,19 @@ def encode_postings_group(
         firsts = d[bstarts]
         bmax = np.maximum.reduceat(f, bstarts).astype(np.int32)
         bmin = np.minimum.reduceat(nm, bstarts).astype(np.int32)
-        # per-block impact frontier -> one varint stream for the whole term
+        # per-block impact frontiers (batched) -> one varint stream per term
+        nblk_full = len(f) // BLOCK_SIZE
+        fronts = []
+        if nblk_full:
+            fronts = impact_frontiers_batch(
+                f[: nblk_full * BLOCK_SIZE].reshape(-1, BLOCK_SIZE),
+                nm[: nblk_full * BLOCK_SIZE].reshape(-1, BLOCK_SIZE),
+            )
+        if len(f) % BLOCK_SIZE:
+            fronts.append(impact_frontier(f[nblk_full * BLOCK_SIZE:],
+                                          nm[nblk_full * BLOCK_SIZE:]))
         imp_vals: list[int] = []
-        for bi in range(nblk):
-            lo = bi * BLOCK_SIZE
-            hi = min(lo + BLOCK_SIZE, len(f))
-            ff, nn = impact_frontier(f[lo:hi], nm[lo:hi])
+        for ff, nn in fronts:
             imp_vals.append(len(ff))
             for a, b in zip(ff.tolist(), nn.tolist()):
                 imp_vals.append(a)

@@ -60,6 +60,14 @@ def _bit_lengths(v: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pack_rows(rows: np.ndarray, w: int) -> np.ndarray:
+    """Pack a (k, cnt) uint32 matrix at width w -> uint8 buffer whose
+    per-row byte spans are contiguous (cnt*w divisible by 8 for cnt=128)."""
+    v = np.ascontiguousarray(rows, dtype=">u4")
+    bits = np.unpackbits(v.view(np.uint8)).reshape(-1, 32)[:, 32 - w:]
+    return np.packbits(bits.ravel())
+
+
 def encode_blocks(values: np.ndarray) -> bytes:
     """Encode values as a sequence of 128-value FOR/PFor blocks.
 
@@ -69,45 +77,96 @@ def encode_blocks(values: np.ndarray) -> bytes:
                   [exc positions:u8 * n_exc][exc high bits as varints]
     The patched form (PForUtil.java:49-93 semantics) is chosen per block
     when pulling up to MAX_EXCEPTIONS outliers out of the packed width
-    shrinks the block: each exception keeps its low `width` bits in place
-    and patches the remainder back at decode.
+    shrinks the block. The width/exception choice AND the low-bit packing
+    run vectorized across all full blocks at once (one numpy pass per
+    distinct width); only the tiny per-block byte assembly is Python.
     """
     values = np.asarray(values, dtype=np.uint32)
+    n = len(values)
+    if n == 0:
+        return b""
+    nfull = n // BLOCK_SIZE
     out = bytearray()
-    for start in range(0, len(values), BLOCK_SIZE):
-        blk = values[start:start + BLOCK_SIZE]
-        cnt = len(blk)
-        bl = _bit_lengths(blk)
-        order_desc = np.argsort(-bl, kind="stable")
-        sorted_bl = bl[order_desc]
-        best_cost = None
-        best = None  # (w, exc_idx)
-        for ne in range(0, min(MAX_EXCEPTIONS, cnt - 1) + 1):
-            w = max(1, int(sorted_bl[ne]) if ne < cnt else 1)
-            exc_idx = order_desc[:ne][bl[order_desc[:ne]] > w]
-            n_exc = len(exc_idx)
-            if ne > 0 and n_exc == 0:
-                continue  # same as a smaller ne
-            highs = (blk[exc_idx] >> w).astype(np.uint64)
-            hi_bytes = int(sum(max(1, (int(h).bit_length() + 6) // 7) for h in highs))
-            cost = 2 + (cnt * w + 7) // 8 + (1 + n_exc + hi_bytes if ne else 0)
-            if best_cost is None or cost < best_cost:
-                best_cost = cost
-                best = (w, exc_idx)
-        w, exc_idx = best
-        out.append(cnt)
-        if len(exc_idx):
-            exc_idx = np.sort(exc_idx)
-            low = blk & np.uint32((1 << w) - 1)
-            out.append(_PFOR_FLAG | w)
-            out.append(len(exc_idx))
-            out += pack_bits(low, w)
-            out += bytes(int(i) for i in exc_idx)
-            hv, _ = varint_encode_all((blk[exc_idx] >> w).astype(np.uint64))
-            out += hv.tobytes()
-        else:
-            out.append(w)
-            out += pack_bits(blk, w)
+
+    if nfull:
+        M = values[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE)
+        BL = np.zeros(M.shape, dtype=np.int64)
+        nz = M != 0
+        if nz.any():
+            BL[nz] = np.frexp(M[nz].astype(np.float64))[1]
+        top_k = min(8, BLOCK_SIZE)
+        BL8 = -np.sort(-BL, axis=1)[:, :top_k]
+        w0 = np.maximum(BL8[:, 0], 1)
+        best_cost = 2 + (BLOCK_SIZE * w0 + 7) // 8
+        best_ne = np.zeros(nfull, dtype=np.int64)
+        best_w = w0.copy()
+        for ne in range(1, min(MAX_EXCEPTIONS, top_k - 1) + 1):
+            w = np.maximum(BL8[:, ne], 1)
+            exc_mask = BL8[:, :ne] > w[:, None]
+            n_exc = exc_mask.sum(axis=1)
+            hi_bits = np.maximum(BL8[:, :ne] - w[:, None], 0)
+            hib = np.where(exc_mask, np.maximum((hi_bits + 6) // 7, 1), 0).sum(axis=1)
+            cost = 2 + (BLOCK_SIZE * w + 7) // 8 + np.where(
+                n_exc > 0, 1 + n_exc + hib, (BLOCK_SIZE * (w0 - w)) * 0)
+            better = (n_exc > 0) & (cost < best_cost)
+            best_cost = np.where(better, cost, best_cost)
+            best_w = np.where(better, w, best_w)
+            best_ne = np.where(better, n_exc, best_ne)
+        # batched low-bit packing per distinct width (masking is a no-op for
+        # plain-FOR blocks: their values already fit the width)
+        low_bufs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        nbytes_of = {}
+        for w in np.unique(best_w).tolist():
+            rows = np.flatnonzero(best_w == w)
+            masked = M[rows] & np.uint32((1 << w) - 1)
+            buf = _pack_rows(masked, w)
+            row_pos = {int(r): i for i, r in enumerate(rows)}
+            low_bufs[w] = (buf, row_pos)
+            nbytes_of[w] = (BLOCK_SIZE * w) // 8
+        # exception highs: gather all, varint-encode once, slice per block
+        pfor_rows = np.flatnonzero(best_ne > 0)
+        exc_idx_per, highs_all, highs_cnt = [], [], []
+        for r in pfor_rows.tolist():
+            w = int(best_w[r])
+            ei = np.flatnonzero(BL[r] > w)
+            exc_idx_per.append(ei)
+            highs_all.append(M[r, ei] >> np.uint32(w))
+            highs_cnt.append(len(ei))
+        if pfor_rows.size:
+            hv, hlens = varint_encode_all(
+                np.concatenate(highs_all).astype(np.uint64))
+            hb = hv.tobytes()
+            h_ends = np.cumsum(hlens)
+            blk_end = np.cumsum(highs_cnt)
+            blk_byte_end = h_ends[blk_end - 1]
+            blk_byte_start = np.concatenate([[0], blk_byte_end[:-1]])
+            pfor_pos = {int(r): i for i, r in enumerate(pfor_rows.tolist())}
+        for r in range(nfull):
+            w = int(best_w[r])
+            buf, row_pos = low_bufs[w]
+            nb = nbytes_of[w]
+            i = row_pos[r]
+            low = buf[i * nb:(i + 1) * nb].tobytes()
+            out.append(BLOCK_SIZE)
+            if best_ne[r] > 0:
+                j = pfor_pos[r]
+                ei = exc_idx_per[j]
+                out.append(_PFOR_FLAG | w)
+                out.append(len(ei))
+                out += low
+                out += bytes(int(x) for x in ei)
+                out += hb[blk_byte_start[j]:blk_byte_end[j]]
+            else:
+                out.append(w)
+                out += low
+
+    # --- tail block (< 128 values): plain FOR (the PFor saving is marginal)
+    tail = values[nfull * BLOCK_SIZE:]
+    if len(tail):
+        w = bit_width(tail)
+        out.append(len(tail))
+        out.append(w)
+        out += pack_bits(tail, w)
     return bytes(out)
 
 
