@@ -52,7 +52,7 @@ def ensure_corpus() -> str:
     return CORPUS_PATH
 
 
-def run_bench(headline_only: bool = False) -> dict:
+def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
     import ray
 
     ray.init(
@@ -95,6 +95,9 @@ def run_bench(headline_only: bool = False) -> dict:
         build_sec = min(build_sec, time.time() - t0)
     results["index_build_sec"] = round(build_sec, 3)
     results["index_docs_per_sec"] = round(CORPUS_DOCS / build_sec, 1)
+    if build_only:
+        ray.shutdown()
+        return results
 
     # --- BM25 query latency: min-of-5 per query (neighbor tenants on this
     # host inject multi-x noise; the min is the engine's actual cost), then
@@ -164,7 +167,7 @@ def main():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_REPEATS=os.environ.get("BENCH_REPEATS", "2"))
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                [sys.executable, os.path.abspath(__file__), "--build-only"],
                 env=env, capture_output=True, text=True, check=True,
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
@@ -209,7 +212,9 @@ def main():
         return
 
     headline_only = "--headline-only" in sys.argv
-    results = run_bench(headline_only=headline_only)
+    build_only = "--build-only" in sys.argv
+    results = run_bench(headline_only=headline_only or build_only,
+                        build_only=build_only)
     print(json.dumps({
         "metric": "index_build_sec",
         "value": results["index_build_sec"],

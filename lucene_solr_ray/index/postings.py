@@ -2,12 +2,21 @@
 
 Semantics follow the reference's postings format (codecs/lucene84/
 Lucene84PostingsWriter.java:57-476): doc ids are delta-gap encoded; long
-lists (df >= 128) are packed in 128-int FOR blocks with per-block skip
-metadata (first doc per block) and block-max impacts (max freq / min norm
-per block — the reduced Pareto point of CompetitiveImpactAccumulator.java);
-short lists (df < 128, the VInt tail case) are varint-encoded. Encoding is
-vectorized across *all* short terms of a group at once — no per-term Python
-loop on the (Zipf-dominant) short tail.
+lists (df >= 128) are packed in 128-int FOR/PFor blocks with per-block skip
+metadata (first doc per block) and per-block competitive-impact frontiers
+(CompetitiveImpactAccumulator.java:33-80); short lists (df < 128, the VInt
+tail case) are varint-encoded. Encoding is vectorized across *all* short
+terms of a group at once — no per-term Python loop on the (Zipf-dominant)
+short tail.
+
+Skip lists: the reference's multi-level skip structure
+(Lucene84SkipWriter.java:51) exists to let a doc-at-a-time iterator jump
+without decoding intermediate blocks. This engine decodes a term's blocks
+in one batched numpy pass (decode_blocks groups blocks by width — the
+whole list costs a handful of vectorized calls), so the single-level
+block_first_docs array IS the skip structure: WAND prunes at block
+granularity from it, and a deeper hierarchy would not change any access
+path. A deliberate substitution, not an omission.
 
 A group is the unit the merge shuffle hands us: all postings of a set of
 terms within one doc-shard, as parallel arrays sorted by (term, doc).

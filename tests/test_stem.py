@@ -106,3 +106,31 @@ def test_stemmed_index_and_synonyms(ray_session, tmp_path):
     # doclen excludes synonym insertions (documented divergence)
     sh_dl = sum(int(sh.doclens.sum()) for sh in s.reader.shards)
     assert sh_dl == sum(len(t.split()) for t in texts)
+
+
+def test_distributed_searcher_stemmed_parity(ray_session, tmp_path):
+    """DistributedSearcher must apply the index's stemmer identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import DistributedSearcher, IndexSearcher
+
+    texts = ["cats chase dogs", "a cat sleeps", "dogs bark loudly",
+             "tables and chairs"] * 5
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, stemmer="minimal_english"))
+    local = IndexSearcher(idx)
+    dist = DistributedSearcher(idx, num_actors=2)
+    for q in ("cats", "cat", "dogs OR tables", "chairs"):
+        a = local.search(q, k=10)
+        b = dist.search(q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
