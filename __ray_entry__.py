@@ -231,6 +231,37 @@ def q_ft_sort_by_field(sf_dir):
     return search_sorted_by_field(s, "fast", "doclen", k=10, descending=True)
 
 
+def q_ft_percolate(sf_dir):
+    """Reverse search (Monitor/percolator role): registered queries stream
+    over the corpus as an actor-pool stage; output is (doc_id, query_id)
+    match pairs."""
+    from lucene_solr_ray.search.services import Monitor
+
+    queries = {
+        "q_fast": "fast",
+        "q_phrase": '"fast query"',
+        "q_bool": "slow AND table",
+    }
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        Monitor(queries), batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
+def q_ft_spell(sf_dir):
+    """Spell correction (DirectSpellChecker role): dictionary terms within
+    Damerau edit distance 2 of the misspelling 'fsat', ranked by distance
+    asc then df desc then term asc."""
+    from lucene_solr_ray.search.services import spell_correct
+
+    s = _searcher64(sf_dir)
+    out = spell_correct(s, "fsat", max_edits=2, k=5)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
 def q_ft_facet_index(sf_dir):
     """String facet computed only from index columns (SortedSet-docvalues
     substitute): lang counts from the keyword postings' df, corpus unread."""
@@ -831,6 +862,17 @@ def q_logit_train(sf_dir):
     )
 
 
+def q_features_select(sf_dir):
+    """FeaturesSelectionStream: rank embedding dims by two-sample t-score
+    for label==0 vs rest (distributed moment partials + driver merge)."""
+    from lucene_solr_ray.relational.ml import select_features
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding", "label"])
+    out = select_features(emb, "embedding", "label", top_k=10)
+    return _round_col(out, "score", RND)
+
+
 def q_mm_decode(sf_dir):
     from lucene_solr_ray.multimodal import decode_images
 
@@ -898,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
         "ft_suggest": q_ft_suggest,
+        "ft_percolate": q_ft_percolate,
+        "ft_spell": q_ft_spell,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_field_filter": q_ft_field_filter,
         "flagship_corpus": q_flagship_corpus,
@@ -947,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         # model training / scoring (TextLogitStream)
         "logit_train": q_logit_train,
+        "features_select": q_features_select,
         # multimodal plumbing (stubbed decode)
         "mm_decode": q_mm_decode,
     }
@@ -1006,6 +1051,49 @@ def oracle_sql() -> dict[str, str]:
         "ft_facet_index": """
             SELECT lang AS value, count(*) AS cnt FROM documents
             GROUP BY lang ORDER BY cnt DESC, value ASC""",
+        "features_select": """
+            WITH e AS (
+              SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            ), st AS (
+              SELECT dim,
+                sum(CASE WHEN y = 1 THEN v END) AS s1,
+                count(CASE WHEN y = 1 THEN 1 END) AS n1,
+                sum(CASE WHEN y = 1 THEN v * v END) AS q1,
+                sum(CASE WHEN y = 0 THEN v END) AS s0,
+                count(CASE WHEN y = 0 THEN 1 END) AS n0,
+                sum(CASE WHEN y = 0 THEN v * v END) AS q0
+              FROM e GROUP BY dim
+            )
+            SELECT dim, round(
+              abs(s1 / n1 - s0 / n0) / sqrt(
+                ((q1 - s1 * s1 / n1) + (q0 - s0 * s0 / n0)) / (n1 + n0 - 2)
+                * (1.0 / n1 + 1.0 / n0)), 6) AS score
+            FROM st ORDER BY score DESC, dim ASC LIMIT 10""",
+        "ft_percolate": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents)
+            SELECT doc_id, query_id FROM (
+              SELECT DISTINCT doc_id, 'q_fast' AS query_id FROM tok
+              WHERE term = 'fast'
+              UNION ALL
+              SELECT doc_id, 'q_phrase' FROM documents
+              WHERE (' ' || text || ' ') LIKE '% fast query %'
+              UNION ALL
+              SELECT doc_id, 'q_bool' FROM documents
+              WHERE (' ' || text || ' ') LIKE '% slow %'
+                AND (' ' || text || ' ') LIKE '% table %'
+            ) ORDER BY doc_id, query_id""",
+        "ft_spell": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+            SELECT term, df FROM df
+            WHERE term <> 'fsat' AND damerau_levenshtein(term, 'fsat') <= 2
+            ORDER BY damerau_levenshtein(term, 'fsat') ASC, df DESC, term ASC
+            LIMIT 5""",
         "ft_suggest": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),

@@ -450,7 +450,7 @@ def simhash_signatures(ds: Dataset, key_col: str, text_col: str,
 
 def embedding_dup_pairs(
     ds: Dataset, key_col: str, vec_col: str, threshold: float = 0.95,
-    num_tables: int = 16, num_planes: int = 8, seed: int = 42,
+    num_tables: int = 8, num_planes: int = 8, seed: int = 42,
     max_bucket: int = 4096, round_nd: int = 4,
 ) -> Dataset:
     """Embedding-cosine near-dup pairs above threshold, scale-safe.
@@ -461,7 +461,7 @@ def embedding_dup_pairs(
     (table, bucket, key, vector) rows — nothing is materialized on the
     driver and no O(n^2) scan happens outside a bucket. A pair at cosine c
     collides in one table with p = (1 - arccos(c)/pi)^num_planes; missing
-    all tables is (1-p)^num_tables (~1e-4 at c=0.95 with 16x8), and the
+    all tables is (1-p)^num_tables (~1e-2 at c=0.95 per 8-table run; EXACT duplicates collide in every table structurally), and the
     deterministic seed makes the output reproducible for the oracle check.
 
     Buckets above max_bucket are dropped with a warning (same policy as

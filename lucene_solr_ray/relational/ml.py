@@ -140,3 +140,64 @@ def knn_classify(
         out_l.append(int(best))
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "label": pa.array(out_l, pa.int64())})
+
+
+def select_features(ds: Dataset, vec_col: str, label_col: str,
+                    top_k: int = 10, positive_label: int = 0) -> pa.Table:
+    """Feature selection over a vector column (FeaturesSelectionStream role,
+    solrj io/stream/FeaturesSelectionStream.java — the reference ranks
+    boolean term features by information gain; continuous embedding
+    dimensions are ranked by the two-sample t-score instead, a documented
+    substitution). One map_batches pass emits per-class (count, sum, sum-of-
+    squares) partials per dimension; the driver merges partials and ranks.
+
+    Returns (dim 1-based, score) sorted score desc, dim asc, top_k rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = vec_matrix(t[vec_col])
+        y = (t[label_col].to_numpy(zero_copy_only=False) == positive_label)
+        rows = []
+        for cls in (0, 1):
+            m = y if cls == 1 else ~y
+            sub = X[m]
+            rows.append((cls, len(sub), sub.sum(axis=0),
+                         (sub * sub).sum(axis=0)))
+        dim = X.shape[1]
+        return pa.table({
+            "cls": pa.array([r[0] for r in rows], pa.int32()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate([np.asarray(r[2], np.float64)
+                                         for r in rows]), pa.float64()), dim),
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate([np.asarray(r[3], np.float64)
+                                         for r in rows]), pa.float64()), dim),
+        })
+
+    parts = ds.select_columns([vec_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+    n = {0: 0, 1: 0}
+    s: dict[int, np.ndarray] = {}
+    q: dict[int, np.ndarray] = {}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=4096):
+        cls = b["cls"].to_numpy(zero_copy_only=False)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        sm = vec_matrix(b["s"])
+        qm = vec_matrix(b["q"])
+        for i, c in enumerate(cls.tolist()):
+            n[c] += int(ns[i])
+            s[c] = s.get(c, 0) + sm[i]
+            q[c] = q.get(c, 0) + qm[i]
+    m1 = s[1] / n[1]
+    m0 = s[0] / n[0]
+    pooled = ((q[1] - s[1] * s[1] / n[1]) + (q[0] - s[0] * s[0] / n[0])) / (
+        n[1] + n[0] - 2
+    ) * (1.0 / n[1] + 1.0 / n[0])
+    score = np.abs(m1 - m0) / np.sqrt(pooled)
+    dims = np.arange(1, len(score) + 1)
+    order = np.lexsort((dims, -score))[:top_k]
+    return pa.table({
+        "dim": pa.array(dims[order], pa.int64()),
+        "score": pa.array(score[order], pa.float64()),
+    })
