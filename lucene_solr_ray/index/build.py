@@ -87,12 +87,14 @@ class IndexBuildConfig:
     # stage-1 row count scales with num_batches * num_shards (one row per
     # (term, doc-shard) per batch): bigger batches and fewer shards shrink
     # the merge shuffle; smaller batches improve stage-A parallelism for
-    # small corpora. Measured at 200k docs / 32 CPUs: 4096 halves the merge
-    # time vs 2048 (4.1M vs 6.2M stage-1 rows) while stage A stays saturated;
-    # 8192 starves the tokenize stage (fewer batches than workers).
+    # small corpora. 0 = AUTO: clamp(corpus_rows / (1.5 * cluster_cpus),
+    # 2048, 16384) — enough batches to keep every worker busy while
+    # minimizing merge-shuffle rows. Measured: 200k docs / 32 CPUs wants
+    # 4096 (merge halves vs 2048), 1M docs wants 8-16k (merge halves
+    # again); the cap also bounds per-task memory for 10^12-doc corpora.
     num_buckets: int = 32          # merge-shuffle groups per shard
     store_positions: bool = True
-    batch_size: int = 4096         # docs per tokenize batch
+    batch_size: int = 0            # docs per tokenize batch (0 = auto)
     stopwords: tuple = ()
     # head-term skew handling: terms whose sampled token share exceeds
     # head_df_ratio get a doc-range subkey sub = doc_id // head_sub_span so
@@ -578,6 +580,20 @@ def load_manifest(index_dir: str) -> dict | None:
     return None
 
 
+def effective_batch_size(cfg: "IndexBuildConfig", paths: list[str]) -> int:
+    """cfg.batch_size, or the auto heuristic (see IndexBuildConfig)."""
+    if cfg.batch_size:
+        return cfg.batch_size
+    import ray as _ray
+
+    try:
+        n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return 4096
+    ncpu = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 8
+    return int(min(16384, max(2048, n_rows // max(1, int(1.5 * ncpu)))))
+
+
 def build_index(
     paths: str | list[str],
     index_dir: str,
@@ -646,6 +662,7 @@ def build_index(
         cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
         cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
+        eff_bs = effective_batch_size(cfg, chunk)
         fn_kwargs = dict(
             key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms
         )
@@ -662,14 +679,14 @@ def build_index(
                 TokenizeExplode,
                 fn_constructor_kwargs=fn_kwargs,
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=eff_bs,
                 concurrency=concurrency,
             )
         else:
             stage1 = ds.map_batches(
                 TokenizeExplode(**fn_kwargs),
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=eff_bs,
             )
         tmp_dir = out_dir + ".tmp"
         if cfg.keep_stage1_in_memory:

@@ -223,7 +223,10 @@ def append_index(
             return t.set_column(t.column_names.index("shard"), "shard",
                                 pa.array(sh.astype(np.int32)))
 
-        stage1 = ds.map_batches(offset_call, batch_format="pyarrow", batch_size=cfg.batch_size)
+        from .build import effective_batch_size
+
+        stage1 = ds.map_batches(offset_call, batch_format="pyarrow",
+                                batch_size=effective_batch_size(cfg, chunk))
         tmp = out_dir + ".tmp"
         stage1.write_parquet(tmp, partition_cols=["kind"])
         os.replace(tmp, out_dir)

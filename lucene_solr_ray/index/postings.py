@@ -216,11 +216,21 @@ def encode_postings_group(
             bmf[t] = [int(max_freq[t])] if dfs[t] else []
             bmn[t] = [int(min_norm[t])] if dfs[t] else []
 
-    pos_col: list = [None] * n_terms
     if positions is not None:
+        # terms' position slices are contiguous in run order, so the whole
+        # column is ONE zero-copy list array over the flat positions buffer
+        # (a per-term .tolist() here was the 1M-doc merge bottleneck:
+        # hundreds of millions of Python ints)
         pcum = np.concatenate([[0], np.cumsum(freqs.astype(np.int64))])
-        for t in order:
-            pos_col[t] = positions[pcum[run_starts[t]]:pcum[run_ends[t]]].tolist()
+        pos_offsets = np.empty(n_terms + 1, dtype=np.int64)
+        pos_offsets[0] = 0
+        if n_terms:
+            pos_offsets[1:] = pcum[run_ends]
+        pos_col = pa.LargeListArray.from_arrays(
+            pos_offsets, pa.array(positions.astype(np.int32), pa.int32())
+        )
+    else:
+        pos_col = pa.array([None] * n_terms, type=pa.large_list(pa.int32()))
 
     return pa.table(
         {
@@ -235,7 +245,7 @@ def encode_postings_group(
             "block_max_freq": pa.array(bmf, type=pa.large_list(pa.int32())),
             "block_min_norm": pa.array(bmn, type=pa.large_list(pa.int32())),
             "impacts_bin": pa.array(imp, type=pa.large_binary()),
-            "positions": pa.array(pos_col, type=pa.large_list(pa.int32())),
+            "positions": pos_col,
         },
         schema=POSTINGS_SCHEMA,
     )
