@@ -137,6 +137,11 @@ class IndexBuildConfig:
     # token count; a deliberate, documented divergence).
     stemmer: str | None = None
     synonyms: tuple = ()
+    # stage-1 is a build-time checkpoint (resume unit); merges operate on the
+    # ENCODED segment tables, so after commit stage-1 is dead weight (~the
+    # tokenized corpus, positions included) and is GC'd. True retains it for
+    # debugging.
+    retain_stage1: bool = False
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True, default=list)
@@ -437,23 +442,19 @@ class TokenizeExplode:
         return pa.concat_tables(parts)
 
 
-def encode_merge_group(group: pa.Table) -> pa.Table:
-    """map_groups fn for stage B: k-way merge + encode one (shard, bucket).
-
-    Input rows are per (term, source-chunk) list payloads; docs of one term
-    across rows are disjoint (a doc lives in exactly one source batch), so a
-    single vectorized sort by (term, doc) yields the merged postings.
-    """
-    if group.num_rows == 0:
-        return POSTINGS_SCHEMA.empty_table()
-    shard = int(group["shard"][0].as_py())
-    row_terms = np.asarray(group["term"].to_pylist(), dtype=object)
-    docs_ch = group["docs"].combine_chunks()
-    row_lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
-    flat_docs = docs_ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat_freqs = group["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.int32)
-    flat_norms = group["norms"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.uint8)
-
+def merge_flat_and_encode(
+    row_terms: np.ndarray,      # object array, one term per input row
+    row_lens: np.ndarray,       # int64 postings per row
+    flat_docs: np.ndarray,      # int64, row-contiguous, sorted within a row
+    flat_freqs: np.ndarray,     # int32, aligned with flat_docs
+    flat_norms: np.ndarray,     # uint8, aligned with flat_docs
+    flat_pos: np.ndarray | None,  # int32 positions, row-contiguous by freqs
+    shard: int,
+) -> pa.Table:
+    """k-way merge + encode flat per-row postings (the shared core of the
+    stage-B merge and the encoded-segments merge). Docs of one term across
+    rows are disjoint (a doc lives in exactly one source row), so a single
+    vectorized sort by (term, doc) yields the merged postings."""
     codes, uniques = pd.factorize(row_terms)
     flat_code = np.repeat(codes, row_lens)
     # sort postings by (lexical term rank, doc) in one pass; terms are emitted
@@ -468,9 +469,7 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
     s_rank = rank[flat_code][order]
 
     pos_arr = None
-    pos_list = group["positions"].combine_chunks()
-    if pos_list.null_count < len(pos_list):
-        flat_pos = pos_list.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    if flat_pos is not None:
         # positions are per-posting variable segments keyed by freqs
         seg_lens = flat_freqs.astype(np.int64)
         seg_starts = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
@@ -481,13 +480,15 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
         ranges = np.repeat(ss2 - cum[:-1], sl2) + np.arange(total)
         pos_arr = flat_pos[ranges]
 
+    if not len(s_rank):
+        return POSTINGS_SCHEMA.empty_table()
     new_run = np.empty(len(s_rank), dtype=bool)
     new_run[0] = True
     new_run[1:] = s_rank[1:] != s_rank[:-1]
     run_starts = np.flatnonzero(new_run)
     terms_sorted = uniques[term_order]
-    # drop term entries with no postings in this group (can't happen today,
-    # but keeps run alignment robust): runs follow rank order by construction
+    # drop term entries with no postings in this group (purged rows): runs
+    # follow rank order by construction
     present = np.unique(s_rank)
     terms_sorted = terms_sorted[present]
 
@@ -499,6 +500,27 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
         s_norms,
         pos_arr,
         shard,
+    )
+
+
+def encode_merge_group(group: pa.Table) -> pa.Table:
+    """map_groups fn for stage B: k-way merge + encode one (shard, bucket)
+    from stage-1 list payloads."""
+    if group.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    shard = int(group["shard"][0].as_py())
+    row_terms = np.asarray(group["term"].to_pylist(), dtype=object)
+    docs_ch = group["docs"].combine_chunks()
+    row_lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
+    flat_docs = docs_ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_freqs = group["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.int32)
+    flat_norms = group["norms"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.uint8)
+    pos_list = group["positions"].combine_chunks()
+    flat_pos = None
+    if pos_list.null_count < len(pos_list):
+        flat_pos = pos_list.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    return merge_flat_and_encode(
+        row_terms, row_lens, flat_docs, flat_freqs, flat_norms, flat_pos, shard
     )
 
 
@@ -611,16 +633,29 @@ def build_index(
 
     fp = cfg.fingerprint()
     manifest = load_manifest(index_dir) if resume else None
-    if manifest and manifest.get("config_fingerprint") != fp:
+    if manifest and manifest.get("config_fingerprint") == fp:
+        if manifest.get("committed") and manifest.get("sources") == paths:
+            return manifest  # identical committed build — reuse
+        if any(manifest.get(k)
+               for k in ("deletes", "shard_ids", "next_shard_offset")):
+            # A same-config rebuild with a changed path list would rewrite
+            # postings mode='overwrite' (dropping appended generations) and
+            # the fresh manifest would lose deletes/shard state —
+            # resurrecting tombstoned docs. Refuse: mutate via
+            # append_index/update_documents, or use a fresh index_dir.
+            raise ValueError(
+                f"{index_dir} has appended generations or pending deletes; "
+                "build_index(resume=True) cannot rebuild it in place"
+            )
+    else:
         manifest = None
-    if manifest and manifest.get("committed") and manifest.get("sources") == paths:
-        return manifest  # identical committed build — reuse
     if manifest is None:
-        # config changed (or resume disabled): stale stage-1/segment output
-        # is unusable — start the directory clean
+        # config changed (or resume disabled): ALL existing state — stage-1
+        # checkpoints, segments, tombstones — belongs to a different index;
+        # start the directory clean
         import shutil as _shutil
 
-        for sub in ("stage1", "postings", "docs"):
+        for sub in ("stage1", "postings", "docs", "deletes"):
             _shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     t0 = time.time()
@@ -641,23 +676,34 @@ def build_index(
     }
     stale = set(lineage) - current_ids
     if stale or os.path.isdir(stage1_dir):
+        import re as _re
         import shutil as _shutil
 
+        # GC only BASE-build part ids (c%05d_%08x). Generation ('g*') and
+        # add_indexes ('ax*') parts belong to the committed index, never to
+        # this build's chunk grouping — deleting them would drop their docs.
+        base_pat = _re.compile(r"^c\d{5}_[0-9a-f]{8}$")
         on_disk = (
             {d[len("part="):] for d in os.listdir(stage1_dir)
              if d.startswith("part=")}
             if os.path.isdir(stage1_dir) else set()
         )
         for cid in (on_disk - current_ids) | stale:
+            if not base_pat.match(cid.removesuffix(".tmp")):
+                continue
             _shutil.rmtree(os.path.join(stage1_dir, f"part={cid}"), ignore_errors=True)
-        lineage = {k: v for k, v in lineage.items() if k in current_ids}
+        lineage = {k: v for k, v in lineage.items()
+                   if k in current_ids or not base_pat.match(k)}
 
     stage1_mats: dict[str, "ray.data.Dataset"] = {}
     for ci, chunk in enumerate(chunks):
         chunk_id = f"c{ci:05d}_{crc32('|'.join(chunk).encode()):08x}"
-        if chunk_id in lineage:
-            continue
         out_dir = os.path.join(stage1_dir, f"part={chunk_id}")
+        # a lineage hit only counts while its stage-1 part is still on disk:
+        # commit GCs stage-1, so extending a COMMITTED build via resume
+        # re-tokenizes the old chunks (append_index is the incremental path)
+        if chunk_id in lineage and os.path.isdir(out_dir):
+            continue
         cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
         cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
         cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
@@ -784,4 +830,11 @@ def build_index(
         "metrics": {"build_sec": time.time() - t0, "docs_per_sec": doc_count / max(1e-9, time.time() - t0)},
     }
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    if not cfg.retain_stage1:
+        # committed: the checkpoint layer is dead weight now — maintenance
+        # ops (force_merge/merge_generations/add_indexes) merge the ENCODED
+        # tables and never re-read stage-1
+        import shutil as _shutil
+
+        _shutil.rmtree(stage1_dir, ignore_errors=True)
     return manifest

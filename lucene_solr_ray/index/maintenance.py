@@ -266,75 +266,61 @@ def append_index(
     manifest["generation"] = int(time.time() * 1000)
     manifest["sources"] = manifest["sources"] + new_paths
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    if not cfg.retain_stage1:
+        import shutil as _shutil
+
+        for d in new_chunk_dirs:
+            _shutil.rmtree(d, ignore_errors=True)
     return manifest
 
 
 def add_indexes(dst_index_dir: str, src_index_dir: str) -> dict:
     """IndexWriter.addIndexes (index/IndexWriter.java:2750): import another
-    committed index's segments into this one as new generations.
+    committed index's ENCODED segments as new generations.
 
-    The source's stage-1 segments are re-sharded (shard id += destination
-    shard count — the docID-rebase analog) and merged as fresh shards; the
-    source index is untouched. Doc keys must be disjoint (same append-only
-    contract as append_index)."""
+    Doc ids are global keys and the postings encoding is shard-independent,
+    so the import is a pure shard-relabel (shard id += destination offset —
+    the docID-rebase analog): no decode, no re-encode, no shuffle. The
+    reference likewise copies codec-level structures when formats match
+    (SegmentMerger's bulk-merge path). Doc keys must be disjoint (same
+    append-only contract as append_index); the source must have no pending
+    deletes (its tombstone scoping is meaningless in the destination —
+    force_merge it first)."""
     import pyarrow as pa
 
     dst = load_manifest(dst_index_dir)
     src = load_manifest(src_index_dir)
     if not (dst and dst.get("committed") and src and src.get("committed")):
         raise ValueError("add_indexes requires two committed indexes")
+    if src.get("deletes"):
+        raise ValueError(
+            "source index has pending deletes; force_merge it before import")
+    dcfg = IndexBuildConfig(**dst["config"])
+    scfg = IndexBuildConfig(**src["config"])
+    if tuple(dcfg.docvalues_fields or ()) != tuple(scfg.docvalues_fields or ()):
+        raise ValueError("add_indexes requires matching docvalues_fields")
     offset = dst.get("next_shard_offset", dst["num_shards"])
-    src_stage1 = os.path.join(src_index_dir, "stage1")
-    part_dirs = sorted(
-        os.path.join(src_stage1, d) for d in os.listdir(src_stage1)
-        if d.startswith("part=") and not d.endswith(".tmp")
-    )
+    src_ids = src.get("shard_ids") or list(range(src["num_shards"]))
 
-    def reshard(t: pa.Table) -> pa.Table:
-        sh = t["shard"].to_numpy(zero_copy_only=False) + offset
-        return t.set_column(t.column_names.index("shard"), "shard",
-                            pa.array(sh.astype(np.int32)))
-
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 4))
-    postings_in = [os.path.join(d, "kind=0") for d in part_dirs
-                   if os.path.exists(os.path.join(d, "kind=0"))]
-    docs_in = [os.path.join(d, "kind=1") for d in part_dirs
-               if os.path.exists(os.path.join(d, "kind=1"))]
-    merged = ray.data.read_parquet(expand_parquet_dirs(postings_in)).map_batches(
-        reshard, batch_format="pyarrow"
-    ).groupby(["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)).map_groups(
-        encode_merge_group, batch_format="pyarrow"
-    )
-    merged.write_parquet(os.path.join(dst_index_dir, "postings"), partition_cols=["shard"])
-    dvf_dst = tuple(IndexBuildConfig(**dst["config"]).docvalues_fields or ())
-    dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
-        reshard, batch_format="pyarrow"
-    ).map_batches(lambda t: docs_explode(t, dvf_dst), batch_format="pyarrow")
-    dds.write_parquet(os.path.join(dst_index_dir, "docs"), partition_cols=["shard"])
-
-    # also import the source stage-1 parts (resharded) so force_merge and
-    # future lineage operations see the full corpus
-    dst_stage1 = os.path.join(dst_index_dir, "stage1")
-    for d in part_dirs:
-        pid = os.path.basename(d)[len("part="):]
-        out_dir = os.path.join(dst_stage1, f"part=ax{offset}_{pid}")
-        if os.path.exists(out_dir):
-            continue
-        tmp = out_dir + ".tmp"
-        for kind in (0, 1):
-            sub = os.path.join(d, f"kind={kind}")
-            if not os.path.exists(sub):
+    for table in ("postings", "docs"):
+        for s in src_ids:
+            d = os.path.join(src_index_dir, table, f"shard={s}")
+            files = expand_parquet_dirs([d]) if os.path.isdir(d) else []
+            if not files:
                 continue
-            ds_k = ray.data.read_parquet(expand_parquet_dirs([sub])).map_batches(
-                reshard, batch_format="pyarrow"
-            )
-            ds_k.write_parquet(os.path.join(tmp, f"kind={kind}"))
-        os.replace(tmp, out_dir)
-        dst["lineage"][f"ax{offset}_{pid}"] = {
-            "imported_from": src_index_dir, "ts": time.time(),
-        }
+
+            def relabel(t: pa.Table, _s=s) -> pa.Table:
+                # hive partitioning dropped the shard column on read; append
+                # the destination id (partition_cols restores it on write)
+                if "shard" in t.column_names:
+                    t = t.drop_columns(["shard"])
+                return t.append_column(
+                    "shard", pa.array(np.full(len(t), offset + _s, np.int32)))
+
+            ray.data.read_parquet(files).map_batches(
+                relabel, batch_format="pyarrow"
+            ).write_parquet(os.path.join(dst_index_dir, table),
+                            partition_cols=["shard"])
 
     prev_ids = dst.get("shard_ids") or list(range(dst["num_shards"]))
     src_ids = src.get("shard_ids") or list(range(src["num_shards"]))
@@ -372,91 +358,234 @@ def _dead_mask(flat_docs: np.ndarray, shard_rep: np.ndarray, gens) -> np.ndarray
     return dead
 
 
-def _purge_stage1_postings(t, gens):
-    """Drop tombstoned docs from stage-1 postings rows (list payloads)."""
-    import pyarrow as pa
+# ---------------------------------------------------------------------------
+# Encoded-segments merge. The reference merges codec-level structures, not
+# raw tokens (index/SegmentMerger.java:97-162): here the committed postings
+# and docs tables merge directly — decode, purge tombstones, k-way sort,
+# re-encode — so stage-1 is a BUILD-TIME checkpoint only and is
+# garbage-collected after commit (no 2x permanent storage, no full-corpus
+# re-tokenize shuffle per forceMerge).
+# ---------------------------------------------------------------------------
 
-    docs_ch = t["docs"].combine_chunks()
-    offs = docs_ch.offsets.to_numpy()
-    row_lens = np.diff(offs).astype(np.int64)
-    flat_docs = docs_ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    shard_rep = np.repeat(t["shard"].to_numpy(zero_copy_only=False), row_lens)
-    dead = _dead_mask(flat_docs, shard_rep, gens)
-    if not dead.any():
-        return t
-    keep = ~dead
-    flat_freqs = t["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat_norms = t["norms"].combine_chunks().values.to_numpy(zero_copy_only=False)
-    new_lens = np.add.reduceat(keep.astype(np.int64), offs[:-1]) if len(row_lens) else row_lens
-    new_lens[row_lens == 0] = 0
-    pos_list = t["positions"].combine_chunks()
-    has_pos = pos_list.null_count < len(pos_list)
-    cols = {}
-    row_keep = new_lens > 0
-    new_offs = np.concatenate([[0], np.cumsum(new_lens[row_keep])]).astype(np.int64)
-    for name in ("shard", "bucket", "sub", "term"):
-        cols[name] = t[name].combine_chunks().filter(pa.array(row_keep))
-    cols["docs"] = pa.LargeListArray.from_arrays(
-        new_offs, pa.array(flat_docs[keep], pa.int64()))
-    cols["freqs"] = pa.LargeListArray.from_arrays(
-        new_offs, pa.array(flat_freqs[keep].astype(np.int32), pa.int32()))
-    cols["norms"] = pa.LargeListArray.from_arrays(
-        new_offs, pa.array(flat_norms[keep].astype(np.int32), pa.int32()))
-    if has_pos:
-        flat_pos = pos_list.values.to_numpy(zero_copy_only=False)
-        pos_keep = np.repeat(keep, flat_freqs)
-        pos_lens = np.add.reduceat((flat_freqs * keep).astype(np.int64), offs[:-1]) \
-            if len(row_lens) else row_lens
-        pos_offs = np.concatenate([[0], np.cumsum(pos_lens[row_keep])]).astype(np.int64)
-        cols["positions"] = pa.LargeListArray.from_arrays(
-            pos_offs, pa.array(flat_pos[pos_keep], pa.int32()))
+_NORM_CACHE: dict = {}
+
+
+def _shard_norms(index_dir: str, shard: int):
+    """(sorted doc_ids, norm bytes) of one source shard, cached per worker
+    process. Keyed by the shard files' signature: shard ids are never reused
+    by maintenance ops, but a rebuilt test index may reuse them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_dir, "docs", f"shard={shard}")
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    sig = tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
+    key = (index_dir, shard)
+    hit = _NORM_CACHE.get(key)
+    if hit and hit[0] == sig:
+        return hit[1], hit[2]
+    if not files:
+        ids = np.zeros(0, np.int64)
+        nm = np.zeros(0, np.uint8)
     else:
-        cols["positions"] = pa.array([None] * int(row_keep.sum()),
-                                     pa.large_list(pa.int32()))
-    cols["dv"] = pa.array([None] * int(row_keep.sum()), pa.large_list(pa.float64()))
-    return pa.table(cols)
+        t = pq.read_table(files, columns=["doc_id", "norm"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nm = t["norm"].to_numpy(zero_copy_only=False).astype(np.uint8)
+        o = np.argsort(ids, kind="stable")
+        ids, nm = ids[o], nm[o]
+    if len(_NORM_CACHE) > 64:
+        _NORM_CACHE.clear()
+    _NORM_CACHE[key] = (sig, ids, nm)
+    return ids, nm
 
 
-def _purge_stage1_docs(t, gens, n_dv: int):
-    """Drop tombstoned docs from stage-1 doc rows (doclen/norm/dv lists)."""
+def _decode_encoded_rows(t):
+    """Decode encoded postings rows -> row-contiguous flat arrays.
+
+    Returns (row_terms object[], dfs int64[], flat_docs int64[], flat_freqs
+    int32[], flat_pos int32[]|None). Short rows (df < 128) decode in ONE
+    vectorized varint pass; long rows loop (few, inner work vectorized) —
+    symmetric with encode_postings_group."""
+    from ..util.packing import decode_blocks, varint_decode_all
+
+    dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(dfs.sum())
+    flat_docs = np.empty(n, np.int64)
+    flat_freqs = np.empty(n, np.int32)
+    seg = np.concatenate([[0], np.cumsum(dfs)]).astype(np.int64)
+    sb = t["short_bin"].to_pylist()
+    is_short = np.asarray([b is not None for b in sb], dtype=bool)
+    short_rows = np.flatnonzero(is_short)
+    if len(short_rows):
+        joined = b"".join(sb[int(i)] for i in short_rows)
+        lens_s = dfs[short_rows]
+        total_s = int(lens_s.sum())
+        vals = varint_decode_all(np.frombuffer(joined, np.uint8), 2 * total_s)
+        gaps = vals[0::2].astype(np.int64)
+        fr = vals[1::2].astype(np.int32)
+        ends_s = np.cumsum(lens_s)
+        starts_s = ends_s - lens_s
+        c = np.cumsum(gaps)
+        base = (c - gaps)[starts_s]           # running sum before each run
+        docs_s = c - np.repeat(base, lens_s)
+        idx = np.repeat(seg[short_rows] - starts_s, lens_s) + np.arange(total_s)
+        flat_docs[idx] = docs_s
+        flat_freqs[idx] = fr
+    long_rows = np.flatnonzero(~is_short)
+    if len(long_rows):
+        db = t["docs_bin"].to_pylist()
+        fb = t["freqs_bin"].to_pylist()
+        for r in long_rows:
+            r = int(r)
+            g = decode_blocks(db[r], int(dfs[r])).astype(np.int64)
+            flat_docs[seg[r]:seg[r + 1]] = np.cumsum(g)
+            flat_freqs[seg[r]:seg[r + 1]] = decode_blocks(fb[r], int(dfs[r])).astype(np.int32)
+    row_terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    flat_pos = None
+    if "positions" in t.column_names:
+        pl = t["positions"].combine_chunks()
+        if len(pl) and pl.null_count == 0:
+            flat_pos = pl.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    return row_terms, dfs, flat_docs, flat_freqs, flat_pos
+
+
+def _merge_encoded_group(group, index_dir: str, gens):
+    """map_groups fn: merge one (gshard, bucket) group of encoded rows from
+    several source shards into freshly-encoded rows for the target shard.
+    Tombstoned docs (source-shard scoped) are physically dropped; per-posting
+    norms re-read from the SOURCE docs tables (pruned per-shard column read,
+    cached per worker)."""
+    from .build import merge_flat_and_encode
+    from .postings import POSTINGS_SCHEMA
+
+    if group.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    gshard = int(group["gshard"][0].as_py())
+    row_terms, dfs, flat_docs, flat_freqs, flat_pos = _decode_encoded_rows(group)
+    src = group["src_shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+    shard_rep = np.repeat(src, dfs)
+    if gens and len(flat_docs):
+        dead = _dead_mask(flat_docs, shard_rep, gens)
+        if dead.any():
+            keep = ~dead
+            if flat_pos is not None:
+                flat_pos = flat_pos[np.repeat(keep, flat_freqs)]
+            seg_starts = (np.cumsum(dfs) - dfs).astype(np.int64)
+            dfs = np.add.reduceat(keep.astype(np.int64), seg_starts)
+            flat_docs = flat_docs[keep]
+            flat_freqs = flat_freqs[keep]
+            shard_rep = shard_rep[keep]
+    if not len(flat_docs):
+        return POSTINGS_SCHEMA.empty_table()
+    flat_norms = np.empty(len(flat_docs), np.uint8)
+    for s in np.unique(src):
+        ids, nm = _shard_norms(index_dir, int(s))
+        m = shard_rep == s
+        if m.any():
+            flat_norms[m] = nm[np.searchsorted(ids, flat_docs[m])]
+    return merge_flat_and_encode(
+        row_terms, dfs, flat_docs, flat_freqs, flat_norms, flat_pos, gshard
+    )
+
+
+def _stats_for_shards(index_dir: str, shard_ids) -> tuple[int, int]:
+    """(doc_count, sum_doclen) over the given docs shard dirs (pruned read)."""
+    dirs = [os.path.join(index_dir, "docs", f"shard={s}") for s in shard_ids]
+    files = expand_parquet_dirs([d for d in dirs if os.path.isdir(d)])
+    if not files:
+        return 0, 0
+    from ray.data.aggregate import Count, Sum
+
+    row = ray.data.read_parquet(files, columns=["doclen"]).aggregate(
+        Count(), Sum("doclen", alias_name="sum_dl"))
+    return int(row["count()"]), int(row["sum_dl"] or 0)
+
+
+def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
+                   new_off: int) -> None:
+    """Merge the given shards' encoded postings + docs into K new shards
+    [new_off, new_off + K). Writes ONLY new shard partitions; the caller
+    commits the manifest and then GCs the source dirs, so a crash at any
+    point leaves a readable index (old manifest -> old shards, all present).
+
+    Partitioning: groupby (gshard, bucket=crc32(term) %% num_buckets) — a
+    term's full merged postings re-encode in one task (the reference's
+    merge is likewise serial per term). Skew lever at scale: num_buckets.
+    Tombstone id arrays ride in the map_groups closure (one serialization
+    per task; at web scale pass them via ray.put instead)."""
     import pyarrow as pa
+    import ray as _ray
 
-    docs_ch = t["docs"].combine_chunks()
-    offs = docs_ch.offsets.to_numpy()
-    row_lens = np.diff(offs).astype(np.int64)
-    flat_docs = docs_ch.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    shard_rep = np.repeat(t["shard"].to_numpy(zero_copy_only=False), row_lens)
-    dead = _dead_mask(flat_docs, shard_rep, gens)
-    if not dead.any():
-        return t
-    keep = ~dead
-    flat_dl = t["freqs"].combine_chunks().values.to_numpy(zero_copy_only=False)
-    flat_nm = t["norms"].combine_chunks().values.to_numpy(zero_copy_only=False)
-    new_lens = np.add.reduceat(keep.astype(np.int64), offs[:-1]) if len(row_lens) else row_lens
-    new_lens[row_lens == 0] = 0
-    row_keep = new_lens > 0
-    new_offs = np.concatenate([[0], np.cumsum(new_lens[row_keep])]).astype(np.int64)
-    cols = {}
-    for name in ("shard", "bucket", "sub", "term"):
-        cols[name] = t[name].combine_chunks().filter(pa.array(row_keep))
-    cols["docs"] = pa.LargeListArray.from_arrays(
-        new_offs, pa.array(flat_docs[keep], pa.int64()))
-    cols["freqs"] = pa.LargeListArray.from_arrays(
-        new_offs, pa.array(flat_dl[keep].astype(np.int32), pa.int32()))
-    cols["norms"] = pa.LargeListArray.from_arrays(
-        new_offs, pa.array(flat_nm[keep].astype(np.int32), pa.int32()))
-    cols["positions"] = pa.array([None] * int(row_keep.sum()),
-                                 pa.large_list(pa.int32()))
-    dv_list = t["dv"].combine_chunks()
-    if n_dv and dv_list.null_count < len(dv_list):
-        flat_dv = dv_list.values.to_numpy(zero_copy_only=False)
-        dv_keep = np.repeat(keep, n_dv)
-        dv_offs = (new_offs * n_dv).astype(np.int64)
-        cols["dv"] = pa.LargeListArray.from_arrays(
-            dv_offs, pa.array(flat_dv[dv_keep], pa.float64()))
-    else:
-        cols["dv"] = pa.array([None] * int(row_keep.sum()), pa.large_list(pa.float64()))
-    return pa.table(cols)
+    from .build import term_bucket
+
+    cfg = IndexBuildConfig(**manifest["config"])
+    K = cfg.num_shards
+    nb = max(4, cfg.num_buckets)
+    gens = _tombstone_gens(index_dir, manifest)
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+
+    post_cols = ["term", "df", "short_bin", "docs_bin", "freqs_bin"]
+    if cfg.store_positions:
+        post_cols.append("positions")
+
+    parts = []
+    for s in merged_ids:
+        d = os.path.join(index_dir, "postings", f"shard={s}")
+        files = expand_parquet_dirs([d]) if os.path.isdir(d) else []
+        if not files:
+            continue  # empty shard slot (hash buckets < num_shards)
+
+        def label(t: "pa.Table", _s=s) -> "pa.Table":
+            n = len(t)
+            terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            return (
+                t.append_column("src_shard", pa.array(np.full(n, _s, np.int32)))
+                 .append_column("gshard", pa.array(
+                     np.full(n, new_off + _s % K, np.int32)))
+                 .append_column("bucket", pa.array(term_bucket(terms, nb)))
+            )
+
+        parts.append(ray.data.read_parquet(files, columns=post_cols)
+                     .map_batches(label, batch_format="pyarrow"))
+    if parts:
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        merged = ds.groupby(["gshard", "bucket"], num_partitions=max(16, 2 * ncpu)
+                            ).map_groups(
+            lambda g: _merge_encoded_group(g, index_dir, gens),
+            batch_format="pyarrow",
+        )
+        merged.write_parquet(os.path.join(index_dir, "postings"),
+                             partition_cols=["shard"])
+
+    # docs tables: relabel + purge, NO re-encode (plain per-doc rows)
+    dparts = []
+    for s in merged_ids:
+        d = os.path.join(index_dir, "docs", f"shard={s}")
+        files = expand_parquet_dirs([d]) if os.path.isdir(d) else []
+        if not files:
+            continue
+
+        def relabel(t: "pa.Table", _s=s) -> "pa.Table":
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if gens:
+                dead = _dead_mask(ids, np.full(len(ids), _s, np.int64), gens)
+                if dead.any():
+                    t = t.filter(pa.array(~dead))
+            if "shard" in t.column_names:  # hive partition col re-inferred
+                t = t.drop_columns(["shard"])
+            return t.append_column(
+                "shard", pa.array(np.full(len(t), new_off + _s % K, np.int32)))
+
+        dparts.append(ray.data.read_parquet(files)
+                      .map_batches(relabel, batch_format="pyarrow"))
+    if dparts:
+        dds = dparts[0]
+        for p in dparts[1:]:
+            dds = dds.union(p)
+        dds.write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
 
 
 def _gen_offsets(manifest: dict, K: int) -> list[int]:
@@ -481,10 +610,13 @@ def merge_generations(index_dir: str, offsets: list[int]) -> dict:
     generation, leaving every other generation untouched (the incremental
     TieredMergePolicy step, index/TieredMergePolicy.java:88-101 — force_merge
     is the full forceMerge(1) collapse). Tombstoned docs of the merged
-    generations are physically dropped on the way."""
-    import shutil
+    generations are physically dropped on the way.
 
-    import pyarrow as pa
+    Operates on the ENCODED segment tables (never stage-1). Commit order is
+    crash-safe: new shard partitions are written first, the manifest flips
+    to them, and only then are the source dirs GC'd — a crash at any point
+    leaves a manifest whose shards all exist."""
+    import shutil
 
     manifest = load_manifest(index_dir)
     if not manifest or not manifest.get("committed"):
@@ -497,125 +629,27 @@ def merge_generations(index_dir: str, offsets: list[int]) -> dict:
     if missing:
         raise ValueError(f"generations reference absent shards {sorted(missing)}")
     new_off = manifest.get("next_shard_offset", manifest["num_shards"])
-    gens = _tombstone_gens(index_dir, manifest)
-    dvf = tuple(cfg.docvalues_fields or ())
-    merged_arr = np.asarray(merged_ids, dtype=np.int64)
 
-    def sel_mask(t: pa.Table) -> np.ndarray:
-        sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.minimum(np.searchsorted(merged_arr, sh), len(merged_arr) - 1)
-        return merged_arr[idx] == sh
+    _merge_encoded(index_dir, manifest, merged_ids, new_off)
 
-    def reshard_new(t: pa.Table) -> pa.Table:
-        sh = t["shard"].to_numpy(zero_copy_only=False)
-        return t.set_column(
-            t.column_names.index("shard"), "shard",
-            pa.array((new_off + (sh % K)).astype(np.int32)),
-        )
-
-    stage1_dir = os.path.join(index_dir, "stage1")
-    part_dirs = sorted(
-        os.path.join(stage1_dir, d) for d in os.listdir(stage1_dir)
-        if d.startswith("part=") and not d.endswith(".tmp")
+    new_ids = sorted(
+        [i for i in shard_ids if i not in set(merged_ids)]
+        + list(range(new_off, new_off + K))
     )
+    doc_count, sum_dl = _stats_for_shards(index_dir, new_ids)
+    manifest["shard_ids"] = new_ids
+    manifest["next_shard_offset"] = new_off + K
+    manifest["num_shards"] = len(new_ids)
+    manifest["stats"] = {"doc_count": doc_count, "sum_total_term_freq": sum_dl}
+    manifest["generation"] = int(time.time() * 1000)
+    _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
 
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 4))
-
-    def _selected(kind: int):
-        subs = [os.path.join(d, f"kind={kind}") for d in part_dirs
-                if os.path.exists(os.path.join(d, f"kind={kind}"))]
-        ds = ray.data.read_parquet(expand_parquet_dirs(subs))
-        ds = ds.map_batches(
-            lambda t: t.filter(pa.array(sel_mask(t))), batch_format="pyarrow")
-        if gens:
-            purge = (
-                (lambda t: _purge_stage1_postings(t, gens)) if kind == 0
-                else (lambda t: _purge_stage1_docs(t, gens, len(dvf)))
-            )
-            ds = ds.map_batches(purge, batch_format="pyarrow")
-        return ds.map_batches(reshard_new, batch_format="pyarrow")
-
-    merged = _selected(0).groupby(
-        ["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)
-    ).map_groups(encode_merge_group, batch_format="pyarrow")
-    merged.write_parquet(os.path.join(index_dir, "postings"),
-                         partition_cols=["shard"])
-    _selected(1).map_batches(
-        lambda t: docs_explode(t, dvf), batch_format="pyarrow"
-    ).write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
-
-    # rewrite stage-1 parts: merged-generation rows move to the new shard
-    # range (purged); everything else is byte-identical
-    for d in part_dirs:
-        touched = False
-        tmp = d + ".rewrite"
-        shutil.rmtree(tmp, ignore_errors=True)
-        for kind in (0, 1):
-            sub = os.path.join(d, f"kind={kind}")
-            if not os.path.exists(sub):
-                continue
-            k_ds = ray.data.read_parquet(expand_parquet_dirs([sub]))
-
-            def transform(t: pa.Table, _kind=kind) -> pa.Table:
-                m = sel_mask(t)
-                if not m.any():
-                    return t
-                keep = t.filter(pa.array(~m))
-                moved = t.filter(pa.array(m))
-                if gens:
-                    moved = (_purge_stage1_postings(moved, gens) if _kind == 0
-                             else _purge_stage1_docs(moved, gens, len(dvf)))
-                moved = reshard_new(moved)
-                return pa.concat_tables([keep, moved], promote_options="default")
-
-            # probe: does this part contain merged rows at all?
-            any_sel = False
-            for b in k_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-                if sel_mask(b).any():
-                    any_sel = True
-                    break
-            if not any_sel:
-                continue
-            touched = True
-            ray.data.read_parquet(expand_parquet_dirs([sub])).map_batches(
-                transform, batch_format="pyarrow"
-            ).write_parquet(os.path.join(tmp, f"kind={kind}"))
-        if touched:
-            # kinds not rewritten (no merged rows) are copied over
-            for kind in (0, 1):
-                src = os.path.join(d, f"kind={kind}")
-                dst = os.path.join(tmp, f"kind={kind}")
-                if os.path.exists(src) and not os.path.exists(dst):
-                    shutil.copytree(src, dst)
-            shutil.rmtree(d)
-            os.replace(tmp, d)
-        else:
-            shutil.rmtree(tmp, ignore_errors=True)
-
+    # GC LAST: the committed manifest no longer references these dirs
     for s in merged_ids:
         shutil.rmtree(os.path.join(index_dir, "postings", f"shard={s}"),
                       ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "docs", f"shard={s}"),
                       ignore_errors=True)
-
-    from ray.data.aggregate import Count, Sum
-
-    stats_row = (
-        ray.data.read_parquet(os.path.join(index_dir, "docs"), columns=["doclen"])
-        .aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
-    )
-    manifest["shard_ids"] = sorted(
-        [i for i in shard_ids if i not in set(merged_ids)]
-        + list(range(new_off, new_off + K))
-    )
-    manifest["next_shard_offset"] = new_off + K
-    manifest["num_shards"] = len(manifest["shard_ids"])
-    manifest["stats"] = {"doc_count": int(stats_row["count()"]),
-                         "sum_total_term_freq": int(stats_row["sum_dl"])}
-    manifest["generation"] = int(time.time() * 1000)
-    _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest
 
 
@@ -640,10 +674,16 @@ def maybe_tiered_merge(index_dir: str, max_generations: int = 4) -> dict | None:
 
 
 def force_merge(index_dir: str) -> dict:
-    """Re-merge all generations into the base shard layout (forceMerge(1)),
-    physically dropping tombstoned documents and clearing the tombstones
-    (the reference's forceMerge purging deleted docs)."""
-    import pyarrow as pa
+    """Collapse ALL generations into one (forceMerge(1)), physically dropping
+    tombstoned documents and clearing the tombstones (the reference's
+    forceMerge purging deleted docs).
+
+    Merges the ENCODED segment tables directly — stage-1 is never re-read
+    (and is GC'd here if a pre-round-3 build left it behind). The merged
+    generation gets FRESH shard ids [next_shard_offset, +K): readers are
+    manifest-driven, and never reusing ids means every crash point leaves a
+    readable index (old manifest -> old dirs, still present until the final
+    GC)."""
     import shutil
 
     manifest = load_manifest(index_dir)
@@ -651,105 +691,34 @@ def force_merge(index_dir: str) -> dict:
         raise ValueError("force_merge requires a committed index")
     cfg = IndexBuildConfig(**manifest["config"])
     K = cfg.num_shards
-    stage1_dir = os.path.join(index_dir, "stage1")
-    part_dirs = sorted(
-        os.path.join(stage1_dir, d) for d in os.listdir(stage1_dir)
-        if d.startswith("part=") and not d.endswith(".tmp")
-    )
-    postings_in = [os.path.join(d, "kind=0") for d in part_dirs
-                   if os.path.exists(os.path.join(d, "kind=0"))]
-    docs_in = [os.path.join(d, "kind=1") for d in part_dirs
-               if os.path.exists(os.path.join(d, "kind=1"))]
+    shard_ids = manifest.get("shard_ids") or list(range(manifest["num_shards"]))
+    if not manifest.get("deletes") and len(shard_ids) == K:
+        return manifest  # single generation, nothing to purge — no-op
 
-    def reshard(t: pa.Table) -> pa.Table:
-        sh = t["shard"].to_numpy(zero_copy_only=False) % K
-        return t.set_column(t.column_names.index("shard"), "shard",
-                            pa.array(sh.astype(np.int32)))
+    new_off = manifest.get("next_shard_offset", manifest["num_shards"])
+    _merge_encoded(index_dir, manifest, shard_ids, new_off)
 
-    # tombstone purge: filter the list payloads BEFORE resharding (the
-    # max_shard scoping refers to pre-merge shard ids). `gens` rides in the
-    # task closure — serialized once into the task spec, not per batch.
-    gens = _tombstone_gens(index_dir, manifest)
-    dvf_fm = tuple(cfg.docvalues_fields or ())
-
-    import ray as _ray
-
-    ncpu = int(_ray.cluster_resources().get("CPU", 4))
-    tmp_post = os.path.join(index_dir, "postings.merged")
-    shutil.rmtree(tmp_post, ignore_errors=True)
-    post_ds = ray.data.read_parquet(expand_parquet_dirs(postings_in))
-    if gens:
-        post_ds = post_ds.map_batches(
-            lambda t: _purge_stage1_postings(t, gens), batch_format="pyarrow")
-    merged = post_ds.map_batches(
-        reshard, batch_format="pyarrow"
-    ).groupby(["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)).map_groups(
-        encode_merge_group, batch_format="pyarrow"
-    )
-    merged.write_parquet(tmp_post, partition_cols=["shard"])
-    tmp_docs = os.path.join(index_dir, "docs.merged")
-    shutil.rmtree(tmp_docs, ignore_errors=True)
-    doc_ds = ray.data.read_parquet(expand_parquet_dirs(docs_in))
-    if gens:
-        doc_ds = doc_ds.map_batches(
-            lambda t: _purge_stage1_docs(t, gens, len(dvf_fm)),
-            batch_format="pyarrow")
-    dds = doc_ds.map_batches(
-        reshard, batch_format="pyarrow"
-    ).map_batches(lambda t: docs_explode(t, dvf_fm), batch_format="pyarrow")
-    dds.write_parquet(tmp_docs, partition_cols=["shard"])
-
-    # Normalize stage-1 to the merged layout whenever tombstones were purged
-    # or generations collapsed: purge dead docs from the checkpointed parts
-    # and renumber their shards % K, so no later append/force_merge can
-    # resurrect a deleted doc or mis-scope a future tombstone against stale
-    # generation shard ids.
-    needs_stage1_rewrite = bool(gens) or manifest.get("next_shard_offset", manifest["num_shards"]) != K
-    if needs_stage1_rewrite:
-        for d in part_dirs:
-            tmp = d + ".rewrite"
-            shutil.rmtree(tmp, ignore_errors=True)
-            for kind in (0, 1):
-                sub = os.path.join(d, f"kind={kind}")
-                if not os.path.exists(sub):
-                    continue
-                k_ds = ray.data.read_parquet(expand_parquet_dirs([sub]))
-                if gens:
-                    purge = (
-                        (lambda t: _purge_stage1_postings(t, gens)) if kind == 0
-                        else (lambda t: _purge_stage1_docs(t, gens, len(dvf_fm)))
-                    )
-                    k_ds = k_ds.map_batches(purge, batch_format="pyarrow")
-                k_ds = k_ds.map_batches(reshard, batch_format="pyarrow")
-                k_ds.write_parquet(os.path.join(tmp, f"kind={kind}"))
-            shutil.rmtree(d)
-            os.replace(tmp, d)
-
-    # two-phase commit: swap dirs, then write the manifest last
-    shutil.rmtree(os.path.join(index_dir, "postings"))
-    os.replace(tmp_post, os.path.join(index_dir, "postings"))
-    shutil.rmtree(os.path.join(index_dir, "docs"))
-    os.replace(tmp_docs, os.path.join(index_dir, "docs"))
-    if gens:
-        from ray.data.aggregate import Count, Sum
-
-        stats_row = (
-            ray.data.read_parquet(os.path.join(index_dir, "docs"), columns=["doclen"])
-            .aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
-        )
-        manifest["stats"] = {
-            "doc_count": int(stats_row["count()"]),
-            "sum_total_term_freq": int(stats_row["sum_dl"]),
-        }
-        for d in manifest.get("deletes") or []:
-            try:
-                os.remove(os.path.join(index_dir, d["file"]))
-            except OSError:
-                pass
-        manifest["deletes"] = []
+    new_ids = list(range(new_off, new_off + K))
+    doc_count, sum_dl = _stats_for_shards(index_dir, new_ids)
+    delete_files = [d["file"] for d in manifest.get("deletes") or []]
+    manifest["stats"] = {"doc_count": doc_count, "sum_total_term_freq": sum_dl}
+    manifest["deletes"] = []
     manifest["num_shards"] = K
-    manifest["shard_ids"] = list(range(K))
-    manifest["next_shard_offset"] = K
+    manifest["shard_ids"] = new_ids
+    manifest["next_shard_offset"] = new_off + K
     manifest["generation"] = int(time.time() * 1000)
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+
+    # GC LAST (crash-safe: committed manifest references only new dirs)
+    for s in shard_ids:
+        shutil.rmtree(os.path.join(index_dir, "postings", f"shard={s}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "docs", f"shard={s}"),
+                      ignore_errors=True)
+    for f in delete_files:
+        try:
+            os.remove(os.path.join(index_dir, f))
+        except OSError:
+            pass
+    shutil.rmtree(os.path.join(index_dir, "stage1"), ignore_errors=True)
     return manifest

@@ -82,11 +82,14 @@ class ShardReader:
         # precompute the live view of the docs table (the raw table stays:
         # norms/stats keep including deleted docs until forceMerge, matching
         # the reference's Terms.getDocCount()/docFreq() semantics)
-        if len(self.dead):
+        if len(self.dead) and len(self.doc_ids):
             idx = np.searchsorted(self.doc_ids, self.dead)
-            idx_c = np.minimum(idx, max(0, len(self.doc_ids) - 1))
-            present = len(self.doc_ids) > 0
-            self.dead = self.dead[present & (self.doc_ids[idx_c] == self.dead)]
+            idx_c = np.minimum(idx, len(self.doc_ids) - 1)
+            self.dead = self.dead[self.doc_ids[idx_c] == self.dead]
+        elif len(self.dead):
+            # empty shard (num_shards > occupied hash buckets): no doc can be
+            # tombstoned here, and indexing an empty doc_ids array would raise
+            self.dead = self.dead[:0]
         if len(self.dead):
             live = np.ones(len(self.doc_ids), dtype=bool)
             live[np.searchsorted(self.doc_ids, self.dead)] = False

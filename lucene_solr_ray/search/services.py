@@ -234,21 +234,30 @@ def facet_keyword_field(index_dir: str, field: str, query=None,
     matching doc-id set is broadcast and each value's postings are decoded
     and intersected (same partial+final shape as significant_terms).
 
-    Returns (value, cnt) sorted by cnt desc, value asc."""
+    Returns (value, cnt) sorted by cnt desc, value asc. Tombstoned docs are
+    excluded (the reference's SortedSetDocValuesFacetCounts respects
+    liveDocs): with no pending deletes the fast df-sum path runs; with
+    deletes, each value's postings are decoded and masked against the
+    (shard-scoped) tombstones so the unconstrained and query-constrained
+    paths stay consistent."""
     import os
 
     import ray
     import ray.data
     from ray.data.aggregate import Sum
 
+    from ..index.build import load_manifest
+    from ..index.maintenance import _dead_mask, _tombstone_gens
     from ..index.postings import decode_doc_ids
 
     prefix = field + ":"
     postings_dir = os.path.join(index_dir, "postings")
-    if query is None:
+    manifest = load_manifest(index_dir) or {}
+    gens = _tombstone_gens(index_dir, manifest) if manifest.get("deletes") else []
+    if query is None and not gens:
         cols = ["term", "df"]
     else:
-        cols = ["term", "df", "short_bin", "docs_bin"]
+        cols = ["term", "df", "short_bin", "docs_bin", "shard"]
     ds = ray.data.read_parquet(postings_dir, columns=cols)
 
     fg_ref = None
@@ -264,18 +273,27 @@ def facet_keyword_field(index_dir: str, field: str, query=None,
             return pa.table({"value": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
         values = [terms[i][len(prefix):] for i in sel]
-        if fg_ref is None:
+        if fg_ref is None and not gens:
             cnt = t["df"].to_numpy(zero_copy_only=False)[sel].astype(np.int64)
         else:
-            fg = ray.get(fg_ref)
+            fg = ray.get(fg_ref) if fg_ref is not None else None
             dfs = t["df"].to_numpy(zero_copy_only=False)
+            shards = (t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+                      if "shard" in t.column_names else None)
             shorts = t["short_bin"].to_pylist()
             longs = t["docs_bin"].to_pylist()
             cnt = np.zeros(len(sel), dtype=np.int64)
             for j, i in enumerate(sel):
                 docs = decode_doc_ids(int(dfs[i]), shorts[i], longs[i])
-                idx = np.minimum(np.searchsorted(fg, docs), len(fg) - 1)
-                cnt[j] = int(np.count_nonzero(fg[idx] == docs)) if len(fg) else 0
+                if gens and shards is not None and len(docs):
+                    dead = _dead_mask(
+                        docs, np.full(len(docs), shards[i]), gens)
+                    docs = docs[~dead]
+                if fg is None:
+                    cnt[j] = len(docs)
+                elif len(fg) and len(docs):
+                    idx = np.minimum(np.searchsorted(fg, docs), len(fg) - 1)
+                    cnt[j] = int(np.count_nonzero(fg[idx] == docs))
         return pa.table({"value": pa.array(values, pa.string()),
                          "cnt": pa.array(cnt, pa.int64())})
 

@@ -236,7 +236,9 @@ def decode_blocks(data: bytes, n: int) -> np.ndarray:
         for i, (og, w, es, _, _, ne) in enumerate(patches):
             exc_pos = buf[es:es + ne]
             highs = all_highs[starts[i]:ends[i]]
-            out[og + exc_pos] |= (highs << np.uint64(w)).astype(np.uint32)
+            # exc_pos is uint8; the explicit int64 index keeps og + pos from
+            # overflowing under numpy>=2 NEP-50 promotion once og >= 256
+            out[og + exc_pos.astype(np.int64)] |= (highs << np.uint64(w)).astype(np.uint32)
     return out
 
 

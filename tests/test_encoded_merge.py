@@ -1,0 +1,139 @@
+"""Round-3 merge semantics: stage-1 is GC'd at commit, all maintenance ops
+merge the ENCODED segment tables, the resume guard refuses destructive
+rebuilds, and empty shards tolerate tombstones."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import IndexBuildConfig, build_index
+from lucene_solr_ray.index.maintenance import (
+    add_indexes,
+    append_index,
+    check_index,
+    delete_by_ids,
+    delete_by_term,
+    force_merge,
+    update_documents,
+)
+from lucene_solr_ray.search import IndexSearcher
+
+
+def _corpus(path, ids, texts):
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}), path)
+
+
+def _build(tmp_path, n=60, name="idx", **cfg_kw):
+    p = str(tmp_path / f"{name}.parquet")
+    texts = [("apple banana doc%d" % i) if i % 3 else ("cherry banana doc%d" % i)
+             for i in range(n)]
+    _corpus(p, np.arange(n, dtype=np.int64), texts)
+    idx = str(tmp_path / name)
+    kw = dict(num_shards=2, num_buckets=4)
+    kw.update(cfg_kw)
+    build_index(p, idx, cfg=IndexBuildConfig(**kw))
+    return idx, p
+
+
+def test_stage1_gc_on_commit_and_merge_without_stage1(tmp_path):
+    idx, _ = _build(tmp_path)
+    # commit GC'd the checkpoint layer
+    assert not os.path.isdir(os.path.join(idx, "stage1"))
+    # delete + force_merge runs purely off the encoded tables
+    delete_by_term(idx, "cherry")
+    m = force_merge(idx)
+    assert m["deletes"] == []
+    assert m["stats"]["doc_count"] == 40
+    s = IndexSearcher(idx)
+    assert s.reader.term_stats("cherry")[0] == 0
+    assert s.count("banana") == 40
+    check_index(idx)
+
+
+def test_retain_stage1_flag(tmp_path):
+    idx, _ = _build(tmp_path, name="keep", retain_stage1=True)
+    assert os.path.isdir(os.path.join(idx, "stage1"))
+
+
+def test_force_merge_noop_on_clean_single_generation(tmp_path):
+    idx, _ = _build(tmp_path)
+    m1 = IndexSearcher(idx).reader.manifest
+    m2 = force_merge(idx)
+    assert m2["generation"] == m1["generation"]  # untouched
+
+
+def test_resume_guard_refuses_rebuild_over_generations(tmp_path):
+    idx, p = _build(tmp_path, n=30)
+    upd = str(tmp_path / "upd.parquet")
+    _corpus(upd, np.array([100], dtype=np.int64), ["grape melon"])
+    append_index(idx, upd)
+    with pytest.raises(ValueError, match="appended generations or pending"):
+        build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+
+
+def test_resume_guard_refuses_rebuild_over_deletes(tmp_path):
+    idx, p = _build(tmp_path, n=30)
+    delete_by_ids(idx, [1, 2])
+    with pytest.raises(ValueError, match="pending deletes"):
+        build_index([p, p], idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+
+
+def test_empty_shard_with_tombstones(tmp_path):
+    # more shards than occupied hash buckets: even-only doc ids with
+    # num_shards=4 leave shards 1 and 3 empty; a delete must not crash reads
+    p = str(tmp_path / "even.parquet")
+    ids = np.arange(0, 40, 2, dtype=np.int64)
+    _corpus(p, ids, ["apple banana doc%d" % i for i in ids])
+    idx = str(tmp_path / "even_idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=4, num_buckets=4))
+    delete_by_ids(idx, [0, 2])
+    s = IndexSearcher(idx)
+    assert s.count("banana") == 18
+    force_merge(idx)
+    assert IndexSearcher(idx).count("banana") == 18
+    check_index(idx)
+
+
+def test_add_indexes_encoded_and_guards(tmp_path):
+    a, _ = _build(tmp_path, n=30, name="a")
+    pb = str(tmp_path / "b.parquet")
+    _corpus(pb, np.arange(1000, 1030, dtype=np.int64),
+            ["grape kiwi doc%d" % i for i in range(30)])
+    b = str(tmp_path / "b_idx")
+    build_index(pb, b, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    # src with pending deletes is refused
+    delete_by_ids(b, [1000])
+    with pytest.raises(ValueError, match="pending deletes"):
+        add_indexes(a, b)
+    force_merge(b)
+    m = add_indexes(a, b)
+    assert m["stats"]["doc_count"] == 59  # 30 + 29 (one purged in b)
+    s = IndexSearcher(a)
+    assert s.count("banana") == 30
+    assert s.count("grape") == 29
+    check_index(a)
+    # a further force_merge collapses the import too
+    force_merge(a)
+    s2 = IndexSearcher(a)
+    assert s2.count("grape") == 29 and s2.count("banana") == 30
+    check_index(a)
+
+
+def test_update_after_merge_chain(tmp_path):
+    # delete -> merge -> update -> merge: no resurrection at any step
+    idx, _ = _build(tmp_path, n=30)
+    delete_by_term(idx, "cherry")  # removes ids % 3 == 0 (10 docs)
+    force_merge(idx)
+    upd = str(tmp_path / "u.parquet")
+    _corpus(upd, np.array([4, 500], dtype=np.int64), ["grape one", "grape two"])
+    update_documents(idx, upd)
+    m = force_merge(idx)
+    assert m["stats"]["doc_count"] == 21  # 20 survivors - 1 updated + 2
+    s = IndexSearcher(idx)
+    assert sorted(s.match_all("grape")["doc_id"].to_pylist()) == [4, 500]
+    assert 4 not in s.match_all("banana")["doc_id"].to_pylist()
+    check_index(idx)

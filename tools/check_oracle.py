@@ -83,12 +83,23 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            exp = canon(con.execute(sqls[name]).df())
+            exp_raw = con.execute(sqls[name]).df()
+            exp = canon(exp_raw)
         except Exception as e:
             print(f"FAIL {name}: sql error {e}")
             failures.append(name)
             continue
         ok = True
+        # The real driver hashes raw representations: DuckDB HUGEINT/decimal
+        # columns (sum(BIGINT) -> decimal128) land as 'object' dtype here and
+        # hash differently from the engine's int64 even when values match.
+        # canon() hides that by coercion, so flag it explicitly.
+        for c in exp_raw.columns:
+            if (exp_raw[c].dtype == object and len(exp_raw)
+                    and type(exp_raw[c].iloc[0]).__name__ == "Decimal"):
+                print(f"FAIL {name}: oracle col {c!r} is Decimal/HUGEINT — "
+                      f"CAST the aggregate to BIGINT in the SQL")
+                ok = False
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns ray={list(got.columns)} sql={list(exp.columns)}")
             ok = False
