@@ -312,91 +312,60 @@ def _shingle_set(s: str | None, k: int) -> set:
 def ngram_jaccard_pairs(
     ds: Dataset, pairs: Dataset, key_col: str, text_col: str,
     shingle_k: int = 3, threshold: float = 0.5,
+    num_partitions: int | None = None,
 ) -> Dataset:
-    """Verify candidate pairs with exact shingle Jaccard, distributed.
+    """Verify candidate pairs with exact shingle Jaccard, fully distributed.
 
-    The texts of the (bounded) candidate id set are collected once, put in
-    the object store, and every verify task reads them zero-copy; the pair
-    list itself streams through map_batches — no driver-side pair loop."""
-    pair_ids = pairs.select_columns(["left_id", "right_id"]).materialize()
+    Two hash-partitioned joins attach each side's text to the pair rows,
+    then a map_batches stage computes the exact Jaccard per pair. Nothing
+    lands on the driver: web corpora run 30-50% duplicates, so the candidate
+    id set is O(corpus) and any driver-side text dictionary would OOM. The
+    reference runs dedup entirely inside the update chain for the same
+    reason (SignatureUpdateProcessorFactory.java:42)."""
+    import ray as _ray
 
-    # distinct ids involved in any candidate pair (small by construction:
-    # the LSH output, not the corpus)
-    pair_df = pair_ids.to_pandas()
-    if not len(pair_df):
-        import ray.data as _rd
+    empty = pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    ncpu = int(_ray.cluster_resources().get("CPU", 4))
+    nparts = num_partitions or max(8, ncpu)
 
-        return _rd.from_arrow(pa.table({
-            "left_id": pa.array([], pa.int64()),
-            "right_id": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }))
-    wanted = np.unique(
-        np.concatenate([pair_df["left_id"].to_numpy(),
-                        pair_df["right_id"].to_numpy()])
+    texts = ds.select_columns([key_col, text_col])
+
+    def rename(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({f"__{side}_key": t[key_col],
+                             f"__{side}_text": t[text_col]})
+        return f
+
+    lt = texts.map_batches(rename("l"), batch_format="pyarrow")
+    rt = texts.map_batches(rename("r"), batch_format="pyarrow")
+    j = pairs.select_columns(["left_id", "right_id"]).join(
+        lt, join_type="inner", num_partitions=nparts,
+        on=("left_id",), right_on=("__l_key",),
+    ).join(
+        rt, join_type="inner", num_partitions=nparts,
+        on=("right_id",), right_on=("__r_key",),
     )
-    id_ref = ray.put(wanted)
-
-    def keep(t: pa.Table) -> pa.Table:
-        w = ray.get(id_ref)
-        m = np.isin(t[key_col].to_numpy(zero_copy_only=False), w)
-        return t.select([key_col, text_col]).filter(pa.array(m))
-
-    texts = pa.concat_tables(
-        ds.map_batches(keep, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=8192),
-        promote_options="default",
-    )
-    lookup_local = dict(zip(texts[key_col].to_pylist(), texts[text_col].to_pylist()))
-
-    # cost-based: a small candidate set verifies faster on the driver than
-    # the scheduling latency of another distributed pass (the texts are
-    # already here); big candidate sets stream through map_batches below
-    if len(pair_df) <= 200_000:
-        import ray.data as _rd
-
-        out_l, out_r, out_j = [], [], []
-        for l, r in zip(pair_df["left_id"], pair_df["right_id"]):
-            a = _shingle_set(lookup_local.get(l), shingle_k)
-            b = _shingle_set(lookup_local.get(r), shingle_k)
-            j = len(a & b) / max(1, len(a | b))
-            if j >= threshold:
-                out_l.append(int(l))
-                out_r.append(int(r))
-                out_j.append(float(j))
-        return _rd.from_arrow(pa.table(
-            {"left_id": pa.array(out_l, pa.int64()),
-             "right_id": pa.array(out_r, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
-        ))
-
-    text_ref = ray.put(lookup_local)
 
     def verify(t: pa.Table) -> pa.Table:
-        lookup = ray.get(text_ref)
-        lf = t["left_id"].to_pylist()
-        rf = t["right_id"].to_pylist()
-        out_l, out_r, out_j = [], [], []
-        for l, r in zip(lf, rf):
-            a = _shingle_set(lookup.get(l), shingle_k)
-            b = _shingle_set(lookup.get(r), shingle_k)
-            j = len(a & b) / max(1, len(a | b))
-            if j >= threshold:
-                out_l.append(int(l))
-                out_r.append(int(r))
-                out_j.append(float(j))
+        li = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lf = t["__l_text"].to_pylist()
+        rf = t["__r_text"].to_pylist()
+        jac = np.empty(len(lf), np.float64)
+        for i in range(len(lf)):
+            a = _shingle_set(lf[i], shingle_k)
+            b = _shingle_set(rf[i], shingle_k)
+            jac[i] = len(a & b) / max(1, len(a | b))
+        m = jac >= threshold
         return pa.table(
-            {"left_id": pa.array(out_l, pa.int64()),
-             "right_id": pa.array(out_r, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
+            {"left_id": pa.array(li[m], pa.int64()),
+             "right_id": pa.array(ri[m], pa.int64()),
+             "jaccard": pa.array(jac[m], pa.float64())}
         )
 
-    return _ensure_schema(
-        pair_ids.map_batches(verify, batch_format="pyarrow"),
-        pa.table({"left_id": pa.array([], pa.int64()),
-                  "right_id": pa.array([], pa.int64()),
-                  "jaccard": pa.array([], pa.float64())}),
-    )
+    return _ensure_schema(j.map_batches(verify, batch_format="pyarrow"), empty)
 
 
 def dedup_minhash_verified(

@@ -114,6 +114,56 @@ def test_minhash_lsh_finds_duplicates(ray_session, tmp_path):
     assert (10, 20) in got
 
 
+def test_minhash_verified_at_web_duplication_rate(ray_session, tmp_path):
+    """Adversarial 40% duplication (the web-corpus regime): the distributed
+    join-verify must return exactly the brute-force answer with no driver
+    text dictionary involved."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.dedup import dedup_minhash_verified
+    from lucene_solr_ray.dedup.ops import _shingle_set
+
+    rng = np.random.default_rng(7)
+    n_base, texts = 300, []
+    for i in range(n_base):
+        words = [f"w{rng.integers(0, 400)}" for _ in range(12)]
+        texts.append(" ".join(words))
+    # 40% exact/near duplicates: 200 extra docs copying a base doc, half
+    # with one word swapped (still J >= 0.8 at k=3 usually not — use exact
+    # copies for the planted truth, plus noisy copies that may or may not
+    # clear the threshold; truth is recomputed below, not assumed)
+    for j in range(200):
+        src = int(rng.integers(0, n_base))
+        t = texts[src]
+        if j % 2:
+            ws = t.split(" ")
+            ws[0] = "zz%d" % j
+            t = " ".join(ws)
+        texts.append(t)
+    ids = np.arange(len(texts), dtype=np.int64)
+    p = str(tmp_path / "web.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids),
+                             "text": pa.array(texts, pa.string())}), p)
+    ds = rd().read_parquet(p)
+    out = dedup_minhash_verified(ds, "doc_id", "text", threshold=0.8,
+                                 num_hashes=32, bands=16).to_pandas()
+    got = set(zip(out["left_id"].astype(int), out["right_id"].astype(int)))
+
+    # brute-force truth over all pairs (n=500 -> 125k pairs, fine in-test)
+    sets = [_shingle_set(t, 3) for t in texts]
+    truth = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sets[a], sets[b]
+            if len(sa & sb) / max(1, len(sa | sb)) >= 0.8:
+                truth.add((a, b))
+    assert truth, "test corpus must contain true near-dups"
+    # no false positives ever (exact verify); recall structural for exact
+    # copies, ~1 - (1-J^2)^16 for near ones — allow the probabilistic tail
+    assert got <= truth
+    assert len(got) >= 0.98 * len(truth)
+
+
 def test_ann_brute_force_exact(ray_session):
     from lucene_solr_ray.ann import brute_force_knn, lsh_knn
 
