@@ -283,6 +283,39 @@ def q_ft_facet_index(sf_dir):
     return facet_keyword_field(index_dir, "lang")
 
 
+def _sdv_index(sf_dir: str) -> str:
+    """Index with SORTED string docvalues on (lang, source)."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|sdv").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           string_docvalues_fields=("lang", "source"))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    return index_dir
+
+
+def q_ft_sort_string(sf_dir):
+    """TopFieldCollector over SORTED string docvalues: docs matching 'fast'
+    ordered by lang asc then doc_id asc, top 10 (Lucene80DocValuesFormat
+    SORTED ords + TopFieldCollector.java:42 role)."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import search_sorted_by_field
+
+    s = IndexSearcher(_sdv_index(sf_dir), dtype=np.float64)
+    return search_sorted_by_field(s, "fast", "lang", k=10, descending=False)
+
+
+def q_ft_facet_dv(sf_dir):
+    """Query-constrained string facet off SORTED docvalues (SortedSet-
+    DocValuesFacetCounts role): lang counts of docs matching 'fast',
+    corpus unread."""
+    from lucene_solr_ray.search.services import facet_string_docvalues
+
+    return facet_string_docvalues(_sdv_index(sf_dir), "lang", query="fast")
+
+
 def q_ft_numeric_range(sf_dir):
     # PointRangeQuery-style filter (doclen in [50, 80]) AND a scoring term
     from lucene_solr_ray.search.query import Bool, NumericRange, Term
@@ -981,6 +1014,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell": q_ft_spell,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_field_filter": q_ft_field_filter,
+        # --- round-3 additions: SORTED string docvalues ---
+        "ft_sort_string": q_ft_sort_string,
+        "ft_facet_dv": q_ft_facet_dv,
         # --- relational / streaming-expression layer ---
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
@@ -1120,6 +1156,19 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                    WHERE term LIKE 's%' GROUP BY term)
             SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
+        "ft_sort_string": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast')
+            SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)
+            ORDER BY d.lang ASC, h.doc_id ASC LIMIT 10""",
+        "ft_facet_dv": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast')
+            SELECT d.lang AS value, count(*) AS cnt
+            FROM hits h JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY cnt DESC, value ASC""",
         "ft_sort_by_field": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),

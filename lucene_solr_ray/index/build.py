@@ -70,6 +70,9 @@ STAGE1_SCHEMA = pa.schema(
         # docvalues sidecar (doc rows only): per doc, the values of
         # cfg.docvalues_fields concatenated in declared order (float64)
         ("dv", pa.large_list(pa.float64())),
+        # SORTED (string) docvalues sidecar: cfg.string_docvalues_fields
+        # values per doc, declared order (Lucene80DocValuesFormat SORTED role)
+        ("sdv", pa.large_list(pa.large_string())),
     ]
 )
 
@@ -103,7 +106,7 @@ class IndexBuildConfig:
     head_sample_docs: int = 600   # Zipf head is stable under small samples
     head_sub_span: int = 1 << 20
     # stage-1 / postings layout version: bump invalidates old checkpoints
-    format_version: int = 3
+    format_version: int = 4
     files_per_chunk: int = 64      # stage-A chunk = lineage/resume unit
     tokenize_concurrency: int | None = None
     # True -> tokenize runs as an actor pool (state loads once per actor);
@@ -128,6 +131,11 @@ class IndexBuildConfig:
     # NUMERIC DocValues, index/DocValuesType.java): sortable/filterable at
     # query time without touching the corpus
     docvalues_fields: tuple = ()
+    # SORTED (string) docvalues columns (Lucene80DocValuesFormat.java:66-132
+    # SORTED role): per-shard ordinal-encoded string column, sortable and
+    # facetable off the index. Multi-valued SORTED_SET maps to keyword_fields
+    # postings (one 'field:value' term per value) — a documented substitution.
+    string_docvalues_fields: tuple = ()
     # analysis-chain extensions (SURVEY.md §2.2): optional stemmer
     # ("porter" | "minimal_english", en/PorterStemFilter.java:56 role) and
     # index-time synonym groups ("a,b,c" strings; every member of a group
@@ -386,6 +394,7 @@ class TokenizeExplode:
                         "norms": norms_col,
                         "positions": pos_col,
                         "dv": pa.array([None] * n_rows, pa.large_list(pa.float64())),
+                        "sdv": pa.array([None] * n_rows, pa.large_list(pa.large_string())),
                     },
                     schema=STAGE1_SCHEMA,
                 )
@@ -398,6 +407,13 @@ class TokenizeExplode:
                 [batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
                  for c in dv_fields], axis=1,
             )  # (n_docs, n_fields)
+        sdv_fields = tuple(self.cfg.get("string_docvalues_fields") or ())
+        if sdv_fields:
+            sdv_mat = np.stack(
+                [np.asarray([x if x is not None else "" for x in batch[c].to_pylist()],
+                            dtype=object)
+                 for c in sdv_fields], axis=1,
+            )  # (n_docs, n_sfields) object
         shard_of_doc = (keys % self.num_shards).astype(np.int32)
         d_order = np.argsort(shard_of_doc, kind="stable")
         dk = keys[d_order]
@@ -420,6 +436,14 @@ class TokenizeExplode:
                 )
             else:
                 dv_col = pa.array([None] * nr, pa.large_list(pa.float64()))
+            if sdv_fields:
+                sdv_sorted = sdv_mat[d_order]
+                sdv_off = (off * len(sdv_fields)).astype(np.int64)
+                sdv_col = pa.LargeListArray.from_arrays(
+                    sdv_off, pa.array(sdv_sorted.ravel().tolist(), pa.large_string())
+                )
+            else:
+                sdv_col = pa.array([None] * nr, pa.large_list(pa.large_string()))
             parts.append(
                 pa.table(
                     {
@@ -433,6 +457,7 @@ class TokenizeExplode:
                         "norms": pa.LargeListArray.from_arrays(off, pa.array(dn, pa.int32())),
                         "positions": pa.array([None] * nr, pa.large_list(pa.int32())),
                         "dv": dv_col,
+                        "sdv": sdv_col,
                     },
                     schema=STAGE1_SCHEMA,
                 )
@@ -524,8 +549,12 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
     )
 
 
-def docs_explode(batch: pa.Table, dv_fields: tuple = ()) -> pa.Table:
-    """Stage C: doc list rows -> one row per document (+ docvalues columns)."""
+def docs_explode(batch: pa.Table, dv_fields: tuple = (),
+                 sdv_fields: tuple = ()) -> pa.Table:
+    """Stage C: doc list rows -> one row per document (+ docvalues columns).
+
+    String docvalues columns are dictionary-encoded (the SORTED DocValues
+    ordinal layout: per-column value dictionary + int ordinal per doc)."""
     docs_ch = batch["docs"].combine_chunks()
     lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
     shard = np.repeat(batch["shard"].to_numpy(zero_copy_only=False), lens)
@@ -544,6 +573,13 @@ def docs_explode(batch: pa.Table, dv_fields: tuple = ()) -> pa.Table:
         mat = flat.reshape(-1, len(dv_fields))
         for j, name in enumerate(dv_fields):
             cols[f"dv_{name}"] = pa.array(mat[:, j], pa.float64())
+    if sdv_fields and "sdv" in batch.column_names:
+        svals = batch["sdv"].combine_chunks().values
+        n_f = len(sdv_fields)
+        for j, name in enumerate(sdv_fields):
+            # stride j::n_f over the flat string values; dictionary-encode
+            idx = pa.array(np.arange(j, len(svals), n_f, dtype=np.int64))
+            cols[f"sdv_{name}"] = svals.take(idx).dictionary_encode()
     return pa.table(cols)
 
 
@@ -707,6 +743,7 @@ def build_index(
         cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
         cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
         cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
+        cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
         eff_bs = effective_batch_size(cfg, chunk)
         fn_kwargs = dict(
@@ -756,7 +793,8 @@ def build_index(
 
     # assemble stage-1 inputs: chunks materialized this run stay in the
     # object store; previously-checkpointed chunks stream from parquet
-    data_cols = ["shard", "bucket", "sub", "term", "docs", "freqs", "norms", "positions", "dv"]
+    data_cols = ["shard", "bucket", "sub", "term", "docs", "freqs", "norms",
+                 "positions", "dv", "sdv"]
 
     def _from_disk(kind: int) -> list:
         part_dirs = sorted(
@@ -803,8 +841,9 @@ def build_index(
     # stage C: docs tables + collection stats
     docs_dir = os.path.join(index_dir, "docs")
     dv_fields = tuple(cfg.docvalues_fields or ())
+    sdv_fields = tuple(cfg.string_docvalues_fields or ())
     dds = _stage1_ds(1).map_batches(
-        lambda t: docs_explode(t, dv_fields), batch_format="pyarrow"
+        lambda t: docs_explode(t, dv_fields, sdv_fields), batch_format="pyarrow"
     )
     dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")
 

@@ -63,6 +63,11 @@ class ShardReader:
         self.table = t
         d = pq.read_table(ddir) if os.path.exists(ddir) else None
         self.docvalues: dict[str, np.ndarray] = {}
+        # SORTED string docvalues: per-field (sorted unique values, ordinal
+        # per doc) — the Lucene80DocValuesFormat SORTED layout (value dict +
+        # ord column); comparisons/sorts run on int ordinals, strings are
+        # gathered only for output rows
+        self.sorted_dv: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         if d is not None and d.num_rows:
             order = pa.compute.sort_indices(d["doc_id"])
             d = d.take(order).combine_chunks()
@@ -74,6 +79,13 @@ class ShardReader:
                     self.docvalues[name[3:]] = d[name].to_numpy(
                         zero_copy_only=False
                     ).astype(np.float64)
+                elif name.startswith("sdv_"):
+                    col = d[name]
+                    if pa.types.is_dictionary(col.type):
+                        col = col.cast(pa.large_string())
+                    vals = np.asarray(col.to_pylist(), dtype="U")
+                    u, inv = np.unique(vals, return_inverse=True)
+                    self.sorted_dv[name[4:]] = (u, inv.astype(np.int32))
         else:
             self.doc_ids = np.zeros(0, dtype=np.int64)
             self.doclens = np.zeros(0, dtype=np.int32)
@@ -256,6 +268,13 @@ class ShardReader:
         """Vectorized doc_id -> norm byte lookup (searchsorted on sorted ids)."""
         idx = np.searchsorted(self.doc_ids, docs)
         return self.norms[idx]
+
+    # --- SORTED docvalues --------------------------------------------------
+    def strings_for(self, field: str, docs: np.ndarray) -> np.ndarray:
+        """doc_id -> string value for a SORTED docvalues field ('U' array)."""
+        u, inv = self.sorted_dv[field]
+        idx = np.searchsorted(self.doc_ids, docs)
+        return u[inv[idx]]
 
 
 class IndexReader:

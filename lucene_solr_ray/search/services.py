@@ -139,17 +139,23 @@ def spell_correct(searcher: IndexSearcher, word: str, max_edits: int = 2,
 def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
                            k: int = 10, descending: bool = True) -> "pa.Table":
     """TopFieldCollector role: top-k matching docs ordered by a docvalues
-    column instead of score (supported per-shard fields: doclen, doc_id)."""
+    column instead of score. Supported per-shard fields: doclen, doc_id,
+    NUMERIC docvalues, and SORTED string docvalues (TopFieldCollector.java:42
+    over Lucene80DocValuesFormat SORTED ords — per-shard comparisons run on
+    int ordinals; the cross-shard merge compares the string values)."""
     node = searcher._node(query)
     from .executor import eval_node, resolve_weights
 
     weights = resolve_weights(searcher.reader, node, searcher.params, searcher.dtype)
+    is_string = any(field in s.sorted_dv for s in searcher.reader.shards)
     all_docs, all_vals = [], []
     for s in searcher.reader.shards:
         docs, _ = eval_node(s, node, weights, searcher.dtype)
         if not len(docs):
             continue
-        if field == "doclen":
+        if is_string:
+            vals = s.strings_for(field, docs)
+        elif field == "doclen":
             idx = np.searchsorted(s.doc_ids, docs)
             vals = s.doclens[idx]
         elif field == "doc_id":
@@ -162,13 +168,82 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
         all_docs.append(docs)
         all_vals.append(vals)
     if not all_docs:
+        typ = pa.string() if is_string else pa.int64()
         return pa.table({"doc_id": pa.array([], pa.int64()),
-                         field: pa.array([], pa.int64())})
+                         field: pa.array([], typ)})
     docs = np.concatenate(all_docs)
+    if is_string:
+        vals = np.concatenate(all_vals)
+        # ranks give a descending-capable integer key for string values
+        u, inv = np.unique(vals, return_inverse=True)
+        order = np.lexsort((docs, -inv if descending else inv))[:k]
+        return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
+                         field: pa.array(vals[order].tolist(), pa.string())})
     vals = np.concatenate(all_vals).astype(np.int64)
     order = np.lexsort((docs, -vals if descending else vals))[:k]
     return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
                      field: pa.array(vals[order], pa.int64())})
+
+
+def facet_string_docvalues(index_dir: str, field: str, query=None,
+                           top_n: int | None = None) -> "pa.Table":
+    """Facet counts over a SORTED string docvalues column, computed from the
+    index's docs tables only (SortedSetDocValuesFacetCounts.java:66 role for
+    the single-valued SORTED case; multi-valued facets go through
+    facet_keyword_field). Distributed: a pruned (doc_id, sdv_field, shard)
+    read -> optional live/query masking -> groupby count. Returns
+    (value, cnt) sorted by cnt desc, value asc."""
+    import os
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..index.build import load_manifest
+    from ..index.maintenance import _dead_mask, _tombstone_gens
+
+    manifest = load_manifest(index_dir) or {}
+    gens = _tombstone_gens(index_dir, manifest) if manifest.get("deletes") else []
+    col = f"sdv_{field}"
+    ds = ray.data.read_parquet(os.path.join(index_dir, "docs"),
+                               columns=["doc_id", col, "shard"])
+    fg_ref = None
+    if query is not None:
+        res = IndexSearcher(index_dir).match_all(query)
+        fg_ref = ray.put(np.sort(res["doc_id"].to_numpy()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        if gens:
+            sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep &= ~_dead_mask(ids, sh, gens)
+        if fg_ref is not None:
+            fg = ray.get(fg_ref)
+            if len(fg):
+                idx = np.minimum(np.searchsorted(fg, ids), len(fg) - 1)
+                keep &= fg[idx] == ids
+            else:
+                keep[:] = False
+        vcol = t[col]
+        if pa.types.is_dictionary(vcol.type):
+            vcol = vcol.cast(pa.large_string())
+        vals = np.asarray(vcol.to_pylist(), dtype=object)[keep]
+        u, cnt = np.unique(vals.astype("U"), return_counts=True)
+        return pa.table({"value": pa.array(u.tolist(), pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("value").aggregate(
+        Sum("cnt", alias_name="cnt"))
+    rows = agg.sort(["cnt", "value"], descending=[True, False])
+    if top_n is not None:
+        rows = rows.limit(top_n)
+    out = rows.take_all()
+    out = [r for r in out if r["cnt"] > 0]
+    return pa.table({
+        "value": pa.array([r["value"] for r in out], pa.string()),
+        "cnt": pa.array([r["cnt"] for r in out], pa.int64()),
+    })
 
 
 def rescore(searcher: IndexSearcher, query: str, rescore_query: str,

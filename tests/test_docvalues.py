@@ -58,6 +58,65 @@ def test_docvalues_sort(idx, raw):
         assert lookup[d] == v
 
 
+@pytest.fixture(scope="module")
+def sidx(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("sdv_idx"))
+    cfg = IndexBuildConfig(num_shards=2, num_buckets=4,
+                           string_docvalues_fields=("lang", "source"))
+    build_index(DOCS, d, key_col="doc_id", text_col="text", cfg=cfg)
+    return d
+
+
+def test_sorted_docvalues_sort(sidx):
+    raw = pq.read_table(DOCS, columns=["doc_id", "text", "lang"]).to_pandas()
+    s = IndexSearcher(sidx)
+    out = search_sorted_by_field(s, "fast", "lang", k=10, descending=False)
+    hits = raw[raw.text.str.split(" ").map(lambda w: "fast" in w)]
+    exp = hits.sort_values(["lang", "doc_id"]).head(10)
+    assert out["doc_id"].to_pylist() == exp["doc_id"].tolist()
+    assert out["lang"].to_pylist() == exp["lang"].tolist()
+    # descending too
+    out_d = search_sorted_by_field(s, "fast", "lang", k=10, descending=True)
+    exp_d = hits.sort_values(["lang", "doc_id"], ascending=[False, True]).head(10)
+    assert out_d["doc_id"].to_pylist() == exp_d["doc_id"].tolist()
+
+
+def test_sorted_docvalues_facet(sidx):
+    from lucene_solr_ray.search.services import facet_string_docvalues
+
+    raw = pq.read_table(DOCS, columns=["doc_id", "text", "lang"]).to_pandas()
+    out = facet_string_docvalues(sidx, "lang").to_pandas()
+    exp = raw["lang"].value_counts()
+    assert dict(zip(out["value"], out["cnt"])) == exp.to_dict()
+    # query-constrained facet counts only matching docs
+    out_q = facet_string_docvalues(sidx, "lang", query="fast").to_pandas()
+    hits = raw[raw.text.str.split(" ").map(lambda w: "fast" in w)]
+    assert dict(zip(out_q["value"], out_q["cnt"])) == hits["lang"].value_counts().to_dict()
+
+
+def test_sorted_docvalues_survive_merge(tmp_path, ray_session):
+    from lucene_solr_ray.index.maintenance import delete_by_ids, force_merge
+    from lucene_solr_ray.search.services import facet_string_docvalues
+
+    idx = str(tmp_path / "sdv_m")
+    cfg = IndexBuildConfig(num_shards=2, num_buckets=4,
+                           string_docvalues_fields=("lang",))
+    build_index(DOCS, idx, key_col="doc_id", text_col="text", cfg=cfg)
+    raw = pq.read_table(DOCS, columns=["doc_id", "lang"]).to_pandas()
+    kill = raw["doc_id"].tolist()[:25]
+    delete_by_ids(idx, kill)
+    # facet excludes tombstoned docs before the merge...
+    live = raw[~raw.doc_id.isin(kill)]
+    out = facet_string_docvalues(idx, "lang").to_pandas()
+    assert dict(zip(out["value"], out["cnt"])) == live["lang"].value_counts().to_dict()
+    # ...and the encoded merge carries the sdv column through
+    force_merge(idx)
+    out2 = facet_string_docvalues(idx, "lang").to_pandas()
+    assert dict(zip(out2["value"], out2["cnt"])) == live["lang"].value_counts().to_dict()
+    s = IndexSearcher(idx)
+    assert any("lang" in sh.sorted_dv for sh in s.reader.shards)
+
+
 def test_append_preserves_docvalues_and_keywords(tmp_path, ray_session):
     import glob
 
