@@ -316,6 +316,18 @@ def q_ft_facet_dv(sf_dir):
     return facet_string_docvalues(_sdv_index(sf_dir), "lang", query="fast")
 
 
+def q_ft_intervals(sf_dir):
+    """Intervals algebra (queries/intervals/Intervals.java:46):
+    maxgaps(1, ordered(fast, query)) — docs where 'fast' precedes 'query'
+    with at most one token between them."""
+    from lucene_solr_ray.search import intervals as iv
+    from lucene_solr_ray.search.query import IntervalQuery
+
+    s = _searcher64(sf_dir)
+    node = IntervalQuery(iv.maxgaps(1, iv.ordered("fast", "query")))
+    return s.match_all(node).select(["doc_id"])
+
+
 def q_ft_numeric_range(sf_dir):
     # PointRangeQuery-style filter (doclen in [50, 80]) AND a scoring term
     from lucene_solr_ray.search.query import Bool, NumericRange, Term
@@ -1014,9 +1026,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell": q_ft_spell,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_field_filter": q_ft_field_filter,
-        # --- round-3 additions: SORTED string docvalues ---
+        # --- round-3 additions: SORTED string docvalues, intervals ---
         "ft_sort_string": q_ft_sort_string,
         "ft_facet_dv": q_ft_facet_dv,
+        "ft_intervals": q_ft_intervals,
         # --- relational / streaming-expression layer ---
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
@@ -1156,6 +1169,15 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                    WHERE term LIKE 's%' GROUP BY term)
             SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
+        "ft_intervals": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.term = 'fast' AND b.term = 'query'
+              AND b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+            ORDER BY a.doc_id""",
         "ft_sort_string": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),

@@ -28,6 +28,7 @@ from .query import (
     ConstantScore,
     DisMax,
     FeatureQuery,
+    IntervalQuery,
     MatchAll,
     MultiPhrase,
     NumericInSet,
@@ -92,6 +93,14 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
                         default=0)
                     for c in clauses
                 ]
+                weights[key] = multi_term_weight(dfs, N, sum_ttf, params,
+                                                 n.boost, dtype)
+        elif isinstance(n, IntervalQuery):
+            from .intervals import source_key, terms_of
+
+            key = ("\x1fIV\x1f" + source_key(n.source), n.boost)
+            if key not in weights:
+                dfs = [reader.term_stats(t)[0] for t in set(terms_of(n.source))]
                 weights[key] = multi_term_weight(dfs, N, sum_ttf, params,
                                                  n.boost, dtype)
         elif isinstance(n, ConstantScore):
@@ -364,6 +373,10 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         from .spans import eval_span_first
 
         return eval_span_first(shard, node, weights, dtype)
+    if isinstance(node, IntervalQuery):
+        from .intervals import eval_interval_query
+
+        return eval_interval_query(shard, node, weights, dtype)
     if isinstance(node, TermInSet):
         docs = _docs_union(shard, node.terms)
         return docs, np.full(len(docs), node.boost, dtype=dtype)

@@ -159,6 +159,15 @@ class MultiPhrase:
 
 
 @dataclass(frozen=True)
+class IntervalQuery:
+    """IntervalQuery (queries/intervals/IntervalQuery.java:62): wraps an
+    interval source (intervals.ordered/unordered/phrase/maxgaps/containing/
+    ...) as a scoring query; freq(doc) = number of minimal intervals."""
+    source: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class NumericInSet:
     """PointInSetQuery (search/PointInSetQuery.java:53): constant-score
     membership filter on a numeric docvalues column."""
