@@ -42,24 +42,43 @@ def _load_shard_deletes(index_dir: str, shard: int) -> np.ndarray:
 
 
 class ShardReader:
+    """One doc-shard's term dictionary + postings.
+
+    Column residency mirrors what the reference gets from mmap: the term
+    dictionary, stats, block metadata and the doc/freq binaries load
+    eagerly (they serve every query); the POSITIONS and IMPACTS columns —
+    the largest, needed only by phrase/span/interval queries and WAND
+    bounds — load lazily on first use. A term-only workload never pays
+    their RAM."""
+
+    _LAZY_COLS = ("positions", "impacts_bin")
+
     def __init__(self, index_dir: str, shard: int, cache_size: int = 256):
         self.shard = shard
         self._cache: dict = {}          # decoded-postings LRU (LRUQueryCache role)
         self._cache_size = cache_size
         pdir = os.path.join(index_dir, "postings", f"shard={shard}")
+        self._pdir = pdir
         ddir = os.path.join(index_dir, "docs", f"shard={shard}")
         self.dead = _load_shard_deletes(index_dir, shard)
-        t = pq.read_table(pdir) if os.path.exists(pdir) else None
+        self._order = None              # sort permutation for lazy columns
+        self._lazy: dict[str, pa.ChunkedArray | None] = {}
+        t = None
+        self._file_cols: list[str] = []
+        if os.path.exists(pdir):
+            pfiles = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+            if pfiles:
+                self._file_cols = pq.read_schema(
+                    os.path.join(pdir, pfiles[0])).names
+                eager = [c for c in self._file_cols if c not in self._LAZY_COLS]
+                t = pq.read_table(pdir, columns=eager)
         if t is not None and t.num_rows:
             idx = pa.compute.sort_indices(t, sort_keys=[("term", "ascending")])
+            self._order = idx
             t = t.take(idx).combine_chunks()
             self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
-            # single-chunk list array handle: per-row position slices come
-            # from Arrow offsets (zero-copy-ish), not .as_py() python lists
-            self._pos_arr = t["positions"].combine_chunks()
         else:
             self.terms = np.zeros(0, dtype=object)
-            self._pos_arr = None
         self.table = t
         d = pq.read_table(ddir) if os.path.exists(ddir) else None
         self.docvalues: dict[str, np.ndarray] = {}
@@ -113,6 +132,18 @@ class ShardReader:
             self.live_doclens = self.doclens
             self._live_mask = None
 
+    def _lazy_col(self, name: str):
+        """Load a deferred column on first use (sorted to match self.table);
+        None when the shard has no such column or no rows."""
+        if name in self._lazy:
+            return self._lazy[name]
+        col = None
+        if self.table is not None and name in self._file_cols:
+            raw = pq.read_table(self._pdir, columns=[name])[name]
+            col = raw.take(self._order).combine_chunks()
+        self._lazy[name] = col
+        return col
+
     def _live_filter(self, docs: np.ndarray) -> np.ndarray:
         """Boolean keep-mask over a sorted doc array (True = live)."""
         if not len(self.dead):
@@ -153,6 +184,7 @@ class ShardReader:
         if not rows:
             empty = (np.zeros(0, np.int64), np.zeros(0, np.int32))
             return (*empty, np.zeros(0, np.int32)) if with_positions else empty
+        pos_arr = self._lazy_col("positions") if with_positions else None
         decoded = []
         for r in rows:
             row = {
@@ -164,8 +196,8 @@ class ShardReader:
             docs, freqs = decode_posting(row)
             pos = None
             if with_positions:
-                sl = self._pos_arr.slice(r, 1)
-                if sl.null_count:
+                sl = pos_arr.slice(r, 1) if pos_arr is not None else None
+                if sl is None or sl.null_count:
                     pos = np.zeros(0, dtype=np.int32)
                 else:
                     pos = sl.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
@@ -235,18 +267,19 @@ class ShardReader:
         concatenated across rows in the same first-doc order block_metadata
         uses; None when the term has no stored frontier (short term or a
         legacy index without the impacts_bin column)."""
-        if self.table is None or "impacts_bin" not in self.table.column_names:
+        if self.table is None or "impacts_bin" not in self._file_cols:
             return None
         key = ("\x1fIMP", term)
         if key in self._cache:
             return self._cache[key]
         from .postings import decode_impacts
 
+        imp_arr = self._lazy_col("impacts_bin")
         rows = self.term_rows(term)
         chunks = []
         for r in rows:
             f = self.table["block_first_docs"][r].as_py() or []
-            dec = decode_impacts(self.table["impacts_bin"][r].as_py())
+            dec = decode_impacts(imp_arr[r].as_py())
             if dec is None or len(dec) != len(f):
                 chunks = None
                 break

@@ -300,10 +300,52 @@ def _docs_union(shard: ShardReader, terms) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
+def _iodv_dv_mask(shard: ShardReader, node, docs: np.ndarray) -> np.ndarray:
+    """Verify docs against the SORTED docvalues ordinals (no postings)."""
+    u, inv = shard.sorted_dv[node.field]
+    pos = int(np.searchsorted(u, node.value))
+    if pos >= len(u) or u[pos] != node.value:
+        return np.zeros(len(docs), dtype=bool)
+    idx = np.searchsorted(shard.doc_ids, docs)
+    return inv[idx] == pos
+
+
+def iodv_plan(shard: ShardReader, node, n_candidates: int) -> str:
+    """Cost-based plan choice (IndexOrDocValuesQuery.java:50): 'dv' when
+    verifying the candidates beats decoding the term's postings (lead cost
+    |candidates| < df), else 'postings'. df comes from the term dictionary —
+    no decode happens to make the decision."""
+    if node.field not in getattr(shard, "sorted_dv", {}):
+        return "postings"
+    df = shard.term_stats(f"{node.field}:{node.value}")[0]
+    return "dv" if n_candidates < df else "postings"
+
+
+def _iodv_filter_mask(shard: ShardReader, node, docs: np.ndarray,
+                      weights, dtype) -> np.ndarray:
+    """Keep-mask of an IndexOrDocValues filter over candidate docs."""
+    if iodv_plan(shard, node, len(docs)) == "dv":
+        return _iodv_dv_mask(shard, node, docs)
+    fd, _ = shard.postings(f"{node.field}:{node.value}")
+    return np.isin(docs, fd, assume_unique=True)
+
+
 def eval_node(shard: ShardReader, node, weights, dtype):
     """Exhaustive evaluation -> (docs sorted asc, scores)."""
     if node is None:
         return np.zeros(0, np.int64), np.zeros(0, dtype)
+    from .query import IndexOrDocValues
+
+    if isinstance(node, IndexOrDocValues):
+        # standalone: nothing to lead with — postings when indexed, else a
+        # full docvalues scan over the live docs
+        term = f"{node.field}:{node.value}"
+        if shard.term_rows(term) or node.field not in getattr(shard, "sorted_dv", {}):
+            docs, _ = shard.postings(term)
+        else:
+            docs = shard.live_doc_ids
+            docs = docs[_iodv_dv_mask(shard, node, docs)]
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, Term):
         return _score_term(shard, node, weights, dtype)
     if isinstance(node, Phrase):
@@ -427,10 +469,15 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     assert isinstance(node, Bool)
     must_res = [eval_node(shard, c, weights, dtype) for c in node.must]
     should_res = [eval_node(shard, c, weights, dtype) for c in node.should]
+    from .query import IndexOrDocValues as _IODV
+
     if node.filter and not node.must and not node.should:
         # FILTER-only boolean: matching set with zero scores
         docs = eval_node(shard, node.filter[0], weights, dtype)[0]
         for c in node.filter[1:]:
+            if isinstance(c, _IODV):
+                docs = docs[_iodv_filter_mask(shard, c, docs, weights, dtype)]
+                continue
             docs = docs[np.isin(docs, eval_node(shard, c, weights, dtype)[0],
                                 assume_unique=True)]
         scores = np.zeros(len(docs), dtype=dtype)
@@ -472,8 +519,11 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     else:
         docs, scores = _union(should_res, node.min_should, dtype, shard)
     for c in node.filter:
-        fd, _ = eval_node(shard, c, weights, dtype)
-        keep = np.isin(docs, fd, assume_unique=True)
+        if isinstance(c, _IODV):
+            keep = _iodv_filter_mask(shard, c, docs, weights, dtype)
+        else:
+            fd, _ = eval_node(shard, c, weights, dtype)
+            keep = np.isin(docs, fd, assume_unique=True)
         docs, scores = docs[keep], scores[keep]
     for c in node.must_not:
         nd, _ = eval_node(shard, c, weights, dtype)

@@ -159,6 +159,19 @@ class MultiPhrase:
 
 
 @dataclass(frozen=True)
+class IndexOrDocValues:
+    """IndexOrDocValuesQuery (search/IndexOrDocValuesQuery.java:50): an
+    equality filter on a field indexed BOTH as keyword postings
+    ('field:value' terms) and as a SORTED string docvalues column. As a
+    Bool filter the executor picks per shard: decode the term's postings
+    (cost ~ df) or verify the already-matched candidates against the
+    docvalues ordinals (cost ~ |candidates|) — whichever leads cheaper."""
+    field: str
+    value: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IntervalQuery:
     """IntervalQuery (queries/intervals/IntervalQuery.java:62): wraps an
     interval source (intervals.ordered/unordered/phrase/maxgaps/containing/
