@@ -168,6 +168,84 @@ def update_documents(index_dir: str, new_paths, key_col: str = "doc_id",
     return append_index(index_dir, new_paths, key_col=key_col, text_col=text_col)
 
 
+def update_documents_versioned(
+    index_dir: str, new_paths, key_col: str = "doc_id",
+    text_col: str = "text", version_col: str = "warc_ts",
+) -> dict:
+    """Versioned update-by-key: an incoming doc replaces the stored one only
+    when its version is STRICTLY higher (DistributedUpdateProcessor.java:75
+    externally-assigned `_version_` semantics / UpdateLog.java:96). Applying
+    re-crawl batches in ANY order converges to the same index: every key
+    ends up with its max-version document, ties keep the stored copy.
+
+    Requires the index to carry version_col as a NUMERIC docvalues field
+    (the stored-version lookup is a pruned (doc_id, dv_version) read of the
+    docs tables — the corpus is never touched)."""
+    from zlib import crc32
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    manifest = load_manifest(index_dir)
+    if not manifest or not manifest.get("committed"):
+        raise ValueError("update_documents_versioned requires a committed index")
+    cfg = IndexBuildConfig(**manifest["config"])
+    if version_col not in (cfg.docvalues_fields or ()):
+        raise ValueError(
+            f"{version_col!r} must be in docvalues_fields for versioned updates")
+    if isinstance(new_paths, str):
+        new_paths = [new_paths]
+
+    # incoming (key, version); within the batch the max version per key wins
+    inc = pa.concat_tables([
+        pq.read_table(p) for p in new_paths
+    ], promote_options="default")
+    keys = inc[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vers = inc[version_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((-vers, keys))
+    first = np.ones(len(keys), dtype=bool)
+    sk = keys[order]
+    first[1:] = sk[1:] != sk[:-1]
+    pick = order[first]                      # row index of max-version per key
+    inc = inc.take(pa.array(np.sort(pick)))
+    keys = inc[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vers = inc[version_col].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    # stored LIVE versions of the incoming keys (tombstoned docs don't block)
+    gens = _tombstone_gens(index_dir, manifest)
+    wanted = np.sort(keys)
+    stored: dict[int, float] = {}
+    ddir = os.path.join(index_dir, "docs")
+    if os.path.isdir(ddir):
+        t = pq.read_table(ddir, columns=["doc_id", f"dv_{version_col}", "shard"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.zeros(len(ids), dtype=bool)
+        if len(ids):
+            idx = np.minimum(np.searchsorted(wanted, ids), len(wanted) - 1)
+            m = wanted[idx] == ids
+        if gens and m.any():
+            sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m &= ~_dead_mask(ids, sh, gens)
+        sv = t[f"dv_{version_col}"].to_numpy(zero_copy_only=False)[m]
+        for k, v in zip(ids[m].tolist(), sv.tolist()):
+            stored[k] = max(stored.get(k, float("-inf")), float(v))
+
+    win = np.array([
+        k not in stored or v > stored[k] for k, v in zip(keys.tolist(), vers.tolist())
+    ], dtype=bool)
+    if not win.any():
+        return manifest
+    winners = inc.filter(pa.array(win))
+
+    upd_dir = os.path.join(index_dir, "updates")
+    os.makedirs(upd_dir, exist_ok=True)
+    upd_path = os.path.join(
+        upd_dir, f"upd_{manifest['generation']}_{crc32(str(sorted(new_paths)).encode()):08x}.parquet")
+    pq.write_table(winners, upd_path)
+    delete_by_ids(index_dir, winners[key_col].to_numpy(zero_copy_only=False))
+    return append_index(index_dir, upd_path, key_col=key_col, text_col=text_col)
+
+
 def append_index(
     index_dir: str,
     new_paths: str | list[str],
