@@ -28,6 +28,7 @@ from .query import (
     ConstantScore,
     DisMax,
     FeatureQuery,
+    FunctionScore,
     IntervalQuery,
     MatchAll,
     MultiPhrase,
@@ -104,6 +105,8 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
                 weights[key] = multi_term_weight(dfs, N, sum_ttf, params,
                                                  n.boost, dtype)
         elif isinstance(n, ConstantScore):
+            walk(n.query)
+        elif isinstance(n, FunctionScore):
             walk(n.query)
         elif isinstance(n, DisMax):
             for c in n.clauses:
@@ -425,6 +428,21 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     if isinstance(node, ConstantScore):
         docs, _ = eval_node(shard, node.query, weights, dtype)
         return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, FunctionScore):
+        from .expressions import compile_expression
+
+        docs, scores = eval_node(shard, node.query, weights, dtype)
+        if not len(docs):
+            return docs, scores
+        fn = compile_expression(node.expr)
+        idx = np.searchsorted(shard.doc_ids, docs)
+        env = {"score": scores.astype(np.float64),
+               "doclen": shard.doclens[idx].astype(np.float64),
+               "doc_id": docs.astype(np.float64)}
+        for name, vals in shard.docvalues.items():
+            if name in fn.variables:
+                env[name] = vals[idx]
+        return docs, (node.boost * fn(env)).astype(dtype)
     if isinstance(node, Synonym):
         # summed member freqs scored as one term with blended stats
         tw = weights[("\x1fSYN\x1f".join(node.terms), node.boost)]

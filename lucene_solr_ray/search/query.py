@@ -159,6 +159,17 @@ class MultiPhrase:
 
 
 @dataclass(frozen=True)
+class FunctionScore:
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:46) with
+    a compiled expression (expressions/js/JavascriptCompiler.java:77 role):
+    re-scores the wrapped query's hits as expr(score, doclen, <numeric
+    docvalues fields>) — e.g. 'score * log1p(popularity)'."""
+    query: object
+    expr: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class IndexOrDocValues:
     """IndexOrDocValuesQuery (search/IndexOrDocValuesQuery.java:50): an
     equality filter on a field indexed BOTH as keyword postings

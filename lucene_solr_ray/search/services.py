@@ -115,6 +115,64 @@ def suggest(searcher: IndexSearcher, prefix: str, k: int = 5) -> list[tuple[str,
     return [(t, df) for df, t in ranked[:k]]
 
 
+def infix_suggest(searcher: IndexSearcher, fragment: str, k: int = 5) -> list[tuple[str, int]]:
+    """AnalyzingInfixSuggester role (suggest/analyzing/
+    AnalyzingInfixSuggester.java:106): dictionary terms CONTAINING the
+    fragment anywhere, ranked by global df desc then term asc. The
+    reference's sidecar search index over suggestions is replaced by a
+    vectorized substring scan of the resident sorted term dictionary."""
+    frag = fragment.lower()
+    seen: set[str] = set()
+    for s in searcher.reader.shards:
+        if not len(s.terms):
+            continue
+        arr = s.terms.astype("U")
+        hit = np.char.find(arr, frag) >= 0
+        seen.update(arr[hit].tolist())
+    ranked = sorted(
+        ((searcher.reader.term_stats(t)[0], t) for t in seen),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return [(t, df) for df, t in ranked[:k]]
+
+
+class CompletionSuggester:
+    """Weighted completion suggester (suggest/analyzing/
+    AnalyzingSuggester.java:121 role): a (suggestion, weight) dictionary
+    queried by analyzed prefix, top-k by weight desc then suggestion asc.
+
+    The FST is replaced by one sorted array + searchsorted prefix range
+    (same substitution as the term dictionary). Ray-native use at scale:
+    build once, ray.put(self), look up inside map_batches tasks."""
+
+    def __init__(self, entries: list[tuple[str, int]]):
+        from ..analysis.analyzers import analyze_fast
+
+        keys = []
+        for text, w in entries:
+            toks = analyze_fast(text or "")
+            keys.append((" ".join(toks), str(text), int(w)))
+        keys.sort()
+        self._keys = np.asarray([x[0] for x in keys], dtype="U")
+        self._texts = np.asarray([x[1] for x in keys], dtype=object)
+        self._weights = np.asarray([x[2] for x in keys], dtype=np.int64)
+
+    def suggest(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        from ..analysis.analyzers import analyze_fast
+
+        key = " ".join(analyze_fast(prefix or ""))
+        if not key:
+            return []
+        lo = np.searchsorted(self._keys, key, side="left")
+        hi = np.searchsorted(self._keys, key + "￿", side="right")
+        if hi <= lo:
+            return []
+        w = self._weights[lo:hi]
+        t = self._texts[lo:hi]
+        order = np.lexsort((t.astype("U"), -w))[:k]
+        return [(str(t[i]), int(w[i])) for i in order]
+
+
 def spell_correct(searcher: IndexSearcher, word: str, max_edits: int = 2,
                   k: int = 3) -> list[tuple[str, int]]:
     """DirectSpellChecker role: dictionary terms within edit distance,
