@@ -328,7 +328,16 @@ def ngram_jaccard_pairs(
                       "right_id": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
-    nparts = num_partitions or max(8, ncpu)
+    # partition count scales with the candidate-pair volume: each hash-join
+    # partition costs a fixed aggregator spin-up, so a small candidate set
+    # over-partitioned at ncpu wastes seconds of pure overhead (the pair
+    # table is two int64 columns — materializing it to learn its size is
+    # cheap and object-store-distributed)
+    if num_partitions is None:
+        pairs = pairs.materialize()
+        nparts = int(min(max(2, pairs.count() // 25_000 + 2), max(8, ncpu)))
+    else:
+        nparts = num_partitions
 
     texts = ds.select_columns([key_col, text_col])
 
