@@ -569,6 +569,73 @@ def _merge_encoded_group(group, index_dir: str, gens):
     )
 
 
+def _purge_rows(t, index_dir: str, gens, src_shard: int, gshard: int):
+    """Shuffle-free purge of one postings batch (single-source merge case:
+    the target shard has exactly ONE source shard, so no k-way term merge
+    is needed). Rows containing no tombstoned doc pass through BYTE-
+    IDENTICAL (only the shard label changes — the reference likewise
+    bulk-copies unaffected codec data on merge, SegmentMerger.java:97);
+    rows touching a dead doc are decoded, masked and re-encoded. At web
+    dup/delete rates a tiny fraction of terms touch deleted docs, so this
+    replaces an all-to-all shuffle + full re-encode with a linear scan."""
+    import pyarrow as pa
+
+    from .build import merge_flat_and_encode
+    from .postings import POSTINGS_SCHEMA
+
+    cols = POSTINGS_SCHEMA.names
+    if "shard" in t.column_names:
+        t = t.drop_columns(["shard"])
+    if t.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+
+    def _relabel(tbl: "pa.Table") -> "pa.Table":
+        tbl = tbl.append_column(
+            "shard", pa.array(np.full(len(tbl), gshard, np.int32)))
+        return tbl.select(cols).cast(POSTINGS_SCHEMA)
+
+    gens = [(ids, ms) for ids, ms in gens if len(ids) and src_shard < ms]
+    if not gens:
+        return _relabel(t)
+
+    row_terms, dfs, flat_docs, flat_freqs, flat_pos = _decode_encoded_rows(t)
+    shard_rep = np.full(len(flat_docs), src_shard, np.int64)
+    dead = _dead_mask(flat_docs, shard_rep, gens)
+    if not dead.any():
+        return _relabel(t)
+    seg_starts = (np.cumsum(dfs) - dfs).astype(np.int64)
+    row_hit = np.add.reduceat(dead, seg_starts) > 0
+    post_hit = np.repeat(row_hit, dfs)
+
+    out = []
+    if (~row_hit).any():
+        out.append(_relabel(t.filter(pa.array(~row_hit))))
+
+    m = post_hit & ~dead                   # surviving postings of hit rows
+    if m.any():
+        sub_pos = None
+        if flat_pos is not None:
+            sub_pos = flat_pos[np.repeat(m, flat_freqs)]
+        sub_docs = flat_docs[m]
+        sub_freqs = flat_freqs[m]
+        sub_lens = np.add.reduceat(
+            m.astype(np.int64), seg_starts)[row_hit]
+        sub_terms = row_terms[row_hit]
+        keep_run = sub_lens > 0            # rows whose postings all died
+        if not keep_run.all():
+            # positions were already filtered posting-wise above
+            sub_terms = sub_terms[keep_run]
+            sub_lens = sub_lens[keep_run]
+        ids, nm = _shard_norms(index_dir, src_shard)
+        sub_norms = nm[np.searchsorted(ids, sub_docs)]
+        out.append(merge_flat_and_encode(
+            sub_terms, sub_lens, sub_docs, sub_freqs, sub_norms, sub_pos,
+            gshard).select(cols).cast(POSTINGS_SCHEMA))
+    if not out:
+        return POSTINGS_SCHEMA.empty_table()
+    return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+
 def _stats_for_shards(index_dir: str, shard_ids) -> tuple[int, int]:
     """(doc_count, sum_doclen) over the given docs shard dirs (pruned read)."""
     dirs = [os.path.join(index_dir, "docs", f"shard={s}") for s in shard_ids]
@@ -609,6 +676,32 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
     if cfg.store_positions:
         post_cols.append("positions")
 
+    # Single-source fast path: every target shard has exactly one source
+    # (purging/relabelling one generation, the forceMerge-after-delete case).
+    # No k-way term merge is needed, so skip the all-to-all groupby: scan
+    # each shard once, pass untouched rows through byte-identical, re-encode
+    # only rows containing tombstoned docs (_purge_rows).
+    if len({s % K for s in merged_ids}) == len(merged_ids):
+        pparts = []
+        for s in merged_ids:
+            d = os.path.join(index_dir, "postings", f"shard={s}")
+            files = expand_parquet_dirs([d]) if os.path.isdir(d) else []
+            if not files:
+                continue
+            pparts.append(ray.data.read_parquet(files).map_batches(
+                lambda t, _s=s: _purge_rows(
+                    t, index_dir, gens, _s, new_off + _s % K),
+                batch_format="pyarrow",
+            ))
+        if pparts:
+            ds = pparts[0]
+            for p in pparts[1:]:
+                ds = ds.union(p)
+            ds.write_parquet(os.path.join(index_dir, "postings"),
+                             partition_cols=["shard"])
+        _merge_docs_tables(index_dir, merged_ids, new_off, gens, K)
+        return
+
     parts = []
     for s in merged_ids:
         d = os.path.join(index_dir, "postings", f"shard={s}")
@@ -640,7 +733,14 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
         merged.write_parquet(os.path.join(index_dir, "postings"),
                              partition_cols=["shard"])
 
-    # docs tables: relabel + purge, NO re-encode (plain per-doc rows)
+    _merge_docs_tables(index_dir, merged_ids, new_off, gens, K)
+
+
+def _merge_docs_tables(index_dir: str, merged_ids, new_off: int,
+                       gens, K: int) -> None:
+    """docs tables: relabel + purge, NO re-encode (plain per-doc rows)."""
+    import pyarrow as pa
+
     dparts = []
     for s in merged_ids:
         d = os.path.join(index_dir, "docs", f"shard={s}")

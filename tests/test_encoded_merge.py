@@ -137,3 +137,42 @@ def test_update_after_merge_chain(tmp_path):
     assert sorted(s.match_all("grape")["doc_id"].to_pylist()) == [4, 500]
     assert 4 not in s.match_all("banana")["doc_id"].to_pylist()
     check_index(idx)
+
+
+def test_single_source_purge_passthrough(tmp_path):
+    """forceMerge of a single generation takes the shuffle-free purge path:
+    untouched postings rows pass through BYTE-IDENTICAL (only the shard
+    label moves), and only rows containing tombstoned docs re-encode."""
+    idx, _ = _build(tmp_path, n=400, name="pp", num_shards=2, num_buckets=4)
+
+    def rows(d):
+        import glob
+        return pq.read_table(sorted(glob.glob(
+            os.path.join(d, "postings", "shard=*", "*.parquet")))).to_pylist()
+
+    def df_map(rs):
+        # a term's postings can span shards: aggregate df across rows
+        out = {}
+        for r in rs:
+            out[r["term"]] = out.get(r["term"], 0) + r["df"]
+        return out
+
+    before = rows(idx)
+    # delete docs 0, 3, 6 (all i%3==0 -> 'cherry banana doc%d' docs)
+    delete_by_ids(idx, [0, 3, 6])
+    m = force_merge(idx)
+    assert m["stats"]["doc_count"] == 397
+    after = rows(idx)
+    bdf, adf = df_map(before), df_map(after)
+    # doc-specific singleton terms of untouched docs survive BYTE-IDENTICAL
+    bsingle = {r["term"]: r for r in before if r["df"] == 1}
+    asingle = {r["term"]: r for r in after if r["df"] == 1}
+    assert asingle["doc5"]["short_bin"] == bsingle["doc5"]["short_bin"]
+    # terms of deleted docs are gone or shrunk
+    assert "doc3" not in adf and "doc0" not in adf and "doc6" not in adf
+    assert adf["cherry"] == bdf["cherry"] - 3
+    assert adf["banana"] == bdf["banana"] - 3
+    assert adf["apple"] == bdf["apple"]
+    s = IndexSearcher(idx)
+    assert s.count("banana") == 397
+    check_index(idx)
