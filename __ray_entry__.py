@@ -316,6 +316,25 @@ def q_ft_facet_dv(sf_dir):
     return facet_string_docvalues(_sdv_index(sf_dir), "lang", query="fast")
 
 
+def q_ft_tfidf(sf_dir):
+    """ClassicSimilarity (TF-IDF) disjunction, scored through the pluggable
+    Similarity SPI (search/similarities/ClassicSimilarity.java:29)."""
+    from lucene_solr_ray.search import ClassicSimilarity, IndexSearcher
+
+    s = IndexSearcher(_index_for(sf_dir), params=ClassicSimilarity(),
+                      dtype=np.float64)
+    return _round_col(s.match_all("fast OR query"), "score")
+
+
+def q_ft_lm_dirichlet(sf_dir):
+    """LMDirichletSimilarity term scoring (LMDirichletSimilarity.java:59)."""
+    from lucene_solr_ray.search import IndexSearcher, LMDirichletSimilarity
+
+    s = IndexSearcher(_index_for(sf_dir), params=LMDirichletSimilarity(),
+                      dtype=np.float64)
+    return _round_col(s.match_all("query"), "score")
+
+
 def q_ft_intervals(sf_dir):
     """Intervals algebra (queries/intervals/Intervals.java:46):
     maxgaps(1, ordered(fast, query)) — docs where 'fast' precedes 'query'
@@ -1030,6 +1049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_string": q_ft_sort_string,
         "ft_facet_dv": q_ft_facet_dv,
         "ft_intervals": q_ft_intervals,
+        "ft_tfidf": q_ft_tfidf,
+        "ft_lm_dirichlet": q_ft_lm_dirichlet,
         # --- relational / streaming-expression layer ---
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
@@ -1169,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                    WHERE term LIKE 's%' GROUP BY term)
             SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
+        "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
+        "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_intervals": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -32,10 +32,25 @@ class BM25Params:
 
 @dataclass
 class TermWeight:
+    """BM25 per-term weight; subclasses (search/similarity.py) override
+    ``score`` to plug alternative similarities into every execution path —
+    the kernels all score through ``score_postings``, which delegates here
+    (the reference's SimScorer polymorphism, Similarity.java:150)."""
+
     weight: float          # boost * idf, in scoring dtype
-    cache: np.ndarray      # 256-entry normInverse table, scoring dtype
+    cache: np.ndarray      # 256-entry per-norm table, scoring dtype
     df: int
     max_score: float       # upper bound: score at freq=+inf == weight
+
+    def score(self, freqs: np.ndarray, norms: np.ndarray, dtype=np.float32) -> np.ndarray:
+        inv = self.cache[norms.astype(np.int64)]
+        if dtype == np.float32:
+            one = np.float32(1.0)
+            w = np.float32(self.weight)
+            f = freqs.astype(np.float32)
+            return (w - w / (one + f * inv)).astype(np.float32)
+        w = float(self.weight)
+        return w - w / (1.0 + freqs.astype(np.float64) * inv)
 
 
 def _cache_f32(k1: float, b: float, avgdl: np.float32) -> np.ndarray:
@@ -93,15 +108,9 @@ def multi_term_weight(dfs, doc_count, sum_ttf, params=BM25Params(), boost=1.0, d
 
 
 def score_postings(tw: TermWeight, freqs: np.ndarray, norms: np.ndarray, dtype=np.float32) -> np.ndarray:
-    """Vectorized SimScorer.score(freq, norm) over posting arrays."""
-    inv = tw.cache[norms.astype(np.int64)]
-    if dtype == np.float32:
-        one = np.float32(1.0)
-        w = np.float32(tw.weight)
-        f = freqs.astype(np.float32)
-        return (w - w / (one + f * inv)).astype(np.float32)
-    w = float(tw.weight)
-    return w - w / (1.0 + freqs.astype(np.float64) * inv)
+    """Vectorized SimScorer.score(freq, norm) over posting arrays
+    (polymorphic on the weight's similarity)."""
+    return tw.score(freqs, norms, dtype)
 
 
 def block_upper_bound(tw: TermWeight, max_freq: int, min_norm: int, dtype=np.float32) -> float:

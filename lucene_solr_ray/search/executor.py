@@ -16,13 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..index.reader import IndexReader, ShardReader
-from .bm25 import (
-    BM25Params,
-    TermWeight,
-    multi_term_weight,
-    score_postings,
-    term_weight,
-)
+from .bm25 import TermWeight, score_postings
 from .query import (
     Bool,
     ConstantScore,
@@ -47,9 +41,13 @@ def _is_span(n) -> bool:
     return isinstance(n, (SpanNear, SpanFirst))
 
 
-def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dict:
+def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
     """Global-stats Weight resolution (the reference's createWeight step):
-    df summed across shards once per query, then broadcast to every shard."""
+    df summed across shards once per query, then broadcast to every shard.
+    ``params`` is a BM25Params (legacy) or any Similarity instance."""
+    from .similarity import as_similarity
+
+    sim = as_similarity(params)
     weights: dict = {}
     N = reader.doc_count
     sum_ttf = reader.sum_total_term_freq
@@ -60,28 +58,32 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
         if isinstance(n, Term):
             key = (n.text, n.boost)
             if key not in weights:
-                df, _ = reader.term_stats(n.text)
-                weights[key] = term_weight(df, N, sum_ttf, params, n.boost, dtype)
+                df, ttf = reader.term_stats(n.text)
+                weights[key] = sim.weight(df, ttf, N, sum_ttf, n.boost, dtype)
         elif isinstance(n, Phrase):
             key = ("\x1f".join(n.terms), n.boost)
             if key not in weights:
-                dfs = [reader.term_stats(t)[0] for t in n.terms]
-                weights[key] = multi_term_weight(dfs, N, sum_ttf, params, n.boost, dtype)
+                st = [reader.term_stats(t) for t in n.terms]
+                weights[key] = sim.multi_weight(
+                    [s[0] for s in st], [s[1] for s in st], N, sum_ttf,
+                    n.boost, dtype)
         elif isinstance(n, Synonym):
             # SynonymQuery blends stats: df = max over members, scored as one
             # pseudo-term over the summed freqs (SynonymQuery.java:55)
             key = ("\x1fSYN\x1f".join(n.terms), n.boost)
             if key not in weights:
-                df = max((reader.term_stats(t)[0] for t in n.terms), default=0)
-                weights[key] = term_weight(df, N, sum_ttf, params, n.boost, dtype)
+                st = [reader.term_stats(t) for t in n.terms]
+                df = max((s[0] for s in st), default=0)
+                ttf = sum(s[1] for s in st)
+                weights[key] = sim.weight(df, ttf, N, sum_ttf, n.boost, dtype)
         elif isinstance(n, MultiPhrase):
             key = ("\x1fMP\x1f".join("|".join(p) for p in n.positions), n.boost)
             if key not in weights:
-                dfs = [
-                    max((reader.term_stats(t)[0] for t in pos), default=0)
-                    for pos in n.positions
-                ]
-                weights[key] = multi_term_weight(dfs, N, sum_ttf, params, n.boost, dtype)
+                st = [[reader.term_stats(t) for t in pos] for pos in n.positions]
+                weights[key] = sim.multi_weight(
+                    [max((s[0] for s in pos), default=0) for pos in st],
+                    [sum(s[1] for s in pos) for pos in st],
+                    N, sum_ttf, n.boost, dtype)
         elif _is_span(n):
             from .spans import _span_key, span_clause_terms
             from .query import SpanNear as _SN
@@ -89,21 +91,21 @@ def resolve_weights(reader: IndexReader, node, params: BM25Params, dtype) -> dic
             key = _span_key(n)
             if key not in weights:
                 clauses = n.clauses if isinstance(n, _SN) else (n.clause,)
-                dfs = [
-                    max((reader.term_stats(t)[0] for t in span_clause_terms(c)),
-                        default=0)
-                    for c in clauses
-                ]
-                weights[key] = multi_term_weight(dfs, N, sum_ttf, params,
-                                                 n.boost, dtype)
+                st = [[reader.term_stats(t) for t in span_clause_terms(c)]
+                      for c in clauses]
+                weights[key] = sim.multi_weight(
+                    [max((s[0] for s in c), default=0) for c in st],
+                    [sum(s[1] for s in c) for c in st],
+                    N, sum_ttf, n.boost, dtype)
         elif isinstance(n, IntervalQuery):
             from .intervals import source_key, terms_of
 
             key = ("\x1fIV\x1f" + source_key(n.source), n.boost)
             if key not in weights:
-                dfs = [reader.term_stats(t)[0] for t in set(terms_of(n.source))]
-                weights[key] = multi_term_weight(dfs, N, sum_ttf, params,
-                                                 n.boost, dtype)
+                st = [reader.term_stats(t) for t in set(terms_of(n.source))]
+                weights[key] = sim.multi_weight(
+                    [s[0] for s in st], [s[1] for s in st], N, sum_ttf,
+                    n.boost, dtype)
         elif isinstance(n, ConstantScore):
             walk(n.query)
         elif isinstance(n, FunctionScore):

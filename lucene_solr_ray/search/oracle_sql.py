@@ -133,6 +133,44 @@ HAVING count(DISTINCT t.term) = {n}
 ORDER BY t.doc_id"""
 
 
+def sql_tfidf_or(terms: list[str]) -> str:
+    """ClassicSimilarity: score = (ln((N+1)/(df+1)) + 1) * sqrt(freq)
+    * 1/sqrt(qlen), summed over matching terms (TFIDFSimilarity.java:390)."""
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(sum(
+         ((ln((s.n + 1.0) / (d.df + 1.0)) + 1) * sqrt(t.freq))
+         * (1.0 / sqrt(q.qlen))), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term IN ({quoted})
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+
+
+def sql_lm_dirichlet_term(term: str, mu: float = 2000.0) -> str:
+    """LMDirichletSimilarity: score = max(0, ln(1 + freq/(mu*p))
+    + ln(mu/(qlen+mu))) with p = (ttf+1)/(sum_ttf+1)
+    (LMDirichletSimilarity.java:59-77)."""
+    return f"""
+WITH {bm25_cte()},
+tt AS (SELECT term, count(*) AS ttf FROM tok GROUP BY term)
+SELECT t.doc_id AS doc_id,
+       round(greatest(0.0,
+         ln(1.0 + t.freq * (1.0 / ({mu} * ((c.ttf + 1.0) / (s.sum_dl + 1.0)))))
+         + ln({mu} / (q.qlen + {mu}))), {ROUND}) AS score
+FROM tf t
+JOIN tt c ON c.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
 def sql_count_term(term: str) -> str:
     return f"""
 WITH tok AS (

@@ -299,7 +299,6 @@ class DistributedSearcher:
     def search(self, query, k: int = 10, use_wand: bool = True) -> pa.Table:
         import ray
 
-        from .bm25 import multi_term_weight, term_weight
         from .query import (
             Bool,
             ConstantScore,
@@ -339,6 +338,10 @@ class DistributedSearcher:
         # phase 1: global term stats (createWeight)
         stats_parts = ray.get([a.term_stats.remote(terms) for a in self.actors])
         df = {t: sum(p[t][0] for p in stats_parts) for t in terms}
+        ttf = {t: sum(p[t][1] for p in stats_parts) for t in terms}
+        from .similarity import as_similarity
+
+        sim = as_similarity(self.params)
         weights: dict = {}
 
         def walk(n):
@@ -347,30 +350,33 @@ class DistributedSearcher:
             if isinstance(n, Term):
                 key = (n.text, n.boost)
                 if key not in weights:
-                    weights[key] = term_weight(
-                        df[n.text], self.doc_count, self.sum_ttf, self.params, n.boost, self.dtype
+                    weights[key] = sim.weight(
+                        df[n.text], ttf[n.text], self.doc_count, self.sum_ttf,
+                        n.boost, self.dtype,
                     )
             elif isinstance(n, Phrase):
                 key = ("\x1f".join(n.terms), n.boost)
                 if key not in weights:
-                    weights[key] = multi_term_weight(
-                        [df[t] for t in n.terms], self.doc_count, self.sum_ttf,
-                        self.params, n.boost, self.dtype,
+                    weights[key] = sim.multi_weight(
+                        [df[t] for t in n.terms], [ttf[t] for t in n.terms],
+                        self.doc_count, self.sum_ttf, n.boost, self.dtype,
                     )
             elif isinstance(n, Synonym):
                 key = ("\x1fSYN\x1f".join(n.terms), n.boost)
                 if key not in weights:
-                    weights[key] = term_weight(
+                    weights[key] = sim.weight(
                         max((df[t] for t in n.terms), default=0),
-                        self.doc_count, self.sum_ttf, self.params, n.boost, self.dtype,
+                        sum(ttf[t] for t in n.terms),
+                        self.doc_count, self.sum_ttf, n.boost, self.dtype,
                     )
             elif isinstance(n, MultiPhrase):
                 key = ("\x1fMP\x1f".join("|".join(p) for p in n.positions), n.boost)
                 if key not in weights:
-                    weights[key] = multi_term_weight(
+                    weights[key] = sim.multi_weight(
                         [max((df.get(t, 0) for t in pos), default=0)
                          for pos in n.positions],
-                        self.doc_count, self.sum_ttf, self.params, n.boost, self.dtype,
+                        [sum(ttf.get(t, 0) for t in pos) for pos in n.positions],
+                        self.doc_count, self.sum_ttf, n.boost, self.dtype,
                     )
             elif isinstance(n, ConstantScore):
                 walk(n.query)

@@ -1,0 +1,172 @@
+"""Pluggable similarities: BM25 (default), classic TF-IDF, LM Dirichlet,
+Boolean.
+
+The reference exposes scoring as a Similarity SPI
+(search/similarities/Similarity.java:88, ClassicSimilarity.java:29,
+LMDirichletSimilarity.java:59, BooleanSimilarity.java:29). Here a
+Similarity builds per-term weight objects whose ``score(freqs, norms,
+dtype)`` method is the vectorized SimScorer; every execution kernel
+(term/phrase/WAND/block-max/spans/intervals) scores through
+``score_postings`` which delegates to the weight, so any similarity rides
+the whole pruned-search machinery unchanged.
+
+Block-max safety: WAND/BMW bounds are computed by scoring each block's
+(max_freq, min_norm) impact through the SAME weight object, so pruning
+stays correct for any similarity that is monotone non-decreasing in freq
+and non-increasing in doc length — true for all four here.
+
+``dtype=float32`` mirrors the reference's float rounding; ``float64`` is
+the oracle mode for the DuckDB SQL cross-checks.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..util.smallfloat import LENGTH_TABLE
+from .bm25 import BM25Params, TermWeight, multi_term_weight, term_weight
+
+
+@dataclass
+class ClassicWeight(TermWeight):
+    """TF-IDF: score = weight * sqrt(freq) * 1/sqrt(doclen)
+    (TFIDFSimilarity.java:390-436, ClassicSimilarity.java:40-57);
+    ``cache`` holds the 256-entry lengthNorm table."""
+
+    def score(self, freqs, norms, dtype=np.float32):
+        inv = self.cache[norms.astype(np.int64)]
+        if dtype == np.float32:
+            w = np.float32(self.weight)
+            return (w * np.sqrt(freqs.astype(np.float32)) * inv).astype(np.float32)
+        return float(self.weight) * np.sqrt(freqs.astype(np.float64)) * inv
+
+
+@dataclass
+class LMDirichletWeight(TermWeight):
+    """score = boost * max(0, ln(1 + freq/(mu*p)) + ln(mu/(dl + mu)))
+    with p = (ttf+1)/(sum_ttf+1) (LMDirichletSimilarity.java:59-77,
+    LMSimilarity.java collection model). ``cache`` holds the per-norm
+    ln(mu/(dl+mu)) addend; ``weight`` is the boost."""
+
+    inv_mup: float = 0.0   # 1 / (mu * collection_probability)
+
+    def score(self, freqs, norms, dtype=np.float32):
+        # ln(1 + x), not log1p: matches the reference's Math.log(1 + ...)
+        # and the SQL oracle's ln(1 + ...) bit-for-bit in double
+        add = self.cache[norms.astype(np.int64)]
+        if dtype == np.float32:
+            s = (np.float32(self.weight)
+                 * (np.log(np.float32(1.0)
+                           + freqs.astype(np.float32) * np.float32(self.inv_mup))
+                    + add)).astype(np.float32)
+        else:
+            s = float(self.weight) * (
+                np.log(1.0 + freqs.astype(np.float64) * float(self.inv_mup)) + add)
+        return np.maximum(s, 0, out=s)
+
+
+@dataclass
+class BooleanWeight(TermWeight):
+    """score = boost, independent of freq/norm (BooleanSimilarity.java:29)."""
+
+    def score(self, freqs, norms, dtype=np.float32):
+        return np.full(len(freqs), self.weight, dtype=dtype)
+
+
+class Similarity:
+    """Base SPI: builds weight objects from global stats. Subclass and
+    override ``weight``/``multi_weight`` (the createWeight step); pass the
+    instance as ``IndexSearcher(..., params=sim)``."""
+
+    def weight(self, df: int, ttf: int, doc_count: int, sum_ttf: int,
+               boost: float, dtype) -> TermWeight:
+        raise NotImplementedError
+
+    def multi_weight(self, dfs, ttfs, doc_count: int, sum_ttf: int,
+                     boost: float, dtype) -> TermWeight:
+        """Phrase/span pseudo-term: blended stats (df=min, ttf summed —
+        the reference's idfExplain over a TermStatistics array)."""
+        return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
+                           doc_count, sum_ttf, boost, dtype)
+
+
+class BM25Similarity(Similarity):
+    def __init__(self, params: BM25Params = BM25Params()):
+        self.params = params
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        return term_weight(df, doc_count, sum_ttf, self.params, boost, dtype)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return multi_term_weight(dfs, doc_count, sum_ttf, self.params, boost,
+                                 dtype)
+
+
+def _length_norm_table(dtype) -> np.ndarray:
+    lt = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+    tab = 1.0 / np.sqrt(lt)
+    return tab.astype(np.float32) if dtype == np.float32 else tab
+
+
+class ClassicSimilarity(Similarity):
+    """idf = ln((N+1)/(df+1)) + 1, summed across phrase terms."""
+
+    def _idf(self, df, doc_count, dtype):
+        v = math.log((doc_count + 1) / (df + 1)) + 1.0
+        return float(np.float32(v)) if dtype == np.float32 else v
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        w = boost * self._idf(df, doc_count, dtype)
+        return ClassicWeight(weight=w, cache=_length_norm_table(dtype),
+                             df=df, max_score=math.inf)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        idf = sum(self._idf(d, doc_count, dtype) for d in dfs)
+        return ClassicWeight(weight=boost * idf,
+                             cache=_length_norm_table(dtype),
+                             df=min(dfs) if len(dfs) else 0,
+                             max_score=math.inf)
+
+
+class LMDirichletSimilarity(Similarity):
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(mu)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        dl = np.maximum(LENGTH_TABLE.astype(np.float64), 0.0)
+        cache = np.log(self.mu / (dl + self.mu))
+        if dtype == np.float32:
+            cache = cache.astype(np.float32)
+        # max over norms of the addend is cache[0] (shortest doc); freq is
+        # bounded by dl, but inf keeps the bound conservative — block-max
+        # pruning uses per-block impacts, not this scalar
+        return LMDirichletWeight(weight=boost, cache=cache, df=df,
+                                 max_score=math.inf,
+                                 inv_mup=1.0 / (self.mu * p))
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
+                           doc_count, sum_ttf, boost, dtype)
+
+
+class BooleanSimilarity(Similarity):
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        zeros = np.zeros(256, np.float32 if dtype == np.float32 else np.float64)
+        return BooleanWeight(weight=float(boost), cache=zeros, df=df,
+                             max_score=float(boost))
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self.weight(min(dfs) if len(dfs) else 0, 0, doc_count,
+                           sum_ttf, boost, dtype)
+
+
+def as_similarity(params) -> Similarity:
+    """Normalize the searcher's ``params`` argument: BM25Params (legacy)
+    or a Similarity instance."""
+    if isinstance(params, Similarity):
+        return params
+    return BM25Similarity(params if isinstance(params, BM25Params) else BM25Params())

@@ -1,0 +1,132 @@
+"""Pluggable similarities (reference: search/similarities/ SPI —
+ClassicSimilarity.java, LMDirichletSimilarity.java, BooleanSimilarity.java):
+hand-formula parity, WAND == exhaustive under every similarity, and the
+whole query algebra scoring through the plugged SimScorer."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import IndexBuildConfig, build_index
+from lucene_solr_ray.search import (
+    BooleanSimilarity,
+    ClassicSimilarity,
+    IndexSearcher,
+    LMDirichletSimilarity,
+)
+from lucene_solr_ray.util.smallfloat import byte4_to_int, int_to_byte4
+
+SIMS = [ClassicSimilarity(), LMDirichletSimilarity(), BooleanSimilarity()]
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sim")
+    rng = np.random.default_rng(7)
+    vocab = ["fast", "slow", "query", "table", "index", "merge", "shard"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(3, 12))))
+        for _ in range(300)
+    ]
+    p = str(tmp / "c.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(300), pa.int64()),
+                             "text": pa.array(texts, pa.string())}), p)
+    d = str(tmp / "idx")
+    build_index(p, d, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    return d, texts
+
+
+def _stats(texts):
+    dl = [len(t.split()) for t in texts]
+    n = len(texts)
+    sum_ttf = sum(dl)
+    return dl, n, sum_ttf
+
+
+def _qlen(length):
+    return byte4_to_int(int_to_byte4(length))
+
+
+def test_classic_hand_formula(idx):
+    d, texts = idx
+    dl, n, sum_ttf = _stats(texts)
+    s = IndexSearcher(d, params=ClassicSimilarity(), dtype=np.float64)
+    res = s.match_all("fast")
+    df = sum(1 for t in texts if "fast" in t.split())
+    idf = math.log((n + 1) / (df + 1)) + 1.0
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        freq = texts[doc].split().count("fast")
+        exp = idf * math.sqrt(freq) / math.sqrt(_qlen(dl[doc]))
+        assert sc == pytest.approx(exp, rel=1e-9)
+
+
+def test_lm_dirichlet_hand_formula(idx):
+    d, texts = idx
+    dl, n, sum_ttf = _stats(texts)
+    mu = 2000.0
+    s = IndexSearcher(d, params=LMDirichletSimilarity(mu=mu), dtype=np.float64)
+    res = s.match_all("query")
+    ttf = sum(t.split().count("query") for t in texts)
+    p = (ttf + 1.0) / (sum_ttf + 1.0)
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        freq = texts[doc].split().count("query")
+        exp = max(0.0, math.log(1 + freq / (mu * p))
+                  + math.log(mu / (_qlen(dl[doc]) + mu)))
+        assert sc == pytest.approx(exp, rel=1e-9)
+
+
+def test_boolean_scores_are_boost(idx):
+    d, texts = idx
+    s = IndexSearcher(d, params=BooleanSimilarity())
+    res = s.match_all("fast^2.5")
+    assert res.num_rows > 0
+    assert res["score"].to_pylist() == pytest.approx([2.5] * res.num_rows)
+
+
+@pytest.mark.parametrize("sim", SIMS, ids=lambda s: type(s).__name__)
+@pytest.mark.parametrize("q", [
+    "fast", "fast OR slow", "fast AND table", '"fast query"',
+    "fast OR (slow AND table)", "fa*",
+])
+def test_wand_parity_per_similarity(idx, sim, q):
+    """Block-max pruning scores impacts through the plugged weight, so
+    WAND results must equal exhaustive results under ANY similarity."""
+    d, _ = idx
+    s = IndexSearcher(d, params=sim)
+    a = s.search(q, k=10, use_wand=True)
+    b = s.search(q, k=10, use_wand=False)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_distributed_matches_local(idx, ray_session):
+    from lucene_solr_ray.search import DistributedSearcher
+
+    d, _ = idx
+    sim = ClassicSimilarity()
+    loc = IndexSearcher(d, params=sim).search("fast OR slow", k=5)
+    dist = DistributedSearcher(d, num_actors=2, params=sim).search(
+        "fast OR slow", k=5)
+    assert loc["doc_id"].to_pylist() == dist["doc_id"].to_pylist()
+    assert loc["score"].to_pylist() == pytest.approx(dist["score"].to_pylist())
+
+
+def test_phrase_summed_idf_classic(idx):
+    d, texts = idx
+    dl, n, _ = _stats(texts)
+    s = IndexSearcher(d, params=ClassicSimilarity(), dtype=np.float64)
+    res = s.match_all('"fast query"')
+    dff = sum(1 for t in texts if "fast" in t.split())
+    dfq = sum(1 for t in texts if "query" in t.split())
+    idf = (math.log((n + 1) / (dff + 1)) + 1.0) + (math.log((n + 1) / (dfq + 1)) + 1.0)
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        words = texts[doc].split()
+        freq = sum(1 for i in range(len(words) - 1)
+                   if words[i] == "fast" and words[i + 1] == "query")
+        assert freq > 0
+        exp = idf * math.sqrt(freq) / math.sqrt(_qlen(dl[doc]))
+        assert sc == pytest.approx(exp, rel=1e-9)
