@@ -158,8 +158,8 @@ def encode_postings_group(
     long_rows: dict[int, tuple] = {}
     for t in long_idx:
         s, e = run_starts[t], run_ends[t]
-        g = gaps[s:e].astype(np.uint32)
-        f = freqs[s:e].astype(np.uint32)
+        g = gaps[s:e]                      # uint64: gaps of hashed/sparse
+        f = freqs[s:e].astype(np.uint32)   # 63-bit doc ids exceed uint32
         d = docs[s:e]
         nm = norms[s:e]
         docs_bin = encode_blocks(g)

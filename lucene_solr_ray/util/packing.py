@@ -11,7 +11,12 @@ ForDeltaUtil.java and the VInt tail encoding of Lucene84PostingsWriter):
   (df < BLOCK_SIZE), vectorized across *many* values at once so encoding a
   million short terms needs no per-term Python loop.
 
-All functions operate on uint32-representable non-negative ints.
+All functions accept uint64 values: blocks whose width fits 32 bits keep
+the exact 32-bit byte layout (the common case — freqs, dense-id gaps);
+wider blocks pack through a 64-bit path. This matters at web scale: with
+hashed 63-bit document keys (or any corpus past 2^32 docs) the delta gaps
+inside a posting list exceed uint32, and a 32-bit-only codec silently
+truncates ids.
 """
 
 from __future__ import annotations
@@ -32,19 +37,27 @@ def bit_width(values: np.ndarray) -> int:
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack uint32 values at `width` bits each into a byte string."""
-    v = np.ascontiguousarray(values, dtype=">u4")
-    bits = np.unpackbits(v.view(np.uint8)).reshape(-1, 32)[:, 32 - width:]
+    """Pack values at `width` bits each into a byte string."""
+    if width <= 32:
+        v = np.ascontiguousarray(values, dtype=">u4")
+        bits = np.unpackbits(v.view(np.uint8)).reshape(-1, 32)[:, 32 - width:]
+    else:
+        v = np.ascontiguousarray(values, dtype=">u8")
+        bits = np.unpackbits(v.view(np.uint8)).reshape(-1, 64)[:, 64 - width:]
     return np.packbits(bits.ravel()).tobytes()
 
 
 def unpack_bits(data: bytes, width: int, n: int) -> np.ndarray:
-    """Inverse of pack_bits: first n values of `width` bits -> uint32 array."""
+    """Inverse of pack_bits: first n values of `width` bits -> uint64 array."""
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))[: n * width]
     bits = bits.reshape(n, width)
-    out = np.zeros((n, 32), dtype=np.uint8)
-    out[:, 32 - width:] = bits
-    return np.packbits(out.ravel()).view(">u4").astype(np.uint32)
+    if width <= 32:
+        out = np.zeros((n, 32), dtype=np.uint8)
+        out[:, 32 - width:] = bits
+        return np.packbits(out.ravel()).view(">u4").astype(np.uint64)
+    out = np.zeros((n, 64), dtype=np.uint8)
+    out[:, 64 - width:] = bits
+    return np.packbits(out.ravel()).view(">u8").astype(np.uint64)
 
 
 MAX_EXCEPTIONS = 7  # as in the reference (PForUtil.java:49 allows <= 7)
@@ -61,10 +74,14 @@ def _bit_lengths(v: np.ndarray) -> np.ndarray:
 
 
 def _pack_rows(rows: np.ndarray, w: int) -> np.ndarray:
-    """Pack a (k, cnt) uint32 matrix at width w -> uint8 buffer whose
-    per-row byte spans are contiguous (cnt*w divisible by 8 for cnt=128)."""
-    v = np.ascontiguousarray(rows, dtype=">u4")
-    bits = np.unpackbits(v.view(np.uint8)).reshape(-1, 32)[:, 32 - w:]
+    """Pack a (k, cnt) matrix at width w -> uint8 buffer whose per-row
+    byte spans are contiguous (cnt*w divisible by 8 for cnt=128)."""
+    if w <= 32:
+        v = np.ascontiguousarray(rows, dtype=">u4")
+        bits = np.unpackbits(v.view(np.uint8)).reshape(-1, 32)[:, 32 - w:]
+    else:
+        v = np.ascontiguousarray(rows, dtype=">u8")
+        bits = np.unpackbits(v.view(np.uint8)).reshape(-1, 64)[:, 64 - w:]
     return np.packbits(bits.ravel())
 
 
@@ -81,7 +98,7 @@ def encode_blocks(values: np.ndarray) -> bytes:
     run vectorized across all full blocks at once (one numpy pass per
     distinct width); only the tiny per-block byte assembly is Python.
     """
-    values = np.asarray(values, dtype=np.uint32)
+    values = np.asarray(values, dtype=np.uint64)
     n = len(values)
     if n == 0:
         return b""
@@ -93,7 +110,9 @@ def encode_blocks(values: np.ndarray) -> bytes:
         BL = np.zeros(M.shape, dtype=np.int64)
         nz = M != 0
         if nz.any():
-            BL[nz] = np.frexp(M[nz].astype(np.float64))[1]
+            # frexp may overestimate by 1 bit above 2^53 (rounding up across
+            # a power of two) — harmless for packing; clamp to 64
+            BL[nz] = np.minimum(np.frexp(M[nz].astype(np.float64))[1], 64)
         top_k = min(8, BLOCK_SIZE)
         BL8 = -np.sort(-BL, axis=1)[:, :top_k]
         w0 = np.maximum(BL8[:, 0], 1)
@@ -118,7 +137,7 @@ def encode_blocks(values: np.ndarray) -> bytes:
         nbytes_of = {}
         for w in np.unique(best_w).tolist():
             rows = np.flatnonzero(best_w == w)
-            masked = M[rows] & np.uint32((1 << w) - 1)
+            masked = M[rows] & np.uint64((1 << w) - 1)
             buf = _pack_rows(masked, w)
             row_pos = {int(r): i for i, r in enumerate(rows)}
             low_bufs[w] = (buf, row_pos)
@@ -130,7 +149,7 @@ def encode_blocks(values: np.ndarray) -> bytes:
             w = int(best_w[r])
             ei = np.flatnonzero(BL[r] > w)
             exc_idx_per.append(ei)
-            highs_all.append(M[r, ei] >> np.uint32(w))
+            highs_all.append(M[r, ei] >> np.uint64(w))
             highs_cnt.append(len(ei))
         if pfor_rows.size:
             hv, hlens = varint_encode_all(
@@ -178,7 +197,7 @@ def decode_blocks(data: bytes, n: int) -> np.ndarray:
     sharing a width unpack in a single vectorized pass (one unpackbits + one
     weighted sum for the whole group) — a long posting list costs a handful
     of numpy calls, not one per 128-doc block. Patches apply afterwards."""
-    out = np.empty(n, dtype=np.uint32)
+    out = np.empty(n, dtype=np.uint64)
     buf = np.frombuffer(data, dtype=np.uint8)
     mv = memoryview(data)
     groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
@@ -220,9 +239,14 @@ def decode_blocks(data: bytes, n: int) -> np.ndarray:
         offs = np.asarray([o for o, _ in blocks], dtype=np.int64)
         gather = buf[offs[:, None] + np.arange(nbytes)[None, :]]
         bits = np.unpackbits(gather, axis=1)[:, : cnt * w].reshape(-1, w)
-        padded = np.zeros((bits.shape[0], 32), dtype=np.uint8)
-        padded[:, 32 - w:] = bits
-        vals = np.packbits(padded.ravel()).view(">u4").astype(np.uint32)
+        if w <= 32:
+            padded = np.zeros((bits.shape[0], 32), dtype=np.uint8)
+            padded[:, 32 - w:] = bits
+            vals = np.packbits(padded.ravel()).view(">u4").astype(np.uint64)
+        else:
+            padded = np.zeros((bits.shape[0], 64), dtype=np.uint8)
+            padded[:, 64 - w:] = bits
+            vals = np.packbits(padded.ravel()).view(">u8").astype(np.uint64)
         outs = np.asarray([og for _, og in blocks], dtype=np.int64)
         idx = (outs[:, None] + np.arange(cnt)[None, :]).ravel()
         out[idx] = vals
@@ -238,7 +262,7 @@ def decode_blocks(data: bytes, n: int) -> np.ndarray:
             highs = all_highs[starts[i]:ends[i]]
             # exc_pos is uint8; the explicit int64 index keeps og + pos from
             # overflowing under numpy>=2 NEP-50 promotion once og >= 256
-            out[og + exc_pos.astype(np.int64)] |= (highs << np.uint64(w)).astype(np.uint32)
+            out[og + exc_pos.astype(np.int64)] |= highs << np.uint64(w)
     return out
 
 
@@ -247,22 +271,24 @@ def decode_blocks(data: bytes, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def varint_encode_all(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Encode many uint32 values as varints in one vectorized pass.
+    """Encode many uint64 values as varints in one vectorized pass
+    (up to 10 bytes per value; values < 2^28 cost the same passes as a
+    32-bit-only encoder since the byte loop exits when nothing is alive).
 
     Returns (bytes_array uint8, byte_lengths int64 per value). Callers slice
     the concatenated byte stream per logical record via cumsum(byte_lengths).
     """
     v = np.asarray(values, dtype=np.uint64)
     nbytes = np.ones(len(v), dtype=np.int64)
-    for k in (1 << 7, 1 << 14, 1 << 21, 1 << 28):
-        nbytes += (v >= k).astype(np.int64)
+    for s in range(7, 64, 7):
+        nbytes += (v >= np.uint64(1 << s)).astype(np.int64)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     rem = v.copy()
     # byte i of each varint, vectorized over all values still needing bytes
-    for i in range(5):
+    for i in range(10):
         alive = nbytes > i
         if not alive.any():
             break

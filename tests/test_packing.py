@@ -83,3 +83,50 @@ def test_pfor_exception_patching_roundtrip():
     assert np.array_equal(decode_blocks(encode_blocks(z), len(z)), z)
     s = np.array([7], dtype=np.uint32)
     assert np.array_equal(decode_blocks(encode_blocks(s), 1), s)
+
+
+def test_64bit_values_round_trip():
+    """Web-scale doc ids: hashed 63-bit keys (or any corpus past 2^32 docs)
+    produce delta gaps beyond uint32 — the codec must widen, not truncate."""
+    import numpy as np
+
+    from lucene_solr_ray.util.packing import (
+        decode_blocks,
+        encode_blocks,
+        pack_bits,
+        unpack_bits,
+        varint_decode_all,
+        varint_encode_all,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 2**63, 2000, dtype=np.uint64)
+    v[:8] = [0, 127, 128, 2**28, 2**35 - 1, 2**35, 2**62, 2**63 - 1]
+    b, _ = varint_encode_all(v)
+    assert np.array_equal(varint_decode_all(b, len(v)), v)
+
+    # FOR/PFor blocks with >32-bit widths, mixed-width exception shapes
+    for arr in (
+        rng.integers(0, 2**62, 513, dtype=np.uint64),
+        np.where(rng.random(513) < 0.05,
+                 rng.integers(0, 2**62, 513, dtype=np.uint64),
+                 rng.integers(0, 64, 513, dtype=np.uint64)),
+    ):
+        assert np.array_equal(decode_blocks(encode_blocks(arr), len(arr)), arr)
+
+    x = rng.integers(0, 2**50, 128, dtype=np.uint64)
+    assert np.array_equal(unpack_bits(pack_bits(x, 50), 50, 128), x)
+
+
+def test_32bit_layout_unchanged():
+    """Widths <= 32 keep the exact legacy byte layout (existing indexes
+    stay readable)."""
+    import numpy as np
+
+    from lucene_solr_ray.util.packing import pack_bits
+
+    rng = np.random.default_rng(12)
+    y = rng.integers(0, 2**20, 128, dtype=np.uint64)
+    v4 = np.ascontiguousarray(y, dtype=">u4")
+    bits = np.unpackbits(v4.view(np.uint8)).reshape(-1, 32)[:, 32 - 20:]
+    assert pack_bits(y, 20) == np.packbits(bits.ravel()).tobytes()
