@@ -34,11 +34,35 @@ def _init_ray() -> bool:
     return True
 
 
-def _paths(spec: str) -> list[str]:
+def _paths(spec: str, ext: str = "parquet") -> list[str]:
     if os.path.isdir(spec):
-        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+        return sorted(glob.glob(os.path.join(spec, f"*.{ext}")))
     out = sorted(glob.glob(spec))
     return out or [spec]
+
+
+def _load_corpus(args, stage_dir: str) -> list[str]:
+    """Resolve the corpus to parquet file paths, running the Solr-style
+    loader + staging step for non-parquet formats."""
+    fmt = getattr(args, "format", "parquet")
+    if fmt == "parquet":
+        return _paths(args.corpus)
+    from .sources import (
+        read_csv_docs,
+        read_json_docs,
+        read_line_docs,
+        stage_corpus,
+    )
+
+    raw = _paths(args.corpus, ext={"json": "json", "csv": "csv",
+                                   "line": "txt"}[fmt])
+    if fmt == "json":
+        ds = read_json_docs(raw, id_field=args.id_field)
+    elif fmt == "csv":
+        ds = read_csv_docs(raw, id_field=args.id_field)
+    else:
+        ds = read_line_docs(raw)
+    return stage_corpus(ds, stage_dir)
 
 
 def main(argv=None):
@@ -53,12 +77,21 @@ def main(argv=None):
     b.add_argument("--html-col", default=None)
     b.add_argument("--num-shards", type=int, default=8)
     b.add_argument("--num-buckets", type=int, default=32)
+    b.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "line"],
+                   help="corpus format; non-parquet loads via the Solr-style"
+                        " loaders and stages to parquet first")
+    b.add_argument("--id-field", default="id",
+                   help="unique-key field for json/csv corpora")
     b.add_argument("--dedup-recrawls", action="store_true",
                    help="keep only the newest warc_ts per url before indexing")
 
     a = sub.add_parser("append")
     a.add_argument("--corpus", required=True)
     a.add_argument("--index-dir", required=True)
+    a.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "line"])
+    a.add_argument("--id-field", default="id")
 
     s = sub.add_parser("search")
     s.add_argument("--index-dir", required=True)
@@ -85,7 +118,7 @@ def main(argv=None):
     if args.cmd == "build":
         from ..index import IndexBuildConfig, build_index
 
-        paths = _paths(args.corpus)
+        paths = _load_corpus(args, args.index_dir + ".staged")
         if args.dedup_recrawls:
             from .flagship import dedup_recrawls
 
@@ -101,7 +134,8 @@ def main(argv=None):
     elif args.cmd == "append":
         from ..index.maintenance import append_index
 
-        m = append_index(args.index_dir, _paths(args.corpus))
+        m = append_index(args.index_dir,
+                         _load_corpus(args, args.index_dir + ".staged_append"))
         print(json.dumps({"num_shards": m["num_shards"], "stats": m["stats"]}))
     elif args.cmd == "search":
         if args.distributed:

@@ -1,9 +1,16 @@
-"""Additional corpus sources (the reference's benchmark feed readers).
+"""Additional corpus sources (the reference's benchmark feed readers and
+Solr document loaders).
 
 read_line_docs replicates LineDocSource (lucene/benchmark/.../feeds/
 LineDocSource.java:53): one document per line, `title TAB date TAB body`,
-parsed vectorized from ray.data.read_text. Other formats map to native
-Ray Data readers (read_json / read_csv / read_sql — SURVEY.md §2.1).
+parsed vectorized from ray.data.read_text.
+
+read_json_docs / read_csv_docs replicate the Solr update loaders
+(handler/loader/JsonLoader.java:79, handler/loader/CSVLoader.java:36):
+each JSON object / CSV row becomes one document, the unique-key field maps
+to the engine's int64 doc_id (string keys hash deterministically), and the
+normalized stream stages to parquet shards for build/append — the Ray-Data
+analogue of the update-request chain feeding the IndexWriter.
 """
 
 from __future__ import annotations
@@ -48,3 +55,66 @@ def read_line_docs(paths, start_id: int = 0) -> Dataset:
         )
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def normalize_docs(ds: Dataset, id_field: str = "id",
+                   text_col: str = "text") -> Dataset:
+    """Map loader output onto the engine's corpus contract: int64 `doc_id`
+    + large_string text column. Integer unique keys pass through; string or
+    absent keys get a deterministic 63-bit polynomial hash (id assignment
+    must not depend on read parallelism). The reference's equivalent is the
+    uniqueKey handling in the update chain (AddUpdateCommand.java:92)."""
+    from ..util.polyhash import poly_hash_strings
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = dict(zip(t.column_names, t.columns))
+        key = cols.pop(id_field, None)
+        if key is not None and pa.types.is_integer(key.type):
+            ids = pa.array(
+                key.to_numpy(zero_copy_only=False).astype(np.int64), pa.int64())
+        elif key is not None:
+            h = poly_hash_strings([x if x is None else str(x)
+                                   for x in key.to_pylist()])
+            ids = pa.array((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+                           pa.int64())
+        else:  # no unique key: hash the text body
+            h = poly_hash_strings(cols[text_col].to_pylist())
+            ids = pa.array((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64),
+                           pa.int64())
+        out = {"doc_id": ids}
+        for name, col in cols.items():
+            if pa.types.is_string(col.type):
+                col = col.cast(pa.large_string())
+            out[name] = col
+        return pa.table(out)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def read_json_docs(paths, id_field: str = "id",
+                   text_col: str = "text") -> Dataset:
+    """NDJSON corpus -> normalized Dataset (JsonLoader.java:79: one JSON
+    object per document)."""
+    return normalize_docs(ray.data.read_json(paths), id_field, text_col)
+
+
+def read_csv_docs(paths, id_field: str = "id",
+                  text_col: str = "text") -> Dataset:
+    """CSV corpus -> normalized Dataset (CSVLoader.java:36: header row
+    names the fields, one row per document)."""
+    return normalize_docs(ray.data.read_csv(paths), id_field, text_col)
+
+
+def stage_corpus(ds: Dataset, out_dir: str) -> list[str]:
+    """Write a normalized document stream as parquet shards and return the
+    file list — the ingestion buffer between a loader and build/append
+    (streaming write; block count = read parallelism, so a failed ingest
+    re-runs only its own staging dir)."""
+    import glob
+    import os
+    import shutil
+
+    if os.path.isdir(out_dir):  # stale staging from a prior run
+        shutil.rmtree(out_dir)
+    ds.write_parquet(out_dir)
+    return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
