@@ -682,51 +682,58 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
     # each shard once, pass untouched rows through byte-identical, re-encode
     # only rows containing tombstoned docs (_purge_rows).
     if len({s % K for s in merged_ids}) == len(merged_ids):
-        pparts = []
-        for s in merged_ids:
-            d = os.path.join(index_dir, "postings", f"shard={s}")
-            files = expand_parquet_dirs([d]) if os.path.isdir(d) else []
-            if not files:
-                continue
-            pparts.append(ray.data.read_parquet(files).map_batches(
-                lambda t, _s=s: _purge_rows(
-                    t, index_dir, gens, _s, new_off + _s % K),
-                batch_format="pyarrow",
-            ))
-        if pparts:
-            ds = pparts[0]
-            for p in pparts[1:]:
-                ds = ds.union(p)
-            ds.write_parquet(os.path.join(index_dir, "postings"),
-                             partition_cols=["shard"])
+        files = expand_parquet_dirs(
+            [d for s in merged_ids
+             if os.path.isdir(d := os.path.join(index_dir, "postings",
+                                                f"shard={s}"))])
+        if files:
+            # ONE dataset over every source file (the hive shard column is
+            # inferred from the paths) — a per-shard union of datasets costs
+            # an execution each and dominates small merges
+            def purge(t: "pa.Table") -> "pa.Table":
+                from .postings import POSTINGS_SCHEMA
+
+                sh = t["shard"].to_numpy(zero_copy_only=False)
+                outs = [
+                    _purge_rows(t.filter(pa.array(sh == s)), index_dir, gens,
+                                int(s), new_off + int(s) % K)
+                    for s in np.unique(sh)
+                ]
+                outs = [o for o in outs if o.num_rows]
+                if not outs:
+                    return POSTINGS_SCHEMA.empty_table()
+                return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+
+            ray.data.read_parquet(files).map_batches(
+                purge, batch_format="pyarrow",
+            ).write_parquet(os.path.join(index_dir, "postings"),
+                            partition_cols=["shard"])
         _merge_docs_tables(index_dir, merged_ids, new_off, gens, K)
         return
 
-    parts = []
-    for s in merged_ids:
-        d = os.path.join(index_dir, "postings", f"shard={s}")
-        files = expand_parquet_dirs([d]) if os.path.isdir(d) else []
-        if not files:
-            continue  # empty shard slot (hash buckets < num_shards)
-
-        def label(t: "pa.Table", _s=s) -> "pa.Table":
-            n = len(t)
+    files = expand_parquet_dirs(
+        [d for s in merged_ids
+         if os.path.isdir(d := os.path.join(index_dir, "postings",
+                                            f"shard={s}"))])
+    if files:
+        def label(t: "pa.Table") -> "pa.Table":
+            sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
             terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            t = t.drop_columns(["shard"])
             return (
-                t.append_column("src_shard", pa.array(np.full(n, _s, np.int32)))
+                t.append_column("src_shard", pa.array(sh.astype(np.int32)))
                  .append_column("gshard", pa.array(
-                     np.full(n, new_off + _s % K, np.int32)))
+                     (new_off + sh % K).astype(np.int32)))
                  .append_column("bucket", pa.array(term_bucket(terms, nb)))
             )
 
-        parts.append(ray.data.read_parquet(files, columns=post_cols)
-                     .map_batches(label, batch_format="pyarrow"))
-    if parts:
-        ds = parts[0]
-        for p in parts[1:]:
-            ds = ds.union(p)
-        merged = ds.groupby(["gshard", "bucket"], num_partitions=max(16, 2 * ncpu)
-                            ).map_groups(
+        # one dataset over all sources (shard from the hive column, one
+        # execution) feeding the merge shuffle
+        merged = ray.data.read_parquet(
+            files, columns=post_cols + ["shard"],
+        ).map_batches(label, batch_format="pyarrow").groupby(
+            ["gshard", "bucket"], num_partitions=max(16, 2 * ncpu)
+        ).map_groups(
             lambda g: _merge_encoded_group(g, index_dir, gens),
             batch_format="pyarrow",
         )
@@ -738,34 +745,33 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
 
 def _merge_docs_tables(index_dir: str, merged_ids, new_off: int,
                        gens, K: int) -> None:
-    """docs tables: relabel + purge, NO re-encode (plain per-doc rows)."""
+    """docs tables: relabel + purge, NO re-encode (plain per-doc rows).
+    One dataset over all source files — the shard of each row comes from
+    the inferred hive partition column."""
     import pyarrow as pa
 
-    dparts = []
-    for s in merged_ids:
-        d = os.path.join(index_dir, "docs", f"shard={s}")
-        files = expand_parquet_dirs([d]) if os.path.isdir(d) else []
-        if not files:
-            continue
+    files = expand_parquet_dirs(
+        [d for s in merged_ids
+         if os.path.isdir(d := os.path.join(index_dir, "docs", f"shard={s}"))])
+    if not files:
+        return
 
-        def relabel(t: "pa.Table", _s=s) -> "pa.Table":
-            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            if gens:
-                dead = _dead_mask(ids, np.full(len(ids), _s, np.int64), gens)
-                if dead.any():
-                    t = t.filter(pa.array(~dead))
-            if "shard" in t.column_names:  # hive partition col re-inferred
-                t = t.drop_columns(["shard"])
-            return t.append_column(
-                "shard", pa.array(np.full(len(t), new_off + _s % K, np.int32)))
+    def relabel(t: "pa.Table") -> "pa.Table":
+        sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if gens:
+            dead = _dead_mask(ids, sh, gens)
+            if dead.any():
+                keep = ~dead
+                t = t.filter(pa.array(keep))
+                sh = sh[keep]
+        t = t.drop_columns(["shard"])
+        return t.append_column(
+            "shard", pa.array((new_off + sh % K).astype(np.int32)))
 
-        dparts.append(ray.data.read_parquet(files)
-                      .map_batches(relabel, batch_format="pyarrow"))
-    if dparts:
-        dds = dparts[0]
-        for p in dparts[1:]:
-            dds = dds.union(p)
-        dds.write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
+    ray.data.read_parquet(files).map_batches(
+        relabel, batch_format="pyarrow",
+    ).write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
 
 
 def _gen_offsets(manifest: dict, K: int) -> list[int]:
