@@ -335,6 +335,15 @@ def q_ft_lm_dirichlet(sf_dir):
     return _round_col(s.match_all("query"), "score")
 
 
+def q_ft_dfr(sf_dir):
+    """DFR I(F)-B-H2 term scoring (DFRSimilarity.java:115)."""
+    from lucene_solr_ray.search import DFRSimilarity, IndexSearcher
+
+    s = IndexSearcher(_index_for(sf_dir), params=DFRSimilarity(),
+                      dtype=np.float64)
+    return _round_col(s.match_all("slow"), "score")
+
+
 def q_ft_intervals(sf_dir):
     """Intervals algebra (queries/intervals/Intervals.java:46):
     maxgaps(1, ordered(fast, query)) — docs where 'fast' precedes 'query'
@@ -1051,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_intervals": q_ft_intervals,
         "ft_tfidf": q_ft_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
+        "ft_dfr": q_ft_dfr,
         # --- relational / streaming-expression layer ---
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
@@ -1192,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
+        "ft_dfr": osql.sql_dfr_term("slow"),
         "ft_intervals": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -5,6 +5,7 @@ from .similarity import (  # noqa: F401
     BM25Similarity,
     BooleanSimilarity,
     ClassicSimilarity,
+    DFRSimilarity,
     LMDirichletSimilarity,
     Similarity,
 )

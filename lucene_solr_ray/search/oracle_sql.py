@@ -171,6 +171,26 @@ WHERE t.term = '{term}'
 ORDER BY doc_id"""
 
 
+def sql_dfr_term(term: str, c: float = 1.0) -> str:
+    """DFR I(F)-B-H2 (DFRSimilarity.java:115): tfn = freq*log2(1+c*avgdl/dl),
+    score = (F+1)/(df*(tfn+1)) * tfn * log2(1+(N+1)/(F+0.5))."""
+    return f"""
+WITH {bm25_cte()},
+tt AS (SELECT term, count(*) AS ttf FROM tok GROUP BY term)
+SELECT t.doc_id AS doc_id,
+       round(
+         ((c.ttf + 1.0) / (d.df * ((t.freq * log2(1.0 + {c} * s.avgdl / q.qlen)) + 1.0)))
+         * (t.freq * log2(1.0 + {c} * s.avgdl / q.qlen))
+         * log2(1.0 + (s.n + 1.0) / (c.ttf + 0.5)), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN tt c ON c.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
 def sql_count_term(term: str) -> str:
     return f"""
 WITH tok AS (

@@ -153,6 +153,50 @@ class LMDirichletSimilarity(Similarity):
                            doc_count, sum_ttf, boost, dtype)
 
 
+@dataclass
+class DFRWeight(TermWeight):
+    """DFR I(F)·B·H2 (DFRSimilarity.java:115, BasicModelIF.java:36,
+    AfterEffectB.java:32, NormalizationH2.java:39):
+
+      tfn   = freq * log2(1 + c * avgdl / dl)
+      gain  = tf-normalized information: (F+1)/(df*(tfn+1))  [after-effect B]
+      score = boost * gain * tfn * log2(1 + (N+1)/(F+0.5))   [basic model IF]
+
+    ``cache`` holds log2(1 + c*avgdl/dl) per norm byte."""
+
+    F: int = 0          # total term freq + 1 smoothing applied at use
+    n_docs: int = 0
+
+    def score(self, freqs, norms, dtype=np.float32):
+        f64 = freqs.astype(np.float64)
+        tfn = f64 * self.cache[norms.astype(np.int64)]
+        gain = (self.F + 1.0) / (max(self.df, 1) * (tfn + 1.0))
+        il = np.log2(1.0 + (self.n_docs + 1.0) / (self.F + 0.5))
+        s = float(self.weight) * gain * tfn * il
+        if dtype == np.float32:
+            return s.astype(np.float32)
+        return s
+
+
+class DFRSimilarity(Similarity):
+    """Divergence-from-randomness: basic model I(F), after-effect B,
+    normalization H2 with parameter c."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        avgdl = sum_ttf / max(doc_count, 1)
+        dl = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+        cache = np.log2(1.0 + self.c * avgdl / dl)
+        return DFRWeight(weight=float(boost), cache=cache, df=max(df, 1),
+                         max_score=math.inf, F=int(ttf), n_docs=doc_count)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
+                           doc_count, sum_ttf, boost, dtype)
+
+
 class BooleanSimilarity(Similarity):
     def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
         zeros = np.zeros(256, np.float32 if dtype == np.float32 else np.float64)

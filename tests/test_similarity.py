@@ -15,12 +15,14 @@ from lucene_solr_ray.index import IndexBuildConfig, build_index
 from lucene_solr_ray.search import (
     BooleanSimilarity,
     ClassicSimilarity,
+    DFRSimilarity,
     IndexSearcher,
     LMDirichletSimilarity,
 )
 from lucene_solr_ray.util.smallfloat import byte4_to_int, int_to_byte4
 
-SIMS = [ClassicSimilarity(), LMDirichletSimilarity(), BooleanSimilarity()]
+SIMS = [ClassicSimilarity(), LMDirichletSimilarity(), BooleanSimilarity(),
+        DFRSimilarity()]
 
 
 @pytest.fixture(scope="module")
@@ -77,6 +79,24 @@ def test_lm_dirichlet_hand_formula(idx):
         exp = max(0.0, math.log(1 + freq / (mu * p))
                   + math.log(mu / (_qlen(dl[doc]) + mu)))
         assert sc == pytest.approx(exp, rel=1e-9)
+
+
+def test_dfr_hand_formula(idx):
+    d, texts = idx
+    dl, n, sum_ttf = _stats(texts)
+    c = 1.0
+    s = IndexSearcher(d, params=DFRSimilarity(c=c), dtype=np.float64)
+    res = s.match_all("slow")
+    df = sum(1 for t in texts if "slow" in t.split())
+    F = sum(t.split().count("slow") for t in texts)
+    avgdl = sum_ttf / n
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        freq = texts[doc].split().count("slow")
+        tfn = freq * math.log2(1 + c * avgdl / _qlen(dl[doc]))
+        gain = (F + 1.0) / (df * (tfn + 1.0))
+        exp = gain * tfn * math.log2(1 + (n + 1.0) / (F + 0.5))
+        assert sc == pytest.approx(exp, rel=1e-9)
+        assert sc > 0
 
 
 def test_boolean_scores_are_boost(idx):
