@@ -316,6 +316,73 @@ def q_ft_facet_dv(sf_dir):
     return facet_string_docvalues(_sdv_index(sf_dir), "lang", query="fast")
 
 
+def _ssdv_index(sf_dir: str) -> str:
+    """Index with a SORTED_SET docvalues field 'tags': per doc the set
+    {l:<lang>} ∪ {s:<source> if len(source)==4} ∪ {long if n_chars>300},
+    derived by a distributed map_batches over the documents table."""
+    import ray.data
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|ssdv").encode()).hexdigest()[:10]
+    corpus_dir = os.path.join(_CACHE_ROOT, f"ssdv_corpus_{key}")
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    if not os.path.exists(corpus_dir):
+        def derive(t: "pa.Table") -> "pa.Table":
+            lang = t["lang"].to_pylist()
+            src = t["source"].to_pylist()
+            nch = t["n_chars"].to_pylist()
+            tags = [
+                sorted({f"l:{la}"}
+                       | ({f"s:{s}"} if len(s) == 4 else set())
+                       | ({"long"} if n > 300 else set()))
+                for la, s, n in zip(lang, src, nch)
+            ]
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "tags": pa.array(tags, pa.list_(pa.string())),
+            })
+
+        tmp = corpus_dir + ".tmp"
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ).map_batches(derive, batch_format="pyarrow").write_parquet(tmp)
+        os.replace(tmp, corpus_dir)
+    import glob as _glob
+
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           sorted_set_docvalues_fields=("tags",))
+    build_index(sorted(_glob.glob(corpus_dir + "/*.parquet")), index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    return index_dir
+
+
+def q_ft_facet_ssdv(sf_dir):
+    """Query-constrained multi-valued facet off SORTED_SET docvalues
+    (SortedSetDocValuesFacetCounts.java:66): tag counts of docs matching
+    'fast'; each doc counts once per distinct tag, corpus unread."""
+    from lucene_solr_ray.search.services import facet_sorted_set_docvalues
+
+    return facet_sorted_set_docvalues(_ssdv_index(sf_dir), "tags", query="fast")
+
+
+def q_ft_ssdv_filter(sf_dir):
+    """DocValuesTermsQuery over SORTED_SET ords (sandbox
+    DocValuesTermsQuery.java:71): docs matching 'query' whose tag set
+    intersects {s:src3, long} — constant-score set filter beside a scored
+    must clause."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Bool, SortedSetContains, Term
+
+    s = IndexSearcher(_ssdv_index(sf_dir), dtype=np.float64)
+    node = Bool(must=[Term("query")],
+                filter=[SortedSetContains("tags", ("s:src3", "long"))])
+    t = s.match_all(node)
+    return t.select(["doc_id"])
+
+
 def q_ft_tfidf(sf_dir):
     """ClassicSimilarity (TF-IDF) disjunction, scored through the pluggable
     Similarity SPI (search/similarities/ClassicSimilarity.java:29)."""
@@ -1057,6 +1124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 additions: SORTED string docvalues, intervals ---
         "ft_sort_string": q_ft_sort_string,
         "ft_facet_dv": q_ft_facet_dv,
+        "ft_facet_ssdv": q_ft_facet_ssdv,
+        "ft_ssdv_filter": q_ft_ssdv_filter,
         "ft_intervals": q_ft_intervals,
         "ft_tfidf": q_ft_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -1225,6 +1294,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang AS value, count(*) AS cnt
             FROM hits h JOIN documents d USING (doc_id)
             GROUP BY d.lang ORDER BY cnt DESC, value ASC""",
+        "ft_facet_ssdv": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast'),
+            tv AS (
+              SELECT doc_id, 'l:' || lang AS value FROM documents
+              UNION ALL
+              SELECT doc_id, 's:' || source FROM documents WHERE length(source) = 4
+              UNION ALL
+              SELECT doc_id, 'long' FROM documents WHERE n_chars > 300
+            )
+            SELECT tv.value AS value, count(*) AS cnt
+            FROM tv JOIN hits USING (doc_id)
+            GROUP BY tv.value ORDER BY cnt DESC, value ASC""",
+        "ft_ssdv_filter": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'query'),
+            tagged AS (
+              SELECT DISTINCT doc_id FROM documents
+              WHERE source = 'src3' OR n_chars > 300
+            )
+            SELECT doc_id FROM hits JOIN tagged USING (doc_id)
+            ORDER BY doc_id""",
         "ft_sort_by_field": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),

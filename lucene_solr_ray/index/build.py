@@ -48,6 +48,7 @@ from zlib import crc32
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -133,9 +134,16 @@ class IndexBuildConfig:
     docvalues_fields: tuple = ()
     # SORTED (string) docvalues columns (Lucene80DocValuesFormat.java:66-132
     # SORTED role): per-shard ordinal-encoded string column, sortable and
-    # facetable off the index. Multi-valued SORTED_SET maps to keyword_fields
-    # postings (one 'field:value' term per value) — a documented substitution.
+    # facetable off the index.
     string_docvalues_fields: tuple = ()
+    # SORTED_SET (multi-valued string) docvalues columns (same format's
+    # SORTED_SET role, index/DocValuesType.java SORTED_SET): the corpus
+    # column holds either list<string> or a single string (a 1-element set).
+    # Per doc the value set is deduped + sorted (the reference stores ords
+    # in increasing order per doc); stored as a list<dictionary<string>>
+    # column ssdv_<name> in the docs table — value dictionary + per-doc ord
+    # list, facetable and set-filterable off the index.
+    sorted_set_docvalues_fields: tuple = ()
     # analysis-chain extensions (SURVEY.md §2.2): optional stemmer
     # ("porter" | "minimal_english", en/PorterStemFilter.java:56 role) and
     # index-time synonym groups ("a,b,c" strings; every member of a group
@@ -408,12 +416,26 @@ class TokenizeExplode:
                  for c in dv_fields], axis=1,
             )  # (n_docs, n_fields)
         sdv_fields = tuple(self.cfg.get("string_docvalues_fields") or ())
-        if sdv_fields:
-            sdv_mat = np.stack(
-                [np.asarray([x if x is not None else "" for x in batch[c].to_pylist()],
-                            dtype=object)
-                 for c in sdv_fields], axis=1,
-            )  # (n_docs, n_sfields) object
+        ssdv_fields = tuple(self.cfg.get("sorted_set_docvalues_fields") or ())
+        if sdv_fields or ssdv_fields:
+            # SORTED_SET transport: a doc's value set rides the same flat
+            # strided sidecar as SORTED fields, joined by \x1f (US), deduped
+            # + sorted (the reference stores per-doc ords in increasing
+            # order); docs_explode splits it back into a list column
+            sdv_cols = [
+                np.asarray([x if x is not None else "" for x in batch[c].to_pylist()],
+                           dtype=object)
+                for c in sdv_fields
+            ]
+            for c in ssdv_fields:
+                vals = batch[c].to_pylist()
+                sdv_cols.append(np.asarray(
+                    ["\x1f".join(sorted(set(v))) if isinstance(v, list)
+                     else (v or "") for v in vals], dtype=object))
+            sdv_fields_all = sdv_fields + ssdv_fields
+            sdv_mat = np.stack(sdv_cols, axis=1)  # (n_docs, n_sfields) object
+        else:
+            sdv_fields_all = ()
         shard_of_doc = (keys % self.num_shards).astype(np.int32)
         d_order = np.argsort(shard_of_doc, kind="stable")
         dk = keys[d_order]
@@ -436,9 +458,9 @@ class TokenizeExplode:
                 )
             else:
                 dv_col = pa.array([None] * nr, pa.large_list(pa.float64()))
-            if sdv_fields:
+            if sdv_fields_all:
                 sdv_sorted = sdv_mat[d_order]
-                sdv_off = (off * len(sdv_fields)).astype(np.int64)
+                sdv_off = (off * len(sdv_fields_all)).astype(np.int64)
                 sdv_col = pa.LargeListArray.from_arrays(
                     sdv_off, pa.array(sdv_sorted.ravel().tolist(), pa.large_string())
                 )
@@ -550,11 +572,13 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
 
 
 def docs_explode(batch: pa.Table, dv_fields: tuple = (),
-                 sdv_fields: tuple = ()) -> pa.Table:
+                 sdv_fields: tuple = (), ssdv_fields: tuple = ()) -> pa.Table:
     """Stage C: doc list rows -> one row per document (+ docvalues columns).
 
     String docvalues columns are dictionary-encoded (the SORTED DocValues
-    ordinal layout: per-column value dictionary + int ordinal per doc)."""
+    ordinal layout: per-column value dictionary + int ordinal per doc).
+    SORTED_SET fields arrive as \\x1f-joined per-doc sets and become
+    list<dictionary<string>> columns (value dict + per-doc ord list)."""
     docs_ch = batch["docs"].combine_chunks()
     lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
     shard = np.repeat(batch["shard"].to_numpy(zero_copy_only=False), lens)
@@ -573,13 +597,29 @@ def docs_explode(batch: pa.Table, dv_fields: tuple = (),
         mat = flat.reshape(-1, len(dv_fields))
         for j, name in enumerate(dv_fields):
             cols[f"dv_{name}"] = pa.array(mat[:, j], pa.float64())
-    if sdv_fields and "sdv" in batch.column_names:
+    all_s = tuple(sdv_fields) + tuple(ssdv_fields)
+    if all_s and "sdv" in batch.column_names:
         svals = batch["sdv"].combine_chunks().values
-        n_f = len(sdv_fields)
-        for j, name in enumerate(sdv_fields):
+        n_f = len(all_s)
+        for j, name in enumerate(all_s):
             # stride j::n_f over the flat string values; dictionary-encode
             idx = pa.array(np.arange(j, len(svals), n_f, dtype=np.int64))
-            cols[f"sdv_{name}"] = svals.take(idx).dictionary_encode()
+            col = svals.take(idx)
+            if name in ssdv_fields:
+                lst = pc.split_pattern(col, "\x1f")
+                offs = lst.offsets.to_numpy().astype(np.int64)
+                lens = np.diff(offs)
+                # an empty joined string means an empty set, not {""}
+                emp = pc.equal(col, "").to_numpy(zero_copy_only=False)
+                keep = np.repeat(~emp, lens)
+                lens = np.where(emp, 0, lens)
+                new_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+                vals = lst.values.filter(pa.array(keep))
+                cols[f"ssdv_{name}"] = pa.LargeListArray.from_arrays(
+                    pa.array(new_off), vals.dictionary_encode()
+                )
+            else:
+                cols[f"sdv_{name}"] = col.dictionary_encode()
     return pa.table(cols)
 
 
@@ -744,6 +784,7 @@ def build_index(
         cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
         cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
         cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
+        cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
         eff_bs = effective_batch_size(cfg, chunk)
         fn_kwargs = dict(
@@ -842,8 +883,10 @@ def build_index(
     docs_dir = os.path.join(index_dir, "docs")
     dv_fields = tuple(cfg.docvalues_fields or ())
     sdv_fields = tuple(cfg.string_docvalues_fields or ())
+    ssdv_fields = tuple(cfg.sorted_set_docvalues_fields or ())
     dds = _stage1_ds(1).map_batches(
-        lambda t: docs_explode(t, dv_fields, sdv_fields), batch_format="pyarrow"
+        lambda t: docs_explode(t, dv_fields, sdv_fields, ssdv_fields),
+        batch_format="pyarrow"
     )
     dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")
 

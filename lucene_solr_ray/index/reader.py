@@ -87,6 +87,10 @@ class ShardReader:
         # ord column); comparisons/sorts run on int ordinals, strings are
         # gathered only for output rows
         self.sorted_dv: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # SORTED_SET docvalues: per-field (sorted unique values, flat ords,
+        # per-doc offsets) — the SORTED_SET layout (shared value dict + an
+        # increasing ord run per doc); set ops run on int ordinals
+        self.sorted_set_dv: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         if d is not None and d.num_rows:
             order = pa.compute.sort_indices(d["doc_id"])
             d = d.take(order).combine_chunks()
@@ -105,6 +109,16 @@ class ShardReader:
                     vals = np.asarray(col.to_pylist(), dtype="U")
                     u, inv = np.unique(vals, return_inverse=True)
                     self.sorted_dv[name[4:]] = (u, inv.astype(np.int32))
+                elif name.startswith("ssdv_"):
+                    lst = d[name].combine_chunks()
+                    offs = lst.offsets.to_numpy().astype(np.int64)
+                    fv = lst.values
+                    if pa.types.is_dictionary(fv.type):
+                        fv = fv.cast(pa.large_string())
+                    flat = np.asarray(fv.to_pylist(), dtype="U")
+                    u, ords = np.unique(flat, return_inverse=True)
+                    self.sorted_set_dv[name[5:]] = (
+                        u, ords.astype(np.int32), offs)
         else:
             self.doc_ids = np.zeros(0, dtype=np.int64)
             self.doclens = np.zeros(0, dtype=np.int32)

@@ -390,6 +390,26 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             m &= shard._live_mask
         docs = shard.doc_ids[m]
         return docs, np.full(len(docs), node.boost, dtype=dtype)
+    from .query import SortedSetContains
+
+    if isinstance(node, SortedSetContains):
+        if node.field not in getattr(shard, "sorted_set_dv", {}):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        u, ords, offs = shard.sorted_set_dv[node.field]
+        vals = np.asarray(sorted(set(node.values)), dtype="U")
+        pos = np.searchsorted(u, vals)
+        inb = pos < len(u)
+        pos, vals = pos[inb], vals[inb]
+        targets = pos[u[pos] == vals]
+        m = np.zeros(len(shard.doc_ids), dtype=bool)
+        if len(targets):
+            hit = np.isin(ords, targets)
+            doc_of_flat = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+            m[doc_of_flat[hit]] = True
+        if shard._live_mask is not None:
+            m &= shard._live_mask
+        docs = shard.doc_ids[m]
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, FeatureQuery):
         if node.field in getattr(shard, "docvalues", {}):
             vals = shard.docvalues[node.field]

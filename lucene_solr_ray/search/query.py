@@ -201,6 +201,18 @@ class NumericInSet:
 
 
 @dataclass(frozen=True)
+class SortedSetContains:
+    """DocValuesTermsQuery over a SORTED_SET docvalues field
+    (sandbox/search/DocValuesTermsQuery.java:71, DocValuesType.SORTED_SET):
+    constant-score filter matching docs whose value SET intersects the given
+    terms. Runs on int ordinals against the shard's shared value dictionary
+    — no postings involved."""
+    field: str
+    values: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FeatureQuery:
     """FeatureField scoring (document/FeatureField.java): a static per-doc
     feature (numeric docvalues column) contributes weight * fn(value) to

@@ -304,6 +304,73 @@ def facet_string_docvalues(index_dir: str, field: str, query=None,
     })
 
 
+def facet_sorted_set_docvalues(index_dir: str, field: str, query=None,
+                               top_n: int | None = None) -> "pa.Table":
+    """Facet counts over a SORTED_SET (multi-valued string) docvalues column
+    (SortedSetDocValuesFacetCounts.java:66, the multi-valued case): each doc
+    counts once per distinct value in its set (sets are deduped at index
+    time). Distributed like facet_string_docvalues: a pruned
+    (doc_id, ssdv_field, shard) read -> live/query masking -> unnest ->
+    groupby count. Returns (value, cnt) sorted by cnt desc, value asc."""
+    import os
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..index.build import load_manifest
+    from ..index.maintenance import _dead_mask, _tombstone_gens
+
+    manifest = load_manifest(index_dir) or {}
+    gens = _tombstone_gens(index_dir, manifest) if manifest.get("deletes") else []
+    col = f"ssdv_{field}"
+    ds = ray.data.read_parquet(os.path.join(index_dir, "docs"),
+                               columns=["doc_id", col, "shard"])
+    fg_ref = None
+    if query is not None:
+        res = IndexSearcher(index_dir).match_all(query)
+        fg_ref = ray.put(np.sort(res["doc_id"].to_numpy()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        if gens:
+            sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep &= ~_dead_mask(ids, sh, gens)
+        if fg_ref is not None:
+            fg = ray.get(fg_ref)
+            if len(fg):
+                idx = np.minimum(np.searchsorted(fg, ids), len(fg) - 1)
+                keep &= fg[idx] == ids
+            else:
+                keep[:] = False
+        lst = t[col].combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        fv = lst.values
+        if pa.types.is_dictionary(fv.type):
+            fv = fv.cast(pa.large_string())
+        flat_keep = np.repeat(keep, np.diff(offs))
+        vals = np.asarray(fv.to_pylist(), dtype=object)[flat_keep]
+        if not len(vals):
+            return pa.table({"value": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, cnt = np.unique(vals.astype("U"), return_counts=True)
+        return pa.table({"value": pa.array(u.tolist(), pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("value").aggregate(
+        Sum("cnt", alias_name="cnt"))
+    rows = agg.sort(["cnt", "value"], descending=[True, False])
+    if top_n is not None:
+        rows = rows.limit(top_n)
+    out = rows.take_all()
+    out = [r for r in out if r["cnt"] and r["cnt"] > 0]
+    return pa.table({
+        "value": pa.array([r["value"] for r in out], pa.string()),
+        "cnt": pa.array([r["cnt"] for r in out], pa.int64()),
+    })
+
+
 def rescore(searcher: IndexSearcher, query: str, rescore_query: str,
             first_pass_n: int = 50, weight: float = 1.0, k: int = 10) -> "pa.Table":
     """QueryRescorer role: take the first-pass top-N, add weight * second
