@@ -19,28 +19,38 @@ from ray.data import Dataset
 from ..util.vectors import vec_matrix
 
 
+def _topk_table(qid: np.ndarray, key: np.ndarray, sim: np.ndarray, k: int):
+    """Per-query top-k over flat (qid, key, sim) rows — one lexsort, no
+    per-query Python loop; rank restarts at 1 within each query."""
+    order = np.lexsort((key, -sim, qid))
+    qid, key, sim = qid[order], key[order], sim[order]
+    if len(qid):
+        new_q = np.empty(len(qid), dtype=bool)
+        new_q[0] = True
+        new_q[1:] = qid[1:] != qid[:-1]
+        starts = np.flatnonzero(new_q)
+        rank = (np.arange(len(qid)) - np.repeat(starts, np.diff(
+            np.append(starts, len(qid))))).astype(np.int64) + 1
+        keep = rank <= k
+        qid, key, sim, rank = qid[keep], key[keep], sim[keep], rank[keep]
+    else:
+        rank = np.zeros(0, np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(qid.astype(np.int64), pa.int64()),
+            "key": pa.array(key.astype(np.int64), pa.int64()),
+            "cosine": pa.array(sim.astype(np.float64), pa.float64()),
+            "rank": pa.array(rank.astype(np.int32), pa.int32()),
+        }
+    )
+
+
 def _topk_merge(parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]], k: int, nq: int):
     """Merge per-batch (qid, key, sim) partials into per-query top-k."""
     qid = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
     key = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int64)
     sim = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.float64)
-    out_q, out_k, out_s, out_r = [], [], [], []
-    for q in range(nq):
-        m = qid == q
-        kk, ss = key[m], sim[m]
-        order = np.lexsort((kk, -ss))[:k]
-        out_q.extend([q] * len(order))
-        out_k.extend(kk[order].tolist())
-        out_s.extend(ss[order].tolist())
-        out_r.extend(range(1, len(order) + 1))
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "key": pa.array(out_k, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
-            "rank": pa.array(out_r, pa.int32()),
-        }
-    )
+    return _topk_table(qid, key, sim, k)
 
 
 def brute_force_knn(
