@@ -432,6 +432,30 @@ def q_ft_numeric_range(sf_dir):
     return s.match_all(node).select(["doc_id"])
 
 
+def _points_index(sf_dir: str) -> str:
+    """Index with a points (BKD-substitute) field on n_chars."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|pts").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           points_fields=("n_chars",))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    return index_dir
+
+
+def q_ft_points_range(sf_dir):
+    """PointRangeQuery over the points index (index/points.py): a standalone
+    numeric range resolved by leaf (parquet row-group) pruning — only row
+    groups whose min/max stats overlap [500, 600] are read."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import NumericRange
+
+    s = IndexSearcher(_points_index(sf_dir), dtype=np.float64)
+    return s.match_all(NumericRange("n_chars", 500, 600)).select(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # relational entries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1112,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_count": q_ft_count,
         "ft_phrase": q_ft_phrase,
         "ft_numeric_range": q_ft_numeric_range,
+        "ft_points_range": q_ft_points_range,
         "ft_after_delete": q_ft_after_delete,
         "ft_stemmed": q_ft_stemmed,
         "ft_synonym": q_ft_synonym,
@@ -1362,6 +1387,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT t.doc_id FROM tok t JOIN dl ON t.doc_id = dl.doc_id
             WHERE t.term = 'fast' AND dl.dl BETWEEN 50 AND 80
             ORDER BY t.doc_id""",
+        "ft_points_range": """
+            SELECT doc_id FROM documents
+            WHERE n_chars BETWEEN 500 AND 600 ORDER BY doc_id""",
         "select_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice*100,0) AS BIGINT)

@@ -144,6 +144,14 @@ class IndexBuildConfig:
     # column ssdv_<name> in the docs table — value dictionary + per-doc ord
     # list, facetable and set-filterable off the index.
     sorted_set_docvalues_fields: tuple = ()
+    # points fields (the reference's BKD-indexed numerics,
+    # util/bkd/BKDWriter.java:59-90): per shard, a (value, doc_id) file
+    # sorted by value with row_group_size=1024 leaves; PointRangeQuery reads
+    # only the row groups whose parquet min/max stats overlap the range (see
+    # index/points.py). Each points field is also stored as numeric
+    # docvalues (forced in __post_init__) — the value source the points
+    # build sorts from, and the IndexOrDocValues alternative plan.
+    points_fields: tuple = ()
     # analysis-chain extensions (SURVEY.md §2.2): optional stemmer
     # ("porter" | "minimal_english", en/PorterStemFilter.java:56 role) and
     # index-time synonym groups ("a,b,c" strings; every member of a group
@@ -158,6 +166,12 @@ class IndexBuildConfig:
     # tokenized corpus, positions included) and is GC'd. True retains it for
     # debugging.
     retain_stage1: bool = False
+
+    def __post_init__(self):
+        if self.points_fields:
+            self.docvalues_fields = tuple(self.docvalues_fields) + tuple(
+                f for f in self.points_fields if f not in self.docvalues_fields
+            )
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True, default=list)
@@ -889,6 +903,12 @@ def build_index(
         batch_format="pyarrow"
     )
     dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")
+
+    if cfg.points_fields:
+        # stage D: per-shard sorted points leaves (BKD substitute)
+        from .points import build_points
+
+        build_points(index_dir, range(cfg.num_shards), cfg.points_fields)
 
     from ray.data.aggregate import Count, Sum
 

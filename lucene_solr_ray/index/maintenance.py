@@ -330,6 +330,12 @@ def append_index(
     dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
         lambda t: docs_explode(t, dvf, sdvf, ssdvf), batch_format="pyarrow")
     dds.write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
+    if getattr(cfg, "points_fields", ()):
+        from .points import build_points
+
+        build_points(index_dir,
+                     range(shard_offset, shard_offset + cfg.num_shards),
+                     cfg.points_fields)
 
     from ray.data.aggregate import Count, Sum
 
@@ -711,6 +717,7 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
             ).write_parquet(os.path.join(index_dir, "postings"),
                             partition_cols=["shard"])
         _merge_docs_tables(index_dir, merged_ids, new_off, gens, K)
+        _rebuild_points(index_dir, cfg, merged_ids, new_off, K)
         return
 
     files = expand_parquet_dirs(
@@ -743,6 +750,19 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
                              partition_cols=["shard"])
 
     _merge_docs_tables(index_dir, merged_ids, new_off, gens, K)
+    _rebuild_points(index_dir, cfg, merged_ids, new_off, K)
+
+
+def _rebuild_points(index_dir: str, cfg: IndexBuildConfig, merged_ids,
+                    new_off: int, K: int) -> None:
+    """Points leaves for the merged shards (SegmentMerger re-sorts BKD per
+    new segment): rebuilt from the just-written merged docs tables."""
+    if not getattr(cfg, "points_fields", ()):
+        return
+    from .points import build_points
+
+    build_points(index_dir, sorted({new_off + s % K for s in merged_ids}),
+                 cfg.points_fields)
 
 
 def _merge_docs_tables(index_dir: str, merged_ids, new_off: int,
@@ -838,6 +858,8 @@ def merge_generations(index_dir: str, offsets: list[int]) -> dict:
                       ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "docs", f"shard={s}"),
                       ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "points", f"shard={s}"),
+                      ignore_errors=True)
     return manifest
 
 
@@ -902,6 +924,8 @@ def force_merge(index_dir: str) -> dict:
         shutil.rmtree(os.path.join(index_dir, "postings", f"shard={s}"),
                       ignore_errors=True)
         shutil.rmtree(os.path.join(index_dir, "docs", f"shard={s}"),
+                      ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "points", f"shard={s}"),
                       ignore_errors=True)
     for f in delete_files:
         try:

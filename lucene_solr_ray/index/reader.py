@@ -55,6 +55,7 @@ class ShardReader:
 
     def __init__(self, index_dir: str, shard: int, cache_size: int = 256):
         self.shard = shard
+        self._index_dir = index_dir
         self._cache: dict = {}          # decoded-postings LRU (LRUQueryCache role)
         self._cache_size = cache_size
         pdir = os.path.join(index_dir, "postings", f"shard={shard}")
@@ -145,6 +146,26 @@ class ShardReader:
             self.live_doc_ids = self.doc_ids
             self.live_doclens = self.doclens
             self._live_mask = None
+
+    # --- points (BKD substitute, index/points.py) ------------------------
+    @property
+    def points(self):
+        """Lazy per-shard points reader; only row-group stats stay resident."""
+        p = getattr(self, "_points", None)
+        if p is None:
+            from .points import ShardPoints
+
+            p = self._points = ShardPoints(self._index_dir, self.shard)
+        return p
+
+    def has_points(self, field: str) -> bool:
+        return self.points.has_field(field)
+
+    def point_range(self, field: str, lower, upper) -> np.ndarray:
+        """Live doc ids with lower <= dv_<field> <= upper, via the sorted
+        points leaves (PointRangeQuery.java:47 over the BKD substitute)."""
+        docs = self.points.range(field, lower, upper)
+        return docs[self._live_filter(docs)]
 
     def _lazy_col(self, name: str):
         """Load a deferred column on first use (sorted to match self.table);

@@ -359,6 +359,14 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         docs = shard.live_doc_ids
         return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, NumericRange):
+        # BKD-substitute fast path: a standalone range reads only the
+        # points row groups whose min/max stats overlap [lower, upper]
+        # (index/points.py) instead of scanning the docvalues column —
+        # the PointRangeQuery side of IndexOrDocValuesQuery.java:50. The
+        # filter-verification path (few candidates) stays on docvalues.
+        if node.field not in ("doclen", "doc_id") and shard.has_points(node.field):
+            docs = shard.point_range(node.field, node.lower, node.upper)
+            return docs, np.full(len(docs), node.boost, dtype=dtype)
         if node.field == "doclen":
             vals = shard.doclens
         elif node.field == "doc_id":
