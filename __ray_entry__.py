@@ -445,6 +445,61 @@ def _points_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _geo_index(sf_dir: str) -> str:
+    """Corpus with deterministic lat/lon derived from doc_id (the driver's
+    tables carry no coordinates; the same integer arithmetic runs in the SQL
+    oracle, so the doubles are bit-identical), indexed with points on both."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|geo").encode()).hexdigest()[:10]
+    cdir = os.path.join(_CACHE_ROOT, f"geo_corpus_{key}")
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = ((ids * 7919) % 18001) / 100.0 - 90.0
+        lon = ((ids * 104729) % 36001) / 100.0 - 180.0
+        return t.append_column("lat", pa.array(lat, pa.float64())) \
+                .append_column("lon", pa.array(lon, pa.float64()))
+
+    if not os.path.exists(os.path.join(cdir, "_done")):
+        _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+            derive, batch_format="pyarrow").write_parquet(cdir)
+        open(os.path.join(cdir, "_done"), "w").close()
+    import glob as _glob
+
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           points_fields=("lat", "lon"))
+    build_index(sorted(_glob.glob(os.path.join(cdir, "*.parquet"))),
+                index_dir, key_col="doc_id", text_col="text", cfg=cfg,
+                resume=True)
+    return index_dir
+
+
+def q_geo_box(sf_dir):
+    """LatLonPoint.newBoxQuery over the points index (search/geo.py):
+    two leaf-pruned 1-D range reads + sorted intersection."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.geo import GeoBox
+
+    s = IndexSearcher(_geo_index(sf_dir), dtype=np.float64)
+    node = GeoBox("lat", "lon", -30.0, 30.0, -90.0, 60.0)
+    return s.match_all(node).select(["doc_id"])
+
+
+def q_geo_knn(sf_dir):
+    """Distance sort (LatLonDocValuesField.newDistanceSort): 50 nearest
+    docs to Paris; haversine over docvalues, rounded to 10 m for the
+    cross-engine hash."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import geo_nearest
+
+    s = IndexSearcher(_geo_index(sf_dir), dtype=np.float64)
+    t = geo_nearest(s, 48.8566, 2.3522, k=50)
+    return _round_col(t, "distance_km", 2)
+
+
 def q_ft_points_range(sf_dir):
     """PointRangeQuery over the points index (index/points.py): a standalone
     numeric range resolved by leaf (parquet row-group) pruning — only row
@@ -1137,6 +1192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase": q_ft_phrase,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_points_range": q_ft_points_range,
+        "geo_box": q_geo_box,
+        "geo_knn": q_geo_knn,
         "ft_after_delete": q_ft_after_delete,
         "ft_stemmed": q_ft_stemmed,
         "ft_synonym": q_ft_synonym,
@@ -1390,6 +1447,28 @@ def oracle_sql() -> dict[str, str]:
         "ft_points_range": """
             SELECT doc_id FROM documents
             WHERE n_chars BETWEEN 500 AND 600 ORDER BY doc_id""",
+        "geo_box": """
+            WITH g AS (SELECT doc_id,
+                       ((doc_id * 7919) % 18001) / 100.0 - 90.0 AS lat,
+                       ((doc_id * 104729) % 36001) / 100.0 - 180.0 AS lon
+                       FROM documents)
+            SELECT doc_id FROM g
+            WHERE lat BETWEEN -30.0 AND 30.0 AND lon BETWEEN -90.0 AND 60.0
+            ORDER BY doc_id""",
+        "geo_knn": """
+            WITH g AS (SELECT doc_id,
+                       ((doc_id * 7919) % 18001) / 100.0 - 90.0 AS lat,
+                       ((doc_id * 104729) % 36001) / 100.0 - 180.0 AS lon
+                       FROM documents),
+            d AS (SELECT doc_id,
+                  2 * 6371.0088 * asin(sqrt(
+                      pow(sin((radians(lat) - radians(48.8566)) / 2), 2)
+                      + cos(radians(48.8566)) * cos(radians(lat))
+                        * pow(sin((radians(lon) - radians(2.3522)) / 2), 2)
+                  )) AS km FROM g)
+            SELECT doc_id, round(km, 2) AS distance_km,
+                   CAST(row_number() OVER (ORDER BY km, doc_id) AS INT) AS rank
+            FROM d ORDER BY km, doc_id LIMIT 50""",
         "select_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice*100,0) AS BIGINT)

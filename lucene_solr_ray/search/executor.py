@@ -358,6 +358,14 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     if isinstance(node, MatchAll):
         docs = shard.live_doc_ids
         return docs, np.full(len(docs), node.boost, dtype=dtype)
+    from .geo import GeoBox, GeoDistance, box_docs, distance_docs
+
+    if isinstance(node, GeoBox):
+        docs = box_docs(shard, node)
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, GeoDistance):
+        docs, _ = distance_docs(shard, node)
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, NumericRange):
         # BKD-substitute fast path: a standalone range reads only the
         # points row groups whose min/max stats overlap [lower, upper]

@@ -598,3 +598,41 @@ def significant_terms(searcher: IndexSearcher, query: str, top_n: int = 10,
         "fg_df": pa.array([r["fg_df"] for r in top], pa.int64()),
         "bg_df": pa.array([r["bg_df"] for r in top], pa.int64()),
     })
+
+
+def geo_nearest(searcher: IndexSearcher, lat: float, lon: float,
+                lat_field: str = "lat", lon_field: str = "lon",
+                k: int = 10, query=None) -> "pa.Table":
+    """Distance sort (LatLonDocValuesField.newDistanceSort +
+    TopFieldCollector): top-k docs nearest (lat, lon), optionally restricted
+    to a query's matches. Per shard: candidates -> vectorized haversine over
+    the lat/lon docvalues -> local top-k; the cross-shard merge handles only
+    shards*k rows. Ties break on doc_id asc (the reference's tie rule)."""
+    from .executor import eval_node, resolve_weights
+    from .geo import distances_for
+    from .query import MatchAll
+
+    node = searcher._node(query) if query is not None else MatchAll()
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+    parts_d, parts_km = [], []
+    for s in searcher.reader.shards:
+        docs, _ = eval_node(s, node, weights, searcher.dtype)
+        if not len(docs):
+            continue
+        d = distances_for(s, docs, lat_field, lon_field, lat, lon)
+        loc = np.lexsort((docs, d))[:k]
+        parts_d.append(docs[loc])
+        parts_km.append(d[loc])
+    if not parts_d:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "distance_km": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int32())})
+    docs = np.concatenate(parts_d)
+    km = np.concatenate(parts_km)
+    order = np.lexsort((docs, km))[:k]
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "distance_km": pa.array(km[order], pa.float64()),
+        "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+    })
