@@ -118,3 +118,39 @@ def stage_corpus(ds: Dataset, out_dir: str) -> list[str]:
         shutil.rmtree(out_dir)
     ds.write_parquet(out_dir)
     return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+def read_sql(sql: str, views: dict[str, str] | None = None,
+             batch_rows: int = 65536) -> Dataset:
+    """JDBCStream role (solr/solrj/.../io/stream/JDBCStream.java:126): pull
+    tuples from a SQL engine into the dataflow.
+
+    The reference's JDBCStream is a SINGLE connection streaming tuples
+    through one node; this is the same shape on DuckDB — the query runs
+    once on the driver, record batches stream out zero-copy (Arrow) and
+    land as Dataset blocks in the object store, so everything downstream
+    is distributed. `views` maps table names to parquet paths registered
+    before the query. For partition-parallel extraction at scale, shard
+    the query by key range and union the datasets (the Solr pattern:
+    parallel(jdbc(...)) with a partitioning WHERE clause)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        for name, path in (views or {}).items():
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+        reader = con.execute(sql).fetch_record_batch(batch_rows)
+        tables = []
+        while True:
+            try:
+                tables.append(pa.Table.from_batches([reader.read_next_batch()]))
+            except StopIteration:
+                break
+        if not tables:
+            return ray.data.from_arrow(pa.table({}))
+        # one block per record batch: downstream map_batches parallelizes
+        return ray.data.from_arrow(tables)
+    finally:
+        con.close()

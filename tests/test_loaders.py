@@ -136,3 +136,20 @@ def test_large_sparse_doc_ids_end_to_end(ray_session, tmp_path):
     s2 = IndexSearcher(idx)
     assert sorted(s2.match_all("common")["doc_id"].to_pylist()) == ids[5:].tolist()
     check_index(idx)
+
+
+def test_read_sql(tmp_path, ray_session):
+    from lucene_solr_ray.pipelines.sources import read_sql
+
+    t = pa.table({"k": pa.array([3, 1, 2], pa.int64()),
+                  "v": pa.array(["c", "a", "b"])})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    ds = read_sql("SELECT k, v FROM src WHERE k >= 2 ORDER BY k",
+                  views={"src": p})
+    got = ds.to_pandas()
+    assert got["k"].tolist() == [2, 3]
+    assert got["v"].tolist() == ["b", "c"]
+    # empty result keeps a usable (empty) dataset
+    ds0 = read_sql("SELECT k FROM src WHERE k > 100", views={"src": p})
+    assert ds0.count() == 0
