@@ -154,3 +154,66 @@ def read_sql(sql: str, views: dict[str, str] | None = None,
         return ray.data.from_arrow(tables)
     finally:
         con.close()
+
+
+_ENT = {"&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'", "&amp;": "&"}
+
+
+def _xml_unescape(s: str) -> str:
+    # &amp; last so "&amp;lt;" decodes to "&lt;" (one level, like SAX)
+    for k in ("&lt;", "&gt;", "&quot;", "&apos;", "&amp;"):
+        if k in s:
+            s = s.replace(k, _ENT[k])
+    return s
+
+
+def read_enwiki(paths, keep_images: bool = False) -> Dataset:
+    """EnwikiContentSource (benchmark/byTask/feeds/EnwikiContentSource.java:54):
+    Wikipedia XML dump -> Dataset(doc_id, title, date, text).
+
+    Parity with the reference's SAX handler: per <page> it takes the title,
+    the FIRST <id> (page id; later revision/contributor ids are ignored,
+    line 175), the <timestamp>, and the <text> body; pages whose title
+    starts with "Image:" are skipped unless keep_images (line 141); tabs
+    and newlines in the body and tabs in title/date become spaces
+    (lines 143-145).
+
+    One read task per dump file (the reference is likewise a single
+    sequential SAX pass per stream); at scale pre-split the dump into many
+    .xml chunks at <page> boundaries so the parse fans out."""
+    import re
+
+    ds = ray.data.read_binary_files(paths)
+    page_re = re.compile(rb"<page>(.*?)</page>", re.S)
+    title_re = re.compile(r"<title>(.*?)</title>", re.S)
+    id_re = re.compile(r"<id>(\d+)</id>")
+    ts_re = re.compile(r"<timestamp>(.*?)</timestamp>", re.S)
+    text_re = re.compile(r"<text[^>]*>(.*?)</text>", re.S)
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, titles, dates, bodies = [], [], [], []
+        for blob in t["bytes"].to_pylist():
+            for m in page_re.finditer(blob):
+                page = m.group(1).decode("utf-8", errors="replace")
+                tm = title_re.search(page)
+                title = _xml_unescape(tm.group(1)) if tm else ""
+                if not keep_images and title.startswith("Image:"):
+                    continue
+                im = id_re.search(page)
+                xm = text_re.search(page)
+                if im is None or xm is None:
+                    continue
+                sm = ts_re.search(page)
+                ids.append(int(im.group(1)))
+                titles.append(title.replace("\t", " "))
+                dates.append((sm.group(1) if sm else "").replace("\t", " "))
+                bodies.append(
+                    _xml_unescape(xm.group(1)).replace("\t", " ").replace("\n", " "))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "title": pa.array(titles, pa.string()),
+            "date": pa.array(dates, pa.string()),
+            "text": pa.array(bodies, pa.large_string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -153,3 +153,42 @@ def test_read_sql(tmp_path, ray_session):
     # empty result keeps a usable (empty) dataset
     ds0 = read_sql("SELECT k FROM src WHERE k > 100", views={"src": p})
     assert ds0.count() == 0
+
+
+def test_read_enwiki(tmp_path, ray_session):
+    from lucene_solr_ray.pipelines.sources import read_enwiki
+
+    xml = """<mediawiki>
+<page>
+  <title>First &amp; Best</title>
+  <id>10</id>
+  <revision><id>999</id>
+    <timestamp>2004-01-01T00:00:00Z</timestamp>
+    <text xml:space="preserve">hello
+world\ttabbed &lt;b&gt;</text>
+  </revision>
+</page>
+<page>
+  <title>Image:Logo.png</title>
+  <id>11</id>
+  <revision><timestamp>2004-01-02T00:00:00Z</timestamp>
+  <text>skip me</text></revision>
+</page>
+<page>
+  <title>Second</title>
+  <id>12</id>
+  <revision><timestamp>2004-01-03T00:00:00Z</timestamp>
+  <text>body two</text></revision>
+</page>
+</mediawiki>"""
+    p = tmp_path / "dump.xml"
+    p.write_text(xml)
+    got = read_enwiki(str(p)).to_pandas().sort_values("doc_id")
+    # Image: page skipped; first <id> wins (page id 10, not revision 999)
+    assert got["doc_id"].tolist() == [10, 12]
+    assert got["title"].tolist() == ["First & Best", "Second"]
+    assert got["date"].iloc[0] == "2004-01-01T00:00:00Z"
+    assert got["text"].iloc[0] == "hello world tabbed <b>"
+    # keep_images retains the Image: page
+    all3 = read_enwiki(str(p), keep_images=True).to_pandas()
+    assert sorted(all3["doc_id"].tolist()) == [10, 11, 12]
