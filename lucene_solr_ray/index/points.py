@@ -101,6 +101,12 @@ class ShardPoints:
         self._meta: dict[str, tuple] = {}  # field -> (path, mins, maxs, pf)
         self.last_groups_read = 0
 
+    def __getstate__(self):
+        # open ParquetFile handles don't pickle; a shipped reader re-opens
+        # lazily on first use (readers are serialized into search actors)
+        return {"_dir": self._dir, "_shard": self._shard, "_meta": {},
+                "last_groups_read": 0}
+
     def has_field(self, field: str) -> bool:
         if field in self._meta:
             return True
