@@ -44,7 +44,10 @@ def test_daemon_stream_runs_and_stops(ray_session):
         return 1
 
     d = DaemonStream(tick, interval_s=0.05)
-    time.sleep(0.6)
+    # poll instead of a fixed sleep: actor cold-start can eat a fixed window
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and d.stats()["runs"] < 2:
+        time.sleep(0.05)
     final = d.stop()
     assert final["runs"] >= 2
     assert final["errors"] == 0
@@ -61,7 +64,9 @@ def test_daemon_stream_survives_errors(ray_session):
         raise RuntimeError("boom")
 
     d = DaemonStream(flaky, interval_s=0.05)
-    time.sleep(0.4)
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline and d.stats()["errors"] < 2:
+        time.sleep(0.05)
     final = d.stop()
     assert final["errors"] >= 2
     assert final["runs"] == 0
