@@ -919,6 +919,42 @@ def q_tdigest_quantiles(sf_dir):
     })
 
 
+_QUALITY_SPEC = [("q1", "fast", "merge"), ("q2", "query", "scan"),
+                 ("q3", "merge", "query")]
+
+
+def q_quality_eval(sf_dir):
+    # benchmark/quality parity: judged single-term queries through the bulk
+    # actor-pool searcher, TrecJudge-style binary qrels (docs matching
+    # "term AND rel_term"), QualityStats metrics reduced per query
+    from lucene_solr_ray.search.quality import (
+        conjunction_judgments, quality_benchmark,
+    )
+
+    idx = _index_for(sf_dir)
+    j = conjunction_judgments(
+        idx, [(qid, f"{t} AND {r}") for qid, t, r in _QUALITY_SPEC])
+    t = quality_benchmark(
+        idx, [(qid, t) for qid, t, _ in _QUALITY_SPEC], j, k=10)
+    for c in ("precision_at_k", "recall", "mrr", "ap", "ndcg"):
+        t = _round_col(t, c)
+    return t
+
+
+def q_stream_expr(sf_dir):
+    # streaming-expression front-end end-to-end: parse -> compose the
+    # distributed rollup/having/sort ops -> lazy Dataset
+    from lucene_solr_ray.relational.streams import run_expression
+
+    return run_expression(
+        'sort(having(rollup(table(lineitem),'
+        ' over="l_returnflag,l_linestatus", count(*), sum(l_quantity)),'
+        ' gt(count(*), 100)),'
+        ' by="l_returnflag asc, l_linestatus asc")',
+        tables={"lineitem": f"{sf_dir}/lineitem.parquet"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # text stats / dedup / ANN / multimodal entries
 # ---------------------------------------------------------------------------
@@ -1175,6 +1211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": q_mm_decode,
         # --- sketches ---
         "tdigest_quantiles": q_tdigest_quantiles,
+        # --- new in round 3: relevance eval + streaming-expression e2e ---
+        "quality_eval": q_quality_eval,
+        "stream_expr": q_stream_expr,
         # --- oracle typing fixed this round (r2 hash_match fails) ---
         "rollup_q1": q_rollup_q1,
         "join_large": q_join_large,
@@ -1295,6 +1334,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
               FROM sims) WHERE rank <= 2""",
+        "quality_eval": osql.sql_quality_eval(_QUALITY_SPEC, k=10),
+        "stream_expr": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS "count(*)",
+                   sum(l_quantity) AS "sum(l_quantity)"
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            HAVING count(*) > 100
+            ORDER BY l_returnflag, l_linestatus""",
         "ft_term_df": osql.sql_term_df(),
         "ft_top_terms": osql.sql_top_terms(20),
         "ft_bm25_term": osql.sql_bm25_term("fast"),

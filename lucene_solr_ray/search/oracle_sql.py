@@ -205,3 +205,81 @@ def sql_phrase_docs(phrase: str) -> str:
 SELECT doc_id FROM documents
 WHERE (' ' || text || ' ') LIKE '% {phrase} %'
 ORDER BY doc_id"""
+
+
+def sql_quality_eval(queries: list[tuple[str, str, str]], k: int = 10) -> str:
+    """Relevance-eval metrics in SQL (QualityBenchmark/QualityStats oracle,
+    quality/QualityStats.java:68-113): each (query_id, term, rel_term)
+    entry scores single-term BM25 top-k (score DESC, doc_id ASC — the
+    engine's tie order) and judges docs containing BOTH term and rel_term
+    relevant (TrecJudge binary relevance)."""
+    qvals = ", ".join(f"('{qid}', '{t}', '{r}')" for qid, t, r in queries)
+    return f"""
+WITH {bm25_cte()},
+qs(qid, qterm, rterm) AS (VALUES {qvals}),
+scores AS (
+  SELECT qs.qid, t.doc_id, {bm25_term_score_sql("t.term")} AS score
+  FROM qs
+  JOIN tf t ON t.term = qs.qterm
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scores
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {k}),
+rel AS (
+  SELECT DISTINCT qs.qid, a.doc_id
+  FROM qs
+  JOIN tf a ON a.term = qs.qterm
+  JOIN tf b ON b.doc_id = a.doc_id AND b.term = qs.rterm
+),
+relcnt AS (SELECT qid, count(*) AS num_rel FROM rel GROUP BY qid),
+hits AS (
+  SELECT t.qid, t.rnk,
+         row_number() OVER (PARTITION BY t.qid ORDER BY t.rnk) AS hit_no
+  FROM topk t
+  JOIN rel r ON r.qid = t.qid AND r.doc_id = t.doc_id
+),
+agg AS (
+  SELECT q.qid AS query_id,
+         coalesce(rc.num_rel, 0) AS num_rel,
+         coalesce(h.nrr, 0) AS num_rel_ret,
+         coalesce(h.first_rnk, 0) AS first_rnk,
+         coalesce(h.sum_prec, 0.0) AS sum_prec,
+         coalesce(h.dcg, 0.0) AS dcg
+  FROM qs q
+  LEFT JOIN relcnt rc ON rc.qid = q.qid
+  LEFT JOIN (
+    SELECT qid, count(*) AS nrr, min(rnk) AS first_rnk,
+           sum(hit_no * 1.0 / rnk) AS sum_prec,
+           sum(1.0 / log2(rnk + 1.0)) AS dcg
+    FROM hits GROUP BY qid
+  ) h ON h.qid = q.qid
+),
+idcg_tbl AS (
+  SELECT m, sum(1.0 / log2(i + 1.0)) AS idcg
+  FROM generate_series(1, {k}) AS ms(m)
+  JOIN generate_series(1, {k}) AS gs(i) ON i <= m
+  GROUP BY m
+)
+SELECT query_id,
+       CAST(num_rel AS BIGINT) AS num_rel,
+       CAST(num_rel_ret AS BIGINT) AS num_rel_ret,
+       round(num_rel_ret * 1.0 / {k}, {ROUND}) AS precision_at_k,
+       round(CASE WHEN num_rel > 0
+                  THEN num_rel_ret * 1.0 / num_rel ELSE 0.0 END,
+             {ROUND}) AS recall,
+       round(CASE WHEN first_rnk > 0 THEN 1.0 / first_rnk ELSE 0.0 END,
+             {ROUND}) AS mrr,
+       round(CASE WHEN num_rel > 0 THEN sum_prec / num_rel ELSE 0.0 END,
+             {ROUND}) AS ap,
+       round(CASE WHEN num_rel > 0 THEN dcg / it.idcg
+             ELSE 0.0 END, {ROUND}) AS ndcg
+FROM agg
+LEFT JOIN idcg_tbl it ON it.m = least(greatest(num_rel, 1), {k})
+ORDER BY query_id"""
