@@ -364,12 +364,14 @@ def sampled_facet_counts(
     .java:43): facet counts over a deterministic doc sample, scaled back by
     1/rate. Sampling hashes the doc id (multiply-shift, seeded) so the
     sample is stable across runs and partitionings."""
-    a = np.uint64(0x9E3779B97F4A7C15) * np.uint64(2 * seed + 1)
+    # multiply-shift hash: 64-bit wraparound is the point, not an error
+    a = np.uint64((0x9E3779B97F4A7C15 * (2 * seed + 1)) & 0xFFFFFFFFFFFFFFFF)
     threshold = np.uint64(int(rate * 2**64))
 
     def sample(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = (ids * a) < threshold
+        with np.errstate(over="ignore"):
+            keep = (ids * a) < threshold
         return t.select([key]).filter(pa.array(keep))
 
     counts = rollup(ds.map_batches(sample, batch_format="pyarrow"),
