@@ -41,6 +41,25 @@ QUERY_SET = [
 ]
 
 
+def host_probe() -> float:
+    """Fixed single-core numpy workload (sort + matmul + hash over a 1500^2
+    matrix, 3 passes), in seconds. The sandbox host is shared with invisible
+    neighbor tenants whose memory-bandwidth pressure swings wall-times 3-4x
+    between sessions; reporting the probe alongside every bench run lets
+    numbers from different sessions be compared on a common footing
+    (engine throughput ~ docs_per_sec * probe_sec / probe_ref)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1500, 1500))
+    t0 = time.time()
+    for _ in range(3):
+        np.sort(a, axis=1)
+        a @ a[:100].T
+        (a * 1e9).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return round(time.time() - t0, 3)
+
+
 def ensure_corpus() -> str:
     if not os.path.exists(CORPUS_PATH):
         from lucene_solr_ray.pipelines import synthesize_corpus
@@ -212,6 +231,7 @@ def main():
             "efficiency_best_of_levels": round(best_eff, 3),
             "corpus_docs": CORPUS_DOCS,
             "scaling_efficiency": round(med_eff, 3),
+            "host_probe_sec": host_probe(),
         }))
         return
 
@@ -227,6 +247,7 @@ def main():
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "corpus_docs": CORPUS_DOCS,
+        "host_probe_sec": host_probe(),
     }))
 
 
