@@ -12,9 +12,13 @@ window logic:
 * unordered: the classic smallest-covering-range sweep over the k position
   lists (per candidate doc; lists are per-doc and short).
 
-freq = number of matching anchors/ranges, scored through the phrase weight
-(blended clause stats) — a documented simplification of the reference's
-per-span sloppyFreq accumulation.
+freq = the reference's sloppyFreq: each matching anchor/range contributes
+1 / (1 + matchLength) where matchLength is the total gap between the
+clause positions (SpanScorer.setFreqCurrentDoc accumulating
+1/(1+spans.width()); NearSpansOrdered.stretchToOrder's matchWidth is the
+gap sum, which for term subspans equals (range width - n_clauses)). The
+float freq is scored through the phrase weight (blended clause stats)
+exactly like the reference feeds sloppyFreq to Similarity.score.
 """
 
 from __future__ import annotations
@@ -46,8 +50,10 @@ def _clause_positions(shard, clause):
     }
 
 
-def _ordered_count(pos_lists: list[np.ndarray], slop: int) -> int:
-    """Anchors of clause 0 that start an ordered window within slop."""
+def _ordered_sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
+    """sloppyFreq over anchors of clause 0 that start an ordered window
+    within slop: each contributes 1/(1+matchLength), matchLength = gap sum
+    = (range width - n_clauses) for term subspans."""
     anchors = pos_lists[0].astype(np.int64)
     cur = anchors.copy()
     alive = np.ones(len(cur), dtype=bool)
@@ -56,29 +62,32 @@ def _ordered_count(pos_lists: list[np.ndarray], slop: int) -> int:
         ok = idx < len(pl)
         alive &= ok
         cur[ok] = pl[idx[ok]]
-    width = cur - anchors + 1
-    return int(np.count_nonzero(alive & (width - len(pos_lists) <= slop)))
+    match_len = (cur - anchors + 1) - len(pos_lists)
+    hit = alive & (match_len <= slop)
+    return float(np.sum(1.0 / (1.0 + match_len[hit])))
 
 
-def _unordered_count(pos_lists: list[np.ndarray], slop: int) -> int:
-    """Minimal covering ranges of one-position-per-clause within slop."""
+def _unordered_sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
+    """sloppyFreq over minimal covering ranges of one-position-per-clause:
+    each range within slop contributes 1/(1+matchLength)."""
     k = len(pos_lists)
     ptrs = [0] * k
     heap = [(int(pl[0]), j) for j, pl in enumerate(pos_lists)]
     heapq.heapify(heap)
     hi = max(int(pl[0]) for pl in pos_lists)
-    count = 0
+    freq = 0.0
     while True:
         lo, j = heap[0]
-        if (hi - lo + 1) - k <= slop:
-            count += 1
+        match_len = (hi - lo + 1) - k
+        if match_len <= slop:
+            freq += 1.0 / (1.0 + max(0, match_len))
         ptrs[j] += 1
         if ptrs[j] >= len(pos_lists[j]):
             break
         nxt = int(pos_lists[j][ptrs[j]])
         heapq.heapreplace(heap, (nxt, j))
         hi = max(hi, nxt)
-    return count
+    return freq
 
 
 def eval_span_near(shard, node: SpanNear, weights, dtype):
@@ -91,7 +100,7 @@ def eval_span_near(shard, node: SpanNear, weights, dtype):
     if not cand:
         return np.zeros(0, np.int64), np.zeros(0, dtype)
     docs_out, freqs_out = [], []
-    fn = _ordered_count if node.in_order else _unordered_count
+    fn = _ordered_sloppy_freq if node.in_order else _unordered_sloppy_freq
     for d in sorted(cand):
         f = fn([cp[d] for cp in clause_pos], node.slop)
         if f:
@@ -100,7 +109,7 @@ def eval_span_near(shard, node: SpanNear, weights, dtype):
     if not docs_out:
         return np.zeros(0, np.int64), np.zeros(0, dtype)
     docs = np.asarray(docs_out, dtype=np.int64)
-    freqs = np.asarray(freqs_out, dtype=np.int32)
+    freqs = np.asarray(freqs_out, dtype=np.float64)
     from .bm25 import score_postings
 
     tw = weights[_span_key(node)]

@@ -117,3 +117,54 @@ def test_span_first(span_index):
     got = s.match_all(node)["doc_id"].to_pylist()
     exp = [i for i, t in enumerate(TEXTS) if "b" in t.split()[:2]]
     assert got == exp
+
+
+def brute_sloppy_freq_ordered(tokens, terms, slop):
+    """Reference SpanScorer.setFreqCurrentDoc: each ordered match (one per
+    viable first-clause anchor) adds 1/(1+matchLength), matchLength = gap
+    sum = range width - n_clauses."""
+    k = len(terms)
+    pos_lists = [[i for i, t in enumerate(tokens) if t in alt] for alt in terms]
+    freq = 0.0
+    for p1 in pos_lists[0]:
+        cur = p1
+        ok = True
+        for pl in pos_lists[1:]:
+            nxt = [p for p in pl if p > cur]
+            if not nxt:
+                ok = False
+                break
+            cur = min(nxt)
+        if ok:
+            ml = (cur - p1 + 1) - k
+            if ml <= slop:
+                freq += 1.0 / (1.0 + ml)
+    return freq
+
+
+def test_span_sloppy_freq_units():
+    from lucene_solr_ray.search.spans import (_ordered_sloppy_freq,
+                                              _unordered_sloppy_freq)
+
+    for tokens, slop in [("a b c d e", 2), ("a x x b c", 2), ("b a c a b", 3),
+                         ("a b a b a b", 4)]:
+        toks = tokens.split()
+        pls = [np.asarray([i for i, t in enumerate(toks) if t == w])
+               for w in ("a", "b")]
+        got = _ordered_sloppy_freq(pls, slop)
+        exp = brute_sloppy_freq_ordered(toks, [{"a"}, {"b"}], slop)
+        assert got == pytest.approx(exp), (tokens, slop, got, exp)
+    # unordered: adjacent pair in either order adds 1.0
+    assert _unordered_sloppy_freq(
+        [np.asarray([1]), np.asarray([0])], 0) == pytest.approx(1.0)
+
+
+def test_span_near_scores_reflect_match_tightness(span_index):
+    """sloppyFreq ranks tighter windows above looser ones at equal doclen:
+    doc 4 ("b a c a b": matches 1.0 + 1/3) > doc 0 ("a b ...": 1.0)
+    > doc 1 ("a x x b c": 1/3)."""
+    s = IndexSearcher(span_index)
+    node = SpanNear((SpanTerm("a"), SpanTerm("b")), slop=2, in_order=True)
+    t = s.match_all(node)
+    by_doc = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+    assert by_doc[4] > by_doc[0] > by_doc[1]
