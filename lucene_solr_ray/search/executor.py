@@ -139,8 +139,8 @@ def _score_phrase(shard: ShardReader, node: Phrase, weights, dtype):
     occurrences are the intersection of the key sets across terms, and the
     per-doc phrase freq falls out of a run-length over the surviving keys.
 
-    slop > 0 routes to the sloppy matcher (documented approximation of
-    SloppyPhraseMatcher: per-match weight 1/(1+displacement))."""
+    slop > 0 routes to the sloppy matcher (exact SloppyPhraseMatcher
+    semantics incl. repeats handling; see _score_sloppy_phrase)."""
     if node.slop > 0:
         return _score_sloppy_phrase(shard, node, weights, dtype)
     keyed = None
@@ -201,52 +201,93 @@ def _score_multi_phrase(shard: ShardReader, node: MultiPhrase, weights, dtype):
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
+def _sloppy_freq_doc(pls: list, slop: int, same_term_pairs: list) -> float:
+    """SloppyPhraseMatcher's per-doc enumeration (SloppyPhraseMatcher.java:60):
+    one pointer per phrase slot over its phrase-position list (pp = position
+    - slot offset, each list sorted); repeatedly emit the current minimal
+    window when (max pp - min pp) <= slop, weighting 1/(1+matchLength), then
+    advance the min slot. Slots that repeat a term must occupy DISTINCT
+    actual positions (the matcher's repeats handling): on a collision the
+    smaller-pp slot advances before any window is scored."""
+    import heapq
+
+    k = len(pls)
+    ptrs = [0] * k
+    cur = [int(pl[0]) for pl in pls]
+
+    def advance(j: int) -> bool:
+        ptrs[j] += 1
+        if ptrs[j] >= len(pls[j]):
+            return False
+        cur[j] = int(pls[j][ptrs[j]])
+        return True
+
+    heap = [(cur[j], j) for j in range(k)]
+    heapq.heapify(heap)
+    hi = max(cur)
+    freq = 0.0
+    while True:
+        collided = False
+        for i, j in same_term_pairs:
+            if cur[i] + i == cur[j] + j:  # same actual position
+                tgt = j if cur[j] <= cur[i] else i
+                if not advance(tgt):
+                    return freq
+                collided = True
+        if collided:
+            heap = [(cur[j], j) for j in range(k)]
+            heapq.heapify(heap)
+            hi = max(cur)
+            continue
+        lo, j = heap[0]
+        match_len = hi - lo
+        if match_len <= slop:
+            freq += 1.0 / (1.0 + match_len)
+        if not advance(j):
+            return freq
+        heapq.heapreplace(heap, (cur[j], j))
+        hi = max(hi, cur[j])
+
+
 def _score_sloppy_phrase(shard: ShardReader, node: Phrase, weights, dtype):
-    """Sloppy phrase (PhraseQuery slop>0). For each occurrence of the last
-    term, the nearest preceding-term occurrence in the same doc determines
-    the displacement d from the exact offset; matches with d <= slop score
-    1/(1+d) each (the reference's sloppyFreq shape — an approximation of
-    SloppyPhraseMatcher's full repeats handling, documented)."""
-    post = []
-    for i, t in enumerate(node.terms):
+    """Sloppy phrase (PhraseQuery slop>0), SloppyPhraseMatcher semantics:
+    phrase positions pp = position - slot offset; a min-advance sweep emits
+    each minimal window with matchLength = max(pp) - min(pp), accumulating
+    sloppyFreq = sum 1/(1+matchLength) over windows within slop, with
+    repeated terms forced onto distinct actual positions. Candidate docs are
+    the vectorized postings intersection; only they run the per-doc sweep."""
+    uniq = sorted(set(node.terms))
+    per_term: dict[str, dict[int, np.ndarray]] = {}
+    for t in uniq:
         docs, freqs, pos = shard.postings(t, with_positions=True)
         if not len(docs):
             return np.zeros(0, np.int64), np.zeros(0, dtype)
-        doc_rep = np.repeat(docs, freqs)
-        keys = (doc_rep << _POS_SHIFT) | pos.astype(np.int64)
-        post.append(np.sort(keys))
-    # anchor on the first term; each later term contributes its minimal
-    # displacement from the expected offset i
-    anchor = post[0]
-    disp = np.zeros(len(anchor), dtype=np.float64)
-    alive = np.ones(len(anchor), dtype=bool)
-    a_doc = anchor >> _POS_SHIFT
-    a_pos = anchor & ((1 << _POS_SHIFT) - 1)
-    for i in range(1, len(post)):
-        target = ((a_doc << _POS_SHIFT) | (a_pos + i)).astype(np.int64)
-        j = np.searchsorted(post[i], target)
-        best = np.full(len(anchor), np.inf)
-        for cand in (np.clip(j - 1, 0, len(post[i]) - 1), np.clip(j, 0, len(post[i]) - 1)):
-            c_doc = post[i][cand] >> _POS_SHIFT
-            c_pos = post[i][cand] & ((1 << _POS_SHIFT) - 1)
-            d = np.abs(c_pos - (a_pos + i)).astype(np.float64)
-            d[c_doc != a_doc] = np.inf
-            best = np.minimum(best, d)
-        disp += np.where(np.isfinite(best), best, np.inf)
-        alive &= np.isfinite(best)
-    alive &= disp <= node.slop
-    if not alive.any():
+        cum = np.concatenate([[0], np.cumsum(freqs.astype(np.int64))])
+        per_term[t] = {
+            int(d): pos[cum[i]:cum[i + 1]].astype(np.int64)
+            for i, d in enumerate(docs.tolist())
+        }
+    cand: set | None = None
+    for t in uniq:
+        cand = set(per_term[t]) if cand is None else cand & set(per_term[t])
+    if not cand:
         return np.zeros(0, np.int64), np.zeros(0, dtype)
-    m_doc = a_doc[alive]
-    m_w = 1.0 / (1.0 + disp[alive])
-    order = np.argsort(m_doc, kind="stable")
-    m_doc, m_w = m_doc[order], m_w[order]
-    new = np.empty(len(m_doc), dtype=bool)
-    new[0] = True
-    new[1:] = m_doc[1:] != m_doc[:-1]
-    starts = np.flatnonzero(new)
-    docs = m_doc[starts]
-    freqs = np.add.reduceat(m_w, starts).astype(np.float32)
+    k = len(node.terms)
+    same_term_pairs = [
+        (i, j) for i in range(k) for j in range(i + 1, k)
+        if node.terms[i] == node.terms[j]
+    ]
+    docs_out, freqs_out = [], []
+    for d in sorted(cand):
+        pls = [per_term[node.terms[i]][d] - i for i in range(k)]
+        f = _sloppy_freq_doc(pls, node.slop, same_term_pairs)
+        if f:
+            docs_out.append(d)
+            freqs_out.append(f)
+    if not docs_out:
+        return np.zeros(0, np.int64), np.zeros(0, dtype)
+    docs = np.asarray(docs_out, dtype=np.int64)
+    freqs = np.asarray(freqs_out, dtype=np.float64)
     tw = weights[("\x1f".join(node.terms), node.boost)]
     norms = shard.norms_for(docs)
     return docs, score_postings(tw, freqs, norms, dtype)
