@@ -686,6 +686,16 @@ def q_facet_lang(sf_dir):
     return facet_counts(_docs(sf_dir).select_columns(["lang"]), "lang", "cnt")
 
 
+def q_facet_refined(sf_dir):
+    # distributed top-k facet with refinement pass (Solr JSON facets
+    # refine:true): per-block top candidates + exact re-count, certified
+    # by the TPUT bound with an exact-rollup fallback
+    from lucene_solr_ray.relational import facet_top_k_refined
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return facet_top_k_refined(ev, "user_id", 5)
+
+
 def q_range_facet(sf_dir):
     from lucene_solr_ray.relational import range_facet
 
@@ -1252,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_dfr": q_ft_dfr,
         # --- relational / streaming-expression layer ---
+        "facet_refined": q_facet_refined,
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
         "significant_terms": q_significant_terms,
@@ -1563,6 +1574,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
         "facet_lang": """
             SELECT lang, count(*) AS cnt FROM documents GROUP BY lang""",
+        "facet_refined": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5""",
         "range_facet": """
             SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
                    count(*) AS cnt

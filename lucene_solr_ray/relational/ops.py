@@ -159,6 +159,116 @@ def facet_counts(ds: Dataset, key: str, count_name: str = "cnt") -> Dataset:
     return rollup(ds, [key], [("count", None, count_name)])
 
 
+def facet_top_k_refined(
+    ds: Dataset, key: str, k: int, overrequest: int | None = None,
+    count_name: str = "cnt",
+) -> pa.Table:
+    """Distributed top-k facet with refinement (Solr JSON facets
+    refine:true, solr/.../search/facet/FacetFieldProcessor.java merge +
+    refinement phases): pass 1 keeps each block's local top-(k+overrequest)
+    value counts plus the block's cut threshold; the merged lower bounds
+    pick a refine set of R = max(4k, k+overrequest) candidates whose counts
+    pass 2 re-counts EXACTLY (broadcast key-set filter + map-side combine),
+    so every returned bucket count is exact. A TPUT-style certificate
+    (k-th exact count >= best unrefined lower bound + sum of block
+    thresholds) detects the residual case where a value unreported by every
+    block could still belong in the global top-k; when it fails the op
+    falls back to the exact full rollup.
+
+    Shuffle cost: pass 1 moves <= blocks*(k+over+1) rows and pass 2 <= R
+    rows per block — independent of key cardinality, vs one row per
+    (block, distinct value) for the exact rollup. At web-scale facet keys
+    (hosts, shingles, urls) that is a bounded merge instead of an
+    all-to-all shuffle.
+    """
+    return _facet_top_k_refined(ds, key, k, overrequest, count_name)[0]
+
+
+def _facet_top_k_refined(
+    ds: Dataset, key: str, k: int, overrequest: int | None = None,
+    count_name: str = "cnt",
+) -> tuple[pa.Table, bool]:
+    """facet_top_k_refined internals; returns (result, certified) where
+    certified=False means the exact-rollup fallback ran."""
+    m = k + (overrequest if overrequest is not None else max(10, k))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key).type
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], ktype),
+                             count_name: pa.array([], pa.int64()),
+                             "__thresh": pa.array([], pa.int64())})
+        g = t.group_by([key], use_threads=False).aggregate([([], "count_all")])
+        cnt = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(-cnt, kind="stable")
+        top = order[:m]
+        t_b = int(cnt[order[m]]) if len(order) > m else 0
+        data = pa.table({
+            key: pc.take(g[key], pa.array(top)),
+            count_name: pa.array(cnt[top]),
+            "__thresh": pa.array(np.zeros(len(top), dtype=np.int64)),
+        })
+        sentinel = pa.table({
+            key: pa.array([None], ktype),
+            count_name: pa.array([0], pa.int64()),
+            "__thresh": pa.array([t_b], pa.int64()),
+        })
+        return pa.concat_tables([data, sentinel])
+
+    # materialized: it is the compacted partial (small) and is consumed
+    # twice (threshold sum + candidate merge)
+    pass1 = ds.select_columns([key]).map_batches(
+        local_top, batch_format="pyarrow").materialize()
+    thresh_sum = int(pass1.sum("__thresh") or 0)
+
+    def drop_sentinels(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[key])).select([key, count_name])
+
+    merged = pass1.map_batches(drop_sentinels, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum(count_name, alias_name=count_name))
+    R = max(4 * k, m)
+    cand_rows = merged.sort(count_name, descending=True).limit(R + 1).take_all()
+    if not cand_rows:
+        empty = pa.table({key: pa.array([], pa.string()),
+                          count_name: pa.array([], pa.int64())})
+        return empty, True
+    cand = [r[key] for r in cand_rows[:R]]
+    spill_lower = int(cand_rows[R][count_name]) if len(cand_rows) > R else 0
+
+    cand_ref = ray.put(cand)
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        vs = _cached_broadcast(cand_ref, transform=pa.array)
+        t = t.filter(pc.is_in(t[key], value_set=vs))
+        g = t.group_by([key], use_threads=False).aggregate([([], "count_all")])
+        return pa.table({key: g[key],
+                         count_name: pc.cast(g["count_all"], pa.int64())})
+
+    exact = ds.select_columns([key]).map_batches(
+        exact_partial, batch_format="pyarrow"
+    ).groupby(key).aggregate(Sum(count_name, alias_name=count_name)).take_all()
+    exact.sort(key=lambda r: (-int(r[count_name]), r[key]))
+    kth = int(exact[k - 1][count_name]) if len(exact) >= k else 0
+    certified = kth >= spill_lower + thresh_sum
+
+    if not certified:
+        # exact fallback: the full rollup (cardinality-sized shuffle)
+        rows = facet_counts(ds.select_columns([key]), key, count_name) \
+            .sort([count_name, key], descending=[True, False]) \
+            .limit(k).take_all()
+        return pa.table({
+            key: pa.array([r[key] for r in rows]),
+            count_name: pa.array([int(r[count_name]) for r in rows],
+                                 pa.int64()),
+        }), False
+
+    topk = exact[:k]
+    return pa.table({
+        key: pa.array([r[key] for r in topk]),
+        count_name: pa.array([int(r[count_name]) for r in topk], pa.int64()),
+    }), True
+
+
 def range_facet(
     ds: Dataset, col: str, start: float, end: float, width: float,
     bucket_name: str = "bucket", count_name: str = "cnt",
