@@ -686,6 +686,27 @@ def q_facet_lang(sf_dir):
     return facet_counts(_docs(sf_dir).select_columns(["lang"]), "lang", "cnt")
 
 
+def q_ft_field_bm25(sf_dir):
+    """Analyzed field (PerFieldAnalyzerWrapper role): the corpus text is
+    ALSO indexed as an analyzed field 'text' with its own minimal-english
+    stem chain; 'text:tables' runs the field's query-side analyzer, scores
+    with per-field stats and norms, and must equal the SQL oracle that
+    stems every corpus token."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|afield").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(
+        num_shards=4, num_buckets=8,
+        analyzed_fields=(("text", "minimal_english", ""),),
+    )
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    return _round_col(s.match_all("text:tables"), "score")
+
+
 def q_facet_refined(sf_dir):
     # distributed top-k facet with refinement pass (Solr JSON facets
     # refine:true): per-block top candidates + exact re-count, certified
@@ -1261,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_tfidf": q_ft_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_dfr": q_ft_dfr,
+        "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
         "join_orders_customer": q_join_orders_customer,
@@ -1358,6 +1380,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_top_terms": osql.sql_top_terms(20),
         "ft_bm25_term": osql.sql_bm25_term("fast"),
         "ft_stemmed": _sql_ft_stemmed(),
+        # analyzed field 'text' with a minimal-english chain: same stemmed
+        # BM25 oracle — the field's docCount/sumTotalTermFreq equal the
+        # corpus stats because every document carries the field
+        "ft_field_bm25": _sql_ft_stemmed(),
         "ft_facet_index": """
             SELECT lang AS value, count(*) AS cnt FROM documents
             GROUP BY lang ORDER BY cnt DESC, value ASC""",

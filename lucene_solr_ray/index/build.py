@@ -161,6 +161,17 @@ class IndexBuildConfig:
     # token count; a deliberate, documented divergence).
     stemmer: str | None = None
     synonyms: tuple = ()
+    # per-field analyzed fields (PerFieldAnalyzerWrapper role,
+    # analysis/miscellaneous/PerFieldAnalyzerWrapper.java:51 + the
+    # reference's multi-field Document): each (column, stemmer, stopwords)
+    # entry tokenizes that corpus column with ITS OWN chain ("" = none /
+    # stopwords comma-separated) and indexes terms as "column:term" with
+    # per-field positions and PER-FIELD norms; the field's doclen rides the
+    # numeric-docvalues sidecar as fdl_<column>, giving query-time field
+    # norms and per-field BM25 stats (docCount(field), sumTotalTermFreq
+    # (field)) without new storage plumbing. Phrases within a field work
+    # (positions are field-local); cross-field spans are not supported.
+    analyzed_fields: tuple = ()
     # stage-1 is a build-time checkpoint (resume unit); merges operate on the
     # ENCODED segment tables, so after commit stage-1 is dead weight (~the
     # tokenized corpus, positions included) and is GC'd. True retains it for
@@ -171,6 +182,13 @@ class IndexBuildConfig:
         if self.points_fields:
             self.docvalues_fields = tuple(self.docvalues_fields) + tuple(
                 f for f in self.points_fields if f not in self.docvalues_fields
+            )
+        if self.analyzed_fields:
+            # per-field doclen sidecar columns (idempotent across the
+            # manifest round-trip, which re-runs __post_init__)
+            self.docvalues_fields = tuple(self.docvalues_fields) + tuple(
+                f"fdl_{c}" for c, *_ in self.analyzed_fields
+                if f"fdl_{c}" not in self.docvalues_fields
             )
 
     def fingerprint(self) -> str:
@@ -205,6 +223,16 @@ class TokenizeExplode:
                 if others:
                     syn[m] = tuple(sorted(set(syn.get(m, ())) | set(others)))
         self.syn = syn
+        # per-field analyzer chains: (column, stemmer_fn, stop_frozenset)
+        self.analyzed: list[tuple] = []
+        for entry in cfg.get("analyzed_fields") or ():
+            col = entry[0]
+            stem_name = entry[1] if len(entry) > 1 and entry[1] else None
+            stops = frozenset(
+                s.strip() for s in (entry[2] if len(entry) > 2 else "").split(",")
+                if s.strip()
+            ) or None
+            self.analyzed.append((col, get_stemmer(stem_name), stops))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -266,6 +294,50 @@ class TokenizeExplode:
                     kw_terms.append(f"{col}:{v}")
                     kw_doc.append(i)
 
+        # analyzed fields: each column tokenizes with its own chain; terms
+        # are namespaced "column:term", positions are field-local, and each
+        # token carries the FIELD's norm byte (per-field norms). Field
+        # doclens feed the fdl_<col> docvalues sidecar for query-time norms
+        # and per-field BM25 stats.
+        af_parts: list[tuple] = []  # (terms_arr, doc_idx, pos, norm_bytes_tok)
+        fdl_vals: dict[str, np.ndarray] = {}
+        for col, stem_f, stop_f in self.analyzed:
+            ftexts = batch[col].to_pylist()
+            f_terms: list[str] = []
+            f_pos_fallback: dict[int, list[int]] = {}
+            f_lens = np.zeros(len(ftexts), dtype=np.int64)
+            for i, text in enumerate(ftexts):
+                terms = analyze_fast(text or "") if stop_f is None else None
+                if terms is None:
+                    terms, positions = standard_analyzer(text or "", stop_f)
+                    f_pos_fallback[i] = positions
+                f_terms.extend(terms)
+                f_lens[i] = len(terms)
+            if len(f_lens) and int(f_lens.max()) > (1 << 22) - 1:
+                raise ValueError(
+                    f"field {col!r} exceeds max token positions; split it"
+                )
+            fdl_vals[f"fdl_{col}"] = f_lens.astype(np.float64)
+            n_f = int(f_lens.sum())
+            if not n_f:
+                continue
+            arr = np.asarray(f_terms, dtype=object)
+            if stem_f is not None:
+                c, u = pd.factorize(arr)
+                u2 = np.array([stem_f(x) for x in u], dtype=object)
+                arr = u2[c]
+            c, u = pd.factorize(arr)
+            u_pref = np.array([f"{col}:{x}" for x in u], dtype=object)
+            arr = u_pref[c]
+            f_doc = np.repeat(np.arange(len(ftexts), dtype=np.int32), f_lens)
+            f_off = np.concatenate([[0], np.cumsum(f_lens)])
+            f_pos = (np.arange(n_f, dtype=np.int64)
+                     - np.repeat(f_off[:-1], f_lens)).astype(np.int32)
+            for i, plist in f_pos_fallback.items():
+                f_pos[f_off[i]:f_off[i + 1]] = plist
+            f_norm = int_to_byte4_vec(f_lens)[f_doc]
+            af_parts.append((arr, f_doc, f_pos, f_norm))
+
         parts: list[pa.Table] = []
         # --- assemble the token stream: text [+ synonym insertions] [+ kw]
         n_text = int(doclens.sum())
@@ -302,24 +374,36 @@ class TokenizeExplode:
                     syn_pos_parts.append(text_pos[occ])
         n_syn = len(syn_terms)
 
-        n_tok = n_text + n_syn + len(kw_terms)
+        n_af = sum(len(p[0]) for p in af_parts)
+        n_tok = n_text + n_syn + len(kw_terms) + n_af
         if n_tok:
             all_parts = [text_arr]
             if n_syn:
                 all_parts.append(np.asarray(syn_terms, dtype=object))
             if kw_terms:
                 all_parts.append(np.asarray(kw_terms, dtype=object))
+            all_parts.extend(p[0] for p in af_parts)
             flat_all = np.concatenate(all_parts) if len(all_parts) > 1 else all_parts[0]
             doc_idx = np.concatenate(
                 [doc_idx_text]
                 + (syn_doc_parts if n_syn else [])
                 + ([np.asarray(kw_doc, np.int32)] if kw_terms else [])
+                + [p[1] for p in af_parts]
             ).astype(np.int32)
             flat_pos = np.concatenate(
                 [text_pos]
                 + (syn_pos_parts if n_syn else [])
                 + ([np.zeros(len(kw_terms), np.int32)] if kw_terms else [])
+                + [p[2] for p in af_parts]
             ).astype(np.int32)
+            # per-token norm byte: text/synonym/keyword tokens carry the
+            # TEXT field's norm; analyzed-field tokens carry THEIR field's
+            flat_norm = np.concatenate(
+                [norm_bytes[doc_idx_text]]
+                + ([norm_bytes[np.concatenate(syn_doc_parts)]] if n_syn else [])
+                + ([norm_bytes[np.asarray(kw_doc, np.int64)]] if kw_terms else [])
+                + [p[3] for p in af_parts]
+            ).astype(np.uint8)
             codes, uniques = pd.factorize(flat_all)
             codes = codes.astype(np.int32)
             # sort tokens by (term, doc, position): explicit doc/pos keys —
@@ -329,6 +413,7 @@ class TokenizeExplode:
             s_codes = codes[order]
             s_doc = doc_idx[order]
             s_pos = flat_pos[order]
+            s_norm = flat_norm[order]
             # run-length per (term, doc)
             new_run = np.empty(n_tok, dtype=bool)
             new_run[0] = True
@@ -338,7 +423,7 @@ class TokenizeExplode:
             td_docidx = s_doc[starts]
             td_freq = np.diff(np.append(starts, n_tok)).astype(np.int32)
             td_doc = keys[td_docidx]
-            td_norm = norm_bytes[td_docidx].astype(np.int32)
+            td_norm = s_norm[starts].astype(np.int32)
             td_shard = (td_doc % self.num_shards).astype(np.int32)
 
             # bucket: hash(term); head terms also carry a contiguous doc-range
@@ -426,7 +511,8 @@ class TokenizeExplode:
         dv_fields = tuple(self.cfg.get("docvalues_fields") or ())
         if dv_fields:
             dv_mat = np.stack(
-                [batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                [fdl_vals[c] if c in fdl_vals
+                 else batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
                  for c in dv_fields], axis=1,
             )  # (n_docs, n_fields)
         sdv_fields = tuple(self.cfg.get("string_docvalues_fields") or ())
@@ -796,7 +882,12 @@ def build_index(
             continue
         cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
         cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
-        cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
+        # fdl_<col> docvalues are synthesized from the analyzed-field token
+        # counts, not read from the corpus; read the source columns instead
+        synth = {f"fdl_{e[0]}" for e in (cfg.analyzed_fields or ())}
+        cols += [c for c in (cfg.docvalues_fields or ())
+                 if c not in cols and c not in synth]
+        cols += [e[0] for e in (cfg.analyzed_fields or ()) if e[0] not in cols]
         cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
         cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)

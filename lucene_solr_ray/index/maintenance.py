@@ -45,6 +45,9 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
     sampling mode is the 10^12-doc path)."""
     reader = IndexReader(index_dir)
     report = {"shards": reader.num_shards, "terms_checked": 0, "postings_checked": 0}
+    analyzed = frozenset(
+        e[0] for e in (reader.manifest.get("config") or {}).get(
+            "analyzed_fields") or ())
     total_ttf = 0
     total_docs = 0
     for s in reader.shards:
@@ -69,21 +72,46 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
             firsts, maxf, minn = s.block_metadata(term)
             assert len(firsts) >= 1 and firsts[0] == docs[0], f"block firsts broken for {term!r}"
             assert int(freqs.max()) <= int(maxf.max()), f"impact max_freq violated for {term!r}"
-            norms = s.norms_for(docs)
+            # analyzed-field terms carry THEIR field's norms
+            i_colon = term.find(":")
+            nfield = (term[:i_colon]
+                      if i_colon > 0 and term[:i_colon] in analyzed else None)
+            norms = s.norms_for(docs, nfield)
             assert int(norms.min()) >= int(minn.min()), f"impact min_norm violated for {term!r}"
             report["terms_checked"] += 1
             report["postings_checked"] += len(docs)
         if sample_terms is None:
-            # full mode: per-shard sum(ttf) over unique terms == sum(doclen).
-            # Index-time synonym insertions add postings without adding to
-            # doclen (documented), so the invariant relaxes to >= there.
+            # full mode: per-shard sum(ttf) over TEXT terms == sum(doclen),
+            # and per analyzed field sum(ttf of its namespaced terms) ==
+            # sum(fdl_<field>). Index-time synonym insertions add postings
+            # without adding to doclen (documented), so the text invariant
+            # relaxes to >= there. Keyword-field terms ("col:value") are
+            # namespaced too and excluded from the text sum.
             has_syn = bool((reader.manifest.get("config") or {}).get("synonyms"))
-            shard_ttf = sum(s.term_stats(t)[0:2][1] for t in uniq.tolist())
+            ns_prefixes = analyzed | {
+                c for c in (reader.manifest.get("config") or {}).get(
+                    "keyword_fields") or ()}
+            text_ttf = 0
+            field_ttf: dict = {f: 0 for f in analyzed}
+            for t in uniq.tolist():
+                i = t.find(":")
+                pre = t[:i] if i > 0 else None
+                ttf_t = s.term_stats(t)[1]
+                if pre in analyzed:
+                    field_ttf[pre] += ttf_t
+                elif pre in ns_prefixes:
+                    pass  # keyword terms: no length accounting
+                else:
+                    text_ttf += ttf_t
             if has_syn:
-                assert shard_ttf >= int(s.doclens.sum()), "shard ttf < sum(doclen)"
+                assert text_ttf >= int(s.doclens.sum()), "shard ttf < sum(doclen)"
             else:
-                assert shard_ttf == int(s.doclens.sum()), "shard ttf != sum(doclen)"
-            total_ttf += shard_ttf
+                assert text_ttf == int(s.doclens.sum()), "shard ttf != sum(doclen)"
+            for f, v in field_ttf.items():
+                fdl = s.docvalues.get(f"fdl_{f}")
+                assert fdl is not None and v == int(fdl.sum()), \
+                    f"field {f!r} ttf != sum(fdl)"
+            total_ttf += text_ttf
     assert total_docs == reader.doc_count, "manifest doc_count mismatch"
     if sample_terms is None:
         if (reader.manifest.get("config") or {}).get("synonyms"):

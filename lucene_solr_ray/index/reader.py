@@ -83,6 +83,8 @@ class ShardReader:
         self.table = t
         d = pq.read_table(ddir) if os.path.exists(ddir) else None
         self.docvalues: dict[str, np.ndarray] = {}
+        # per-analyzed-field norm bytes, derived lazily from fdl_<field>
+        self._field_norms: dict[str, np.ndarray] = {}
         # SORTED string docvalues: per-field (sorted unique values, ordinal
         # per doc) — the Lucene80DocValuesFormat SORTED layout (value dict +
         # ord column); comparisons/sorts run on int ordinals, strings are
@@ -332,10 +334,24 @@ class ShardReader:
         return out
 
     # --- norms -----------------------------------------------------------
-    def norms_for(self, docs: np.ndarray) -> np.ndarray:
-        """Vectorized doc_id -> norm byte lookup (searchsorted on sorted ids)."""
+    def norms_for(self, docs: np.ndarray, field: str | None = None) -> np.ndarray:
+        """Vectorized doc_id -> norm byte lookup (searchsorted on sorted ids).
+
+        field=None -> the main text field's norms; an analyzed field name
+        -> that field's norms, derived (and cached) from its fdl_<field>
+        doclen docvalues column (per-field norms, the reference's per-field
+        NumericDocValues norms)."""
         idx = np.searchsorted(self.doc_ids, docs)
-        return self.norms[idx]
+        if field is None:
+            return self.norms[idx]
+        fn = self._field_norms.get(field)
+        if fn is None:
+            from ..util.smallfloat import int_to_byte4_vec
+
+            fn = int_to_byte4_vec(
+                self.docvalues[f"fdl_{field}"].astype(np.int64))
+            self._field_norms[field] = fn
+        return fn[idx]
 
     # --- SORTED docvalues --------------------------------------------------
     def strings_for(self, field: str, docs: np.ndarray) -> np.ndarray:
@@ -390,3 +406,40 @@ class IndexReader:
             df += d
             ttf += t
         return df, ttf
+
+    @property
+    def analyzed_fields(self) -> frozenset:
+        """Analyzed-field names (PerFieldAnalyzerWrapper role) from config."""
+        af = (self.manifest.get("config") or {}).get("analyzed_fields") or ()
+        return frozenset(e[0] for e in af)
+
+    def analyzer_chain(self, field: str) -> tuple:
+        """(stemmer_name|None, stopwords frozenset|None) for an analyzed
+        field — the query-side analyzer must mirror the index-side chain."""
+        for e in (self.manifest.get("config") or {}).get("analyzed_fields") or ():
+            if e[0] == field:
+                stem = e[1] if len(e) > 1 and e[1] else None
+                stops = frozenset(
+                    s.strip() for s in (e[2] if len(e) > 2 else "").split(",")
+                    if s.strip()
+                ) or None
+                return stem, stops
+        return None, None
+
+    def field_stats(self, field: str) -> tuple[int, int]:
+        """(docCount(field), sumTotalTermFreq(field)) for an analyzed field
+        (the reference's per-field CollectionStatistics): computed once from
+        the fdl_<field> doclen docvalues across shards and cached. Like the
+        text-field manifest stats, deleted-but-unmerged docs still count
+        (Terms.getDocCount semantics)."""
+        if not hasattr(self, "_field_stats"):
+            self._field_stats: dict[str, tuple[int, int]] = {}
+        if field not in self._field_stats:
+            dc = sdl = 0
+            for s in self.shards:
+                v = s.docvalues.get(f"fdl_{field}")
+                if v is not None and len(v):
+                    dc += int(np.count_nonzero(v))
+                    sdl += int(v.sum())
+            self._field_stats[field] = (dc, sdl)
+        return self._field_stats[field]

@@ -41,6 +41,9 @@ class TermWeight:
     cache: np.ndarray      # 256-entry per-norm table, scoring dtype
     df: int
     max_score: float       # upper bound: score at freq=+inf == weight
+    # analyzed-field terms score against THEIR field's norms; None = the
+    # main text field (set by resolve_weights, read by the norm lookups)
+    norm_field: str | None = None
 
     def score(self, freqs: np.ndarray, norms: np.ndarray, dtype=np.float32) -> np.ndarray:
         inv = self.cache[norms.astype(np.int64)]

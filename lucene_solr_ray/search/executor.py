@@ -41,16 +41,36 @@ def _is_span(n) -> bool:
     return isinstance(n, (SpanNear, SpanFirst))
 
 
+def _field_of(reader: IndexReader, text: str) -> str | None:
+    """Analyzed-field prefix of a term ('title:ray' -> 'title'), or None
+    for text-field / keyword-field terms."""
+    i = text.find(":")
+    if i > 0 and text[:i] in reader.analyzed_fields:
+        return text[:i]
+    return None
+
+
 def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
     """Global-stats Weight resolution (the reference's createWeight step):
     df summed across shards once per query, then broadcast to every shard.
-    ``params`` is a BM25Params (legacy) or any Similarity instance."""
+    ``params`` is a BM25Params (legacy) or any Similarity instance.
+
+    Analyzed-field terms resolve against the FIELD's collection stats
+    (docCount(field), sumTotalTermFreq(field)) and are tagged with
+    norm_field so every kernel scores them against the field's norms."""
     from .similarity import as_similarity
 
     sim = as_similarity(params)
     weights: dict = {}
     N = reader.doc_count
     sum_ttf = reader.sum_total_term_freq
+
+    def _ctx(first_term: str) -> tuple[int, int, str | None]:
+        fld = _field_of(reader, first_term)
+        if fld is None:
+            return N, sum_ttf, None
+        fn, fttf = reader.field_stats(fld)
+        return fn, fttf, fld
 
     def walk(n):
         if n is None:
@@ -59,14 +79,20 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
             key = (n.text, n.boost)
             if key not in weights:
                 df, ttf = reader.term_stats(n.text)
-                weights[key] = sim.weight(df, ttf, N, sum_ttf, n.boost, dtype)
+                fN, fttf, fld = _ctx(n.text)
+                w = sim.weight(df, ttf, fN, fttf, n.boost, dtype)
+                w.norm_field = fld
+                weights[key] = w
         elif isinstance(n, Phrase):
             key = ("\x1f".join(n.terms), n.boost)
             if key not in weights:
                 st = [reader.term_stats(t) for t in n.terms]
-                weights[key] = sim.multi_weight(
-                    [s[0] for s in st], [s[1] for s in st], N, sum_ttf,
+                fN, fttf, fld = _ctx(n.terms[0])
+                w = sim.multi_weight(
+                    [s[0] for s in st], [s[1] for s in st], fN, fttf,
                     n.boost, dtype)
+                w.norm_field = fld
+                weights[key] = w
         elif isinstance(n, Synonym):
             # SynonymQuery blends stats: df = max over members, scored as one
             # pseudo-term over the summed freqs (SynonymQuery.java:55)
@@ -75,15 +101,21 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
                 st = [reader.term_stats(t) for t in n.terms]
                 df = max((s[0] for s in st), default=0)
                 ttf = sum(s[1] for s in st)
-                weights[key] = sim.weight(df, ttf, N, sum_ttf, n.boost, dtype)
+                fN, fttf, fld = _ctx(n.terms[0])
+                w = sim.weight(df, ttf, fN, fttf, n.boost, dtype)
+                w.norm_field = fld
+                weights[key] = w
         elif isinstance(n, MultiPhrase):
             key = ("\x1fMP\x1f".join("|".join(p) for p in n.positions), n.boost)
             if key not in weights:
                 st = [[reader.term_stats(t) for t in pos] for pos in n.positions]
-                weights[key] = sim.multi_weight(
+                fN, fttf, fld = _ctx(n.positions[0][0]) if n.positions and n.positions[0] else (N, sum_ttf, None)
+                w = sim.multi_weight(
                     [max((s[0] for s in pos), default=0) for pos in st],
                     [sum(s[1] for s in pos) for pos in st],
-                    N, sum_ttf, n.boost, dtype)
+                    fN, fttf, n.boost, dtype)
+                w.norm_field = fld
+                weights[key] = w
         elif _is_span(n):
             from .spans import _span_key, span_clause_terms
             from .query import SpanNear as _SN
@@ -126,7 +158,7 @@ def _score_term(shard: ShardReader, node: Term, weights, dtype):
     if not len(docs):
         return docs, np.zeros(0, dtype=dtype)
     tw: TermWeight = weights[(node.text, node.boost)]
-    norms = shard.norms_for(docs)
+    norms = shard.norms_for(docs, tw.norm_field)
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
@@ -162,7 +194,7 @@ def _score_phrase(shard: ShardReader, node: Phrase, weights, dtype):
     docs = occ_docs[starts]
     freqs = np.diff(np.append(starts, len(occ_docs))).astype(np.int32)
     tw = weights[("\x1f".join(node.terms), node.boost)]
-    norms = shard.norms_for(docs)
+    norms = shard.norms_for(docs, tw.norm_field)
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
@@ -197,7 +229,7 @@ def _score_multi_phrase(shard: ShardReader, node: MultiPhrase, weights, dtype):
     docs = occ_docs[starts]
     freqs = np.diff(np.append(starts, len(occ_docs))).astype(np.int32)
     tw = weights[("\x1fMP\x1f".join("|".join(p) for p in node.positions), node.boost)]
-    norms = shard.norms_for(docs)
+    norms = shard.norms_for(docs, tw.norm_field)
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
@@ -289,7 +321,7 @@ def _score_sloppy_phrase(shard: ShardReader, node: Phrase, weights, dtype):
     docs = np.asarray(docs_out, dtype=np.int64)
     freqs = np.asarray(freqs_out, dtype=np.float64)
     tw = weights[("\x1f".join(node.terms), node.boost)]
-    norms = shard.norms_for(docs)
+    norms = shard.norms_for(docs, tw.norm_field)
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
@@ -543,7 +575,7 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         starts = np.flatnonzero(new)
         udocs = docs[starts]
         ufreqs = np.add.reduceat(freqs, starts)
-        norms = shard.norms_for(udocs)
+        norms = shard.norms_for(udocs, tw.norm_field)
         return udocs, score_postings(tw, ufreqs, norms, dtype)
     if isinstance(node, DisMax):
         res = [eval_node(shard, c, weights, dtype) for c in node.clauses]
@@ -722,11 +754,17 @@ def conj_top_k(shard: ShardReader, terms: list, weights, k: int, dtype,
     # exact per-doc scores are needed for any candidate we keep; freqs are
     # gathered per term by searchsorted into its postings
     def exact_scores(cand: np.ndarray) -> np.ndarray:
-        norms = shard.norms_for(cand)
+        base = None  # text-field norms, shared across text terms
         total = np.zeros(len(cand), dtype=np.float64)
         for d, f, t in per_term:
             idx = np.searchsorted(d, cand)
             tw = weights[(t.text, t.boost)]
+            if tw.norm_field is None:
+                if base is None:
+                    base = shard.norms_for(cand)
+                norms = base
+            else:
+                norms = shard.norms_for(cand, tw.norm_field)
             total += score_postings(tw, f[idx], norms, dtype).astype(np.float64)
         return total.astype(dtype)
 
@@ -838,7 +876,7 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype,
             if lo == hi:
                 continue
             d = docs[lo:hi]
-            norms = shard.norms_for(d)
+            norms = shard.norms_for(d, tw.norm_field)
             s = score_postings(tw, freqs[lo:hi], norms, dtype)
             parts.append((d, s))
         if not parts:

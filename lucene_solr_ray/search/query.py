@@ -388,6 +388,10 @@ def apply_stemmer(node, stem):
     if stem is None or node is None:
         return node
     if isinstance(node, Term):
+        # namespaced terms (keyword/analyzed "field:value") never take the
+        # TEXT field's stemmer; per-field chains run in the searcher rewrite
+        if ":" in node.text:
+            return node
         return Term(stem(node.text), node.boost)
     if isinstance(node, Phrase):
         return Phrase(tuple(stem(t) for t in node.terms), node.boost, node.slop)

@@ -78,10 +78,65 @@ class IndexSearcher:
             (self.reader.manifest.get("config") or {}).get("stemmer")
         )
 
+    def _rewrite_analyzed_fields(self, node):
+        """'field:value' over an ANALYZED field becomes a SCORED analyzed
+        node (the reference's QueryParser runs the field's analyzer on the
+        value and scores with field stats/norms, QueryParserBase.java
+        newFieldQuery); keyword fields keep their constant-score exact-value
+        semantics. Programmatic Term nodes are taken as already analyzed."""
+        af = self.reader.analyzed_fields
+        if not af:
+            return node
+        from .query import Bool, ConstantScore, DisMax, FunctionScore, Phrase, Term
+
+        def analyzed_node(field: str, value: str, boost: float):
+            from ..analysis import standard_analyzer
+            from ..analysis.stem import get_stemmer
+
+            stem_name, stops = self.reader.analyzer_chain(field)
+            terms, _ = standard_analyzer(value, stops)
+            stem = get_stemmer(stem_name)
+            if stem is not None:
+                terms = [stem(t) for t in terms]
+            pref = [f"{field}:{t}" for t in terms]
+            if not pref:
+                return None
+            if len(pref) == 1:
+                return Term(pref[0], boost)
+            return Phrase(tuple(pref), boost)
+
+        def rw(n):
+            if isinstance(n, ConstantScore) and isinstance(n.query, Term):
+                t = n.query.text
+                i = t.find(":")
+                if i > 0 and t[:i] in af:
+                    out = analyzed_node(t[:i], t[i + 1:], n.boost)
+                    if out is not None:
+                        return out
+                return n
+            if isinstance(n, ConstantScore):
+                return ConstantScore(rw(n.query), n.boost)
+            if isinstance(n, FunctionScore):
+                return FunctionScore(rw(n.query), n.expr)
+            if isinstance(n, DisMax):
+                return DisMax(tuple(rw(c) for c in n.clauses), n.tiebreak)
+            if isinstance(n, Bool):
+                return Bool(
+                    must=[rw(c) for c in n.must],
+                    should=[rw(c) for c in n.should],
+                    must_not=[rw(c) for c in n.must_not],
+                    filter=[rw(c) for c in n.filter],
+                    min_should=n.min_should,
+                )
+            return n
+
+        return rw(node)
+
     def _node(self, query):
         from .query import apply_stemmer
 
         node = parse_query(query) if isinstance(query, str) else query
+        node = self._rewrite_analyzed_fields(node)
         node = apply_stemmer(node, self._stemmer)
         from .multiterm import expand_terms, rewrite
         from .query import Fuzzy

@@ -1,0 +1,116 @@
+"""Per-field analyzed fields (PerFieldAnalyzerWrapper + multi-field
+Document): field-namespaced terms, per-field norms, per-field BM25 stats,
+per-field analyzer chains, and check_index invariants."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import IndexBuildConfig, build_index
+from lucene_solr_ray.index.maintenance import check_index
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.search.query import Phrase
+
+DOCS = [
+    # (text, title)
+    ("ka to mi ne bo", "ray data engine"),          # 0
+    ("ka ka zu ra to", "deep learning"),            # 1
+    ("mi mi mi to to", "ray tracing deep dive"),    # 2
+    ("bo ne zu ka ra", ""),                         # 3: no title
+    ("to to to to to", "data systems"),             # 4
+    ("ra zu ne bo mi", ""),                         # 5: no title
+]
+
+
+def _write(tmp, texts_titles):
+    p = str(tmp / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts_titles), dtype=np.int64)),
+        "text": pa.array([t for t, _ in texts_titles], pa.string()),
+        "title": pa.array([h for _, h in texts_titles], pa.string()),
+    }), p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def af_index(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("af")
+    p = _write(tmp, DOCS)
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4,
+        analyzed_fields=(("title", "", ""),),
+    ))
+    return idx
+
+
+def test_field_search_matches_only_the_field(af_index):
+    s = IndexSearcher(af_index)
+    hits = s.search("title:ray", k=10)["doc_id"].to_pylist()
+    assert sorted(hits) == [0, 2]
+    # "data" in title of 0 and 4; "to" is text-only, never a title match
+    assert sorted(s.search("title:data", k=10)["doc_id"].to_pylist()) == [0, 4]
+    assert s.search("title:to", k=10).num_rows == 0
+
+
+def test_field_bm25_uses_field_stats_and_norms(af_index):
+    s = IndexSearcher(af_index, dtype=np.float64)
+    t = s.search("title:ray", k=10)
+    got = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+    # field stats: docCount(title)=4 (two docs have no title),
+    # sumTotalTermFreq(title)=3+2+4+2=11, df(title:ray)=2
+    N, sum_dl, df, k1, b = 4, 11, 2, 1.2, 0.75
+    idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    avgdl = sum_dl / N
+    for d, dl in ((0, 3), (2, 4)):
+        inv = 1.0 / (k1 * ((1 - b) + b * dl / avgdl))
+        exp = idf - idf / (1.0 + 1.0 * inv)
+        assert got[d] == pytest.approx(exp, rel=1e-9), d
+
+
+def test_field_phrase_positions_are_field_local(af_index):
+    s = IndexSearcher(af_index)
+    hits = s.search(Phrase(("title:deep", "title:learning")), k=10)
+    assert hits["doc_id"].to_pylist() == [1]
+    # "ray tracing" adjacent in title 2 only
+    hits = s.search(Phrase(("title:ray", "title:tracing")), k=10)
+    assert hits["doc_id"].to_pylist() == [2]
+
+
+def test_per_field_stemmer_chain(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("af_stem")
+    p = _write(tmp, [("ka to", "running fast"), ("mi ne", "runs slowly"),
+                     ("zu ra", "walked away")])
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4,
+        analyzed_fields=(("title", "porter", ""),),
+    ))
+    s = IndexSearcher(idx)
+    # query-side chain mirrors the index-side porter stem: running/runs->run
+    assert sorted(s.search("title:running", k=10)["doc_id"].to_pylist()) == [0, 1]
+    assert sorted(s.search("title:runs", k=10)["doc_id"].to_pylist()) == [0, 1]
+    # the TEXT field sees no stemmer
+    assert s.search("ka", k=10)["doc_id"].to_pylist() == [0]
+
+
+def test_text_field_scores_unchanged_by_analyzed_fields(
+        af_index, tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("af_plain")
+    p = _write(tmp, DOCS)
+    plain = str(tmp / "idx")
+    build_index(p, plain, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    sa = IndexSearcher(af_index)
+    sp = IndexSearcher(plain)
+    for q in ("ka", "to AND mi", '"ka to"', "mi OR bo"):
+        ta, tp = sa.search(q, k=10), sp.search(q, k=10)
+        assert ta["doc_id"].to_pylist() == tp["doc_id"].to_pylist(), q
+        assert ta["score"].to_pylist() == tp["score"].to_pylist(), q
+
+
+def test_check_index_with_analyzed_fields(af_index):
+    rep = check_index(af_index)
+    assert rep["ok"] and rep["terms_checked"] > 0
