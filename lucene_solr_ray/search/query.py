@@ -245,7 +245,9 @@ class Bool:
     min_should: int = 0
 
 
-_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|\[[^\]]*\]|/[^/]*/|AND\b|OR\b|NOT\b|[^\s()]+')
+_TOKEN_RE = re.compile(
+    r'\(|\)|[A-Za-z_][A-Za-z0-9_]*:"[^"]*"|"[^"]*"|\[[^\]]*\]|/[^/]*/'
+    r'|AND\b|OR\b|NOT\b|[^\s()]+')
 
 
 def _analyze_term(text: str):
@@ -312,6 +314,27 @@ def parse_query(q: str):
                 advance()
             node2, boost = _maybe_boost(node)
             return node2
+        m = re.match(r'^([A-Za-z_][A-Za-z0-9_]*):"([^"]*)"$', t)
+        if m:
+            # field:"a b" — a phrase within a field. Tokens are namespaced
+            # "field:term"; the searcher's analyzed-field rewrite runs the
+            # field's own chain and scores it (keyword fields keep the
+            # constant-score form, which matches nothing unless such
+            # namespaced terms exist).
+            fld, body = m.group(1), m.group(2)
+            boost = 1.0
+            slop = 0
+            if peek() and peek().startswith("~"):
+                slop = int(advance()[1:] or "0")
+            if peek() and peek().startswith("^"):
+                boost = float(advance()[1:])
+            terms = _analyze_term(body)
+            if not terms:
+                return None
+            pref = tuple(f"{fld}:{x}" for x in terms)
+            if len(pref) == 1:
+                return ConstantScore(Term(pref[0]), boost)
+            return ConstantScore(Phrase(pref, 1.0, slop), boost)
         if t.startswith('"'):
             body = t[1:-1]
             boost = 1.0

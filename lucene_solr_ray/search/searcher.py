@@ -114,6 +114,25 @@ class IndexSearcher:
                     if out is not None:
                         return out
                 return n
+            if isinstance(n, ConstantScore) and isinstance(n.query, Phrase):
+                # field:"a b" from the parser: namespaced phrase terms run
+                # the field's stem chain and score as a field phrase
+                first = n.query.terms[0]
+                i = first.find(":")
+                if i > 0 and first[:i] in af:
+                    from ..analysis.stem import get_stemmer
+
+                    fld = first[:i]
+                    stem_name, _ = self.reader.analyzer_chain(fld)
+                    stem = get_stemmer(stem_name)
+                    toks = [t.split(":", 1)[1] for t in n.query.terms]
+                    if stem is not None:
+                        toks = [stem(t) for t in toks]
+                    pref = tuple(f"{fld}:{t}" for t in toks)
+                    if len(pref) == 1:
+                        return Term(pref[0], n.boost)
+                    return Phrase(pref, n.boost, n.query.slop)
+                return n
             if isinstance(n, ConstantScore):
                 return ConstantScore(rw(n.query), n.boost)
             if isinstance(n, FunctionScore):

@@ -114,3 +114,15 @@ def test_text_field_scores_unchanged_by_analyzed_fields(
 def test_check_index_with_analyzed_fields(af_index):
     rep = check_index(af_index)
     assert rep["ok"] and rep["terms_checked"] > 0
+
+
+def test_field_phrase_parser_syntax(af_index):
+    s = IndexSearcher(af_index)
+    assert s.search('title:"deep learning"', k=10)["doc_id"].to_pylist() == [1]
+    assert s.search('title:"ray tracing"', k=10)["doc_id"].to_pylist() == [2]
+    # slop: "ray ... deep" within 2 in title of doc 2 ("ray tracing deep dive")
+    assert s.search('title:"ray deep"~2', k=10)["doc_id"].to_pylist() == [2]
+    assert s.search('title:"ray deep"', k=10).num_rows == 0
+    # composes with boolean syntax; scores are real BM25 (phrase weight)
+    t = s.search('title:"deep learning" OR ka', k=10)
+    assert 1 in t["doc_id"].to_pylist()
