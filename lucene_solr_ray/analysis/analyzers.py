@@ -63,3 +63,32 @@ def ascii_fold(term: str) -> str:
     import unicodedata
     d = unicodedata.normalize("NFKD", term)
     return "".join(c for c in d if not unicodedata.combining(c))
+
+
+import re as _re
+
+# case-change + letter/digit boundaries: acronym runs stay whole
+# ("XMLHttpRequest" -> XML, Http, Request; "PowerShot500" -> Power, Shot, 500)
+_WDG_RUN = _re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+")
+
+
+def word_delimiter_parts(token: str) -> list[str]:
+    """WordDelimiterGraphFilter subset
+    (analysis/miscellaneous/WordDelimiterGraphFilter.java:63, default flags
+    GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE |
+    SPLIT_ON_NUMERICS, plus CATENATE_WORDS and PRESERVE_ORIGINAL): the
+    lowercase word/number parts of a mixed-case / alphanumeric token, plus
+    the catenated word form when it differs. Returns [] for tokens that
+    don't split (the original always stays in the stream). Index-side the
+    parts stack at the original token's position (posInc-0, a documented
+    flattening of the reference's position graph: term/boolean recall works
+    across parts; intra-word phrase positions are not modeled)."""
+    runs = _WDG_RUN.findall(token)
+    if len(runs) <= 1:
+        return []
+    parts = [r.lower() for r in runs]
+    cat = "".join(p for p, r in zip(parts, runs) if not r.isdigit())
+    out = list(parts)  # every part occurrence counts toward tf
+    if cat and cat not in parts:
+        out.append(cat)
+    return out

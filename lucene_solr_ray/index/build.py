@@ -161,6 +161,11 @@ class IndexBuildConfig:
     # token count; a deliberate, documented divergence).
     stemmer: str | None = None
     synonyms: tuple = ()
+    # WordDelimiterGraphFilter subset (see analysis.word_delimiter_parts):
+    # mixed-case / alphanumeric tokens additionally index their lowercase
+    # parts + catenated form at the same position (posInc-0 insertions, no
+    # doclen contribution — same accounting as synonym insertions)
+    word_delimiter: bool = False
     # per-field analyzed fields (PerFieldAnalyzerWrapper role,
     # analysis/miscellaneous/PerFieldAnalyzerWrapper.java:51 + the
     # reference's multi-field Document): each (column, stemmer, stopwords)
@@ -255,12 +260,40 @@ class TokenizeExplode:
         flat_terms: list[str] = []
         fallback_pos: dict[int, list[int]] = {}
         doclens = np.zeros(len(texts), dtype=np.int64)
-        use_fast = not self.stop
+        wdg = bool(self.cfg.get("word_delimiter"))
+        # word-delimiter insertions: (term, doc idx, position), posInc-0
+        wd_terms: list[str] = []
+        wd_doc: list[int] = []
+        wd_pos: list[int] = []
+        use_fast = not self.stop and not wdg
+        if wdg:
+            from ..analysis import word_delimiter_parts
+            from ..analysis.lowercase import java_lower
+            from ..analysis.tokenizer import standard_tokenize
         for i, text in enumerate(texts):
-            terms = analyze_fast(text or "") if use_fast else None
-            if terms is None:
-                terms, positions = standard_analyzer(text or "", self.stop)
+            if wdg:
+                # case information feeds the splitter, so the pre-lowercase
+                # tokenizer output is needed here
+                raw, positions = standard_tokenize(text or "")
+                low = [java_lower(t) for t in raw]
+                if self.stop:
+                    trip = [(t, p, r) for t, p, r in zip(low, positions, raw)
+                            if t not in self.stop]
+                    low = [t for t, _, _ in trip]
+                    positions = [p for _, p, _ in trip]
+                    raw = [r for _, _, r in trip]
+                for r, p in zip(raw, positions):
+                    for part in word_delimiter_parts(r):
+                        wd_terms.append(part)
+                        wd_doc.append(i)
+                        wd_pos.append(p)
+                terms = low
                 fallback_pos[i] = positions
+            else:
+                terms = analyze_fast(text or "") if use_fast else None
+                if terms is None:
+                    terms, positions = standard_analyzer(text or "", self.stop)
+                    fallback_pos[i] = positions
             flat_terms.extend(terms)
             doclens[i] = len(terms)
 
@@ -374,12 +407,18 @@ class TokenizeExplode:
                     syn_pos_parts.append(text_pos[occ])
         n_syn = len(syn_terms)
 
+        if wd_terms and self.stem is not None:
+            # the reference chains WDGF before the stemmer: parts stem too
+            wd_terms = [self.stem(t) for t in wd_terms]
+        n_wd = len(wd_terms)
         n_af = sum(len(p[0]) for p in af_parts)
-        n_tok = n_text + n_syn + len(kw_terms) + n_af
+        n_tok = n_text + n_syn + len(kw_terms) + n_wd + n_af
         if n_tok:
             all_parts = [text_arr]
             if n_syn:
                 all_parts.append(np.asarray(syn_terms, dtype=object))
+            if n_wd:
+                all_parts.append(np.asarray(wd_terms, dtype=object))
             if kw_terms:
                 all_parts.append(np.asarray(kw_terms, dtype=object))
             all_parts.extend(p[0] for p in af_parts)
@@ -387,20 +426,24 @@ class TokenizeExplode:
             doc_idx = np.concatenate(
                 [doc_idx_text]
                 + (syn_doc_parts if n_syn else [])
+                + ([np.asarray(wd_doc, np.int32)] if n_wd else [])
                 + ([np.asarray(kw_doc, np.int32)] if kw_terms else [])
                 + [p[1] for p in af_parts]
             ).astype(np.int32)
             flat_pos = np.concatenate(
                 [text_pos]
                 + (syn_pos_parts if n_syn else [])
+                + ([np.asarray(wd_pos, np.int32)] if n_wd else [])
                 + ([np.zeros(len(kw_terms), np.int32)] if kw_terms else [])
                 + [p[2] for p in af_parts]
             ).astype(np.int32)
-            # per-token norm byte: text/synonym/keyword tokens carry the
-            # TEXT field's norm; analyzed-field tokens carry THEIR field's
+            # per-token norm byte: text/synonym/word-delimiter/keyword
+            # tokens carry the TEXT field's norm; analyzed-field tokens
+            # carry THEIR field's
             flat_norm = np.concatenate(
                 [norm_bytes[doc_idx_text]]
                 + ([norm_bytes[np.concatenate(syn_doc_parts)]] if n_syn else [])
+                + ([norm_bytes[np.asarray(wd_doc, np.int64)]] if n_wd else [])
                 + ([norm_bytes[np.asarray(kw_doc, np.int64)]] if kw_terms else [])
                 + [p[3] for p in af_parts]
             ).astype(np.uint8)

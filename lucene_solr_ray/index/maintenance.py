@@ -87,7 +87,10 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
             # without adding to doclen (documented), so the text invariant
             # relaxes to >= there. Keyword-field terms ("col:value") are
             # namespaced too and excluded from the text sum.
-            has_syn = bool((reader.manifest.get("config") or {}).get("synonyms"))
+            _mc = reader.manifest.get("config") or {}
+            # synonym and word-delimiter insertions add postings without
+            # adding to doclen, so the equality relaxes to >= for both
+            has_syn = bool(_mc.get("synonyms")) or bool(_mc.get("word_delimiter"))
             ns_prefixes = analyzed | {
                 c for c in (reader.manifest.get("config") or {}).get(
                     "keyword_fields") or ()}
@@ -114,7 +117,8 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
             total_ttf += text_ttf
     assert total_docs == reader.doc_count, "manifest doc_count mismatch"
     if sample_terms is None:
-        if (reader.manifest.get("config") or {}).get("synonyms"):
+        _mc = reader.manifest.get("config") or {}
+        if _mc.get("synonyms") or _mc.get("word_delimiter"):
             assert total_ttf >= reader.sum_total_term_freq, "manifest sum_ttf mismatch"
         else:
             assert total_ttf == reader.sum_total_term_freq, "manifest sum_ttf mismatch"
