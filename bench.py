@@ -204,13 +204,50 @@ def main():
         lo_cpus = int(os.environ.get("RAY_GRAFT_SCALE_LO", "2"))
         hi_cpus = int(os.environ.get("RAY_GRAFT_SCALE_HI", "8"))
         n_runs = int(os.environ.get("BENCH_SCALE_RUNS", "5"))
+        # Probe-gated pairs: the shared host's neighbor tenants slow the box
+        # by 3-30x for minutes at a time (measured via the fixed single-core
+        # probe), which contaminates whichever level of a pair they overlap.
+        # A pair is VALID only when the probes bracketing its two builds
+        # agree (drift <= 1.6x) and are within 3x of the quietest probe seen
+        # this run — i.e. the instrument was stable and the host was in its
+        # quiet state for BOTH levels. Invalid pairs are re-measured (they
+        # measure the neighbors, not the engine); every attempt is reported.
         lo_t, hi_t, effs = [], [], []
-        for _ in range(n_runs):
+        attempts = []
+        best_probe = float("inf")
+        tries = 0
+        while len(effs) < n_runs and tries < 3 * n_runs:
+            tries += 1
+            p0 = host_probe()
             lo = run(lo_cpus)
+            p1 = host_probe()
             hi = run(hi_cpus)
-            lo_t.append(lo["queries"]["index_docs_per_sec"])
-            hi_t.append(hi["queries"]["index_docs_per_sec"])
-            effs.append((hi_t[-1] / lo_t[-1]) / (hi_cpus / lo_cpus))
+            p2 = host_probe()
+            probes = [p0, p1, p2]
+            best_probe = min(best_probe, *probes)
+            drift = max(probes) / max(1e-9, min(probes))
+            quiet = max(probes) <= 3 * best_probe
+            lo_r = lo["queries"]["index_docs_per_sec"]
+            hi_r = hi["queries"]["index_docs_per_sec"]
+            eff = (hi_r / lo_r) / (hi_cpus / lo_cpus)
+            valid = drift <= 1.6 and quiet
+            attempts.append({
+                "lo": lo_r, "hi": hi_r, "eff": round(eff, 3),
+                "probes": [round(p, 3) for p in probes], "valid": valid,
+            })
+            lo_t.append(lo_r)
+            hi_t.append(hi_r)
+            if valid:
+                effs.append(eff)
+        # post-hoc revalidation against the GLOBAL quietest probe: an early
+        # pair accepted while best_probe was still a noisy estimate must not
+        # survive if the host later revealed a much quieter baseline
+        for a in attempts:
+            a["valid"] = (max(a["probes"]) / max(1e-9, min(a["probes"])) <= 1.6
+                          and max(a["probes"]) <= 3 * best_probe)
+        effs = [a["eff"] for a in attempts if a["valid"]]
+        if not effs:  # host never quieted: fall back to all attempts
+            effs = [a["eff"] for a in attempts]
         med_eff = statistics.median(effs)
         # best-of-level efficiency: neighbor interference only ever SLOWS a
         # run, so the max throughput per level is the engine's actual
@@ -226,12 +263,13 @@ def main():
             "docs_per_sec_hi": statistics.median(hi_t),
             "docs_per_sec_lo_best": max(lo_t),
             "docs_per_sec_hi_best": max(hi_t),
-            "runs": n_runs,
+            "runs": len(effs),
+            "attempts": attempts,
             "efficiency_runs": [round(e, 3) for e in sorted(effs)],
             "efficiency_best_of_levels": round(best_eff, 3),
             "corpus_docs": CORPUS_DOCS,
             "scaling_efficiency": round(med_eff, 3),
-            "host_probe_sec": host_probe(),
+            "host_probe_sec": best_probe,
         }))
         return
 
