@@ -138,17 +138,23 @@ def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
     )
 
     # --- bulk query throughput: queries-as-a-Dataset over an actor pool.
-    # First pass pays actor spawn + shard-table load; the WARM second pass is
-    # the steady-state number a long-running query service sees (reported,
-    # with the cold pass kept alongside for transparency)
+    # Each batch_search call spawns its own pool, so a short run measures
+    # spawn + index load, not the engine: the COLD number (960 queries,
+    # pool lifetime dominated by startup) is kept for transparency, and the
+    # headline is the steady-state number over 9,600 queries, which
+    # amortizes the spawn the way a long-running query service does.
+    # Pool shape measured on the 200k index: 16 actors x 2 CPUs x
+    # 2 threads = 792-811 q/s; 8 actors = 542; 32x1x1 = 148 (per-query
+    # work is bandwidth-bound, so more smaller actors lose).
     from lucene_solr_ray.search.searcher import batch_search
 
-    bulk_queries = QUERY_SET * 60  # 960 queries
-    conc = max(2, min(8, NUM_CPUS // 4))
+    conc = max(2, min(16, NUM_CPUS // 2))
+    bulk_queries = QUERY_SET * 60  # 960 queries: spawn-dominated
     tq = time.time()
     batch_search(index_dir, bulk_queries, k=10, concurrency=conc).count()
     results["bulk_queries_per_sec_cold"] = round(
         len(bulk_queries) / (time.time() - tq), 1)
+    bulk_queries = QUERY_SET * 600  # 9,600 queries: steady state
     tq = time.time()
     batch_search(index_dir, bulk_queries, k=10, concurrency=conc).count()
     results["bulk_queries_per_sec"] = round(
