@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..util.packing import block_spans, decode_blocks
 from .postings import decode_posting
 
 
@@ -332,6 +333,90 @@ class ShardReader:
             self._cache.pop(next(iter(self._cache)))
         self._cache[key] = out
         return out
+
+    def block_layout(self, term: str):
+        """Lazy-decode layout for a term's postings blocks.
+
+        Returns (firsts, handles, cache): `firsts` matches block_metadata's
+        global block order (salted rows concatenated by first doc);
+        `handles[b]` decodes global block b independently; `cache` memoizes
+        decoded blocks. This is the skip-structure byte map — WAND jumps to
+        a surviving window's blocks without decoding the pruned ones
+        (Lucene84SkipWriter.java:51 jump-by-file-pointer role)."""
+        key = ("\x1fBLK", term)
+        if key in self._cache:
+            return self._cache[key]
+        rows = self.term_rows(term)
+        chunks = []
+        for r in rows:
+            f = self.table["block_first_docs"][r].as_py() or []
+            if not f:
+                continue
+            sb = self.table["short_bin"][r].as_py()
+            if sb is not None:
+                # short (varint) row: one pseudo-block = the whole row
+                chunks.append((f[0], [("s", r, 0, 0, 0, 0, 0)]))
+            else:
+                db = self.table["docs_bin"][r].as_py()
+                fb = self.table["freqs_bin"][r].as_py()
+                do, dc = block_spans(db)
+                fo, _ = block_spans(fb)
+                blocks = [
+                    ("l", db, fb,
+                     int(do[j]), int(do[j + 1]),
+                     int(fo[j]), int(fo[j + 1]), int(dc[j]))
+                    for j in range(len(dc))
+                ]
+                chunks.append((f[0], blocks))
+        chunks.sort(key=lambda c: c[0])
+        handles = [h for _, blks in chunks for h in blks]
+        firsts, _, _ = self.block_metadata(term)
+        out = (firsts, handles, {})
+        if len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = out
+        return out
+
+    def postings_blocks(self, term: str, b0: int, b1: int,
+                        live_only: bool = True):
+        """Decode ONLY global blocks [b0, b1) of a term -> (docs, freqs).
+
+        Each block is self-contained: gaps re-anchor at the block's stored
+        first doc, so pruned blocks are never touched (the lazy path behind
+        block-max WAND). Decoded blocks memoize in the layout cache."""
+        firsts, handles, cache = self.block_layout(term)
+        parts_d, parts_f = [], []
+        for b in range(b0, b1):
+            got = cache.get(b)
+            if got is None:
+                h = handles[b]
+                if h[0] == "s":
+                    r = h[1]
+                    docs, freqs = decode_posting({
+                        "df": self.table["df"][r].as_py(),
+                        "short_bin": self.table["short_bin"][r].as_py(),
+                        "docs_bin": None,
+                        "freqs_bin": None,
+                    })
+                else:
+                    _, db, fb, d0, d1, f0, f1, cnt = h
+                    gaps = decode_blocks(db[d0:d1], cnt).astype(np.int64)
+                    freqs = decode_blocks(fb[f0:f1], cnt).astype(np.int32)
+                    docs = int(firsts[b]) + np.cumsum(gaps) - int(gaps[0])
+                got = (docs, freqs)
+                cache[b] = got
+            parts_d.append(got[0])
+            parts_f.append(got[1])
+        if not parts_d:
+            return np.zeros(0, np.int64), np.zeros(0, np.int32)
+        docs = np.concatenate(parts_d)
+        freqs = np.concatenate(parts_f)
+        if live_only and len(self.dead):
+            keep = self._live_filter(docs)
+            if not keep.all():
+                docs = docs[keep]
+                freqs = freqs[keep]
+        return docs, freqs
 
     # --- norms -----------------------------------------------------------
     def norms_for(self, docs: np.ndarray, field: str | None = None) -> np.ndarray:

@@ -830,35 +830,39 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype,
     Windows are the union of all terms' block boundaries; a window is scored
     only when the sum of its per-term block-max upper bounds reaches the
     current min-competitive score θ (the k-th best so far). Pruned windows
-    skip norm lookup + scoring entirely.
+    skip postings DECODE, norm lookup and scoring entirely: postings are
+    fetched lazily per surviving window via ShardReader.postings_blocks
+    (only the term's blocks overlapping the window are ever decompressed —
+    the reference's skip-list jump, Lucene84SkipWriter.java:51).
     """
     per_term = []
     for t in terms:
-        docs, freqs = shard.postings(t.text)
-        if not len(docs):
-            continue
         firsts, maxf, minn = shard.block_metadata(t.text)
+        if not len(firsts):
+            continue
         tw = weights[(t.text, t.boost)]
         ub = _block_upper_bounds(shard, t.text, tw, firsts, maxf, minn, dtype)
-        per_term.append((docs, freqs, tw, firsts, ub))
+        # decode ONLY the final block to learn the list's last doc (keeps
+        # windows past the end contributing zero bound, as the eager path)
+        nb = len(firsts)
+        ld, _ = shard.postings_blocks(t.text, nb - 1, nb, live_only=False)
+        last_doc = int(ld[-1]) if len(ld) else int(firsts[-1])
+        per_term.append((t.text, tw, firsts, ub, last_doc))
     if not per_term:
         return np.zeros(0, np.int64), np.zeros(0, dtype)
 
-    boundaries = np.unique(np.concatenate([p[3] for p in per_term]))
+    boundaries = np.unique(np.concatenate([p[2] for p in per_term]))
     n_win = len(boundaries)
     bounds_ext = np.append(boundaries, np.iinfo(np.int64).max)
     ub_sum = np.zeros(n_win, dtype=np.float64)
-    # one vectorized searchsorted per term gives every window's slice and its
-    # active block's upper bound (no per-window binary searches)
-    slices = []
-    for docs, freqs, tw, firsts, ub in per_term:
+    # one vectorized searchsorted per term gives every window's active block
+    # and its upper bound (no per-window binary searches)
+    for text, tw, firsts, ub, last_doc in per_term:
         idx = np.searchsorted(firsts, boundaries, side="right") - 1
-        active = (idx >= 0) & (boundaries <= docs[-1])
+        active = (idx >= 0) & (boundaries <= last_doc)
         contrib = np.zeros(n_win, dtype=np.float64)
         contrib[active] = ub[idx[active]]
         ub_sum += contrib
-        pos = np.searchsorted(docs, bounds_ext, side="left")
-        slices.append(pos)
 
     top_docs = np.zeros(0, np.int64)
     top_scores = np.zeros(0, dtype)
@@ -870,14 +874,22 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype,
     for w in visit:
         if ub_sum[w] < theta and (len(top_docs) >= k or acc is not None):
             break  # bounds are visited descending: the rest are lower still
+        lo_doc = int(bounds_ext[w])
+        hi_doc = int(bounds_ext[w + 1])
         parts = []
-        for t, (docs, freqs, tw, firsts, ub) in enumerate(per_term):
-            lo, hi = slices[t][w], slices[t][w + 1]
+        for text, tw, firsts, ub, last_doc in per_term:
+            if lo_doc > last_doc or hi_doc <= firsts[0]:
+                continue
+            b_lo = max(int(np.searchsorted(firsts, lo_doc, side="right")) - 1, 0)
+            b_hi = int(np.searchsorted(firsts, hi_doc, side="left"))
+            d, f = shard.postings_blocks(text, b_lo, b_hi)
+            lo = np.searchsorted(d, lo_doc, side="left")
+            hi = np.searchsorted(d, hi_doc, side="left")
             if lo == hi:
                 continue
-            d = docs[lo:hi]
+            d = d[lo:hi]
             norms = shard.norms_for(d, tw.norm_field)
-            s = score_postings(tw, freqs[lo:hi], norms, dtype)
+            s = score_postings(tw, f[lo:hi], norms, dtype)
             parts.append((d, s))
         if not parts:
             continue

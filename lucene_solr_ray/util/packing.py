@@ -189,6 +189,43 @@ def encode_blocks(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def block_spans(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Walk encode_blocks headers WITHOUT unpacking: per-block byte offsets
+    (header position) plus a final sentinel = len(data), and per-block value
+    counts. This is the single-level skip structure's byte map — it lets a
+    caller decode an arbitrary block range via
+    decode_blocks(data[offsets[b0]:offsets[b1]], counts[b0:b1].sum())
+    without touching the other blocks' bytes (Lucene84SkipWriter.java:51
+    role: jump to a block by file pointer)."""
+    mv = memoryview(data)
+    offsets = []
+    counts = []
+    pos = 0
+    end = len(data)
+    while pos < end:
+        offsets.append(pos)
+        cnt = mv[pos]
+        wbyte = mv[pos + 1]
+        pos += 2
+        w = wbyte & 0x7F
+        if wbyte & _PFOR_FLAG:
+            n_exc = mv[pos]
+            pos += 1
+            pos += (cnt * w + 7) // 8
+            pos += n_exc  # exception positions
+            seen = 0
+            while seen < n_exc:  # exception-high varints
+                if mv[pos] < 0x80:
+                    seen += 1
+                pos += 1
+        else:
+            pos += (cnt * w + 7) // 8
+        counts.append(cnt)
+    offsets.append(end)
+    return (np.asarray(offsets, dtype=np.int64),
+            np.asarray(counts, dtype=np.int64))
+
+
 def decode_blocks(data: bytes, n: int) -> np.ndarray:
     """Decode n values written by encode_blocks (FOR and PFor blocks).
 
