@@ -13,9 +13,22 @@ Semantics replicated from the reference's StandardTokenizer
   position increment accumulates over the skipped token);
 * punctuation/whitespace/symbols produce no tokens.
 
-This is a documented approximation of the JFlex UAX#29 grammar (emoji and a
-few rare word-break classes are not replicated); it is exact on ASCII text
-and on every fixture in tests/.
+Emoji are tokenized per the reference's UTS#51 emoji_sequence rule
+(StandardTokenizerImpl.jflex:212-221, <EMOJI> type): an Extended_Pictographic
+char (optional skin-tone modifier, optional VS16) chained by ZWJ, or a tag
+sequence (flag-of-England), or a keycap ([0-9#*] FE0F? 20E3 — the
+non-fully-qualified form without FE0F is accepted, per the grammar's note),
+or a regional-indicator pair. EmojiChar there is Extended_Pictographic |
+(Emoji minus RI/keycap/accidental/modifier); for emoji-data 11.0 that second
+set is a subset of the first (verified), so the class below is exactly
+Extended_Pictographic. Standalone (C)/(R)/TM are emoji tokens, as in the
+reference ("AccidentalEmoji" are excluded only from the Emoji-property side).
+
+This is a documented approximation of the JFlex UAX#29 grammar (a few rare
+word-break classes are not replicated; Extend/Format absorption into
+ALPHANUM/NUM tokens is not — "3︎" tokenizes to "3", the reference keeps
+the selector in the token text); it is exact on ASCII text and on every
+fixture in tests/.
 """
 
 from __future__ import annotations
@@ -35,9 +48,46 @@ _CJK = (
     "⺀-⻿㐀-䶿一-鿿豈-﫿"
     "\U00020000-\U0002fa1f"
 )
+# Extended_Pictographic, Unicode emoji-data 11.0 (the set the reference's
+# grammar includes via UnicodeEmojiProperties.jflex)
+_EP = (
+    "\u00A9\u00AE\u203C\u2049\u2122\u2139\u2194-\u2199\u21A9-\u21AA"
+    "\u231A-\u231B\u2328\u2388\u23CF\u23E9-\u23F3\u23F8-\u23FA\u24C2"
+    "\u25AA-\u25AB\u25B6\u25C0\u25FB-\u25FE\u2600-\u2605\u2607-\u2612"
+    "\u2614-\u2685\u2690-\u2705\u2708-\u2712\u2714\u2716\u271D\u2721"
+    "\u2728\u2733-\u2734\u2744\u2747\u274C\u274E\u2753-\u2755\u2757"
+    "\u2763-\u2767\u2795-\u2797\u27A1\u27B0\u27BF\u2934-\u2935"
+    "\u2B05-\u2B07\u2B1B-\u2B1C\u2B50\u2B55\u3030\u303D\u3297\u3299"
+    "\U0001F000-\U0001F0FF\U0001F10D-\U0001F10F\U0001F12F"
+    "\U0001F16C-\U0001F171\U0001F17E-\U0001F17F\U0001F18E"
+    "\U0001F191-\U0001F19A\U0001F1AD-\U0001F1E5\U0001F201-\U0001F20F"
+    "\U0001F21A\U0001F22F\U0001F232-\U0001F23A\U0001F23C-\U0001F23F"
+    "\U0001F249-\U0001F3FA\U0001F400-\U0001F53D\U0001F546-\U0001F64F"
+    "\U0001F680-\U0001F6FF\U0001F774-\U0001F77F\U0001F7D5-\U0001F7FF"
+    "\U0001F80C-\U0001F80F\U0001F848-\U0001F84F\U0001F85A-\U0001F85F"
+    "\U0001F888-\U0001F88F\U0001F8AE-\U0001F8FF\U0001F90C-\U0001F93A"
+    "\U0001F93C-\U0001F945\U0001F947-\U0001FFFD"
+)
+_MOD = "\U0001F3FB-\U0001F3FF"   # Emoji_Modifier (skin tones)
+_ZWJ = "\u200D"
+_VS16 = "\uFE0F"
+# EmojiCharOrPresSeqOrModSeq (StandardTokenizerImpl.jflex:87): ZWJ*
+# pictographic + absorbed skin modifiers + optional VS16, or a bare modifier
+# (ModifierSequence branch; Emoji_Modifier_Base is a subset of _EP)
+_E1 = rf"(?:{_ZWJ}*[{_EP}][{_MOD}]*{_VS16}?|{_ZWJ}*[{_MOD}])"
+# the EMOJI_TYPE rule (jflex:218-220): ZWJ-chained sequence or tag sequence,
+# keycap ([0-9#*] FE0F? 20E3 -- the non-fully-qualified form without FE0F is
+# accepted per the grammar's note), or a regional-indicator (flag) pair
+_EMOJI = (
+    rf"{_E1}(?:(?:{_ZWJ}{_E1})+|[\U000E0020-\U000E007E]+\U000E007F)?"
+    rf"|[0-9#*]{_VS16}?\u20E3"
+    rf"|[\U0001F1E6-\U0001F1FF]{{2}}"
+)
+
 _W = rf"(?:(?![{_CJK}぀-ヿ가-힯])[^\W])"  # word char minus CJK/kana/hangul
 _UNI_RE = re.compile(
-    rf"[぀-ゟ]"                     # hiragana: one char per token
+    rf"{_EMOJI}"                     # emoji (win over keycap digits)
+    rf"|[぀-ゟ]"                     # hiragana: one char per token
     rf"|[{_CJK}]"                            # ideographic: one char per token
     rf"|[゠-ヿ]+"                    # katakana run
     rf"|[가-힯]+"                    # hangul run

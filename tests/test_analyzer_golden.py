@@ -56,3 +56,50 @@ def test_fast_path_agrees_on_ascii_golden():
         if text.isascii():
             fast = analyze_fast(text)
             assert fast == [t.lower() for t in expected], text
+
+
+# Emoji golden cases ported from the reference's TestStandardAnalyzer.java
+# (testEmoji:366, testEmojiSequence:373, testEmojiSequenceWithModifier:380,
+# testEmojiRegionalIndicator:387, testEmojiVariationSequence:394,
+# testEmojiTagSequence:417, testEmojiTokenization:423). Token TEXT is
+# asserted (the reference also types them <EMOJI>; we don't carry types).
+EMOJI_GOLDEN = [
+    ("\U0001F4A9 \U0001F4A9\U0001F4A9", ["\U0001F4A9"] * 3),
+    # ZWJ sequence stays one token
+    ("\U0001F469‍❤️‍\U0001F469",
+     ["\U0001F469‍❤️‍\U0001F469"]),
+    # fitzpatrick modifier absorbed
+    ("\U0001F468\U0001F3FC‍⚕️",
+     ["\U0001F468\U0001F3FC‍⚕️"]),
+    # regional-indicator pairs: two flags, not one 4-char token
+    ("\U0001F1FA\U0001F1F8\U0001F1FA\U0001F1F8",
+     ["\U0001F1FA\U0001F1F8"] * 2),
+    # keycaps, fully- and non-fully-qualified
+    ("#️⃣", ["#️⃣"]),
+    ("3️⃣", ["3️⃣"]),
+    # tag sequence (flag of England)
+    ("\U0001F3F4\U000E0067\U000E0062\U000E0065\U000E006E\U000E0067\U000E007F",
+     ["\U0001F3F4\U000E0067\U000E0062\U000E0065\U000E006E\U000E0067"
+      "\U000E007F"]),
+    # emoji between latin / ideographs split cleanly
+    ("poo\U0001F4A9poo", ["poo", "\U0001F4A9", "poo"]),
+    ("\U0001F4A9中國\U0001F4A9",
+     ["\U0001F4A9", "中", "國", "\U0001F4A9"]),
+    # text-presentation selector: bare keycap base drops, pictographic keeps
+    # (token text excludes the FE0E, as the reference's does)
+    ("#︎", []),
+    ("⭕︎", ["⭕"]),
+    ("⭕︎‍⭕︎", ["⭕", "‍⭕"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", EMOJI_GOLDEN)
+def test_emoji_golden(text, expected):
+    toks, _ = standard_tokenize(text)
+    assert toks == expected
+
+
+def test_emoji_positions_count_like_tokens():
+    toks, pos = standard_tokenize("a \U0001F4A9 b")
+    assert toks == ["a", "\U0001F4A9", "b"]
+    assert pos == [0, 1, 2]
