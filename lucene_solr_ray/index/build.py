@@ -244,7 +244,11 @@ class TokenizeExplode:
         if self.cfg.get("html_col"):
             from ..analysis import html_to_text
 
-            texts = [html_to_text(h) for h in batch[self.cfg["html_col"]].to_pylist()]
+            # block-level tags strip to "\n" (reference HTMLStripCharFilter
+            # semantics); the body text itself is byte-identical, so the
+            # per-row invariant is equality after trimming the frame
+            texts = [html_to_text(h).strip()
+                     for h in batch[self.cfg["html_col"]].to_pylist()]
             if self.text_col in batch.column_names:
                 given = batch[self.text_col].to_pylist()
                 bad = sum(1 for a, b in zip(texts, given) if a != b)

@@ -9,8 +9,9 @@ vocabulary (~10k terms, s≈1.1) for head-term skew, log-normal doc lengths,
 a small slice of docs containing >255-char tokens (the drop-not-truncate
 tokenizer rule), and mixed-script docs. `html` wraps `text` in one of
 several templates covering the html-strip cases (tags, comments, entities,
-script/style, CDATA); the invariant html_to_text(html) == text holds
-byte-identically for every row and is pinned by tests.
+script/style, CDATA); the invariant html_to_text(html).strip() == text
+holds byte-identically for every row (block tags frame the body text in
+newlines, reference HTMLStripCharFilter semantics) and is pinned by tests.
 """
 
 from __future__ import annotations

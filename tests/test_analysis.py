@@ -63,9 +63,9 @@ def test_html_strip():
         "<body><!-- a comment --><p>Hello &amp; &lt;world&gt; — fast"
         " search</p></body></html>"
     )
-    assert html_to_text(html) == text
-    assert html_to_text(html.encode()) == text
+    assert html_to_text(html).strip() == text
+    assert html_to_text(html.encode()).strip() == text
 
 
 def test_html_cdata():
-    assert html_to_text("<p><![CDATA[a <raw> & b]]></p>") == "a <raw> & b"
+    assert html_to_text("<p><![CDATA[a <raw> & b]]></p>").strip() == "a <raw> & b"

