@@ -383,6 +383,65 @@ def q_ft_ssdv_filter(sf_dir):
     return t.select(["doc_id"])
 
 
+def _sndv_index(sf_dir: str) -> str:
+    """Index with a SORTED_NUMERIC docvalues field 'price': per doc the
+    ascending values {n_chars % 997, (doc_id*131) % 997} plus n_chars % 89
+    when n_chars > 300 (variable-arity), derived by a distributed
+    map_batches over the documents table."""
+    import ray.data
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|sndv").encode()).hexdigest()[:10]
+    corpus_dir = os.path.join(_CACHE_ROOT, f"sndv_corpus_{key}")
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    if not os.path.exists(corpus_dir):
+        def derive(t: "pa.Table") -> "pa.Table":
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            nch = t["n_chars"].to_numpy(zero_copy_only=False)
+            price = [
+                sorted([float(n % 997), float((d * 131) % 997)]
+                       + ([float(n % 89)] if n > 300 else []))
+                for d, n in zip(ids, nch)
+            ]
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "price": pa.array(price, pa.list_(pa.float64())),
+            })
+
+        tmp = corpus_dir + ".tmp"
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "n_chars"],
+        ).map_batches(derive, batch_format="pyarrow").write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+    import glob as _glob
+
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           sorted_numeric_docvalues_fields=("price",))
+    build_index(sorted(_glob.glob(corpus_dir + "/*.parquet")), index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    return index_dir
+
+
+def q_ft_sndv_range(sf_dir):
+    """SORTED_NUMERIC docvalues (DocValuesType.SORTED_NUMERIC): docs
+    matching 'query' with ANY price value in [100, 300]
+    (SortedNumericDocValuesField.newSlowRangeQuery), sorted by the MIN
+    selector ascending (SortedNumericSelector.java:34), top-20."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Bool, SortedNumericRange, Term
+    from lucene_solr_ray.search.services import search_sorted_by_field
+
+    s = IndexSearcher(_sndv_index(sf_dir), dtype=np.float64)
+    node = Bool(must=[Term("query")],
+                filter=[SortedNumericRange("price", lo=100, hi=300)])
+    t = search_sorted_by_field(s, node, "price", k=20,
+                               descending=False, selector="min")
+    return t.rename_columns(["doc_id", "price_min"])
+
+
 def q_ft_tfidf(sf_dir):
     """ClassicSimilarity (TF-IDF) disjunction, scored through the pluggable
     Similarity SPI (search/similarities/ClassicSimilarity.java:29)."""
@@ -1258,7 +1317,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_term": q_ft_bm25_term,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_and": q_ft_bm25_and,
-        "ft_count": q_ft_count,
         "ft_phrase": q_ft_phrase,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_points_range": q_ft_points_range,
@@ -1278,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_dv": q_ft_facet_dv,
         "ft_facet_ssdv": q_ft_facet_ssdv,
         "ft_ssdv_filter": q_ft_ssdv_filter,
+        "ft_sndv_range": q_ft_sndv_range,
         "ft_intervals": q_ft_intervals,
         "ft_tfidf": q_ft_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -1317,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "to_child_join": q_to_child_join,
         "having_groups": q_having_groups,
         "merge_union": q_merge_union,
+        "ft_count": q_ft_count,
     }
 
 
@@ -1485,6 +1545,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM hits JOIN tagged USING (doc_id)
             ORDER BY doc_id""",
+        "ft_sndv_range": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'query'),
+            v AS (
+              SELECT doc_id, CAST(n_chars % 997 AS DOUBLE) AS val FROM documents
+              UNION ALL
+              SELECT doc_id, CAST((doc_id * 131) % 997 AS DOUBLE) FROM documents
+              UNION ALL
+              SELECT doc_id, CAST(n_chars % 89 AS DOUBLE) FROM documents
+              WHERE n_chars > 300
+            ),
+            matched AS (
+              SELECT DISTINCT v.doc_id FROM v JOIN hits USING (doc_id)
+              WHERE val BETWEEN 100 AND 300
+            ),
+            mins AS (SELECT doc_id, min(val) AS price_min FROM v GROUP BY doc_id)
+            SELECT m.doc_id, mins.price_min
+            FROM matched m JOIN mins USING (doc_id)
+            ORDER BY price_min ASC, doc_id ASC LIMIT 20""",
         "ft_sort_by_field": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),

@@ -144,6 +144,14 @@ class IndexBuildConfig:
     # column ssdv_<name> in the docs table — value dictionary + per-doc ord
     # list, facetable and set-filterable off the index.
     sorted_set_docvalues_fields: tuple = ()
+    # SORTED_NUMERIC (multi-valued numeric) docvalues columns
+    # (SortedNumericDocValuesField.java, DocValuesType.SORTED_NUMERIC): the
+    # corpus column holds list<numeric> or a single numeric. Per doc the
+    # values are sorted ascending (the reference's in-doc ordering) and
+    # stored as a list<float64> column sndv_<name> in the docs table;
+    # range-filterable (newSlowRangeQuery: match if ANY value in range) and
+    # sortable with a MIN/MAX selector (SortedNumericSelector.java:34).
+    sorted_numeric_docvalues_fields: tuple = ()
     # points fields (the reference's BKD-indexed numerics,
     # util/bkd/BKDWriter.java:59-90): per shard, a (value, doc_id) file
     # sorted by value with row_group_size=1024 leaves; PointRangeQuery reads
@@ -564,7 +572,9 @@ class TokenizeExplode:
             )  # (n_docs, n_fields)
         sdv_fields = tuple(self.cfg.get("string_docvalues_fields") or ())
         ssdv_fields = tuple(self.cfg.get("sorted_set_docvalues_fields") or ())
-        if sdv_fields or ssdv_fields:
+        sndv_fields = tuple(
+            self.cfg.get("sorted_numeric_docvalues_fields") or ())
+        if sdv_fields or ssdv_fields or sndv_fields:
             # SORTED_SET transport: a doc's value set rides the same flat
             # strided sidecar as SORTED fields, joined by \x1f (US), deduped
             # + sorted (the reference stores per-doc ords in increasing
@@ -579,7 +589,17 @@ class TokenizeExplode:
                 sdv_cols.append(np.asarray(
                     ["\x1f".join(sorted(set(v))) if isinstance(v, list)
                      else (v or "") for v in vals], dtype=object))
-            sdv_fields_all = sdv_fields + ssdv_fields
+            for c in sndv_fields:
+                # SORTED_NUMERIC transport: per-doc ASCENDING values as
+                # \x1f-joined float hex (exact roundtrip); docs_explode
+                # decodes back to a list<float64> column
+                vals = batch[c].to_pylist()
+                sdv_cols.append(np.asarray(
+                    ["\x1f".join(float(x).hex() for x in sorted(v))
+                     if isinstance(v, list)
+                     else ("" if v is None else float(v).hex())
+                     for v in vals], dtype=object))
+            sdv_fields_all = sdv_fields + ssdv_fields + sndv_fields
             sdv_mat = np.stack(sdv_cols, axis=1)  # (n_docs, n_sfields) object
         else:
             sdv_fields_all = ()
@@ -719,13 +739,16 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
 
 
 def docs_explode(batch: pa.Table, dv_fields: tuple = (),
-                 sdv_fields: tuple = (), ssdv_fields: tuple = ()) -> pa.Table:
+                 sdv_fields: tuple = (), ssdv_fields: tuple = (),
+                 sndv_fields: tuple = ()) -> pa.Table:
     """Stage C: doc list rows -> one row per document (+ docvalues columns).
 
     String docvalues columns are dictionary-encoded (the SORTED DocValues
     ordinal layout: per-column value dictionary + int ordinal per doc).
     SORTED_SET fields arrive as \\x1f-joined per-doc sets and become
-    list<dictionary<string>> columns (value dict + per-doc ord list)."""
+    list<dictionary<string>> columns (value dict + per-doc ord list);
+    SORTED_NUMERIC fields arrive as \\x1f-joined float hex and become
+    list<float64> columns (ascending per doc)."""
     docs_ch = batch["docs"].combine_chunks()
     lens = np.diff(docs_ch.offsets.to_numpy()).astype(np.int64)
     shard = np.repeat(batch["shard"].to_numpy(zero_copy_only=False), lens)
@@ -744,7 +767,7 @@ def docs_explode(batch: pa.Table, dv_fields: tuple = (),
         mat = flat.reshape(-1, len(dv_fields))
         for j, name in enumerate(dv_fields):
             cols[f"dv_{name}"] = pa.array(mat[:, j], pa.float64())
-    all_s = tuple(sdv_fields) + tuple(ssdv_fields)
+    all_s = tuple(sdv_fields) + tuple(ssdv_fields) + tuple(sndv_fields)
     if all_s and "sdv" in batch.column_names:
         svals = batch["sdv"].combine_chunks().values
         n_f = len(all_s)
@@ -752,7 +775,18 @@ def docs_explode(batch: pa.Table, dv_fields: tuple = (),
             # stride j::n_f over the flat string values; dictionary-encode
             idx = pa.array(np.arange(j, len(svals), n_f, dtype=np.int64))
             col = svals.take(idx)
-            if name in ssdv_fields:
+            if name in sndv_fields:
+                joined = col.to_pylist()
+                lists = [[float.fromhex(x) for x in s.split("\x1f")]
+                         if s else [] for s in joined]
+                lens = np.asarray([len(v) for v in lists], dtype=np.int64)
+                off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+                flat = np.fromiter(
+                    (x for v in lists for x in v), dtype=np.float64,
+                    count=int(lens.sum()))
+                cols[f"sndv_{name}"] = pa.LargeListArray.from_arrays(
+                    pa.array(off), pa.array(flat, pa.float64()))
+            elif name in ssdv_fields:
                 lst = pc.split_pattern(col, "\x1f")
                 offs = lst.offsets.to_numpy().astype(np.int64)
                 lens = np.diff(offs)
@@ -937,6 +971,8 @@ def build_index(
         cols += [e[0] for e in (cfg.analyzed_fields or ()) if e[0] not in cols]
         cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
         cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
+        cols += [c for c in (cfg.sorted_numeric_docvalues_fields or ())
+                 if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
         eff_bs = effective_batch_size(cfg, chunk)
         fn_kwargs = dict(
@@ -1036,8 +1072,10 @@ def build_index(
     dv_fields = tuple(cfg.docvalues_fields or ())
     sdv_fields = tuple(cfg.string_docvalues_fields or ())
     ssdv_fields = tuple(cfg.sorted_set_docvalues_fields or ())
+    sndv_fields = tuple(cfg.sorted_numeric_docvalues_fields or ())
     dds = _stage1_ds(1).map_batches(
-        lambda t: docs_explode(t, dv_fields, sdv_fields, ssdv_fields),
+        lambda t: docs_explode(t, dv_fields, sdv_fields, ssdv_fields,
+                               sndv_fields),
         batch_format="pyarrow"
     )
     dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")

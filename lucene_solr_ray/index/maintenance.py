@@ -320,6 +320,8 @@ def append_index(
         cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
         cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
         cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
+        cols += [c for c in (getattr(cfg, "sorted_numeric_docvalues_fields",
+                                     ()) or ()) if c not in cols]
         ds = ray.data.read_parquet(chunk, columns=cols)
         fn = TokenizeExplode(
             key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms
@@ -359,8 +361,10 @@ def append_index(
     dvf = tuple(cfg.docvalues_fields or ())
     sdvf = tuple(cfg.string_docvalues_fields or ())
     ssdvf = tuple(cfg.sorted_set_docvalues_fields or ())
+    sndvf = tuple(getattr(cfg, "sorted_numeric_docvalues_fields", ()) or ())
     dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
-        lambda t: docs_explode(t, dvf, sdvf, ssdvf), batch_format="pyarrow")
+        lambda t: docs_explode(t, dvf, sdvf, ssdvf, sndvf),
+        batch_format="pyarrow")
     dds.write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
     if getattr(cfg, "points_fields", ()):
         from .points import build_points
@@ -372,7 +376,8 @@ def append_index(
     from ray.data.aggregate import Count, Sum
 
     delta = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
-        lambda t: docs_explode(t, dvf, sdvf, ssdvf), batch_format="pyarrow"
+        lambda t: docs_explode(t, dvf, sdvf, ssdvf, sndvf),
+        batch_format="pyarrow"
     ).aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
 
     prev_ids = manifest.get("shard_ids") or list(range(manifest["num_shards"]))

@@ -95,6 +95,9 @@ class ShardReader:
         # per-doc offsets) — the SORTED_SET layout (shared value dict + an
         # increasing ord run per doc); set ops run on int ordinals
         self.sorted_set_dv: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        # SORTED_NUMERIC docvalues: per-field (flat float64 values ascending
+        # within each doc, per-doc offsets) — DocValuesType.SORTED_NUMERIC
+        self.sorted_numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         if d is not None and d.num_rows:
             order = pa.compute.sort_indices(d["doc_id"])
             d = d.take(order).combine_chunks()
@@ -113,6 +116,12 @@ class ShardReader:
                     vals = np.asarray(col.to_pylist(), dtype="U")
                     u, inv = np.unique(vals, return_inverse=True)
                     self.sorted_dv[name[4:]] = (u, inv.astype(np.int32))
+                elif name.startswith("sndv_"):
+                    lst = d[name].combine_chunks()
+                    offs = lst.offsets.to_numpy().astype(np.int64)
+                    vals = lst.values.to_numpy(zero_copy_only=False).astype(
+                        np.float64)
+                    self.sorted_numeric_dv[name[5:]] = (vals, offs)
                 elif name.startswith("ssdv_"):
                     lst = d[name].combine_chunks()
                     offs = lst.offsets.to_numpy().astype(np.int64)

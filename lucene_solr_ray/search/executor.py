@@ -479,8 +479,22 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             m &= shard._live_mask
         docs = shard.doc_ids[m]
         return docs, np.full(len(docs), node.boost, dtype=dtype)
-    from .query import SortedSetContains
+    from .query import SortedNumericRange, SortedSetContains
 
+    if isinstance(node, SortedNumericRange):
+        if node.field not in getattr(shard, "sorted_numeric_dv", {}):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        vals, offs = shard.sorted_numeric_dv[node.field]
+        lo = -np.inf if node.lo is None else float(node.lo)
+        hi = np.inf if node.hi is None else float(node.hi)
+        hit = (vals >= lo) & (vals <= hi)
+        doc_of_flat = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        m = np.zeros(len(shard.doc_ids), dtype=bool)
+        m[doc_of_flat[hit]] = True
+        if shard._live_mask is not None:
+            m &= shard._live_mask
+        docs = shard.doc_ids[m]
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, SortedSetContains):
         if node.field not in getattr(shard, "sorted_set_dv", {}):
             return np.zeros(0, np.int64), np.zeros(0, dtype)

@@ -201,6 +201,18 @@ class NumericInSet:
 
 
 @dataclass(frozen=True)
+class SortedNumericRange:
+    """Range filter over a SORTED_NUMERIC docvalues field
+    (SortedNumericDocValuesField.newSlowRangeQuery,
+    document/SortedNumericDocValuesField.java:121): constant-score filter
+    matching docs where ANY of the doc's values falls in [lo, hi]."""
+    field: str
+    lo: float | None = None
+    hi: float | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SortedSetContains:
     """DocValuesTermsQuery over a SORTED_SET docvalues field
     (sandbox/search/DocValuesTermsQuery.java:71, DocValuesType.SORTED_SET):

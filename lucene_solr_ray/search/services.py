@@ -195,17 +195,23 @@ def spell_correct(searcher: IndexSearcher, word: str, max_edits: int = 2,
 
 
 def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
-                           k: int = 10, descending: bool = True) -> "pa.Table":
+                           k: int = 10, descending: bool = True,
+                           selector: str = "min") -> "pa.Table":
     """TopFieldCollector role: top-k matching docs ordered by a docvalues
     column instead of score. Supported per-shard fields: doclen, doc_id,
-    NUMERIC docvalues, and SORTED string docvalues (TopFieldCollector.java:42
+    NUMERIC docvalues, SORTED string docvalues (TopFieldCollector.java:42
     over Lucene80DocValuesFormat SORTED ords — per-shard comparisons run on
-    int ordinals; the cross-shard merge compares the string values)."""
+    int ordinals; the cross-shard merge compares the string values), and
+    SORTED_NUMERIC docvalues reduced per doc by `selector` ("min"|"max",
+    SortedNumericSelector.java:34; docs with no values sort last)."""
     node = searcher._node(query)
     from .executor import eval_node, resolve_weights
 
     weights = resolve_weights(searcher.reader, node, searcher.params, searcher.dtype)
     is_string = any(field in s.sorted_dv for s in searcher.reader.shards)
+    is_sndv = not is_string and any(
+        field in getattr(s, "sorted_numeric_dv", {})
+        for s in searcher.reader.shards)
     all_docs, all_vals = [], []
     for s in searcher.reader.shards:
         docs, _ = eval_node(s, node, weights, searcher.dtype)
@@ -213,6 +219,16 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
             continue
         if is_string:
             vals = s.strings_for(field, docs)
+        elif is_sndv:
+            fvals, offs = s.sorted_numeric_dv[field]
+            idx = np.searchsorted(s.doc_ids, docs)
+            lens = np.diff(offs)[idx]
+            # values ascend within a doc: min = first, max = last
+            sel = offs[:-1][idx] if selector == "min" else offs[1:][idx] - 1
+            missing = np.inf if not descending else -np.inf  # sort last
+            vals = np.where(lens > 0,
+                            fvals[np.clip(sel, 0, max(len(fvals) - 1, 0))],
+                            missing)
         elif field == "doclen":
             idx = np.searchsorted(s.doc_ids, docs)
             vals = s.doclens[idx]
@@ -226,7 +242,8 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
         all_docs.append(docs)
         all_vals.append(vals)
     if not all_docs:
-        typ = pa.string() if is_string else pa.int64()
+        typ = (pa.string() if is_string
+               else pa.float64() if is_sndv else pa.int64())
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          field: pa.array([], typ)})
     docs = np.concatenate(all_docs)
@@ -237,6 +254,11 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
         order = np.lexsort((docs, -inv if descending else inv))[:k]
         return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
                          field: pa.array(vals[order].tolist(), pa.string())})
+    if is_sndv:
+        vals = np.concatenate(all_vals).astype(np.float64)
+        order = np.lexsort((docs, -vals if descending else vals))[:k]
+        return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
+                         field: pa.array(vals[order], pa.float64())})
     vals = np.concatenate(all_vals).astype(np.int64)
     order = np.lexsort((docs, -vals if descending else vals))[:k]
     return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
