@@ -704,8 +704,9 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
     Partitioning: groupby (gshard, bucket=crc32(term) %% num_buckets) — a
     term's full merged postings re-encode in one task (the reference's
     merge is likewise serial per term). Skew lever at scale: num_buckets.
-    Tombstone id arrays ride in the map_groups closure (one serialization
-    per task; at web scale pass them via ray.put instead)."""
+    Tombstone id arrays are ray.put ONCE and read from the object store in
+    every task (zero-copy numpy, no per-task closure serialization — at
+    web delete rates the arrays are O(deleted docs))."""
     import pyarrow as pa
     import ray as _ray
 
@@ -715,6 +716,7 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
     K = cfg.num_shards
     nb = max(4, cfg.num_buckets)
     gens = _tombstone_gens(index_dir, manifest)
+    gens_ref = _ray.put(gens) if gens else None
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
 
     post_cols = ["term", "df", "short_bin", "docs_bin", "freqs_bin"]
@@ -736,11 +738,14 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
             # inferred from the paths) — a per-shard union of datasets costs
             # an execution each and dominates small merges
             def purge(t: "pa.Table") -> "pa.Table":
+                import ray as _r
+
                 from .postings import POSTINGS_SCHEMA
 
+                g = _r.get(gens_ref) if gens_ref is not None else []
                 sh = t["shard"].to_numpy(zero_copy_only=False)
                 outs = [
-                    _purge_rows(t.filter(pa.array(sh == s)), index_dir, gens,
+                    _purge_rows(t.filter(pa.array(sh == s)), index_dir, g,
                                 int(s), new_off + int(s) % K)
                     for s in np.unique(sh)
                 ]
@@ -753,7 +758,7 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
                 purge, batch_format="pyarrow",
             ).write_parquet(os.path.join(index_dir, "postings"),
                             partition_cols=["shard"])
-        _merge_docs_tables(index_dir, merged_ids, new_off, gens, K)
+        _merge_docs_tables(index_dir, merged_ids, new_off, gens_ref, K)
         _rebuild_points(index_dir, cfg, merged_ids, new_off, K)
         return
 
@@ -780,13 +785,16 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
         ).map_batches(label, batch_format="pyarrow").groupby(
             ["gshard", "bucket"], num_partitions=max(16, 2 * ncpu)
         ).map_groups(
-            lambda g: _merge_encoded_group(g, index_dir, gens),
+            lambda g: _merge_encoded_group(
+                g, index_dir,
+                __import__("ray").get(gens_ref) if gens_ref is not None
+                else []),
             batch_format="pyarrow",
         )
         merged.write_parquet(os.path.join(index_dir, "postings"),
                              partition_cols=["shard"])
 
-    _merge_docs_tables(index_dir, merged_ids, new_off, gens, K)
+    _merge_docs_tables(index_dir, merged_ids, new_off, gens_ref, K)
     _rebuild_points(index_dir, cfg, merged_ids, new_off, K)
 
 
@@ -803,10 +811,11 @@ def _rebuild_points(index_dir: str, cfg: IndexBuildConfig, merged_ids,
 
 
 def _merge_docs_tables(index_dir: str, merged_ids, new_off: int,
-                       gens, K: int) -> None:
+                       gens_ref, K: int) -> None:
     """docs tables: relabel + purge, NO re-encode (plain per-doc rows).
     One dataset over all source files — the shard of each row comes from
-    the inferred hive partition column."""
+    the inferred hive partition column. `gens_ref` is a ray.put ObjectRef
+    of the tombstone generations (or None), read zero-copy per task."""
     import pyarrow as pa
 
     files = expand_parquet_dirs(
@@ -816,6 +825,9 @@ def _merge_docs_tables(index_dir: str, merged_ids, new_off: int,
         return
 
     def relabel(t: "pa.Table") -> "pa.Table":
+        import ray as _r
+
+        gens = _r.get(gens_ref) if gens_ref is not None else []
         sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if gens:

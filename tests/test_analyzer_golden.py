@@ -103,3 +103,25 @@ def test_emoji_positions_count_like_tokens():
     toks, pos = standard_tokenize("a \U0001F4A9 b")
     assert toks == ["a", "\U0001F4A9", "b"]
     assert pos == [0, 1, 2]
+
+
+def test_emoji_end_to_end(tmp_path, ray_session):
+    """Emoji tokens flow through build -> postings -> query parser -> BM25
+    (the reference's <EMOJI> tokens are searchable like any term)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    texts = ["I love \U0001F355 pizza", "pizza is fine",
+             "\U0001F355 \U0001F355 double", "no emoji here"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(np.arange(4), pa.int64()),
+                             "text": pa.array(texts, pa.string())}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    s = IndexSearcher(idx)
+    t = s.search("\U0001F355", k=10)
+    assert t["doc_id"].to_pylist() == [2, 0]  # tf=2 doc first
