@@ -885,7 +885,9 @@ def build_index(
     cfg = cfg or IndexBuildConfig()
     if isinstance(paths, str):
         paths = [paths]
-    paths = sorted(paths)
+    # directories expand to their parquet files (identity on plain files,
+    # so existing manifests' source lists stay stable)
+    paths = sorted(expand_parquet_dirs(sorted(paths)))
     os.makedirs(index_dir, exist_ok=True)
 
     fp = cfg.fingerprint()

@@ -869,14 +869,20 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype,
     n_win = len(boundaries)
     bounds_ext = np.append(boundaries, np.iinfo(np.int64).max)
     ub_sum = np.zeros(n_win, dtype=np.float64)
-    # one vectorized searchsorted per term gives every window's active block
-    # and its upper bound (no per-window binary searches)
+    # one vectorized searchsorted per term gives every window's active block,
+    # its upper bound AND its [b_lo, b_hi) decode range — the per-window loop
+    # below does no binary searches over block boundaries
+    ranges = []
     for text, tw, firsts, ub, last_doc in per_term:
         idx = np.searchsorted(firsts, boundaries, side="right") - 1
         active = (idx >= 0) & (boundaries <= last_doc)
         contrib = np.zeros(n_win, dtype=np.float64)
         contrib[active] = ub[idx[active]]
         ub_sum += contrib
+        b_lo = np.maximum(idx, 0)
+        hi_left = np.searchsorted(firsts, boundaries, side="left")
+        b_hi = np.append(hi_left[1:], len(firsts))
+        ranges.append((b_lo, b_hi))
 
     top_docs = np.zeros(0, np.int64)
     top_scores = np.zeros(0, dtype)
@@ -891,12 +897,11 @@ def wand_top_k(shard: ShardReader, terms: list[Term], weights, k: int, dtype,
         lo_doc = int(bounds_ext[w])
         hi_doc = int(bounds_ext[w + 1])
         parts = []
-        for text, tw, firsts, ub, last_doc in per_term:
+        for (text, tw, firsts, ub, last_doc), (blo, bhi) in zip(per_term,
+                                                                ranges):
             if lo_doc > last_doc or hi_doc <= firsts[0]:
                 continue
-            b_lo = max(int(np.searchsorted(firsts, lo_doc, side="right")) - 1, 0)
-            b_hi = int(np.searchsorted(firsts, hi_doc, side="left"))
-            d, f = shard.postings_blocks(text, b_lo, b_hi)
+            d, f = shard.postings_blocks(text, int(blo[w]), int(bhi[w]))
             lo = np.searchsorted(d, lo_doc, side="left")
             hi = np.searchsorted(d, hi_doc, side="left")
             if lo == hi:
