@@ -119,6 +119,31 @@ def q_ft_count(sf_dir):
     return pa.table({"hits": pa.array([s.count("fast")], pa.int64())})
 
 
+def q_ft_highlight(sf_dir):
+    """Postings-offset highlighting (UnifiedHighlighter OFFSETS source) over
+    a store_offsets index. Rows-only: best-window snippet selection is not
+    SQL-expressible; correctness is pinned by tests/test_offsets.py (every
+    wrapped slice byte-equals the source text at the indexed offsets)."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import highlight_results_offsets
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idxoff_{key}")
+    build_index(
+        f"{sf_dir}/documents.parquet", index_dir,
+        key_col="doc_id", text_col="text",
+        cfg=IndexBuildConfig(num_shards=4, num_buckets=8, batch_size=512,
+                             store_offsets=True),
+        resume=True,
+    )
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    out = highlight_results_offsets(
+        s, f"{sf_dir}/documents.parquet", "doc_id", "text",
+        "fast query", k=20)
+    return _round_col(out, "score")
+
+
 def q_ft_phrase(sf_dir):
     s = _searcher64(sf_dir)
     t = s.match_all('"fast query"')
@@ -1344,6 +1369,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
+        # ================= driver window boundary (50) ==================
+        # Stable tail: every entry below passed rows+schema+hash in BOTH
+        # round 1 and round 2 (hll_distinct/to_child_join in round 2);
+        # code untouched since round 2.
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
         "significant_terms": q_significant_terms,
@@ -1356,9 +1385,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_distinct": q_count_distinct,
         "nested_facets": q_nested_facets,
         "drill_sideways": q_drill_sideways,
-        # ================= driver window boundary (~50) =================
-        # Stable tail: every entry below passed rows+schema+hash in BOTH
-        # round 1 and round 2; code untouched since round 2.
         "ft_prefix": q_ft_prefix,
         "ft_wildcard": q_ft_wildcard,
         "ft_range": q_ft_range,
@@ -1377,6 +1403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "having_groups": q_having_groups,
         "merge_union": q_merge_union,
         "ft_count": q_ft_count,
+        # round-3: offsets-source highlighting (rows-only, pytest-pinned)
+        "ft_highlight": q_ft_highlight,
     }
 
 

@@ -28,6 +28,28 @@ def standard_analyzer(text: str, stopwords: frozenset[str] | None = None,
     return terms, positions
 
 
+def standard_analyzer_offsets(text: str,
+                              stopwords: frozenset[str] | None = None,
+                              max_token_length: int = MAX_TOKEN_LENGTH):
+    """standard_analyzer + char offsets: (terms, positions, starts, ends).
+
+    Offsets index into ``text`` exactly as tokenized (LowerCaseFilter and
+    stemmers never change offsets, the reference's filter contract)."""
+    from .tokenizer import standard_tokenize_offsets
+
+    tokens, positions, starts, ends = standard_tokenize_offsets(
+        text, max_token_length)
+    terms = [java_lower(t) for t in tokens]
+    if stopwords:
+        kept = [(t, p, s, e) for t, p, s, e
+                in zip(terms, positions, starts, ends) if t not in stopwords]
+        terms = [t for t, _, _, _ in kept]
+        positions = [p for _, p, _, _ in kept]
+        starts = [s for _, _, s, _ in kept]
+        ends = [e for _, _, _, e in kept]
+    return terms, positions, starts, ends
+
+
 def analyze_fast(text: str, max_token_length: int = MAX_TOKEN_LENGTH):
     """ASCII fast path: lowercase the whole string once (ASCII lowercase
     never moves UAX#29 word boundaries), tokenize with one C findall.

@@ -129,3 +129,30 @@ def standard_tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH):
             positions.append(pos)
         pos += 1
     return tokens, positions
+
+
+def standard_tokenize_offsets(text: str,
+                              max_token_length: int = MAX_TOKEN_LENGTH):
+    """Tokenize -> (tokens, positions, starts, ends).
+
+    starts[i]/ends[i] are the token's char offsets into ``text`` (the
+    reference's OffsetAttribute, analysis/tokenattributes/
+    OffsetAttribute.java:26 — there UTF-16 code units; here Python code
+    points, identical on BMP-only text). Same position-hole semantics as
+    standard_tokenize.
+    """
+    rx = _ASCII_RE if text.isascii() else _UNI_RE
+    tokens: list[str] = []
+    positions: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = 0
+    for m in rx.finditer(text):
+        tok = m.group()
+        if len(tok) <= max_token_length:
+            tokens.append(tok)
+            positions.append(pos)
+            starts.append(m.start())
+            ends.append(m.end())
+        pos += 1
+    return tokens, positions, starts, ends

@@ -68,6 +68,10 @@ STAGE1_SCHEMA = pa.schema(
         ("freqs", pa.large_list(pa.int32())),   # doc rows: doclen
         ("norms", pa.large_list(pa.int32())),   # norm byte per doc
         ("positions", pa.large_list(pa.int32())),
+        # char offsets per occurrence, aligned 1:1 with positions, packed
+        # (start << 32) | end per token (store_offsets builds only); -1
+        # marks a non-offset posting (keyword / analyzed-field terms)
+        ("offsets", pa.large_list(pa.int64())),
         # docvalues sidecar (doc rows only): per doc, the values of
         # cfg.docvalues_fields concatenated in declared order (float64)
         ("dv", pa.large_list(pa.float64())),
@@ -98,6 +102,17 @@ class IndexBuildConfig:
     # again); the cap also bounds per-task memory for 10^12-doc corpora.
     num_buckets: int = 32          # merge-shuffle groups per shard
     store_positions: bool = True
+    # IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS
+    # (index/IndexOptions.java:41): store per-occurrence char offsets into
+    # the indexed text alongside positions — the PostingsHighlighter /
+    # UnifiedHighlighter OFFSETS source (postingshighlight/
+    # PostingsHighlighter.java:47). Opt-in, as in the reference (the
+    # default FieldType stops at positions). Offsets are Python code-point
+    # offsets into the EXTRACTED text (when html_col is set, the stripped
+    # text, not the raw HTML). Keyword and analyzed-field terms carry -1
+    # (no offsets); synonym / word-delimiter insertions carry the offsets
+    # of the token they stack on.
+    store_offsets: bool = False
     batch_size: int = 0            # docs per tokenize batch (0 = auto)
     stopwords: tuple = ()
     # head-term skew handling: terms whose sampled token share exceeds
@@ -192,6 +207,10 @@ class IndexBuildConfig:
     retain_stage1: bool = False
 
     def __post_init__(self):
+        if self.store_offsets and not self.store_positions:
+            # the reference's IndexOptions enum has no offsets-without-
+            # positions level either (IndexOptions.java:24-41)
+            raise ValueError("store_offsets requires store_positions")
         if self.points_fields:
             self.docvalues_fields = tuple(self.docvalues_fields) + tuple(
                 f for f in self.points_fields if f not in self.docvalues_fields
@@ -225,6 +244,7 @@ class TokenizeExplode:
         self.num_buckets = cfg["num_buckets"]
         self.sub_span = cfg["head_sub_span"]
         self.store_positions = cfg["store_positions"]
+        self.store_offsets = bool(cfg.get("store_offsets"))
         from ..analysis.stem import get_stemmer
 
         self.stem = get_stemmer(cfg.get("stemmer"))
@@ -273,34 +293,57 @@ class TokenizeExplode:
         fallback_pos: dict[int, list[int]] = {}
         doclens = np.zeros(len(texts), dtype=np.int64)
         wdg = bool(self.cfg.get("word_delimiter"))
+        so = self.store_offsets
+        # packed (start << 32) | end per text token, aligned with flat_terms
+        flat_offs: list[int] = []
         # word-delimiter insertions: (term, doc idx, position), posInc-0
         wd_terms: list[str] = []
         wd_doc: list[int] = []
         wd_pos: list[int] = []
-        use_fast = not self.stop and not wdg
+        wd_off: list[int] = []   # parts inherit the whole token's offsets
+        use_fast = not self.stop and not wdg and not so
         if wdg:
             from ..analysis import word_delimiter_parts
             from ..analysis.lowercase import java_lower
-            from ..analysis.tokenizer import standard_tokenize
+            from ..analysis.tokenizer import (standard_tokenize,
+                                              standard_tokenize_offsets)
+        if so and not wdg:
+            from ..analysis.analyzers import standard_analyzer_offsets
         for i, text in enumerate(texts):
             if wdg:
                 # case information feeds the splitter, so the pre-lowercase
                 # tokenizer output is needed here
-                raw, positions = standard_tokenize(text or "")
+                if so:
+                    raw, positions, t_s, t_e = standard_tokenize_offsets(
+                        text or "")
+                    offs_doc = [(s << 32) | e for s, e in zip(t_s, t_e)]
+                else:
+                    raw, positions = standard_tokenize(text or "")
+                    offs_doc = None
                 low = [java_lower(t) for t in raw]
                 if self.stop:
-                    trip = [(t, p, r) for t, p, r in zip(low, positions, raw)
-                            if t not in self.stop]
-                    low = [t for t, _, _ in trip]
-                    positions = [p for _, p, _ in trip]
-                    raw = [r for _, _, r in trip]
-                for r, p in zip(raw, positions):
+                    keep = [t not in self.stop for t in low]
+                    low = [t for t, k in zip(low, keep) if k]
+                    positions = [p for p, k in zip(positions, keep) if k]
+                    raw = [r for r, k in zip(raw, keep) if k]
+                    if so:
+                        offs_doc = [o for o, k in zip(offs_doc, keep) if k]
+                for j, (r, p) in enumerate(zip(raw, positions)):
                     for part in word_delimiter_parts(r):
                         wd_terms.append(part)
                         wd_doc.append(i)
                         wd_pos.append(p)
+                        if so:
+                            wd_off.append(offs_doc[j])
                 terms = low
                 fallback_pos[i] = positions
+                if so:
+                    flat_offs.extend(offs_doc)
+            elif so:
+                terms, positions, t_s, t_e = standard_analyzer_offsets(
+                    text or "", self.stop)
+                fallback_pos[i] = positions
+                flat_offs.extend((s << 32) | e for s, e in zip(t_s, t_e))
             else:
                 terms = analyze_fast(text or "") if use_fast else None
                 if terms is None:
@@ -402,12 +445,14 @@ class TokenizeExplode:
         ).astype(np.int32)
         for i, plist in fallback_pos.items():
             text_pos[doc_offsets[i]:doc_offsets[i + 1]] = plist
+        off_text = np.asarray(flat_offs, dtype=np.int64) if so else None
 
         # synonym insertions: same doc, same position, zero length
         # contribution (posIncrement-0 stacked tokens)
         syn_terms: list = []
         syn_doc_parts: list = []
         syn_pos_parts: list = []
+        syn_off_parts: list = []
         if self.syn and n_text:
             for key, additions in self.syn.items():
                 occ = np.flatnonzero(text_arr == key)
@@ -417,6 +462,8 @@ class TokenizeExplode:
                     syn_terms.extend([s] * len(occ))
                     syn_doc_parts.append(doc_idx_text[occ])
                     syn_pos_parts.append(text_pos[occ])
+                    if so:
+                        syn_off_parts.append(off_text[occ])
         n_syn = len(syn_terms)
 
         if wd_terms and self.stem is not None:
@@ -449,6 +496,17 @@ class TokenizeExplode:
                 + ([np.zeros(len(kw_terms), np.int32)] if kw_terms else [])
                 + [p[2] for p in af_parts]
             ).astype(np.int32)
+            flat_off = None
+            if so:
+                # keyword / analyzed-field terms carry -1 (no text offsets)
+                flat_off = np.concatenate(
+                    [off_text]
+                    + (syn_off_parts if n_syn else [])
+                    + ([np.asarray(wd_off, np.int64)] if n_wd else [])
+                    + ([np.full(len(kw_terms), -1, np.int64)]
+                       if kw_terms else [])
+                    + [np.full(len(p[0]), -1, np.int64) for p in af_parts]
+                ).astype(np.int64)
             # per-token norm byte: text/synonym/word-delimiter/keyword
             # tokens carry the TEXT field's norm; analyzed-field tokens
             # carry THEIR field's
@@ -468,6 +526,7 @@ class TokenizeExplode:
             s_codes = codes[order]
             s_doc = doc_idx[order]
             s_pos = flat_pos[order]
+            s_off = flat_off[order] if so else None
             s_norm = flat_norm[order]
             # run-length per (term, doc)
             new_run = np.empty(n_tok, dtype=bool)
@@ -536,8 +595,18 @@ class TokenizeExplode:
                 pos_col = pa.LargeListArray.from_arrays(
                     pos_offsets, pa.array(pos_flat2, pa.int32())
                 )
+                if so:
+                    # offsets ride the exact same per-occurrence layout
+                    off_col = pa.LargeListArray.from_arrays(
+                        pos_offsets, pa.array(s_off[ranges], pa.int64())
+                    )
+                else:
+                    off_col = pa.array([None] * len(row_starts),
+                                       pa.large_list(pa.int64()))
             else:
                 pos_col = pa.array([None] * len(row_starts), pa.large_list(pa.int32()))
+                off_col = pa.array([None] * len(row_starts),
+                                   pa.large_list(pa.int64()))
 
             terms_col = pa.array(
                 [uniq_list[c] for c in g_code[row_starts]], pa.large_string()
@@ -555,6 +624,7 @@ class TokenizeExplode:
                         "freqs": freqs_col,
                         "norms": norms_col,
                         "positions": pos_col,
+                        "offsets": off_col,
                         "dv": pa.array([None] * n_rows, pa.large_list(pa.float64())),
                         "sdv": pa.array([None] * n_rows, pa.large_list(pa.large_string())),
                     },
@@ -645,6 +715,7 @@ class TokenizeExplode:
                         "freqs": pa.LargeListArray.from_arrays(off, pa.array(dl, pa.int32())),
                         "norms": pa.LargeListArray.from_arrays(off, pa.array(dn, pa.int32())),
                         "positions": pa.array([None] * nr, pa.large_list(pa.int32())),
+                        "offsets": pa.array([None] * nr, pa.large_list(pa.int64())),
                         "dv": dv_col,
                         "sdv": sdv_col,
                     },
@@ -664,6 +735,7 @@ def merge_flat_and_encode(
     flat_norms: np.ndarray,     # uint8, aligned with flat_docs
     flat_pos: np.ndarray | None,  # int32 positions, row-contiguous by freqs
     shard: int,
+    flat_off: np.ndarray | None = None,  # int64 packed offsets, same layout
 ) -> pa.Table:
     """k-way merge + encode flat per-row postings (the shared core of the
     stage-B merge and the encoded-segments merge). Docs of one term across
@@ -683,6 +755,7 @@ def merge_flat_and_encode(
     s_rank = rank[flat_code][order]
 
     pos_arr = None
+    off_arr = None
     if flat_pos is not None:
         # positions are per-posting variable segments keyed by freqs
         seg_lens = flat_freqs.astype(np.int64)
@@ -693,6 +766,8 @@ def merge_flat_and_encode(
         cum = np.concatenate([[0], np.cumsum(sl2)])
         ranges = np.repeat(ss2 - cum[:-1], sl2) + np.arange(total)
         pos_arr = flat_pos[ranges]
+        if flat_off is not None:
+            off_arr = flat_off[ranges]
 
     if not len(s_rank):
         return POSTINGS_SCHEMA.empty_table()
@@ -714,6 +789,7 @@ def merge_flat_and_encode(
         s_norms,
         pos_arr,
         shard,
+        offs=off_arr,
     )
 
 
@@ -733,8 +809,15 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
     flat_pos = None
     if pos_list.null_count < len(pos_list):
         flat_pos = pos_list.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    flat_off = None
+    if "offsets" in group.column_names:
+        off_list = group["offsets"].combine_chunks()
+        if off_list.null_count < len(off_list):
+            flat_off = off_list.values.to_numpy(
+                zero_copy_only=False).astype(np.int64)
     return merge_flat_and_encode(
-        row_terms, row_lens, flat_docs, flat_freqs, flat_norms, flat_pos, shard
+        row_terms, row_lens, flat_docs, flat_freqs, flat_norms, flat_pos,
+        shard, flat_off=flat_off,
     )
 
 
@@ -1026,6 +1109,8 @@ def build_index(
     # object store; previously-checkpointed chunks stream from parquet
     data_cols = ["shard", "bucket", "sub", "term", "docs", "freqs", "norms",
                  "positions", "dv", "sdv"]
+    if cfg.store_offsets:
+        data_cols.insert(data_cols.index("dv"), "offsets")
 
     def _from_disk(kind: int) -> list:
         part_dirs = sorted(

@@ -572,7 +572,12 @@ def _decode_encoded_rows(t):
         pl = t["positions"].combine_chunks()
         if len(pl) and pl.null_count == 0:
             flat_pos = pl.values.to_numpy(zero_copy_only=False).astype(np.int32)
-    return row_terms, dfs, flat_docs, flat_freqs, flat_pos
+    flat_off = None
+    if "offsets" in t.column_names:
+        ol = t["offsets"].combine_chunks()
+        if len(ol) and ol.null_count == 0:
+            flat_off = ol.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return row_terms, dfs, flat_docs, flat_freqs, flat_pos, flat_off
 
 
 def _merge_encoded_group(group, index_dir: str, gens):
@@ -587,7 +592,8 @@ def _merge_encoded_group(group, index_dir: str, gens):
     if group.num_rows == 0:
         return POSTINGS_SCHEMA.empty_table()
     gshard = int(group["gshard"][0].as_py())
-    row_terms, dfs, flat_docs, flat_freqs, flat_pos = _decode_encoded_rows(group)
+    row_terms, dfs, flat_docs, flat_freqs, flat_pos, flat_off = (
+        _decode_encoded_rows(group))
     src = group["src_shard"].to_numpy(zero_copy_only=False).astype(np.int64)
     shard_rep = np.repeat(src, dfs)
     if gens and len(flat_docs):
@@ -595,7 +601,10 @@ def _merge_encoded_group(group, index_dir: str, gens):
         if dead.any():
             keep = ~dead
             if flat_pos is not None:
-                flat_pos = flat_pos[np.repeat(keep, flat_freqs)]
+                occ_keep = np.repeat(keep, flat_freqs)
+                flat_pos = flat_pos[occ_keep]
+                if flat_off is not None:
+                    flat_off = flat_off[occ_keep]
             seg_starts = (np.cumsum(dfs) - dfs).astype(np.int64)
             dfs = np.add.reduceat(keep.astype(np.int64), seg_starts)
             flat_docs = flat_docs[keep]
@@ -610,7 +619,8 @@ def _merge_encoded_group(group, index_dir: str, gens):
         if m.any():
             flat_norms[m] = nm[np.searchsorted(ids, flat_docs[m])]
     return merge_flat_and_encode(
-        row_terms, dfs, flat_docs, flat_freqs, flat_norms, flat_pos, gshard
+        row_terms, dfs, flat_docs, flat_freqs, flat_norms, flat_pos, gshard,
+        flat_off=flat_off,
     )
 
 
@@ -631,6 +641,9 @@ def _purge_rows(t, index_dir: str, gens, src_shard: int, gshard: int):
     cols = POSTINGS_SCHEMA.names
     if "shard" in t.column_names:
         t = t.drop_columns(["shard"])
+    if "offsets" not in t.column_names:   # pre-offsets segment layout
+        t = t.append_column(
+            "offsets", pa.array([None] * len(t), pa.large_list(pa.int64())))
     if t.num_rows == 0:
         return POSTINGS_SCHEMA.empty_table()
 
@@ -643,7 +656,8 @@ def _purge_rows(t, index_dir: str, gens, src_shard: int, gshard: int):
     if not gens:
         return _relabel(t)
 
-    row_terms, dfs, flat_docs, flat_freqs, flat_pos = _decode_encoded_rows(t)
+    row_terms, dfs, flat_docs, flat_freqs, flat_pos, flat_off = (
+        _decode_encoded_rows(t))
     shard_rep = np.full(len(flat_docs), src_shard, np.int64)
     dead = _dead_mask(flat_docs, shard_rep, gens)
     if not dead.any():
@@ -659,8 +673,12 @@ def _purge_rows(t, index_dir: str, gens, src_shard: int, gshard: int):
     m = post_hit & ~dead                   # surviving postings of hit rows
     if m.any():
         sub_pos = None
+        sub_off = None
         if flat_pos is not None:
-            sub_pos = flat_pos[np.repeat(m, flat_freqs)]
+            occ_m = np.repeat(m, flat_freqs)
+            sub_pos = flat_pos[occ_m]
+            if flat_off is not None:
+                sub_off = flat_off[occ_m]
         sub_docs = flat_docs[m]
         sub_freqs = flat_freqs[m]
         sub_lens = np.add.reduceat(
@@ -675,7 +693,7 @@ def _purge_rows(t, index_dir: str, gens, src_shard: int, gshard: int):
         sub_norms = nm[np.searchsorted(ids, sub_docs)]
         out.append(merge_flat_and_encode(
             sub_terms, sub_lens, sub_docs, sub_freqs, sub_norms, sub_pos,
-            gshard).select(cols).cast(POSTINGS_SCHEMA))
+            gshard, flat_off=sub_off).select(cols).cast(POSTINGS_SCHEMA))
     if not out:
         return POSTINGS_SCHEMA.empty_table()
     return pa.concat_tables(out) if len(out) > 1 else out[0]
@@ -722,6 +740,8 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
     post_cols = ["term", "df", "short_bin", "docs_bin", "freqs_bin"]
     if cfg.store_positions:
         post_cols.append("positions")
+    if getattr(cfg, "store_offsets", False):
+        post_cols.append("offsets")
 
     # Single-source fast path: every target shard has exactly one source
     # (purging/relabelling one generation, the forceMerge-after-delete case).

@@ -53,6 +53,11 @@ POSTINGS_SCHEMA = pa.schema(
         # WAND/conjunction bounds vs the single (max_freq, min_norm) point.
         ("impacts_bin", pa.large_binary()),
         ("positions", pa.large_list(pa.int32())),  # flat; split by freqs
+        # per-occurrence char offsets, aligned 1:1 with positions, packed
+        # (start << 32) | end; -1 = no offsets for that occurrence. Null
+        # unless the index was built with store_offsets (the reference's
+        # IndexOptions...AND_OFFSETS level).
+        ("offsets", pa.large_list(pa.int64())),
     ]
 )
 
@@ -109,6 +114,7 @@ def encode_postings_group(
     norms: np.ndarray,          # uint8 per posting (norm byte of the doc)
     positions: np.ndarray | None,  # int32 flat positions, aligned with freqs
     shard: int,
+    offs: np.ndarray | None = None,  # int64 packed offsets, same layout
 ) -> pa.Table:
     """Encode one merge group (sorted by term, doc) into POSTINGS_SCHEMA rows."""
     n_terms = len(terms)
@@ -229,8 +235,16 @@ def encode_postings_group(
         pos_col = pa.LargeListArray.from_arrays(
             pos_offsets, pa.array(positions.astype(np.int32), pa.int32())
         )
+        if offs is not None:
+            off_col = pa.LargeListArray.from_arrays(
+                pos_offsets, pa.array(offs.astype(np.int64), pa.int64())
+            )
+        else:
+            off_col = pa.array([None] * n_terms,
+                               type=pa.large_list(pa.int64()))
     else:
         pos_col = pa.array([None] * n_terms, type=pa.large_list(pa.int32()))
+        off_col = pa.array([None] * n_terms, type=pa.large_list(pa.int64()))
 
     return pa.table(
         {
@@ -246,6 +260,7 @@ def encode_postings_group(
             "block_min_norm": pa.array(bmn, type=pa.large_list(pa.int32())),
             "impacts_bin": pa.array(imp, type=pa.large_binary()),
             "positions": pos_col,
+            "offsets": off_col,
         },
         schema=POSTINGS_SCHEMA,
     )

@@ -52,7 +52,7 @@ class ShardReader:
     bounds — load lazily on first use. A term-only workload never pays
     their RAM."""
 
-    _LAZY_COLS = ("positions", "impacts_bin")
+    _LAZY_COLS = ("positions", "impacts_bin", "offsets")
 
     def __init__(self, index_dir: str, shard: int, cache_size: int = 256):
         self.shard = shard
@@ -216,22 +216,27 @@ class ShardReader:
         return df, ttf
 
     def postings(self, term: str, with_positions: bool = False,
-                 live_only: bool = True):
-        """Decode a term's postings -> (docs, freqs[, positions_flat]).
+                 live_only: bool = True, payload_col: str = "positions"):
+        """Decode a term's postings -> (docs, freqs[, payload_flat]).
 
         Multi-row (salted) terms concatenate in ascending doc order: sub
         ranges are disjoint, so ordering rows by their first doc suffices.
         live_only masks tombstoned docs (the live-docs overlay); pass False
         to see raw storage (check_index validates the encoded invariants).
+        payload_col selects the per-occurrence payload fetched when
+        with_positions is True: "positions" (int32) or "offsets" (packed
+        int64 char offsets, store_offsets indexes only) — both are laid out
+        1:1 per occurrence, split by freqs.
         """
-        key = (term, with_positions, live_only)
+        pdtype = np.int64 if payload_col == "offsets" else np.int32
+        key = (term, with_positions, live_only, payload_col)
         if key in self._cache:
             return self._cache[key]
         rows = self.term_rows(term)
         if not rows:
             empty = (np.zeros(0, np.int64), np.zeros(0, np.int32))
-            return (*empty, np.zeros(0, np.int32)) if with_positions else empty
-        pos_arr = self._lazy_col("positions") if with_positions else None
+            return (*empty, np.zeros(0, pdtype)) if with_positions else empty
+        pos_arr = self._lazy_col(payload_col) if with_positions else None
         decoded = []
         for r in rows:
             row = {
@@ -245,9 +250,9 @@ class ShardReader:
             if with_positions:
                 sl = pos_arr.slice(r, 1) if pos_arr is not None else None
                 if sl is None or sl.null_count:
-                    pos = np.zeros(0, dtype=np.int32)
+                    pos = np.zeros(0, dtype=pdtype)
                 else:
-                    pos = sl.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+                    pos = sl.flatten().to_numpy(zero_copy_only=False).astype(pdtype)
             decoded.append((docs, freqs, pos))
         decoded.sort(key=lambda x: int(x[0][0]) if len(x[0]) else -1)
         docs = np.concatenate([d for d, _, _ in decoded])

@@ -125,6 +125,21 @@ def _highlight_component(ctx: dict, params: dict, resp: dict) -> None:
                                    ctx.get("text_col", "text")])
     text_of = dict(zip(stored[ctx.get("key_col", "doc_id")].to_pylist(),
                        stored[ctx.get("text_col", "text")].to_pylist()))
+    searcher = ctx["searcher"]
+    if searcher.reader.manifest.get("config", {}).get("store_offsets"):
+        # HighlightComponent picks the postings-offset source when the
+        # field indexed offsets (UnifiedHighlighter.getOffsetSource) — no
+        # re-analysis of matched docs
+        from ..search.services import collect_offset_spans, passage_from_offsets
+
+        spans = collect_offset_spans(searcher, sorted(terms), ids)
+        resp["highlighting"] = {
+            int(i): (passage_from_offsets(
+                        text_of.get(i, ""), np.asarray(spans[int(i)], np.int64))
+                     if spans.get(int(i))
+                     else highlight(text_of.get(i, ""), terms))
+            for i in ids}
+        return
     resp["highlighting"] = {
         int(i): highlight(text_of.get(i, ""), terms) for i in ids}
 

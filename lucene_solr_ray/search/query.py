@@ -286,12 +286,28 @@ def parse_query(q: str):
 
     def parse_or():
         left = [parse_and()]
-        while peek() == "OR":
-            advance()
-            left.append(parse_and())
+        while True:
+            if peek() == "OR":
+                advance()
+                left.append(parse_and())
+            elif peek() is not None and peek() != ")":
+                # implicit operator: whitespace-adjacent clauses OR
+                # together — the classic parser's default SHOULD occur
+                # (queryparser/classic/QueryParserBase.java:64 default
+                # operator OR). "fox dog" == "fox OR dog".
+                left.append(parse_and())
+            else:
+                break
         left = [x for x in left if x is not None]
         if len(left) == 1:
             return left[0]
+        negs = [x.must_not[0] for x in left if _is_neg(x)]
+        pos_nodes = [x for x in left if not _is_neg(x)]
+        if negs:
+            # "fox NOT dog" at the OR level: positives score, negatives
+            # exclude (a pure-negative query keeps the reject-only Bool)
+            return Bool(should=pos_nodes, must_not=negs,
+                        min_should=1 if pos_nodes else 0)
         return Bool(should=left, min_should=1)
 
     def parse_and():

@@ -76,6 +76,104 @@ def highlight_results(searcher: IndexSearcher, corpus_paths, key_col: str,
     return res.append_column("snippet", pa.array(snips, pa.string()))
 
 
+def passage_from_offsets(text: str, spans: np.ndarray, max_chars: int = 160,
+                         pre: str = "<b>", post: str = "</b>") -> str:
+    """Best char-window passage from match spans (no re-analysis).
+
+    spans: int64 array of packed (start << 32) | end match offsets. Picks
+    the max_chars window starting at a match that contains the most match
+    spans (PostingsHighlighter.java:185's passage scoring, simplified to a
+    fixed-width window instead of BreakIterator sentences), widens to the
+    surrounding whitespace, and wraps every contained match."""
+    if not len(spans):
+        return text[:max_chars]
+    spans = np.unique(spans)            # sorted, dedup stacked tokens
+    starts = (spans >> 32).astype(np.int64)
+    ends = (spans & 0xFFFFFFFF).astype(np.int64)
+    # window i covers matches [i, hi_i): those whose end fits in max_chars
+    his = np.searchsorted(ends, starts + max_chars, side="right")
+    counts = his - np.arange(len(spans))
+    best = int(np.argmax(counts))       # ties -> earliest passage
+    lo, hi = best, int(his[best])
+    w_start, w_end = int(starts[lo]), int(ends[hi - 1])
+    # widen to whitespace/text bounds without exceeding max_chars much
+    pad = max(0, (max_chars - (w_end - w_start)) // 2)
+    a = max(0, w_start - pad)
+    b = min(len(text), w_end + pad)
+    a = text.rfind(" ", 0, w_start) + 1 if w_start and a > 0 else a
+    sp = text.find(" ", w_end, b)
+    b = sp if sp != -1 else b
+    out, cur = [], a
+    for s, e in zip(starts[lo:hi], ends[lo:hi]):
+        out.append(text[cur:s])
+        out.append(pre + text[s:e] + post)
+        cur = int(e)
+    out.append(text[cur:b])
+    return "".join(out)
+
+
+def collect_offset_spans(searcher: IndexSearcher, qterms,
+                         ids) -> dict[int, list]:
+    """Per hit doc, the packed (start<<32)|end match spans of every query
+    term, straight off the postings' per-occurrence offsets (store_offsets
+    indexes). Empty lists when the index carries no offsets."""
+    id_arr = np.asarray(sorted(ids), dtype=np.int64)
+    spans: dict[int, list] = {int(d): [] for d in ids}
+    for sh in searcher.reader.shards:
+        have = set(sh.terms.tolist()) if len(sh.terms) else set()
+        for t in qterms:
+            if t not in have:
+                continue
+            docs, freqs, offs = sh.postings(t, with_positions=True,
+                                            payload_col="offsets")
+            if not len(docs) or not len(offs):
+                continue
+            hit = np.isin(docs, id_arr)
+            if not hit.any():
+                continue
+            occ_doc = np.repeat(docs, freqs)
+            occ_hit = np.repeat(hit, freqs)
+            for d, o in zip(occ_doc[occ_hit], offs[occ_hit]):
+                if o >= 0:              # -1 = keyword/analyzed-field term
+                    spans[int(d)].append(int(o))
+    return spans
+
+
+def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
+                              key_col: str, text_col: str, query: str,
+                              k: int = 10, max_chars: int = 160) -> pa.Table:
+    """search -> fetch stored -> snippet from INDEXED OFFSETS per hit.
+
+    The UnifiedHighlighter OffsetSource.POSTINGS path (uhighlight/
+    UnifiedHighlighter.java:132, postingshighlight/PostingsHighlighter.java:47):
+    match spans come straight off the postings' per-occurrence offsets
+    (store_offsets indexes), so no matched doc is ever re-analyzed — the
+    win the reference gets for large stored bodies. Falls back to the
+    re-analyze path per doc when a hit has no offset spans (e.g. index
+    built without store_offsets)."""
+    from .query import query_terms as qt
+
+    node = searcher._node(query)
+    res = searcher.search(node, k=k)
+    ids = res["doc_id"].to_pylist()
+    stored = fetch_stored(corpus_paths, key_col, ids,
+                          columns=[key_col, text_col])
+    lookup = dict(zip(stored[key_col].to_pylist(),
+                      stored[text_col].to_pylist()))
+    qterms = sorted(set(qt(node)))
+    spans = collect_offset_spans(searcher, qterms, ids)
+    snips = []
+    for d in ids:
+        text = lookup.get(d, "")
+        sp = spans.get(d) or []
+        if sp:
+            snips.append(passage_from_offsets(
+                text, np.asarray(sp, np.int64), max_chars))
+        else:
+            snips.append(highlight(text, set(qterms)))
+    return res.append_column("snippet", pa.array(snips, pa.string()))
+
+
 def more_like_this(searcher: IndexSearcher, doc_text: str, max_terms: int = 10,
                    min_df: int = 2, k: int = 10) -> pa.Table:
     """Build an OR query from the doc's top tf-idf terms and run it."""
