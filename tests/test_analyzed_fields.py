@@ -126,3 +126,25 @@ def test_field_phrase_parser_syntax(af_index):
     # composes with boolean syntax; scores are real BM25 (phrase weight)
     t = s.search('title:"deep learning" OR ka', k=10)
     assert 1 in t["doc_id"].to_pylist()
+
+
+def test_field_spans(af_index):
+    """SpanNear over analyzed-field terms: field-local positions drive the
+    window logic (spans are per-field in the reference too —
+    SpanTermQuery.java's field comes from its term; SpanNearQuery requires
+    all clauses share one field)."""
+    from lucene_solr_ray.search.query import SpanNear, SpanTerm
+
+    s = IndexSearcher(af_index)
+    # "ray tracing deep dive" (doc 2): ordered ray->deep within slop 1
+    q = SpanNear((SpanTerm("title:ray"), SpanTerm("title:deep")),
+                 slop=1, in_order=True)
+    assert s.search(q, k=10)["doc_id"].to_pylist() == [2]
+    # slop 0 excludes it (one intervening position)
+    q0 = SpanNear((SpanTerm("title:ray"), SpanTerm("title:deep")),
+                  slop=0, in_order=True)
+    assert s.search(q0, k=10).num_rows == 0
+    # unordered: "deep learning" (doc 1) matches deep..learning either way
+    qu = SpanNear((SpanTerm("title:learning"), SpanTerm("title:deep")),
+                  slop=0, in_order=False)
+    assert s.search(qu, k=10)["doc_id"].to_pylist() == [1]
