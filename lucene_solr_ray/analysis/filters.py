@@ -1,0 +1,156 @@
+"""Token-filter library (the reference's analysis/common filter zoo,
+lucene/analysis/common/src/java/org/apache/lucene/analysis/*).
+
+Each filter is a plain ``str -> str | None`` function (None = drop the
+token, leaving a position hole exactly like StopFilter / the reference's
+FilteringTokenFilter with enablePositionIncrements). A configured chain
+(`IndexBuildConfig.token_filters`) composes them in declared order and
+runs BETWEEN the stop filter and the stemmer, index- and query-side alike.
+
+Spec grammar (JSON-manifest-safe: tuples or lists):
+
+    token_filters=("trim", "english_possessive",
+                   ("length", 2, 64),
+                   ("pattern_replace", r"[0-9]+", "#"),
+                   ("truncate", 12))
+
+Edge n-grams are NOT in the 1:1 chain — they multiply tokens, so they run
+as posInc-0 stacked insertions at assembly time (`IndexBuildConfig.
+edge_ngram`); see build.py.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable
+
+# EnglishPossessiveFilter.java:54 — trailing 's / ’s / ＇s removed
+# (apostrophe variants U+0027, U+2019, U+FF07)
+_POSSESSIVE = ("'s", "’s", "＇s")
+
+
+def trim_filter(w: str) -> str:
+    """TrimFilter.java:36 — strip leading/trailing whitespace."""
+    return w.strip()
+
+
+def english_possessive(w: str) -> str:
+    """EnglishPossessiveFilter.java:54 — drop a trailing possessive 's."""
+    if len(w) >= 2 and w[-1] in "sS" and w[-2] in "'’＇":
+        return w[:-2]
+    return w
+
+
+def decimal_digit(w: str) -> str:
+    """DecimalDigitFilter.java:42 — fold any Unicode decimal digit to
+    its 0-9 equivalent (Arabic-Indic, Devanagari, fullwidth, ...)."""
+    if w.isascii():
+        return w
+    out = []
+    for ch in w:
+        d = unicodedata.decimal(ch, None)
+        out.append(chr(ord("0") + d) if d is not None else ch)
+    return "".join(out)
+
+
+def reverse_filter(w: str) -> str:
+    """ReverseStringFilter.java:54 — reverse the token (the leading-
+    wildcard trick: index reversed terms, rewrite *foo -> oof*)."""
+    return w[::-1]
+
+
+def make_length(min_len: int, max_len: int) -> Callable[[str], str | None]:
+    """LengthFilter.java:41 — drop tokens outside [min_len, max_len];
+    position holes are kept (FilteringTokenFilter semantics)."""
+    def length_filter(w: str) -> str | None:
+        return w if min_len <= len(w) <= max_len else None
+    return length_filter
+
+
+def make_truncate(length: int) -> Callable[[str], str]:
+    """TruncateTokenFilter.java:39 — cut tokens to a fixed prefix."""
+    def truncate_filter(w: str) -> str:
+        return w[:length]
+    return truncate_filter
+
+
+def make_pattern_replace(pattern: str, repl: str,
+                         all_matches: bool = True) -> Callable[[str], str]:
+    """PatternReplaceFilter.java:46 — regex replace within each token."""
+    rx = re.compile(pattern)
+    def pattern_replace(w: str) -> str:
+        return rx.sub(repl, w) if all_matches else rx.sub(repl, w, count=1)
+    return pattern_replace
+
+
+def ascii_fold_filter(w: str) -> str:
+    """ASCIIFoldingFilter role (delegates to the existing fold)."""
+    from .analyzers import ascii_fold
+
+    return ascii_fold(w)
+
+
+# name -> (factory?, n_args). Plain functions take no config args.
+_PLAIN = {
+    "trim": trim_filter,
+    "english_possessive": english_possessive,
+    "decimal_digit": decimal_digit,
+    "reverse": reverse_filter,
+    "ascii_fold": ascii_fold_filter,
+}
+_FACTORY = {
+    "length": make_length,
+    "truncate": make_truncate,
+    "pattern_replace": make_pattern_replace,
+}
+# filters that can return None (drop): used to pick the vectorized
+# uniques-only application (1:1 chains) vs the in-loop drop path
+_DROPPING = {"length"}
+
+
+def build_chain(spec) -> tuple[Callable[[str], str | None] | None, bool]:
+    """Compose a filter spec -> (chain_fn, has_drops).
+
+    chain_fn is None for an empty spec. has_drops is True when any filter
+    may emit None (token removal -> doclen/positions must be re-derived,
+    the slow per-doc path)."""
+    if not spec:
+        return None, False
+    fns = []
+    has_drops = False
+    for entry in spec:
+        if isinstance(entry, str):
+            name, args = entry, ()
+        else:
+            name, args = entry[0], tuple(entry[1:])
+        if name in _PLAIN:
+            if args:
+                raise ValueError(f"filter {name!r} takes no arguments")
+            fns.append(_PLAIN[name])
+        elif name in _FACTORY:
+            fns.append(_FACTORY[name](*args))
+        else:
+            raise ValueError(
+                f"unknown token filter {name!r}; options: "
+                f"{sorted(_PLAIN) + sorted(_FACTORY)}")
+        has_drops = has_drops or name in _DROPPING
+    if len(fns) == 1:
+        return fns[0], has_drops
+
+    def chain(w: str) -> str | None:
+        for f in fns:
+            w = f(w)
+            if w is None:
+                return None
+        return w
+    return chain, has_drops
+
+
+def edge_grams(term: str, min_gram: int, max_gram: int) -> list[str]:
+    """EdgeNGramTokenFilter.java:39 grams of one token, EXCLUDING the full
+    term itself (the original token is always kept — preserveOriginal
+    semantics, the standard search-as-you-type config; all grams stack at
+    the token's position as posInc-0 insertions)."""
+    hi = min(max_gram, len(term) - 1)
+    return [term[:g] for g in range(min_gram, hi + 1)]

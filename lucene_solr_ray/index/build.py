@@ -175,6 +175,17 @@ class IndexBuildConfig:
     # docvalues (forced in __post_init__) — the value source the points
     # build sorts from, and the IndexOrDocValues alternative plan.
     points_fields: tuple = ()
+    # token-filter chain (analysis/common filter zoo): names or
+    # (name, *args) entries from analysis/filters.py, run between the stop
+    # filter and the stemmer on the TEXT field (index- and query-side).
+    # e.g. ("trim", "english_possessive", ("length", 2, 64))
+    token_filters: tuple = ()
+    # EdgeNGramTokenFilter (min_gram, max_gram): every indexed TEXT token
+    # additionally emits its leading grams as posInc-0 stacked insertions
+    # (preserveOriginal search-as-you-type config; grams shorter than the
+    # token only). Query side is untouched: a prefix typed by a user is a
+    # plain TermQuery against the grams — the point of the filter.
+    edge_ngram: tuple = ()
     # analysis-chain extensions (SURVEY.md §2.2): optional stemmer
     # ("porter" | "minimal_english", en/PorterStemFilter.java:56 role) and
     # index-time synonym groups ("a,b,c" strings; every member of a group
@@ -211,6 +222,14 @@ class IndexBuildConfig:
             # the reference's IndexOptions enum has no offsets-without-
             # positions level either (IndexOptions.java:24-41)
             raise ValueError("store_offsets requires store_positions")
+        if self.token_filters:
+            from ..analysis.filters import build_chain
+
+            build_chain(self.token_filters)   # validate names/args early
+        if self.edge_ngram:
+            lo, hi = self.edge_ngram
+            if not (1 <= lo <= hi):
+                raise ValueError("edge_ngram wants 1 <= min_gram <= max_gram")
         if self.points_fields:
             self.docvalues_fields = tuple(self.docvalues_fields) + tuple(
                 f for f in self.points_fields if f not in self.docvalues_fields
@@ -245,9 +264,13 @@ class TokenizeExplode:
         self.sub_span = cfg["head_sub_span"]
         self.store_positions = cfg["store_positions"]
         self.store_offsets = bool(cfg.get("store_offsets"))
+        from ..analysis.filters import build_chain
         from ..analysis.stem import get_stemmer
 
         self.stem = get_stemmer(cfg.get("stemmer"))
+        self.tf_chain, self.tf_drops = build_chain(cfg.get("token_filters"))
+        eg = cfg.get("edge_ngram") or ()
+        self.edge_ngram = (int(eg[0]), int(eg[1])) if eg else None
         syn: dict[str, tuple] = {}
         for group in cfg.get("synonyms") or ():
             members = [m.strip() for m in group.split(",") if m.strip()]
@@ -301,7 +324,11 @@ class TokenizeExplode:
         wd_doc: list[int] = []
         wd_pos: list[int] = []
         wd_off: list[int] = []   # parts inherit the whole token's offsets
-        use_fast = not self.stop and not wdg and not so
+        # a drop-capable filter chain (length) removes tokens -> doclens and
+        # positions must come from the explicit slow path; 1:1 chains apply
+        # vectorized on factorized uniques after the loop instead
+        use_fast = not self.stop and not wdg and not so and not self.tf_drops
+        drop_ch = self.tf_chain if self.tf_drops else None
         if wdg:
             from ..analysis import word_delimiter_parts
             from ..analysis.lowercase import java_lower
@@ -310,6 +337,8 @@ class TokenizeExplode:
         if so and not wdg:
             from ..analysis.analyzers import standard_analyzer_offsets
         for i, text in enumerate(texts):
+            positions = None
+            offs_doc = None
             if wdg:
                 # case information feeds the splitter, so the pre-lowercase
                 # tokenizer output is needed here
@@ -319,11 +348,20 @@ class TokenizeExplode:
                     offs_doc = [(s << 32) | e for s, e in zip(t_s, t_e)]
                 else:
                     raw, positions = standard_tokenize(text or "")
-                    offs_doc = None
                 low = [java_lower(t) for t in raw]
                 if self.stop:
                     keep = [t not in self.stop for t in low]
                     low = [t for t, k in zip(low, keep) if k]
+                    positions = [p for p, k in zip(positions, keep) if k]
+                    raw = [r for r, k in zip(raw, keep) if k]
+                    if so:
+                        offs_doc = [o for o, k in zip(offs_doc, keep) if k]
+                if drop_ch is not None:
+                    # chain runs before WDGF part emission: dropped tokens
+                    # emit no parts (position holes kept, StopFilter-style)
+                    mapped = [drop_ch(t) for t in low]
+                    keep = [m is not None for m in mapped]
+                    low = [m for m in mapped if m is not None]
                     positions = [p for p, k in zip(positions, keep) if k]
                     raw = [r for r, k in zip(raw, keep) if k]
                     if so:
@@ -336,19 +374,29 @@ class TokenizeExplode:
                         if so:
                             wd_off.append(offs_doc[j])
                 terms = low
-                fallback_pos[i] = positions
-                if so:
-                    flat_offs.extend(offs_doc)
             elif so:
                 terms, positions, t_s, t_e = standard_analyzer_offsets(
                     text or "", self.stop)
-                fallback_pos[i] = positions
-                flat_offs.extend((s << 32) | e for s, e in zip(t_s, t_e))
+                offs_doc = [(s << 32) | e for s, e in zip(t_s, t_e)]
+                if drop_ch is not None:
+                    mapped = [drop_ch(t) for t in terms]
+                    keep = [m is not None for m in mapped]
+                    terms = [m for m in mapped if m is not None]
+                    positions = [p for p, k in zip(positions, keep) if k]
+                    offs_doc = [o for o, k in zip(offs_doc, keep) if k]
             else:
                 terms = analyze_fast(text or "") if use_fast else None
                 if terms is None:
                     terms, positions = standard_analyzer(text or "", self.stop)
-                    fallback_pos[i] = positions
+                    if drop_ch is not None:
+                        mapped = [drop_ch(t) for t in terms]
+                        keep = [m is not None for m in mapped]
+                        terms = [m for m in mapped if m is not None]
+                        positions = [p for p, k in zip(positions, keep) if k]
+            if positions is not None:
+                fallback_pos[i] = positions
+            if so:
+                flat_offs.extend(offs_doc)
             flat_terms.extend(terms)
             doclens[i] = len(terms)
 
@@ -430,12 +478,17 @@ class TokenizeExplode:
         # --- assemble the token stream: text [+ synonym insertions] [+ kw]
         n_text = int(doclens.sum())
         text_arr = np.asarray(flat_terms, dtype=object)
-        if self.stem is not None and n_text:
-            # stem each UNIQUE token once per batch (stemming is 1:1, so
-            # doclen/norms/positions are unaffected)
+        chain_11 = self.tf_chain if not self.tf_drops else None
+        if (self.stem is not None or chain_11 is not None) and n_text:
+            # apply the 1:1 filter chain, then the stemmer, each on UNIQUE
+            # tokens once per batch (1:1 transforms leave doclen/norms/
+            # positions untouched; chain order = stop -> filters -> stem)
             c, u = pd.factorize(text_arr)
-            u2 = np.array([self.stem(x) for x in u], dtype=object)
-            text_arr = u2[c]
+            if chain_11 is not None:
+                u = np.array([chain_11(x) for x in u], dtype=object)
+            if self.stem is not None:
+                u = np.array([self.stem(x) for x in u], dtype=object)
+            text_arr = u[c]
         doc_idx_text = np.repeat(np.arange(len(texts), dtype=np.int32), doclens)
         doc_offsets = np.concatenate([[0], np.cumsum(doclens)])
         # implicit positions 0..n-1 per doc; fallback docs overwrite
@@ -466,16 +519,61 @@ class TokenizeExplode:
                         syn_off_parts.append(off_text[occ])
         n_syn = len(syn_terms)
 
+        # EdgeNGram insertions (EdgeNGramTokenFilter.java:39): each final
+        # text token additionally emits its leading grams, stacked at the
+        # token's position (posInc 0, zero length contribution like
+        # synonyms). Vectorized: occurrences grouped per unique via one
+        # argsort; only the per-unique gram strings are Python.
+        eg_terms: list = []
+        eg_doc_parts: list = []
+        eg_pos_parts: list = []
+        eg_off_parts: list = []
+        if self.edge_ngram and n_text:
+            from ..analysis.filters import edge_grams
+
+            lo_g, hi_g = self.edge_ngram
+            c_eg, u_eg = pd.factorize(text_arr)
+            order_eg = np.argsort(c_eg, kind="stable")
+            counts_eg = np.bincount(c_eg, minlength=len(u_eg))
+            starts_eg = np.concatenate([[0], np.cumsum(counts_eg)])
+            for k, term in enumerate(u_eg):
+                grams = edge_grams(term, lo_g, hi_g)
+                if not grams:
+                    continue
+                occ = order_eg[starts_eg[k]:starts_eg[k + 1]]
+                occ_rep = np.repeat(occ, len(grams))
+                eg_terms.extend(grams * len(occ))
+                eg_doc_parts.append(doc_idx_text[occ_rep])
+                eg_pos_parts.append(text_pos[occ_rep])
+                if so:
+                    eg_off_parts.append(off_text[occ_rep])
+        n_eg = len(eg_terms)
+
+        if wd_terms and self.tf_chain is not None:
+            # WDGF parts run through the same filter chain as the main
+            # stream (the reference chains filters after WDGF's output)
+            mapped = [self.tf_chain(t) for t in wd_terms]
+            if self.tf_drops:
+                keep = [m is not None for m in mapped]
+                wd_terms = [m for m in mapped if m is not None]
+                wd_doc = [d for d, k in zip(wd_doc, keep) if k]
+                wd_pos = [p for p, k in zip(wd_pos, keep) if k]
+                if so:
+                    wd_off = [o for o, k in zip(wd_off, keep) if k]
+            else:
+                wd_terms = mapped
         if wd_terms and self.stem is not None:
             # the reference chains WDGF before the stemmer: parts stem too
             wd_terms = [self.stem(t) for t in wd_terms]
         n_wd = len(wd_terms)
         n_af = sum(len(p[0]) for p in af_parts)
-        n_tok = n_text + n_syn + len(kw_terms) + n_wd + n_af
+        n_tok = n_text + n_syn + n_eg + len(kw_terms) + n_wd + n_af
         if n_tok:
             all_parts = [text_arr]
             if n_syn:
                 all_parts.append(np.asarray(syn_terms, dtype=object))
+            if n_eg:
+                all_parts.append(np.asarray(eg_terms, dtype=object))
             if n_wd:
                 all_parts.append(np.asarray(wd_terms, dtype=object))
             if kw_terms:
@@ -485,6 +583,7 @@ class TokenizeExplode:
             doc_idx = np.concatenate(
                 [doc_idx_text]
                 + (syn_doc_parts if n_syn else [])
+                + (eg_doc_parts if n_eg else [])
                 + ([np.asarray(wd_doc, np.int32)] if n_wd else [])
                 + ([np.asarray(kw_doc, np.int32)] if kw_terms else [])
                 + [p[1] for p in af_parts]
@@ -492,6 +591,7 @@ class TokenizeExplode:
             flat_pos = np.concatenate(
                 [text_pos]
                 + (syn_pos_parts if n_syn else [])
+                + (eg_pos_parts if n_eg else [])
                 + ([np.asarray(wd_pos, np.int32)] if n_wd else [])
                 + ([np.zeros(len(kw_terms), np.int32)] if kw_terms else [])
                 + [p[2] for p in af_parts]
@@ -502,17 +602,19 @@ class TokenizeExplode:
                 flat_off = np.concatenate(
                     [off_text]
                     + (syn_off_parts if n_syn else [])
+                    + (eg_off_parts if n_eg else [])
                     + ([np.asarray(wd_off, np.int64)] if n_wd else [])
                     + ([np.full(len(kw_terms), -1, np.int64)]
                        if kw_terms else [])
                     + [np.full(len(p[0]), -1, np.int64) for p in af_parts]
                 ).astype(np.int64)
-            # per-token norm byte: text/synonym/word-delimiter/keyword
-            # tokens carry the TEXT field's norm; analyzed-field tokens
-            # carry THEIR field's
+            # per-token norm byte: text/synonym/edge-gram/word-delimiter/
+            # keyword tokens carry the TEXT field's norm; analyzed-field
+            # tokens carry THEIR field's
             flat_norm = np.concatenate(
                 [norm_bytes[doc_idx_text]]
                 + ([norm_bytes[np.concatenate(syn_doc_parts)]] if n_syn else [])
+                + ([norm_bytes[np.concatenate(eg_doc_parts)]] if n_eg else [])
                 + ([norm_bytes[np.asarray(wd_doc, np.int64)]] if n_wd else [])
                 + ([norm_bytes[np.asarray(kw_doc, np.int64)]] if kw_terms else [])
                 + [p[3] for p in af_parts]

@@ -78,6 +78,25 @@ class IndexSearcher:
             (self.reader.manifest.get("config") or {}).get("stemmer")
         )
 
+    @property
+    def _token_filter(self):
+        """The index's token-filter chain as a 1:1 query-term transform.
+
+        A term the chain DROPS (e.g. length-filtered) keeps its original
+        text: the indexed stream no longer contains it, so the term query
+        naturally matches nothing — the reference's query-analysis drop."""
+        from ..analysis.filters import build_chain
+
+        ch, _ = build_chain(
+            (self.reader.manifest.get("config") or {}).get("token_filters"))
+        if ch is None:
+            return None
+
+        def fn(t: str) -> str:
+            r = ch(t)
+            return t if r is None else r
+        return fn
+
     def _rewrite_analyzed_fields(self, node):
         """'field:value' over an ANALYZED field becomes a SCORED analyzed
         node (the reference's QueryParser runs the field's analyzer on the
@@ -156,6 +175,8 @@ class IndexSearcher:
 
         node = parse_query(query) if isinstance(query, str) else query
         node = self._rewrite_analyzed_fields(node)
+        # index chain order: stop -> token_filters -> stemmer; mirror it
+        node = apply_stemmer(node, self._token_filter)
         node = apply_stemmer(node, self._stemmer)
         from .multiterm import expand_terms, rewrite
         from .query import Fuzzy
