@@ -379,11 +379,14 @@ class DistributedSearcher:
         reader = IndexReader(index_dir)
         self.doc_count = reader.doc_count
         self.sum_ttf = reader.sum_total_term_freq
+        from ..analysis.filters import build_chain
         from ..analysis.stem import get_stemmer
 
-        self._stem = get_stemmer(
-            (reader.manifest.get("config") or {}).get("stemmer")
-        )
+        mcfg = reader.manifest.get("config") or {}
+        self._stem = get_stemmer(mcfg.get("stemmer"))
+        ch, _ = build_chain(mcfg.get("token_filters"))
+        self._tf = (lambda t: (r if (r := ch(t)) is not None else t)) \
+            if ch is not None else None
         shard_ids = list(reader.shard_ids)
         num_actors = min(num_actors, max(1, len(shard_ids)))
         assign = [shard_ids[i::num_actors] for i in range(num_actors)]
@@ -408,6 +411,8 @@ class DistributedSearcher:
         node = parse_query(query) if isinstance(query, str) else query
         from .query import apply_stemmer
 
+        # mirror the index chain order: token_filters then stemmer
+        node = apply_stemmer(node, self._tf)
         node = apply_stemmer(node, self._stem)
 
         from .multiterm import rewrite

@@ -189,3 +189,11 @@ def test_config_validation():
         IndexBuildConfig(token_filters=("bogus",))
     with pytest.raises(ValueError):
         IndexBuildConfig(edge_ngram=(3, 2))
+
+
+def test_distributed_searcher_mirrors_chain(tf_idx):
+    from lucene_solr_ray.search.searcher import DistributedSearcher
+
+    d = DistributedSearcher(tf_idx, num_actors=2)
+    assert d.search("john's", k=5)["doc_id"].to_pylist() == [0]
+    assert d.search("john", k=5)["doc_id"].to_pylist() == [0]
