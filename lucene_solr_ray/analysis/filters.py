@@ -84,6 +84,38 @@ def make_pattern_replace(pattern: str, repl: str,
     return pattern_replace
 
 
+_SOUNDEX_MAP = {}
+for _chars, _d in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                   ("l", "4"), ("mn", "5"), ("r", "6")):
+    for _c in _chars:
+        _SOUNDEX_MAP[_c] = _d
+        _SOUNDEX_MAP[_c.upper()] = _d
+
+
+def soundex_filter(w: str) -> str:
+    """American Soundex (the reference's PhoneticFilter + commons-codec
+    Soundex, analysis/phonetic/PhoneticFilter.java:36, in replace mode):
+    first letter + 3 digits; h/w transparent between same codes, vowels
+    separate. Tokens with no letter pass through unchanged."""
+    letters = [c for c in w if c.isalpha()]
+    if not letters:
+        return w
+    first = letters[0]
+    prev = _SOUNDEX_MAP.get(first, "")
+    codes: list[str] = []
+    for ch in letters[1:]:
+        if ch in "hwHW":
+            continue                    # transparent: prev code persists
+        d = _SOUNDEX_MAP.get(ch)
+        if d is None:                   # vowel (or non-ASCII): separator
+            prev = ""
+            continue
+        if d != prev:
+            codes.append(d)
+        prev = d
+    return (first.lower() + "".join(codes) + "000")[:4]
+
+
 def ascii_fold_filter(w: str) -> str:
     """ASCIIFoldingFilter role (delegates to the existing fold)."""
     from .analyzers import ascii_fold
@@ -98,6 +130,7 @@ _PLAIN = {
     "decimal_digit": decimal_digit,
     "reverse": reverse_filter,
     "ascii_fold": ascii_fold_filter,
+    "soundex": soundex_filter,
 }
 _FACTORY = {
     "length": make_length,

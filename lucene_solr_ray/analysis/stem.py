@@ -193,3 +193,19 @@ def get_stemmer(name: str | None):
         return STEMMERS[name]
     except KeyError:
         raise ValueError(f"unknown stemmer {name!r}; options: {sorted(STEMMERS)}")
+
+
+def get_stemmer_cfg(cfg: dict):
+    """Stemmer from a build-config dict, honoring ``protected_words`` —
+    the (Set)KeywordMarkerFilter role (miscellaneous/
+    SetKeywordMarkerFilter.java:32: marked tokens skip every stemmer
+    downstream). Used by the build AND both query-side mirrors so a
+    protected word round-trips identically."""
+    stem = get_stemmer(cfg.get("stemmer"))
+    prot = frozenset(cfg.get("protected_words") or ())
+    if stem is None or not prot:
+        return stem
+
+    def protected_stem(w: str) -> str:
+        return w if w in prot else stem(w)
+    return protected_stem

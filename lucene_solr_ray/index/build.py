@@ -180,6 +180,9 @@ class IndexBuildConfig:
     # filter and the stemmer on the TEXT field (index- and query-side).
     # e.g. ("trim", "english_possessive", ("length", 2, 64))
     token_filters: tuple = ()
+    # (Set)KeywordMarkerFilter: these words skip the stemmer, index- and
+    # query-side (SetKeywordMarkerFilter.java:32)
+    protected_words: tuple = ()
     # EdgeNGramTokenFilter (min_gram, max_gram): every indexed TEXT token
     # additionally emits its leading grams as posInc-0 stacked insertions
     # (preserveOriginal search-as-you-type config; grams shorter than the
@@ -265,9 +268,9 @@ class TokenizeExplode:
         self.store_positions = cfg["store_positions"]
         self.store_offsets = bool(cfg.get("store_offsets"))
         from ..analysis.filters import build_chain
-        from ..analysis.stem import get_stemmer
+        from ..analysis.stem import get_stemmer, get_stemmer_cfg
 
-        self.stem = get_stemmer(cfg.get("stemmer"))
+        self.stem = get_stemmer_cfg(cfg)
         self.tf_chain, self.tf_drops = build_chain(cfg.get("token_filters"))
         eg = cfg.get("edge_ngram") or ()
         self.edge_ngram = (int(eg[0]), int(eg[1])) if eg else None

@@ -72,11 +72,9 @@ class IndexSearcher:
 
     @property
     def _stemmer(self):
-        from ..analysis.stem import get_stemmer
+        from ..analysis.stem import get_stemmer_cfg
 
-        return get_stemmer(
-            (self.reader.manifest.get("config") or {}).get("stemmer")
-        )
+        return get_stemmer_cfg(self.reader.manifest.get("config") or {})
 
     @property
     def _token_filter(self):
@@ -380,10 +378,10 @@ class DistributedSearcher:
         self.doc_count = reader.doc_count
         self.sum_ttf = reader.sum_total_term_freq
         from ..analysis.filters import build_chain
-        from ..analysis.stem import get_stemmer
+        from ..analysis.stem import get_stemmer_cfg
 
         mcfg = reader.manifest.get("config") or {}
-        self._stem = get_stemmer(mcfg.get("stemmer"))
+        self._stem = get_stemmer_cfg(mcfg)
         ch, _ = build_chain(mcfg.get("token_filters"))
         self._tf = (lambda t: (r if (r := ch(t)) is not None else t)) \
             if ch is not None else None

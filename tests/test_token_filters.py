@@ -197,3 +197,49 @@ def test_distributed_searcher_mirrors_chain(tf_idx):
     d = DistributedSearcher(tf_idx, num_actors=2)
     assert d.search("john's", k=5)["doc_id"].to_pylist() == [0]
     assert d.search("john", k=5)["doc_id"].to_pylist() == [0]
+
+
+def test_soundex_classic_vectors():
+    from lucene_solr_ray.analysis.filters import soundex_filter
+
+    # the canonical American-Soundex test set (h/w transparency, vowel
+    # separation, first-letter code suppression)
+    assert soundex_filter("robert") == "r163"
+    assert soundex_filter("rupert") == "r163"
+    assert soundex_filter("ashcraft") == "a261"
+    assert soundex_filter("ashcroft") == "a261"
+    assert soundex_filter("tymczak") == "t522"
+    assert soundex_filter("pfister") == "p236"
+    assert soundex_filter("honeyman") == "h555"
+    assert soundex_filter("123") == "123"       # no letters: pass-through
+
+
+def test_soundex_phonetic_search(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("sx")
+    p = _write(tmp, ["robert called", "rupert answered", "nobody home"])
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=2, token_filters=("soundex",)))
+    s = IndexSearcher(idx)
+    # phonetic match: either spelling finds both docs
+    assert set(s.search("robert", k=5)["doc_id"].to_pylist()) == {0, 1}
+    assert set(s.search("rupert", k=5)["doc_id"].to_pylist()) == {0, 1}
+
+
+def test_protected_words_skip_stemmer(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("kwm")
+    p = _write(tmp, ["searching the archives", "maths class"])
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=2, stemmer="porter",
+        protected_words=("maths",)))
+    from lucene_solr_ray.index.reader import ShardReader
+
+    r = ShardReader(idx, 0)
+    terms = set(r.terms.tolist())
+    assert "maths" in terms          # protected: NOT stemmed to "math"
+    assert "search" in terms         # unprotected: porter-stemmed
+    s = IndexSearcher(idx)
+    # query side honors the same marker set
+    assert s.search("maths", k=5)["doc_id"].to_pylist() == [1]
+    assert s.search("searching", k=5)["doc_id"].to_pylist() == [0]
