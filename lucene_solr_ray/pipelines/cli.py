@@ -85,6 +85,21 @@ def main(argv=None):
                    help="unique-key field for json/csv corpora")
     b.add_argument("--dedup-recrawls", action="store_true",
                    help="keep only the newest warc_ts per url before indexing")
+    # analysis-chain config (the Solr schema.xml fieldType role)
+    b.add_argument("--stemmer", default=None,
+                   help="porter | minimal_english")
+    b.add_argument("--stopwords", default=None,
+                   help="comma-separated stop words")
+    b.add_argument("--protected-words", default=None,
+                   help="comma-separated words that skip the stemmer")
+    b.add_argument("--token-filters", default=None,
+                   help='JSON filter chain, e.g. '
+                        '\'["trim", ["length", 2, 64]]\'')
+    b.add_argument("--edge-ngram", default=None, metavar="MIN,MAX",
+                   help="index leading grams for search-as-you-type")
+    b.add_argument("--store-offsets", action="store_true",
+                   help="index per-occurrence char offsets "
+                        "(postings-offset highlighting)")
 
     a = sub.add_parser("append")
     a.add_argument("--corpus", required=True)
@@ -123,9 +138,23 @@ def main(argv=None):
             from .flagship import dedup_recrawls
 
             paths = dedup_recrawls(paths, os.path.join(args.index_dir, "deduped"))
+        def _csv(v):
+            return tuple(x.strip() for x in v.split(",") if x.strip()) \
+                if v else ()
+
+        tf = tuple(
+            tuple(e) if isinstance(e, list) else e
+            for e in json.loads(args.token_filters)
+        ) if args.token_filters else ()
+        eg = tuple(int(x) for x in args.edge_ngram.split(",")) \
+            if args.edge_ngram else ()
         cfg = IndexBuildConfig(
             num_shards=args.num_shards, num_buckets=args.num_buckets,
             html_col=args.html_col,
+            stemmer=args.stemmer, stopwords=_csv(args.stopwords),
+            protected_words=_csv(args.protected_words),
+            token_filters=tf, edge_ngram=eg,
+            store_offsets=args.store_offsets,
         )
         m = build_index(paths, args.index_dir, key_col=args.key_col,
                         text_col=args.text_col, cfg=cfg)

@@ -79,3 +79,31 @@ def test_read_line_docs(tmp_path, ray_session):
     assert list(df["title"]) == ["Title One", "Title Two"]
     assert df["text"][0] == "the quick brown fox"
     assert df["doc_id"].nunique() == 2
+
+
+def test_cli_analysis_config_flags(tmp_path, ray_session, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines import cli
+
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["John's searching tool",
+                          "the searcher found maths"])}), corpus)
+    idx = str(tmp_path / "idx")
+    cli.main(["build", "--corpus", corpus, "--index-dir", idx,
+              "--num-shards", "2", "--num-buckets", "4",
+              "--stemmer", "porter", "--protected-words", "maths",
+              "--token-filters", '["english_possessive", ["length", 2, 64]]',
+              "--store-offsets"])
+    capsys.readouterr()
+    cli.main(["search", "--index-dir", idx, "--query", "john's", "-k", "3"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["doc_id"] for r in out] == [0]
+    cli.main(["search", "--index-dir", idx, "--query", "maths", "-k", "3"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["doc_id"] for r in out] == [1]
