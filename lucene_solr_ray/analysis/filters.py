@@ -75,6 +75,18 @@ def make_truncate(length: int) -> Callable[[str], str]:
     return truncate_filter
 
 
+def make_keep_words(words) -> Callable[[str], str | None]:
+    """KeepWordFilter.java:33 — the inverse stop filter: drop every token
+    NOT in the keep set (position holes kept)."""
+    keep = frozenset(
+        w.strip() for w in (words.split(",") if isinstance(words, str)
+                            else words) if w.strip())
+
+    def keep_words(w: str) -> str | None:
+        return w if w in keep else None
+    return keep_words
+
+
 def make_pattern_replace(pattern: str, repl: str,
                          all_matches: bool = True) -> Callable[[str], str]:
     """PatternReplaceFilter.java:46 — regex replace within each token."""
@@ -134,12 +146,13 @@ _PLAIN = {
 }
 _FACTORY = {
     "length": make_length,
+    "keep_words": make_keep_words,
     "truncate": make_truncate,
     "pattern_replace": make_pattern_replace,
 }
 # filters that can return None (drop): used to pick the vectorized
 # uniques-only application (1:1 chains) vs the in-loop drop path
-_DROPPING = {"length"}
+_DROPPING = {"length", "keep_words"}
 
 
 def build_chain(spec) -> tuple[Callable[[str], str | None] | None, bool]:

@@ -243,3 +243,20 @@ def test_protected_words_skip_stemmer(tmp_path_factory, ray_session):
     # query side honors the same marker set
     assert s.search("maths", k=5)["doc_id"].to_pylist() == [1]
     assert s.search("searching", k=5)["doc_id"].to_pylist() == [0]
+
+
+def test_keep_words_filter(tmp_path_factory, ray_session):
+    from lucene_solr_ray.analysis.filters import build_chain
+
+    ch, drops = build_chain((("keep_words", "fox,dog"),))
+    assert drops
+    assert ch("fox") == "fox" and ch("cat") is None
+    tmp = tmp_path_factory.mktemp("kw")
+    p = _write(tmp, ["fox dog cat", "cat only here"])
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=2,
+        token_filters=(("keep_words", "fox,dog"),)))
+    s = IndexSearcher(idx)
+    assert s.count("fox") == 1
+    assert s.count("cat") == 0       # not in the keep set -> never indexed
