@@ -282,7 +282,9 @@ class TokenizeExplode:
                 if others:
                     syn[m] = tuple(sorted(set(syn.get(m, ())) | set(others)))
         self.syn = syn
-        # per-field analyzer chains: (column, stemmer_fn, stop_frozenset)
+        # per-field analyzer chains:
+        # (column, stemmer_fn, stop_frozenset, filter_chain, chain_drops)
+        # — entry format (col[, stemmer[, stopwords_csv[, filter_spec]]])
         self.analyzed: list[tuple] = []
         for entry in cfg.get("analyzed_fields") or ():
             col = entry[0]
@@ -291,7 +293,9 @@ class TokenizeExplode:
                 s.strip() for s in (entry[2] if len(entry) > 2 else "").split(",")
                 if s.strip()
             ) or None
-            self.analyzed.append((col, get_stemmer(stem_name), stops))
+            f_ch, f_drops = build_chain(entry[3] if len(entry) > 3 else ())
+            self.analyzed.append(
+                (col, get_stemmer(stem_name), stops, f_ch, f_drops))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -440,15 +444,22 @@ class TokenizeExplode:
         # and per-field BM25 stats.
         af_parts: list[tuple] = []  # (terms_arr, doc_idx, pos, norm_bytes_tok)
         fdl_vals: dict[str, np.ndarray] = {}
-        for col, stem_f, stop_f in self.analyzed:
+        for col, stem_f, stop_f, f_ch, f_drops in self.analyzed:
             ftexts = batch[col].to_pylist()
             f_terms: list[str] = []
             f_pos_fallback: dict[int, list[int]] = {}
             f_lens = np.zeros(len(ftexts), dtype=np.int64)
+            f_fast = stop_f is None and not f_drops
             for i, text in enumerate(ftexts):
-                terms = analyze_fast(text or "") if stop_f is None else None
+                terms = analyze_fast(text or "") if f_fast else None
                 if terms is None:
                     terms, positions = standard_analyzer(text or "", stop_f)
+                    if f_drops:
+                        # drop-capable per-field chain: position holes kept
+                        kept = [(f_ch(t), p) for t, p in zip(terms, positions)]
+                        kept = [(t2, p) for t2, p in kept if t2 is not None]
+                        terms = [t2 for t2, _ in kept]
+                        positions = [p for _, p in kept]
                     f_pos_fallback[i] = positions
                 f_terms.extend(terms)
                 f_lens[i] = len(terms)
@@ -461,10 +472,14 @@ class TokenizeExplode:
             if not n_f:
                 continue
             arr = np.asarray(f_terms, dtype=object)
-            if stem_f is not None:
+            if (f_ch is not None and not f_drops) or stem_f is not None:
+                # per-field 1:1 chain then stemmer, on uniques
                 c, u = pd.factorize(arr)
-                u2 = np.array([stem_f(x) for x in u], dtype=object)
-                arr = u2[c]
+                if f_ch is not None and not f_drops:
+                    u = np.array([f_ch(x) for x in u], dtype=object)
+                if stem_f is not None:
+                    u = np.array([stem_f(x) for x in u], dtype=object)
+                arr = u[c]
             c, u = pd.factorize(arr)
             u_pref = np.array([f"{col}:{x}" for x in u], dtype=object)
             arr = u_pref[c]

@@ -513,8 +513,9 @@ class IndexReader:
         return frozenset(e[0] for e in af)
 
     def analyzer_chain(self, field: str) -> tuple:
-        """(stemmer_name|None, stopwords frozenset|None) for an analyzed
-        field — the query-side analyzer must mirror the index-side chain."""
+        """(stemmer_name|None, stopwords frozenset|None, filter_spec) for
+        an analyzed field — the query-side analyzer must mirror the
+        index-side chain (incl. the per-field token-filter list)."""
         for e in (self.manifest.get("config") or {}).get("analyzed_fields") or ():
             if e[0] == field:
                 stem = e[1] if len(e) > 1 and e[1] else None
@@ -522,8 +523,9 @@ class IndexReader:
                     s.strip() for s in (e[2] if len(e) > 2 else "").split(",")
                     if s.strip()
                 ) or None
-                return stem, stops
-        return None, None
+                filt = e[3] if len(e) > 3 else ()
+                return stem, stops, filt
+        return None, None, ()
 
     def field_stats(self, field: str) -> tuple[int, int]:
         """(docCount(field), sumTotalTermFreq(field)) for an analyzed field

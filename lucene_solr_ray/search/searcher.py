@@ -108,10 +108,14 @@ class IndexSearcher:
 
         def analyzed_node(field: str, value: str, boost: float):
             from ..analysis import standard_analyzer
+            from ..analysis.filters import build_chain
             from ..analysis.stem import get_stemmer
 
-            stem_name, stops = self.reader.analyzer_chain(field)
+            stem_name, stops, filt = self.reader.analyzer_chain(field)
             terms, _ = standard_analyzer(value, stops)
+            ch, _drops = build_chain(filt)
+            if ch is not None:
+                terms = [t2 for t in terms if (t2 := ch(t)) is not None]
             stem = get_stemmer(stem_name)
             if stem is not None:
                 terms = [stem(t) for t in terms]
@@ -137,12 +141,17 @@ class IndexSearcher:
                 first = n.query.terms[0]
                 i = first.find(":")
                 if i > 0 and first[:i] in af:
+                    from ..analysis.filters import build_chain
                     from ..analysis.stem import get_stemmer
 
                     fld = first[:i]
-                    stem_name, _ = self.reader.analyzer_chain(fld)
+                    stem_name, _, filt = self.reader.analyzer_chain(fld)
                     stem = get_stemmer(stem_name)
+                    ch, _d = build_chain(filt)
                     toks = [t.split(":", 1)[1] for t in n.query.terms]
+                    if ch is not None:
+                        toks = [t2 for t in toks
+                                if (t2 := ch(t)) is not None]
                     if stem is not None:
                         toks = [stem(t) for t in toks]
                     pref = tuple(f"{fld}:{t}" for t in toks)

@@ -260,3 +260,34 @@ def test_keep_words_filter(tmp_path_factory, ray_session):
     s = IndexSearcher(idx)
     assert s.count("fox") == 1
     assert s.count("cat") == 0       # not in the keep set -> never indexed
+
+
+def test_per_field_filter_chain(tmp_path_factory, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("pf")
+    p = str(tmp / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["body text one", "body text two"]),
+        "title": pa.array(["Smith's Cookbook", "a tiny x guide"]),
+    }), p)
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4,
+        analyzed_fields=(
+            ("title", "", "", ("english_possessive", ("length", 2, 64))),
+        ),
+    ))
+    s = IndexSearcher(idx)
+    # per-field chain at index time: "Smith's" -> title:smith; query-side
+    # mirror runs the same chain on field values
+    assert s.search("title:smith", k=5)["doc_id"].to_pylist() == [0]
+    assert s.search("title:smith's", k=5)["doc_id"].to_pylist() == [0]
+    # length filter drops 1-char tokens in the field only
+    assert s.search("title:x", k=5).num_rows == 0
+    # field phrase honors the chain ("a" and "x" dropped w/ holes)
+    assert s.search('title:"tiny guide"~2', k=5)["doc_id"].to_pylist() == [1]
+    # TEXT field untouched by the per-field chain
+    assert s.count("one") == 1
