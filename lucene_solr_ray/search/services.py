@@ -139,6 +139,59 @@ def collect_offset_spans(searcher: IndexSearcher, qterms,
     return spans
 
 
+def collect_phrase_spans(searcher: IndexSearcher, phrase_terms,
+                         ids) -> dict[int, list]:
+    """Spans of EXACT phrase matches only (slop 0): per hit doc, the packed
+    offsets of occurrences that participate in an adjacency match of the
+    full term sequence — the UnifiedHighlighter's position-aware phrase
+    highlighting (uhighlight/PhraseHelper.java:61), vs. wrapping every
+    loose term occurrence."""
+    id_arr = np.asarray(sorted(ids), dtype=np.int64)
+    spans: dict[int, list] = {int(d): [] for d in ids}
+    k = len(phrase_terms)
+    for sh in searcher.reader.shards:
+        have = set(sh.terms.tolist()) if len(sh.terms) else set()
+        if any(t not in have for t in phrase_terms):
+            continue
+        # per term: {doc -> (positions, offsets)} restricted to hit docs
+        per_term: list[dict[int, tuple]] = []
+        for t in phrase_terms:
+            docs, freqs, offs = sh.postings(t, with_positions=True,
+                                            payload_col="offsets")
+            _, _, poss = sh.postings(t, with_positions=True)
+            if not len(docs) or len(offs) != len(poss):
+                per_term.append({})
+                continue
+            hit = np.isin(docs, id_arr)
+            bounds = np.concatenate([[0], np.cumsum(freqs)])
+            m = {}
+            for r in np.flatnonzero(hit):
+                s, e = bounds[r], bounds[r + 1]
+                m[int(docs[r])] = (poss[s:e], offs[s:e])
+            per_term.append(m)
+        docs_all = set(per_term[0]) if per_term and per_term[0] else set()
+        for d in docs_all:
+            if any(d not in pt for pt in per_term):
+                continue
+            p0, o0 = per_term[0][d]
+            ok = np.ones(len(p0), dtype=bool)
+            sels = []
+            for j in range(1, k):
+                pj, _ = per_term[j][d]
+                idx = np.searchsorted(pj, p0 + j)
+                idxc = np.minimum(idx, len(pj) - 1)
+                ok &= pj[idxc] == p0 + j
+                sels.append(idxc)
+            if not ok.any():
+                continue
+            out = spans[d]
+            out.extend(int(o) for o in o0[ok] if o >= 0)
+            for j, sel in enumerate(sels, start=1):
+                _, oj = per_term[j][d]
+                out.extend(int(o) for o in oj[sel[ok]] if o >= 0)
+    return spans
+
+
 def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
                               key_col: str, text_col: str, query: str,
                               k: int = 10, max_chars: int = 160) -> pa.Table:
@@ -153,6 +206,8 @@ def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
     built without store_offsets)."""
     from .query import query_terms as qt
 
+    from .query import Bool, ConstantScore, DisMax, Phrase
+
     node = searcher._node(query)
     res = searcher.search(node, k=k)
     ids = res["doc_id"].to_pylist()
@@ -160,8 +215,29 @@ def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
                           columns=[key_col, text_col])
     lookup = dict(zip(stored[key_col].to_pylist(),
                       stored[text_col].to_pylist()))
-    qterms = sorted(set(qt(node)))
-    spans = collect_offset_spans(searcher, qterms, ids)
+    # exact phrases highlight position-aware (only participating
+    # occurrences); everything else falls back to loose term spans
+    phrases: list[tuple] = []
+
+    def _walk(n):
+        if isinstance(n, Phrase) and n.slop == 0:
+            phrases.append(tuple(n.terms))
+        elif isinstance(n, ConstantScore):
+            _walk(n.query)
+        elif isinstance(n, DisMax):
+            for c in n.clauses:
+                _walk(c)
+        elif isinstance(n, Bool):
+            for c in n.must + n.should + n.filter:
+                _walk(c)
+    _walk(node)
+    in_phrase = {t for p in phrases for t in p}
+    qterms = sorted(set(qt(node)) - in_phrase)
+    spans = collect_offset_spans(searcher, qterms, ids) if qterms \
+        else {int(d): [] for d in ids}
+    for p in phrases:
+        for d, sp in collect_phrase_spans(searcher, p, ids).items():
+            spans[d].extend(sp)
     snips = []
     for d in ids:
         text = lookup.get(d, "")
@@ -170,7 +246,7 @@ def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
             snips.append(passage_from_offsets(
                 text, np.asarray(sp, np.int64), max_chars))
         else:
-            snips.append(highlight(text, set(qterms)))
+            snips.append(highlight(text, set(qt(node))))
     return res.append_column("snippet", pa.array(snips, pa.string()))
 
 

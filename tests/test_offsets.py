@@ -188,3 +188,36 @@ def test_parser_implicit_or():
     assert [t.text for t in n2.must_not] == ["dog"]
     n3 = parse_query("a b OR c")
     assert len(n3.should) == 3
+
+
+def test_phrase_aware_highlighting(tmp_path, ray_session):
+    """Exact-phrase queries wrap only occurrences inside a phrase match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import (collect_phrase_spans,
+                                                 highlight_results_offsets)
+
+    corp = str(tmp_path / "c.parquet")
+    # doc 0: phrase "red fox" at [4:11]; 'fox' also appears loose at the end
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the red fox ran; a lone fox slept",
+                          "red paint and a fox but never adjacent"]),
+    }), corp)
+    d = str(tmp_path / "idx")
+    build_index(corp, d, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=2, store_offsets=True))
+    s = IndexSearcher(d)
+    spans = collect_phrase_spans(s, ("red", "fox"), [0, 1])
+    # doc 0: exactly the two phrase participants (red@4:7, fox@8:11)
+    got = sorted((o >> 32, o & 0xFFFFFFFF) for o in spans[0])
+    assert got == [(4, 7), (8, 11)]
+    assert spans[1] == []             # terms present but never adjacent
+    out = highlight_results_offsets(s, corp, "doc_id", "text",
+                                    '"red fox"', k=2)
+    sn = dict(zip(out["doc_id"].to_pylist(), out["snippet"].to_pylist()))
+    assert "<b>red</b> <b>fox</b>" in sn[0]
+    assert "lone <b>fox</b>" not in sn[0]   # loose fox NOT wrapped
