@@ -1076,6 +1076,26 @@ def effective_batch_size(cfg: "IndexBuildConfig", paths: list[str]) -> int:
     return int(min(16384, max(2048, n_rows // max(1, int(1.5 * ncpu)))))
 
 
+def corpus_read_columns(cfg: "IndexBuildConfig", key_col: str,
+                        text_col: str) -> list[str]:
+    """Columns the tokenize stage must read from the corpus parquet.
+
+    fdl_<col> docvalues are synthesized from analyzed-field token counts,
+    not read from the corpus; the analyzed source columns are read instead.
+    Shared by build_index and every incremental path (append/update)."""
+    cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
+    cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
+    synth = {f"fdl_{e[0]}" for e in (cfg.analyzed_fields or ())}
+    cols += [c for c in (cfg.docvalues_fields or ())
+             if c not in cols and c not in synth]
+    cols += [e[0] for e in (cfg.analyzed_fields or ()) if e[0] not in cols]
+    cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
+    cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
+    cols += [c for c in (cfg.sorted_numeric_docvalues_fields or ())
+             if c not in cols]
+    return cols
+
+
 def build_index(
     paths: str | list[str],
     index_dir: str,
@@ -1166,18 +1186,7 @@ def build_index(
         # re-tokenizes the old chunks (append_index is the incremental path)
         if chunk_id in lineage and os.path.isdir(out_dir):
             continue
-        cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
-        cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
-        # fdl_<col> docvalues are synthesized from the analyzed-field token
-        # counts, not read from the corpus; read the source columns instead
-        synth = {f"fdl_{e[0]}" for e in (cfg.analyzed_fields or ())}
-        cols += [c for c in (cfg.docvalues_fields or ())
-                 if c not in cols and c not in synth]
-        cols += [e[0] for e in (cfg.analyzed_fields or ()) if e[0] not in cols]
-        cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
-        cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
-        cols += [c for c in (cfg.sorted_numeric_docvalues_fields or ())
-                 if c not in cols]
+        cols = corpus_read_columns(cfg, key_col, text_col)
         ds = ray.data.read_parquet(chunk, columns=cols)
         eff_bs = effective_batch_size(cfg, chunk)
         fn_kwargs = dict(

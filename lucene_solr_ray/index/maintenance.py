@@ -88,9 +88,10 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
             # relaxes to >= there. Keyword-field terms ("col:value") are
             # namespaced too and excluded from the text sum.
             _mc = reader.manifest.get("config") or {}
-            # synonym and word-delimiter insertions add postings without
-            # adding to doclen, so the equality relaxes to >= for both
-            has_syn = bool(_mc.get("synonyms")) or bool(_mc.get("word_delimiter"))
+            # synonym, word-delimiter and edge-ngram insertions add postings
+            # without adding to doclen, so the equality relaxes to >= there
+            has_syn = (bool(_mc.get("synonyms")) or bool(_mc.get("word_delimiter"))
+                       or bool(_mc.get("edge_ngram")))
             ns_prefixes = analyzed | {
                 c for c in (reader.manifest.get("config") or {}).get(
                     "keyword_fields") or ()}
@@ -118,7 +119,8 @@ def check_index(index_dir: str, sample_terms: int | None = None) -> dict:
     assert total_docs == reader.doc_count, "manifest doc_count mismatch"
     if sample_terms is None:
         _mc = reader.manifest.get("config") or {}
-        if _mc.get("synonyms") or _mc.get("word_delimiter"):
+        if (_mc.get("synonyms") or _mc.get("word_delimiter")
+                or _mc.get("edge_ngram")):
             assert total_ttf >= reader.sum_total_term_freq, "manifest sum_ttf mismatch"
         else:
             assert total_ttf == reader.sum_total_term_freq, "manifest sum_ttf mismatch"
@@ -315,13 +317,9 @@ def append_index(
         if chunk_id in lineage:
             new_chunk_dirs.append(out_dir)
             continue
-        cols = [key_col, text_col] if not cfg.html_col else [key_col, text_col, cfg.html_col]
-        cols += [c for c in (cfg.keyword_fields or ()) if c not in cols]
-        cols += [c for c in (cfg.docvalues_fields or ()) if c not in cols]
-        cols += [c for c in (cfg.string_docvalues_fields or ()) if c not in cols]
-        cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
-        cols += [c for c in (getattr(cfg, "sorted_numeric_docvalues_fields",
-                                     ()) or ()) if c not in cols]
+        from .build import corpus_read_columns
+
+        cols = corpus_read_columns(cfg, key_col, text_col)
         ds = ray.data.read_parquet(chunk, columns=cols)
         fn = TokenizeExplode(
             key_col=key_col, text_col=text_col, cfg=cfg_dict, head_terms=head_terms

@@ -223,20 +223,25 @@ class ShardReader:
         ranges are disjoint, so ordering rows by their first doc suffices.
         live_only masks tombstoned docs (the live-docs overlay); pass False
         to see raw storage (check_index validates the encoded invariants).
-        payload_col selects the per-occurrence payload fetched when
+        payload_col selects the per-occurrence payload(s) fetched when
         with_positions is True: "positions" (int32) or "offsets" (packed
         int64 char offsets, store_offsets indexes only) — both are laid out
-        1:1 per occurrence, split by freqs.
+        1:1 per occurrence, split by freqs. A tuple of column names fetches
+        several payloads off ONE docs/freqs decode (the highlighter wants
+        positions AND offsets; decoding twice doubles the cost on exactly
+        the high-frequency terms phrases target).
         """
-        pdtype = np.int64 if payload_col == "offsets" else np.int32
-        key = (term, with_positions, live_only, payload_col)
+        pcols = (payload_col,) if isinstance(payload_col, str) else tuple(payload_col)
+        pdtypes = [np.int64 if c == "offsets" else np.int32 for c in pcols]
+        key = (term, with_positions, live_only, pcols)
         if key in self._cache:
             return self._cache[key]
         rows = self.term_rows(term)
         if not rows:
             empty = (np.zeros(0, np.int64), np.zeros(0, np.int32))
-            return (*empty, np.zeros(0, pdtype)) if with_positions else empty
-        pos_arr = self._lazy_col(payload_col) if with_positions else None
+            return ((*empty, *(np.zeros(0, dt) for dt in pdtypes))
+                    if with_positions else empty)
+        pos_arrs = [self._lazy_col(c) for c in pcols] if with_positions else []
         decoded = []
         for r in rows:
             row = {
@@ -246,18 +251,21 @@ class ShardReader:
                 "freqs_bin": self.table["freqs_bin"][r].as_py(),
             }
             docs, freqs = decode_posting(row)
-            pos = None
+            pos = []
             if with_positions:
-                sl = pos_arr.slice(r, 1) if pos_arr is not None else None
-                if sl is None or sl.null_count:
-                    pos = np.zeros(0, dtype=pdtype)
-                else:
-                    pos = sl.flatten().to_numpy(zero_copy_only=False).astype(pdtype)
+                for arr, dt in zip(pos_arrs, pdtypes):
+                    sl = arr.slice(r, 1) if arr is not None else None
+                    if sl is None or sl.null_count:
+                        pos.append(np.zeros(0, dtype=dt))
+                    else:
+                        pos.append(
+                            sl.flatten().to_numpy(zero_copy_only=False).astype(dt))
             decoded.append((docs, freqs, pos))
         decoded.sort(key=lambda x: int(x[0][0]) if len(x[0]) else -1)
         docs = np.concatenate([d for d, _, _ in decoded])
         freqs = np.concatenate([f for _, f, _ in decoded])
-        pos_all = np.concatenate([p for _, _, p in decoded]) if with_positions else None
+        pos_alls = ([np.concatenate([p[i] for _, _, p in decoded])
+                     for i in range(len(pcols))] if with_positions else [])
         if len(decoded) > 1 and np.any(np.diff(docs) < 0):
             # Defensive merge: salted rows are CONTIGUOUS doc sub-ranges by
             # construction (build.py sub = doc // span), so first-doc order
@@ -271,7 +279,7 @@ class ShardReader:
                 ss = seg_starts[order]
                 cum = np.concatenate([[0], np.cumsum(sl)])
                 ranges = np.repeat(ss - cum[:-1], sl) + np.arange(int(sl.sum()))
-                pos_all = pos_all[ranges]
+                pos_alls = [p[ranges] for p in pos_alls]
             docs = docs[order]
             freqs = freqs[order]
         if live_only and len(self.dead):
@@ -279,10 +287,10 @@ class ShardReader:
             if not keep.all():
                 if with_positions:
                     pos_keep = np.repeat(keep, freqs)
-                    pos_all = pos_all[pos_keep]
+                    pos_alls = [p[pos_keep] for p in pos_alls]
                 docs = docs[keep]
                 freqs = freqs[keep]
-        out = (docs, freqs, pos_all) if with_positions else (docs, freqs)
+        out = (docs, freqs, *pos_alls) if with_positions else (docs, freqs)
         if len(self._cache) >= self._cache_size:
             self._cache.pop(next(iter(self._cache)))
         self._cache[key] = out

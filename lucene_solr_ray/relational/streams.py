@@ -653,8 +653,8 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
 
     if name == "analyze":
         from ..analysis.analyzers import standard_analyzer
-        toks = standard_analyzer(str(args[0]))
-        return ray.data.from_arrow(pa.table({"term": toks}))
+        toks, _positions = standard_analyzer(str(args[0]))
+        return ray.data.from_arrow(pa.table({"term": list(toks)}))
 
     raise ValueError(
         f"unknown stream {name!r} (module-owned verbs — update/delete/"

@@ -438,20 +438,21 @@ def apply_stemmer(node, stem):
     not analyze multi-term patterns."""
     if stem is None or node is None:
         return node
+    # namespaced terms (keyword/analyzed "field:value") never take the
+    # TEXT field's stemmer; per-field chains run in the searcher rewrite
+    def st(t):
+        return t if ":" in t else stem(t)
+
     if isinstance(node, Term):
-        # namespaced terms (keyword/analyzed "field:value") never take the
-        # TEXT field's stemmer; per-field chains run in the searcher rewrite
-        if ":" in node.text:
-            return node
-        return Term(stem(node.text), node.boost)
+        return Term(st(node.text), node.boost)
     if isinstance(node, Phrase):
-        return Phrase(tuple(stem(t) for t in node.terms), node.boost, node.slop)
+        return Phrase(tuple(st(t) for t in node.terms), node.boost, node.slop)
     if isinstance(node, Synonym):
-        return Synonym(tuple(stem(t) for t in node.terms), node.boost)
+        return Synonym(tuple(st(t) for t in node.terms), node.boost)
     if isinstance(node, TermInSet):
-        return TermInSet(tuple(stem(t) for t in node.terms), node.boost)
+        return TermInSet(tuple(st(t) for t in node.terms), node.boost)
     if isinstance(node, Fuzzy):
-        return Fuzzy(stem(node.text), node.max_edits, node.boost,
+        return Fuzzy(st(node.text), node.max_edits, node.boost,
                      node.max_expansions)
     if isinstance(node, ConstantScore):
         return ConstantScore(apply_stemmer(node.query, stem), node.boost)

@@ -162,7 +162,7 @@ class IndexSearcher:
             if isinstance(n, ConstantScore):
                 return ConstantScore(rw(n.query), n.boost)
             if isinstance(n, FunctionScore):
-                return FunctionScore(rw(n.query), n.expr)
+                return FunctionScore(rw(n.query), n.expr, n.boost)
             if isinstance(n, DisMax):
                 return DisMax(tuple(rw(c) for c in n.clauses), n.tiebreak)
             if isinstance(n, Bool):

@@ -156,9 +156,8 @@ def collect_phrase_spans(searcher: IndexSearcher, phrase_terms,
         # per term: {doc -> (positions, offsets)} restricted to hit docs
         per_term: list[dict[int, tuple]] = []
         for t in phrase_terms:
-            docs, freqs, offs = sh.postings(t, with_positions=True,
-                                            payload_col="offsets")
-            _, _, poss = sh.postings(t, with_positions=True)
+            docs, freqs, offs, poss = sh.postings(
+                t, with_positions=True, payload_col=("offsets", "positions"))
             if not len(docs) or len(offs) != len(poss):
                 per_term.append({})
                 continue
@@ -439,14 +438,12 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
                      field: pa.array(vals[order], pa.int64())})
 
 
-def facet_string_docvalues(index_dir: str, field: str, query=None,
-                           top_n: int | None = None) -> "pa.Table":
-    """Facet counts over a SORTED string docvalues column, computed from the
-    index's docs tables only (SortedSetDocValuesFacetCounts.java:66 role for
-    the single-valued SORTED case; multi-valued facets go through
-    facet_keyword_field). Distributed: a pruned (doc_id, sdv_field, shard)
-    read -> optional live/query masking -> groupby count. Returns
-    (value, cnt) sorted by cnt desc, value asc."""
+def _facet_docvalues_scan(index_dir: str, col: str, extract, query=None,
+                          top_n: int | None = None) -> "pa.Table":
+    """Shared scaffold for docvalues facets: a pruned (doc_id, col, shard)
+    read -> live/query masking -> per-batch value counts -> groupby sum ->
+    sort/limit. ``extract(table, keep_mask)`` yields the kept flat string
+    values for one batch (single- vs. multi-valued is its only variation)."""
     import os
 
     import ray
@@ -458,7 +455,6 @@ def facet_string_docvalues(index_dir: str, field: str, query=None,
 
     manifest = load_manifest(index_dir) or {}
     gens = _tombstone_gens(index_dir, manifest) if manifest.get("deletes") else []
-    col = f"sdv_{field}"
     ds = ray.data.read_parquet(os.path.join(index_dir, "docs"),
                                columns=["doc_id", col, "shard"])
     fg_ref = None
@@ -479,74 +475,7 @@ def facet_string_docvalues(index_dir: str, field: str, query=None,
                 keep &= fg[idx] == ids
             else:
                 keep[:] = False
-        vcol = t[col]
-        if pa.types.is_dictionary(vcol.type):
-            vcol = vcol.cast(pa.large_string())
-        vals = np.asarray(vcol.to_pylist(), dtype=object)[keep]
-        u, cnt = np.unique(vals.astype("U"), return_counts=True)
-        return pa.table({"value": pa.array(u.tolist(), pa.string()),
-                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
-
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("value").aggregate(
-        Sum("cnt", alias_name="cnt"))
-    rows = agg.sort(["cnt", "value"], descending=[True, False])
-    if top_n is not None:
-        rows = rows.limit(top_n)
-    out = rows.take_all()
-    out = [r for r in out if r["cnt"] > 0]
-    return pa.table({
-        "value": pa.array([r["value"] for r in out], pa.string()),
-        "cnt": pa.array([r["cnt"] for r in out], pa.int64()),
-    })
-
-
-def facet_sorted_set_docvalues(index_dir: str, field: str, query=None,
-                               top_n: int | None = None) -> "pa.Table":
-    """Facet counts over a SORTED_SET (multi-valued string) docvalues column
-    (SortedSetDocValuesFacetCounts.java:66, the multi-valued case): each doc
-    counts once per distinct value in its set (sets are deduped at index
-    time). Distributed like facet_string_docvalues: a pruned
-    (doc_id, ssdv_field, shard) read -> live/query masking -> unnest ->
-    groupby count. Returns (value, cnt) sorted by cnt desc, value asc."""
-    import os
-
-    import ray
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from ..index.build import load_manifest
-    from ..index.maintenance import _dead_mask, _tombstone_gens
-
-    manifest = load_manifest(index_dir) or {}
-    gens = _tombstone_gens(index_dir, manifest) if manifest.get("deletes") else []
-    col = f"ssdv_{field}"
-    ds = ray.data.read_parquet(os.path.join(index_dir, "docs"),
-                               columns=["doc_id", col, "shard"])
-    fg_ref = None
-    if query is not None:
-        res = IndexSearcher(index_dir).match_all(query)
-        fg_ref = ray.put(np.sort(res["doc_id"].to_numpy()))
-
-    def partial(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.ones(len(ids), dtype=bool)
-        if gens:
-            sh = t["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep &= ~_dead_mask(ids, sh, gens)
-        if fg_ref is not None:
-            fg = ray.get(fg_ref)
-            if len(fg):
-                idx = np.minimum(np.searchsorted(fg, ids), len(fg) - 1)
-                keep &= fg[idx] == ids
-            else:
-                keep[:] = False
-        lst = t[col].combine_chunks()
-        offs = lst.offsets.to_numpy().astype(np.int64)
-        fv = lst.values
-        if pa.types.is_dictionary(fv.type):
-            fv = fv.cast(pa.large_string())
-        flat_keep = np.repeat(keep, np.diff(offs))
-        vals = np.asarray(fv.to_pylist(), dtype=object)[flat_keep]
+        vals = extract(t, keep)
         if not len(vals):
             return pa.table({"value": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
@@ -565,6 +494,44 @@ def facet_sorted_set_docvalues(index_dir: str, field: str, query=None,
         "value": pa.array([r["value"] for r in out], pa.string()),
         "cnt": pa.array([r["cnt"] for r in out], pa.int64()),
     })
+
+
+def facet_string_docvalues(index_dir: str, field: str, query=None,
+                           top_n: int | None = None) -> "pa.Table":
+    """Facet counts over a SORTED string docvalues column, computed from the
+    index's docs tables only (SortedSetDocValuesFacetCounts.java:66 role for
+    the single-valued SORTED case; multi-valued facets go through
+    facet_sorted_set_docvalues). Returns (value, cnt) sorted by cnt desc,
+    value asc."""
+    col = f"sdv_{field}"
+
+    def extract(t: pa.Table, keep: np.ndarray) -> np.ndarray:
+        vcol = t[col]
+        if pa.types.is_dictionary(vcol.type):
+            vcol = vcol.cast(pa.large_string())
+        return np.asarray(vcol.to_pylist(), dtype=object)[keep]
+
+    return _facet_docvalues_scan(index_dir, col, extract, query, top_n)
+
+
+def facet_sorted_set_docvalues(index_dir: str, field: str, query=None,
+                               top_n: int | None = None) -> "pa.Table":
+    """Facet counts over a SORTED_SET (multi-valued string) docvalues column
+    (SortedSetDocValuesFacetCounts.java:66, the multi-valued case): each doc
+    counts once per distinct value in its set (sets are deduped at index
+    time). Returns (value, cnt) sorted by cnt desc, value asc."""
+    col = f"ssdv_{field}"
+
+    def extract(t: pa.Table, keep: np.ndarray) -> np.ndarray:
+        lst = t[col].combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        fv = lst.values
+        if pa.types.is_dictionary(fv.type):
+            fv = fv.cast(pa.large_string())
+        flat_keep = np.repeat(keep, np.diff(offs))
+        return np.asarray(fv.to_pylist(), dtype=object)[flat_keep]
+
+    return _facet_docvalues_scan(index_dir, col, extract, query, top_n)
 
 
 def rescore(searcher: IndexSearcher, query: str, rescore_query: str,

@@ -148,3 +148,63 @@ def test_field_spans(af_index):
     qu = SpanNear((SpanTerm("title:learning"), SpanTerm("title:deep")),
                   slop=0, in_order=False)
     assert s.search(qu, k=10)["doc_id"].to_pylist() == [1]
+
+
+def test_append_index_with_analyzed_fields(tmp_path_factory, ray_session):
+    """Incremental paths must read the analyzed SOURCE columns, never the
+    synthesized fdl_<col> docvalues (regression: append_index crashed on
+    any analyzed-field index)."""
+    from lucene_solr_ray.index.maintenance import append_index, check_index
+
+    tmp = tmp_path_factory.mktemp("af_append")
+    p = _write(tmp, DOCS)
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4,
+        analyzed_fields=(("title", "", ""),),
+    ))
+    p2 = str(tmp / "c2.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["ka mi", "zu bo"], pa.string()),
+        "title": pa.array(["ray cluster", "fresh data"], pa.string()),
+    }), p2)
+    append_index(idx, p2)
+    s = IndexSearcher(idx)
+    hits = sorted(s.search("title:ray", k=10)["doc_id"].to_pylist())
+    assert hits == [0, 2, 100]
+    assert check_index(idx)["ok"]
+
+
+def test_global_stemmer_leaves_field_phrases_alone(tmp_path_factory,
+                                                   ray_session):
+    """The TEXT field's stemmer must not rewrite namespaced 'field:term'
+    phrase/synonym texts (regression: porter('title:tracing') mangled
+    field phrases into terms that exist nowhere)."""
+    tmp = tmp_path_factory.mktemp("af_gstem")
+    p = _write(tmp, [("running runs", "ray tracing deep"),
+                     ("walked walking", "data systems")])
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, stemmer="porter",
+        analyzed_fields=(("title", "", ""),),
+    ))
+    s = IndexSearcher(idx)
+    assert s.search('title:"ray tracing"', k=10)["doc_id"].to_pylist() == [0]
+    # the TEXT field still stems: running/runs -> run
+    assert s.search("run", k=10)["doc_id"].to_pylist() == [0]
+
+
+def test_function_score_boost_survives_analyzed_rewrite(af_index):
+    """FunctionScore.boost must ride through _rewrite_analyzed_fields
+    (regression: the rewrite rebuilt the node with default boost=1)."""
+    from lucene_solr_ray.search.query import FunctionScore, Term
+
+    s = IndexSearcher(af_index, dtype=np.float64)
+    base = s.match_all(FunctionScore(Term("ka"), "score", 1.0))
+    doubled = s.match_all(FunctionScore(Term("ka"), "score", 2.0))
+    b = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
+    d = dict(zip(doubled["doc_id"].to_pylist(), doubled["score"].to_pylist()))
+    assert set(b) == set(d) and len(b) > 0
+    for k, v in d.items():
+        assert v == pytest.approx(2.0 * b[k], rel=1e-12)

@@ -276,3 +276,10 @@ def test_search_stream(ray_session, tmp_path):
     ).to_pandas()
     assert len(out) <= 5 and {"doc_id", "score"} == set(out.columns)
     assert (out["score"] > 0).all()
+
+
+def test_analyze_stream(ray_session, sf_dir):
+    """analyze(text) emits one row per token of the standard chain
+    (regression: the (terms, positions) tuple leaked into the column)."""
+    got = run_expression('analyze("Hello, World! FOO")')
+    assert got.to_pandas()["term"].tolist() == ["hello", "world", "foo"]

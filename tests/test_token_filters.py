@@ -291,3 +291,18 @@ def test_per_field_filter_chain(tmp_path_factory, ray_session):
     assert s.search('title:"tiny guide"~2', k=5)["doc_id"].to_pylist() == [1]
     # TEXT field untouched by the per-field chain
     assert s.count("one") == 1
+
+
+def test_check_index_accepts_edge_ngram(tmp_path_factory, ray_session):
+    """Edge-gram insertions add postings without doclen contribution, so
+    check_index's ttf invariant must relax to >= (regression: a healthy
+    edge_ngram index was reported corrupt in full mode)."""
+    from lucene_solr_ray.index.maintenance import check_index
+
+    tmp = tmp_path_factory.mktemp("eg_check")
+    p = _write(tmp, TEXTS)
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, edge_ngram=(2, 5)))
+    rep = check_index(idx)
+    assert rep["ok"] and rep["terms_checked"] > 0
