@@ -221,3 +221,44 @@ def test_phrase_aware_highlighting(tmp_path, ray_session):
     sn = dict(zip(out["doc_id"].to_pylist(), out["snippet"].to_pylist()))
     assert "<b>red</b> <b>fox</b>" in sn[0]
     assert "lone <b>fox</b>" not in sn[0]   # loose fox NOT wrapped
+
+
+def test_multi_payload_postings_match_single_calls(tmp_path, ray_session):
+    """postings(payload_col=("offsets","positions")) must equal the two
+    single-payload calls on the hard layout: a salted head term (multi-row
+    defensive-merge path) plus tombstoned docs (live filtering of both
+    payloads)."""
+    from lucene_solr_ray.index.maintenance import delete_by_ids
+
+    corp = str(tmp_path / "c.parquet")
+    n = 300
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(n * 2)[:n].astype(np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["the fox d%d the" % (i % 13) for i in range(n)]),
+    }), corp)
+    d = str(tmp_path / "idx")
+    build_index(corp, d, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, batch_size=64, store_offsets=True,
+        head_df_ratio=0.01, head_sample_docs=150, head_sub_span=64,
+    ))
+    delete_by_ids(d, ids[:25].tolist())
+    salted = False
+    for shid in range(2):
+        r = ShardReader(d, shid)
+        for term in ("the", "fox"):
+            salted |= len(r.term_rows(term)) > 1
+            docs, freqs, offs, poss = r.postings(
+                term, with_positions=True,
+                payload_col=("offsets", "positions"))
+            d1, f1, o1 = r.postings(term, with_positions=True,
+                                    payload_col="offsets")
+            d2, f2, p2 = r.postings(term, with_positions=True)
+            np.testing.assert_array_equal(docs, d1)
+            np.testing.assert_array_equal(docs, d2)
+            np.testing.assert_array_equal(freqs, f1)
+            np.testing.assert_array_equal(offs, o1)
+            np.testing.assert_array_equal(poss, p2)
+            assert len(offs) == len(poss) == int(freqs.sum())
+    assert salted, "expected a salted multi-row term in this layout"
