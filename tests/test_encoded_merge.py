@@ -176,3 +176,52 @@ def test_single_source_purge_passthrough(tmp_path):
     s = IndexSearcher(idx)
     assert s.count("banana") == 397
     check_index(idx)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_randomized_merge_chain_equals_fresh_build(tmp_path, seed):
+    """Randomized equivalence property: build(A) -> append(B) -> random
+    deletes -> force_merge must produce the SAME search results and global
+    stats as a fresh single-generation build over the surviving docs (the
+    reference's invariant: merging never changes what a reader sees —
+    SegmentMerger.java:97).
+    """
+    rng = np.random.default_rng(seed)
+    vocab = ["apple", "banana", "cherry", "date", "elder", "fig", "grape"]
+
+    def texts(ids):
+        return [" ".join(rng.choice(vocab, size=rng.integers(3, 9)))
+                + f" doc{i}" for i in ids]
+
+    ids_a = np.arange(0, 120, dtype=np.int64)
+    ids_b = np.arange(200, 280, dtype=np.int64)
+    ta, tb = texts(ids_a), texts(ids_b)
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    _corpus(pa_, ids_a, ta)
+    _corpus(pb, ids_b, tb)
+
+    idx = str(tmp_path / "merged")
+    build_index(pa_, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    append_index(idx, pb)
+    all_ids = np.concatenate([ids_a, ids_b])
+    all_texts = ta + tb
+    dead = rng.choice(all_ids, size=30, replace=False)
+    delete_by_ids(idx, dead.tolist())
+    force_merge(idx)
+    assert check_index(idx)["ok"]
+
+    keep = ~np.isin(all_ids, dead)
+    pf = str(tmp_path / "fresh.parquet")
+    _corpus(pf, all_ids[keep], [t for t, k in zip(all_texts, keep) if k])
+    fresh = str(tmp_path / "fresh")
+    build_index(pf, fresh, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+
+    sm, sf = IndexSearcher(idx), IndexSearcher(fresh)
+    assert sm.reader.doc_count == sf.reader.doc_count
+    assert sm.reader.sum_total_term_freq == sf.reader.sum_total_term_freq
+    for q in ("banana", "apple OR fig", "cherry AND banana",
+              '"apple banana"', "grape OR date OR elder", "ap*"):
+        rm, rf = sm.search(q, k=15), sf.search(q, k=15)
+        assert rm["doc_id"].to_pylist() == rf["doc_id"].to_pylist(), q
+        assert rm["score"].to_pylist() == pytest.approx(
+            rf["score"].to_pylist(), rel=1e-6), q
