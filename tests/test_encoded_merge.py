@@ -225,3 +225,34 @@ def test_randomized_merge_chain_equals_fresh_build(tmp_path, seed):
         assert rm["doc_id"].to_pylist() == rf["doc_id"].to_pylist(), q
         assert rm["score"].to_pylist() == pytest.approx(
             rf["score"].to_pylist(), rel=1e-6), q
+
+
+def test_force_merge_crash_before_gc_leaves_readable_index(tmp_path, monkeypatch):
+    """force_merge claims crash safety by ordering: write new shards ->
+    commit manifest -> GC old dirs LAST. Simulate a crash between commit
+    and GC (rmtree never runs): stray old shard dirs must be invisible to
+    manifest-driven readers, and a re-run of force_merge must converge."""
+    import shutil as _shutil
+
+    idx, p = _build(tmp_path, n=80)
+    delete_by_ids(idx, [1, 4, 7])
+
+    calls = []
+    real_rmtree = _shutil.rmtree
+    # force_merge does `import shutil` locally; patch the stdlib function
+    monkeypatch.setattr("shutil.rmtree", lambda *a, **k: calls.append(a))
+    force_merge(idx)  # GC suppressed: stray dirs remain
+    assert calls, "expected suppressed GC calls"
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+
+    s = IndexSearcher(idx)
+    res = s.search("banana", k=20)
+    assert 1 not in res["doc_id"].to_pylist()
+    assert check_index(idx)["ok"]
+    expect = (res["doc_id"].to_pylist(), res["score"].to_pylist())
+
+    # idempotent recovery: another force_merge (no deletes pending, single
+    # generation) is a no-op and results are unchanged
+    force_merge(idx)
+    res2 = IndexSearcher(idx).search("banana", k=20)
+    assert (res2["doc_id"].to_pylist(), res2["score"].to_pylist()) == expect
