@@ -791,6 +791,15 @@ def q_ft_field_bm25(sf_dir):
     return _round_col(s.match_all("text:tables"), "score")
 
 
+def q_facet_taxonomy(sf_dir):
+    """Taxonomy facet with ancestor rollup (FastTaxonomyFacetCounts role):
+    every doc counts at each prefix of its source/lang category path."""
+    from lucene_solr_ray.relational import taxonomy_facet_counts
+
+    docs = _docs(sf_dir).select_columns(["source", "lang"])
+    return taxonomy_facet_counts(docs, ["source", "lang"])
+
+
 def q_facet_refined(sf_dir):
     # distributed top-k facet with refinement pass (Solr JSON facets
     # refine:true): per-block top candidates + exact re-count, certified
@@ -1351,7 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stemmed": q_ft_stemmed,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
-        "ft_suggest": q_ft_suggest,
+        "facet_taxonomy": q_facet_taxonomy,
         "ft_percolate": q_ft_percolate,
         "ft_spell": q_ft_spell,
         "ft_sort_by_field": q_ft_sort_by_field,
@@ -1403,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "having_groups": q_having_groups,
         "merge_union": q_merge_union,
         "ft_count": q_ft_count,
+        "ft_suggest": q_ft_suggest,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1708,6 +1718,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
         "facet_lang": """
             SELECT lang, count(*) AS cnt FROM documents GROUP BY lang""",
+        "facet_taxonomy": """
+            SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT source AS path FROM documents
+              UNION ALL
+              SELECT source || '/' || lang AS path FROM documents
+            ) GROUP BY path""",
         "facet_refined": """
             SELECT user_id, count(*) AS cnt FROM events
             GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5""",

@@ -159,6 +159,41 @@ def facet_counts(ds: Dataset, key: str, count_name: str = "cnt") -> Dataset:
     return rollup(ds, [key], [("count", None, count_name)])
 
 
+def taxonomy_facet_counts(ds: Dataset, levels: list[str], sep: str = "/",
+                          prefix: str | None = None,
+                          count_name: str = "cnt") -> Dataset:
+    """Taxonomy facet counts (facet/taxonomy/FastTaxonomyFacetCounts.java:39,
+    FacetLabel path semantics): each doc contributes one count to EVERY
+    ancestor path of its category path levels[0]/levels[1]/... — the
+    side-car taxonomy index's rolled-up view, with no side-car needed:
+    prefix paths are materialized vectorized per batch (map-side partial
+    counts), then one small groupby sums them. `prefix` drills down
+    (DrillDownQuery.java:52 role): only paths at or under it are returned.
+
+    Shuffle key: path (cardinality = taxonomy size, tiny vs corpus)."""
+    def partial(t: pa.Table) -> pa.Table:
+        cur = None
+        parts = []
+        sep_s = pa.scalar(sep, pa.large_string())
+        for c in levels:
+            col = pc.cast(t[c], pa.large_string())
+            cur = col if cur is None else pc.binary_join_element_wise(
+                cur, col, sep_s)
+            parts.append(cur.combine_chunks())
+        allp = pa.chunked_array(parts)
+        g = pa.table({"path": allp}).group_by(
+            ["path"], use_threads=False).aggregate([([], "count_all")])
+        paths, cnt = g["path"], g["count_all"].cast(pa.int64())
+        if prefix is not None:
+            keep = pc.or_(pc.equal(paths, prefix),
+                          pc.starts_with(paths, prefix + sep))
+            paths, cnt = pc.filter(paths, keep), pc.filter(cnt, keep)
+        return pa.table({"path": paths, count_name: cnt})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("path").aggregate(Sum(count_name, alias_name=count_name)))
+
+
 def facet_top_k_refined(
     ds: Dataset, key: str, k: int, overrequest: int | None = None,
     count_name: str = "cnt",

@@ -241,3 +241,30 @@ def test_lsh_bucketed_index(ray_session, tmp_path):
     ids = np.asarray(t["vec_id"].to_pylist())
     top1 = {r["query_id"]: r["key"] for r in got.to_pylist() if r["rank"] == 1}
     assert top1[0] == ids[0] and top1[1] == ids[1]
+
+
+def test_taxonomy_facet_counts(ray_session, con):
+    """Ancestor-rollup path counts == SQL prefix union; drill-down keeps
+    only the subtree at/under the prefix."""
+    import ray.data as rd
+
+    from lucene_solr_ray.relational import taxonomy_facet_counts
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "lang"])
+    got = canon(taxonomy_facet_counts(docs, ["source", "lang"]).to_pandas())
+    exp = canon(con.execute("""
+        SELECT path, count(*) AS cnt FROM (
+          SELECT source AS path FROM documents
+          UNION ALL SELECT source || '/' || lang FROM documents
+        ) GROUP BY path""").df())
+    assert got["path"].tolist() == exp["path"].tolist()
+    assert got["cnt"].astype(int).tolist() == exp["cnt"].astype(int).tolist()
+
+    # drill-down: src0 subtree only (the root itself + its children)
+    sub = taxonomy_facet_counts(docs, ["source", "lang"],
+                                prefix="src0").to_pandas()
+    assert all(p == "src0" or p.startswith("src0/") for p in sub["path"])
+    root = int(sub.loc[sub["path"] == "src0", "cnt"].iloc[0])
+    kids = int(sub.loc[sub["path"] != "src0", "cnt"].sum())
+    assert root == kids  # children partition the parent count
