@@ -4,7 +4,7 @@ nested script/style, and random angle-bracket soup — must never raise,
 must be deterministic, and must never leak tag markup or script/style
 bodies into the text output."""
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from lucene_solr_ray.analysis.htmlstrip import html_to_text
@@ -35,6 +35,10 @@ def test_stripper_never_crashes_and_is_deterministic(src):
 @settings(max_examples=200, deadline=None)
 @given(frag_st)
 def test_stripper_drops_wellformed_tags_and_script_bodies(frag):
+    # CDATA bodies are kept as LITERAL text (reference semantics), so a
+    # fragment opening a CDATA section may legitimately emit tag-looking
+    # text — exclude it from this markup-free assertion
+    assume("<![CDATA[" not in frag)
     body = f"<html><body><p>KEEP</p><script>var DROP=1;</script>{frag}</body>"
     out = html_to_text(body)
     assert "KEEP" in out
