@@ -486,6 +486,16 @@ def q_ft_lm_dirichlet(sf_dir):
     return _round_col(s.match_all("query"), "score")
 
 
+def q_ft_lm_jm(sf_dir):
+    """LMJelinekMercerSimilarity term scoring
+    (LMJelinekMercerSimilarity.java:47)."""
+    from lucene_solr_ray.search import IndexSearcher, LMJelinekMercerSimilarity
+
+    s = IndexSearcher(_index_for(sf_dir), params=LMJelinekMercerSimilarity(),
+                      dtype=np.float64)
+    return _round_col(s.match_all("fast"), "score")
+
+
 def q_ft_dfr(sf_dir):
     """DFR I(F)-B-H2 term scoring (DFRSimilarity.java:115)."""
     from lucene_solr_ray.search import DFRSimilarity, IndexSearcher
@@ -1362,7 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_index": q_ft_facet_index,
         "facet_taxonomy": q_facet_taxonomy,
         "ft_percolate": q_ft_percolate,
-        "ft_spell": q_ft_spell,
+        "ft_lm_jm": q_ft_lm_jm,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_field_filter": q_ft_field_filter,
         # --- round-3 additions: SORTED string docvalues, intervals ---
@@ -1413,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_union": q_merge_union,
         "ft_count": q_ft_count,
         "ft_suggest": q_ft_suggest,
+        "ft_spell": q_ft_spell,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1536,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
+        "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
         "ft_dfr": osql.sql_dfr_term("slow"),
         "ft_intervals": """
             WITH tok AS (

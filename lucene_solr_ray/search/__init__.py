@@ -7,5 +7,6 @@ from .similarity import (  # noqa: F401
     ClassicSimilarity,
     DFRSimilarity,
     LMDirichletSimilarity,
+    LMJelinekMercerSimilarity,
     Similarity,
 )

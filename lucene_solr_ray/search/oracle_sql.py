@@ -171,6 +171,24 @@ WHERE t.term = '{term}'
 ORDER BY doc_id"""
 
 
+def sql_lm_jelinek_mercer_term(term: str, lam: float = 0.7) -> str:
+    """LMJelinekMercerSimilarity: score = ln(1 + ((1-lam)*freq/dl)
+    / (lam*p)) with p = (ttf+1)/(sum_ttf+1)
+    (LMJelinekMercerSimilarity.java:60-71)."""
+    return f"""
+WITH {bm25_cte()},
+tt AS (SELECT term, count(*) AS ttf FROM tok GROUP BY term)
+SELECT t.doc_id AS doc_id,
+       round(ln(1.0 + ((1.0 - {lam}) * t.freq / q.qlen)
+                / ({lam} * ((c.ttf + 1.0) / (s.sum_dl + 1.0)))), {ROUND}) AS score
+FROM tf t
+JOIN tt c ON c.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
 def sql_dfr_term(term: str, c: float = 1.0) -> str:
     """DFR I(F)-B-H2 (DFRSimilarity.java:115): tfn = freq*log2(1+c*avgdl/dl),
     score = (F+1)/(df*(tfn+1)) * tfn * log2(1+(N+1)/(F+0.5))."""

@@ -154,6 +154,48 @@ class LMDirichletSimilarity(Similarity):
 
 
 @dataclass
+class LMJelinekMercerWeight(TermWeight):
+    """score = boost * ln(1 + ((1-lambda) * freq / dl) / (lambda * p))
+    with p = (ttf+1)/(sum_ttf+1) (LMJelinekMercerSimilarity.java:60-71).
+    ``cache`` holds 1/dl per norm byte; ``ratio`` = (1-lambda)/(lambda*p)."""
+
+    ratio: float = 0.0
+
+    def score(self, freqs, norms, dtype=np.float32):
+        inv_dl = self.cache[norms.astype(np.int64)]
+        if dtype == np.float32:
+            return np.log(np.float32(1.0)
+                          + np.float32(self.ratio)
+                          * freqs.astype(np.float32) * inv_dl
+                          ).astype(np.float32) * np.float32(self.weight)
+        return float(self.weight) * np.log(
+            1.0 + float(self.ratio) * freqs.astype(np.float64) * inv_dl)
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    """Jelinek-Mercer smoothed language model
+    (LMJelinekMercerSimilarity.java:47)."""
+
+    def __init__(self, lam: float = 0.7):
+        assert 0.0 < lam < 1.0
+        self.lam = float(lam)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        p = (ttf + 1.0) / (sum_ttf + 1.0)
+        dl = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+        cache = 1.0 / dl
+        if dtype == np.float32:
+            cache = cache.astype(np.float32)
+        return LMJelinekMercerWeight(
+            weight=float(boost), cache=cache, df=df, max_score=math.inf,
+            ratio=(1.0 - self.lam) / (self.lam * p))
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
+                           doc_count, sum_ttf, boost, dtype)
+
+
+@dataclass
 class DFRWeight(TermWeight):
     """DFR I(F)·B·H2 (DFRSimilarity.java:115, BasicModelIF.java:36,
     AfterEffectB.java:32, NormalizationH2.java:39):

@@ -18,11 +18,12 @@ from lucene_solr_ray.search import (
     DFRSimilarity,
     IndexSearcher,
     LMDirichletSimilarity,
+    LMJelinekMercerSimilarity,
 )
 from lucene_solr_ray.util.smallfloat import byte4_to_int, int_to_byte4
 
 SIMS = [ClassicSimilarity(), LMDirichletSimilarity(), BooleanSimilarity(),
-        DFRSimilarity()]
+        DFRSimilarity(), LMJelinekMercerSimilarity()]
 
 
 @pytest.fixture(scope="module")
@@ -149,4 +150,21 @@ def test_phrase_summed_idf_classic(idx):
                    if words[i] == "fast" and words[i + 1] == "query")
         assert freq > 0
         exp = idf * math.sqrt(freq) / math.sqrt(_qlen(dl[doc]))
+        assert sc == pytest.approx(exp, rel=1e-9)
+
+
+def test_lm_jelinek_mercer_hand_formula(idx):
+    d, texts = idx
+    dl, n, sum_ttf = _stats(texts)
+    lam = 0.7
+    s = IndexSearcher(d, params=LMJelinekMercerSimilarity(lam=lam),
+                      dtype=np.float64)
+    res = s.match_all("query")
+    ttf = sum(t.split().count("query") for t in texts)
+    p = (ttf + 1.0) / (sum_ttf + 1.0)
+    assert res.num_rows > 0
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        freq = texts[doc].split().count("query")
+        exp = math.log(1.0 + ((1.0 - lam) * freq / _qlen(dl[doc]))
+                       / (lam * p))
         assert sc == pytest.approx(exp, rel=1e-9)
