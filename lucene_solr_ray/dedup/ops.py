@@ -28,6 +28,16 @@ from ray.data.aggregate import Count, Min
 from ..util.polyhash import poly_hash_strings
 from ..util.vectors import vec_matrix
 
+# above this many multi-member LSH bucket keys, the singleton sieve runs as
+# a distributed join instead of a driver broadcast (web dup rates make the
+# key set O(corpus))
+_SIEVE_BROADCAST_GATE = 5_000_000
+
+# below this many (bkey, id) band rows one driver lexsort beats the
+# distributed passes' scheduling latency (cost-based plan; the distributed
+# path is the 10^12-doc plan)
+_DRIVER_LEXSORT_GATE = 2_000_000
+
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -201,7 +211,7 @@ def dedup_minhash_lsh(
     # cost-based plan: below the driver threshold the whole (bkey, id) table
     # is two small columns — one lexsort beats several Ray passes' scheduling
     # latency. The distributed path is the 10^12-doc plan.
-    if band.count() <= 2_000_000:
+    if band.count() <= _DRIVER_LEXSORT_GATE:
         pdf = band.to_pandas()
         bk = pdf["bkey"].to_numpy().astype(np.uint64)
         ids = pdf[key_col].to_numpy()
@@ -260,23 +270,42 @@ def dedup_minhash_lsh(
                 "them — run an exact pass on those ids if needed",
                 int(over.sum()), max_bucket, int(n.max()),
             )
-        return t.filter(pa.array((n > 1) & ~over))
+        kept = t.filter(pa.array((n > 1) & ~over))
+        # the hash-shuffle aggregate emits uint64 keys as pickled-object
+        # extension arrays; rebuild a plain uint64 column so the join path
+        # can match band's bkey dtype
+        bk = np.asarray(kept["bkey"].to_pylist(), dtype=np.uint64)
+        return pa.table({"bkey": pa.array(bk, pa.uint64())})
 
-    multi = sizes.map_batches(keep_multi, batch_format="pyarrow").to_pandas()
+    multi_ds = sizes.map_batches(keep_multi, batch_format="pyarrow").materialize()
+    n_multi = multi_ds.count()
     empty = pa.table({"left_id": pa.array([], pa.int64()),
                       "right_id": pa.array([], pa.int64())})
     import ray.data as _rd
 
-    if not len(multi):
+    if not n_multi:
         return _rd.from_arrow(empty)
-    wanted = np.sort(multi["bkey"].to_numpy().astype(np.uint64))
-    w_ref = ray.put(wanted)
+    if n_multi <= _SIEVE_BROADCAST_GATE:
+        # broadcast sieve: one ray.put of the multi-bucket keys, read once
+        # per task — cheapest way to drop the singleton majority pre-shuffle
+        multi = multi_ds.to_pandas()
+        wanted = np.sort(multi["bkey"].to_numpy().astype(np.uint64))
+        w_ref = ray.put(wanted)
 
-    def sieve(t: pa.Table) -> pa.Table:
-        w = ray.get(w_ref)
-        v = t["bkey"].to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(w, v), len(w) - 1)
-        return t.filter(pa.array(w[idx] == v))
+        def sieve(t: pa.Table) -> pa.Table:
+            w = ray.get(w_ref)
+            v = t["bkey"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(w, v), len(w) - 1)
+            return t.filter(pa.array(w[idx] == v))
+
+        sieved = band.map_batches(sieve, batch_format="pyarrow")
+    else:
+        # web-scale dup rates: multi-bucket keys are themselves O(corpus),
+        # too big for a driver array — sieve with a distributed hash join
+        # on the bucket key instead (both sides shuffle on bkey; no driver
+        # materialization at any duplication rate)
+        sieved = band.join(multi_ds, join_type="inner", on=("bkey",),
+                           num_partitions=max(16, n_multi // 2_000_000))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df[key_col].to_numpy())
@@ -286,11 +315,7 @@ def dedup_minhash_lsh(
         li, ri = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"left_id": ids[li], "right_id": ids[ri]})
 
-    cand = (
-        band.map_batches(sieve, batch_format="pyarrow")
-        .groupby("bkey")
-        .map_groups(pairs, batch_format="pandas")
-    )
+    cand = sieved.groupby("bkey").map_groups(pairs, batch_format="pandas")
     # dedup pairs discovered in multiple bands
     return _ensure_schema(
         cand.groupby(["left_id", "right_id"])

@@ -268,3 +268,38 @@ def test_taxonomy_facet_counts(ray_session, con):
     root = int(sub.loc[sub["path"] == "src0", "cnt"].iloc[0])
     kids = int(sub.loc[sub["path"] != "src0", "cnt"].sum())
     assert root == kids  # children partition the parent count
+
+
+def test_minhash_lsh_distributed_join_sieve_parity(ray_session, tmp_path,
+                                                   monkeypatch):
+    """The three LSH plans — driver lexsort, broadcast sieve, distributed
+    join sieve (the 10^12-doc path for O(corpus) multi-bucket key sets) —
+    must emit the same candidate pairs."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.dedup import dedup_minhash_lsh
+    from lucene_solr_ray.dedup import ops as dops
+
+    texts = [f"filler document number {i} with words {i*7} {i*13}"
+             for i in range(60)]
+    for a, b in ((5, 25), (12, 40), (33, 50)):
+        texts[a] = f"shared near duplicate content block variant {a} tail x"
+        texts[b] = f"shared near duplicate content block variant {a} tail y"
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    p = str(tmp_path / "dj.parquet")
+    pq.write_table(t, p)
+
+    def run():
+        ds = rd().read_parquet(p)
+        out = dedup_minhash_lsh(ds, "doc_id", "text",
+                                num_hashes=32, bands=16).to_pandas()
+        return set(zip(out["left_id"], out["right_id"]))
+
+    base = run()                                   # driver lexsort plan
+    monkeypatch.setattr(dops, "_DRIVER_LEXSORT_GATE", 0)
+    broadcast = run()                              # broadcast sieve plan
+    monkeypatch.setattr(dops, "_SIEVE_BROADCAST_GATE", 0)
+    joined = run()                                 # distributed join plan
+    assert base == broadcast == joined
+    assert {(5, 25), (12, 40), (33, 50)} <= base
