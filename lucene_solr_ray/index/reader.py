@@ -279,7 +279,11 @@ class ShardReader:
                 ss = seg_starts[order]
                 cum = np.concatenate([[0], np.cumsum(sl)])
                 ranges = np.repeat(ss - cum[:-1], sl) + np.arange(int(sl.sum()))
-                pos_alls = [p[ranges] for p in pos_alls]
+                # a payload column the index never stored (offsets without
+                # store_offsets) is a zeros(0) placeholder — leave it empty
+                # rather than indexing it with an occurrence-length mask
+                pos_alls = [p[ranges] if len(p) == len(ranges) else p
+                            for p in pos_alls]
             docs = docs[order]
             freqs = freqs[order]
         if live_only and len(self.dead):
@@ -287,7 +291,8 @@ class ShardReader:
             if not keep.all():
                 if with_positions:
                     pos_keep = np.repeat(keep, freqs)
-                    pos_alls = [p[pos_keep] for p in pos_alls]
+                    pos_alls = [p[pos_keep] if len(p) == len(pos_keep) else p
+                                for p in pos_alls]
                 docs = docs[keep]
                 freqs = freqs[keep]
         out = (docs, freqs, *pos_alls) if with_positions else (docs, freqs)

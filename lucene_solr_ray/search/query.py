@@ -454,6 +454,13 @@ def apply_stemmer(node, stem):
     if isinstance(node, Fuzzy):
         return Fuzzy(st(node.text), node.max_edits, node.boost,
                      node.max_expansions)
+    if isinstance(node, MultiPhrase):
+        return MultiPhrase(tuple(tuple(st(t) for t in pos)
+                                 for pos in node.positions),
+                           node.boost, node.slop)
+    if isinstance(node, FunctionScore):
+        return FunctionScore(apply_stemmer(node.query, stem), node.expr,
+                             node.boost)
     if isinstance(node, ConstantScore):
         return ConstantScore(apply_stemmer(node.query, stem), node.boost)
     if isinstance(node, DisMax):

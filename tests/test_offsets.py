@@ -262,3 +262,27 @@ def test_multi_payload_postings_match_single_calls(tmp_path, ray_session):
             np.testing.assert_array_equal(poss, p2)
             assert len(offs) == len(poss) == int(freqs.sum())
     assert salted, "expected a salted multi-row term in this layout"
+
+
+def test_postings_offsets_absent_with_deletes(tmp_path, ray_session):
+    """An index built WITHOUT store_offsets + tombstones: requesting the
+    offsets payload must degrade to an empty array, not crash the live
+    filter (regression: boolean-mask IndexError through the highlighter's
+    fallback path)."""
+    from lucene_solr_ray.index.maintenance import delete_by_ids
+    from lucene_solr_ray.search.services import highlight_results_offsets
+
+    corp = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+        "text": pa.array(TEXTS)}), corp)
+    d = str(tmp_path / "idx")
+    build_index(corp, d, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    delete_by_ids(d, [0])
+    s = IndexSearcher(d)
+    for sh in s.reader.shards:
+        got = sh.postings("fox", with_positions=True, payload_col="offsets")
+        docs, freqs, offs = got
+        assert len(offs) == 0  # absent column -> empty payload, no crash
+    out = highlight_results_offsets(s, corp, "doc_id", "text", "fox", k=5)
+    assert 0 not in out["doc_id"].to_pylist()

@@ -134,3 +134,32 @@ def test_distributed_searcher_stemmed_parity(ray_session, tmp_path):
         b = dist.search(q, k=10)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+def test_stemmer_applies_inside_function_score(tmp_path, ray_session):
+    """apply_stemmer must recurse into FunctionScore and MultiPhrase
+    wrappers (regression: a FunctionScore-wrapped Term skipped the index
+    stemmer and matched nothing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import FunctionScore, MultiPhrase, Term
+
+    corp = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["running fast today", "walked slowly home"]),
+    }), corp)
+    idx = str(tmp_path / "idx")
+    build_index(corp, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, stemmer="porter"))
+    s = IndexSearcher(idx)
+    plain = s.search(Term("running"), k=5)["doc_id"].to_pylist()
+    wrapped = s.search(FunctionScore(Term("running"), "score"),
+                       k=5)["doc_id"].to_pylist()
+    assert plain == wrapped == [0]
+    mp = s.search(MultiPhrase((("running",), ("fast", "slowly"))),
+                  k=5)["doc_id"].to_pylist()
+    assert mp == [0]
