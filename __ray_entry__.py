@@ -1280,6 +1280,46 @@ def q_mm_decode(sf_dir):
     return decode_images(ds.map_batches(to_blob, batch_format="pyarrow"), "doc_id", "blob")
 
 
+def q_mm_decode_real(sf_dir):
+    """REAL image decode (pure-numpy PPM codec, multimodal/codecs.py):
+    constant-color images synthesized per doc, decoded through the
+    actor-pool stage; dims and channel means have a closed-form oracle."""
+    from lucene_solr_ray.multimodal import decode_images_real, encode_ppm
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids < 512
+        ids = ids[keep]
+        blobs = []
+        for i in ids:
+            h, w = 3 + int(i) % 7, 4 + int(i) % 13
+            img = np.empty((h, w, 3), np.uint8)
+            img[:, :, 0] = i % 256
+            img[:, :, 1] = (i * 7) % 256
+            img[:, :, 2] = (i * 13) % 256
+            blobs.append(encode_ppm(img))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "img": pa.array(blobs, pa.large_binary()),
+        })
+
+    out = decode_images_real(
+        ds.map_batches(synth, batch_format="pyarrow"), "doc_id", "img")
+
+    def cast(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {"doc_id": t["doc_id"],
+                "height": pc.cast(t["height"], pa.int64()),
+                "width": pc.cast(t["width"], pa.int64())}
+        for c in ("mean_r", "mean_g", "mean_b"):
+            cols[c] = pc.cast(pc.round(t[c]), pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_flagship_corpus(sf_dir):
     """Flagship: synthetic web corpus -> html extract -> index -> top-k."""
     from lucene_solr_ray.index import IndexBuildConfig
@@ -1371,7 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
         "facet_taxonomy": q_facet_taxonomy,
-        "ft_percolate": q_ft_percolate,
+        "mm_decode_real": q_mm_decode_real,
         "ft_lm_jm": q_ft_lm_jm,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_field_filter": q_ft_field_filter,
@@ -1424,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_count": q_ft_count,
         "ft_suggest": q_ft_suggest,
         "ft_spell": q_ft_spell,
+        "ft_percolate": q_ft_percolate,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1447,6 +1488,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": oracles.sql_jaccard_pairs(threshold=0.8, round_nd=RND),
         "embedding_dups": oracles.sql_embedding_pairs(threshold=0.95, dup_offset=10_000_000),
         "mm_decode": oracles.sql_mm_decode(),
+        "mm_decode_real": """
+            SELECT doc_id,
+                   CAST(3 + doc_id % 7 AS BIGINT) AS height,
+                   CAST(4 + doc_id % 13 AS BIGINT) AS width,
+                   CAST(doc_id % 256 AS BIGINT) AS mean_r,
+                   CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+                   CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
+            FROM documents WHERE doc_id < 512""",
         "hll_distinct": """
             SELECT count(DISTINCT l_partkey) AS exact_parts,
                    true AS hll_within_5pct FROM lineitem""",

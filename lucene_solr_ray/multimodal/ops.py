@@ -1,10 +1,13 @@
 """Multimodal column plumbing (image/audio/video as opaque binary columns).
 
-The decode kernels are STUBBED (no image/audio libraries in this container):
-each stage's Ray-side plumbing — schema, actor-pool signature, batch sizing
-for wide binary rows, output layout — is real and tested with a
-deterministic fake decoder. Swapping in PIL/ffmpeg is a one-function change
-inside the actor's __init__/__call__.
+Uncompressed image formats decode FOR REAL: codecs.py implements PPM (P6)
+and 24-bit BMP in pure numpy, and decode_images_real runs them through the
+actor-pool stage with value-level oracles. Compressed formats (JPEG/PNG)
+and audio/video stay STUBBED (no codec libraries in this container): those
+stages' Ray-side plumbing — schema, actor-pool signature, batch sizing for
+wide binary rows, output layout — is real and tested with a deterministic
+fake decoder; swapping in PIL/ffmpeg is a one-function change inside the
+actor's __init__/__call__.
 
 Batch-size guidance: binary payloads of ~100KB-10MB mean batches must be
 small (tens of rows) and blocks should not be split absurdly small — raise
@@ -134,4 +137,41 @@ def sample_frames(
 
     return ds.map_batches(
         Sample, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def decode_images_real(
+    ds: Dataset, key_col: str, blob_col: str,
+    batch_size: int = 32, concurrency: int = 2,
+) -> Dataset:
+    """REAL decode stage for uncompressed formats (PPM/BMP, codecs.py):
+    (key, binary) -> (key, height, width, mean_r, mean_g, mean_b).
+
+    Same actor-pool shape as decode_images; compressed formats raise the
+    honest NotImplementedError at the codec boundary. Means are float64
+    over the decoded pixels — a value-level invariant an oracle can
+    recompute for synthetic inputs."""
+
+    class Decode:
+        def __init__(self):
+            # codec dispatch + stats kernels bound once per actor
+            from .codecs import image_stats, sniff_and_decode
+
+            self.decode = sniff_and_decode
+            self.stats = image_stats
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            st = [self.stats(self.decode(b)) for b in t[blob_col].to_pylist()]
+            return pa.table({
+                key_col: t[key_col],
+                "height": pa.array([s["height"] for s in st], pa.int32()),
+                "width": pa.array([s["width"] for s in st], pa.int32()),
+                "mean_r": pa.array([s["mean_r"] for s in st], pa.float64()),
+                "mean_g": pa.array([s["mean_g"] for s in st], pa.float64()),
+                "mean_b": pa.array([s["mean_b"] for s in st], pa.float64()),
+            })
+
+    return ds.map_batches(
+        Decode, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
     )

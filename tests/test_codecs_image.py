@@ -1,0 +1,93 @@
+"""Real image codecs (multimodal/codecs.py): property round-trips for
+PPM/BMP on arbitrary dims (BMP row padding edge cases included), resize
+gather shape/content, sniffing dispatch, and the honest stub boundary
+for compressed formats."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.multimodal import (
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    image_stats,
+    resize_nearest,
+    sniff_and_decode,
+)
+
+dims_st = st.tuples(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+
+
+def _img(h, w, seed):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(dims_st)
+def test_ppm_roundtrip(dims):
+    h, w, seed = dims
+    img = _img(h, w, seed)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(dims_st)
+def test_bmp_roundtrip_with_padding(dims):
+    h, w, seed = dims  # w % 4 != 0 exercises the row-padding path
+    img = _img(h, w, seed)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _img(2, 3, 7)
+    blob = b"P6\n# a comment\n 3\t2\n# more\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(blob), img)
+
+
+def test_sniff_dispatch_and_stub_boundary():
+    img = _img(4, 5, 1)
+    np.testing.assert_array_equal(sniff_and_decode(encode_ppm(img)), img)
+    np.testing.assert_array_equal(sniff_and_decode(encode_bmp(img)), img)
+    with pytest.raises(NotImplementedError):
+        sniff_and_decode(b"\xff\xd8\xff\xe0JFIF")
+    with pytest.raises(NotImplementedError):
+        sniff_and_decode(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        sniff_and_decode(b"garbage")
+
+
+def test_resize_nearest_and_stats():
+    img = np.zeros((10, 10, 3), np.uint8)
+    img[:, :, 0] = 200
+    out = resize_nearest(img, 3, 25)
+    assert out.shape == (3, 25, 3) and (out[:, :, 0] == 200).all()
+    s = image_stats(img)
+    assert (s["height"], s["width"]) == (10, 10)
+    assert s["mean_r"] == 200.0 and s["mean_g"] == 0.0
+    assert s["lum_hist"].sum() == pytest.approx(1.0)
+
+
+def test_decode_images_real_stage(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucene_solr_ray.multimodal import decode_images_real
+
+    blobs, ids = [], []
+    for i in range(12):
+        img = _img(2 + i % 3, 3 + i % 5, i)
+        blobs.append(encode_ppm(img) if i % 2 else encode_bmp(img))
+        ids.append(i)
+    p = str(tmp_path / "imgs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "img": pa.array(blobs, pa.large_binary())}), p)
+    out = decode_images_real(rd.read_parquet(p), "doc_id", "img").to_pandas()
+    assert len(out) == 12
+    for i, r in out.sort_values("doc_id").reset_index(drop=True).iterrows():
+        assert (r["height"], r["width"]) == (2 + i % 3, 3 + i % 5)
