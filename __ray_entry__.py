@@ -1320,6 +1320,51 @@ def q_mm_decode_real(sf_dir):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_mm_audio_real(sf_dir):
+    """REAL audio decode (pure-numpy PCM WAV codec, multimodal/audio.py):
+    alternating-sign clips synthesized per doc; sample counts, duration
+    and the zero-crossing count have an integer-exact oracle."""
+    from lucene_solr_ray.multimodal import decode_audio_real, encode_wav
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids < 512
+        ids = ids[keep]
+        blobs = []
+        for i in ids:
+            n = 100 + int(i) % 50
+            amp = 0.25 + (int(i) % 4) * 0.125
+            sig = np.empty(n, np.float32)
+            sig[0::2] = amp
+            sig[1::2] = -amp
+            blobs.append(encode_wav(sig, 8000))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "wav": pa.array(blobs, pa.large_binary()),
+        })
+
+    out = decode_audio_real(
+        ds.map_batches(synth, batch_format="pyarrow"), "doc_id", "wav")
+
+    def cast(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n1 = pc.cast(pc.subtract(t["n_samples"], 1), pa.float64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_samples": t["n_samples"],
+            "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+            "channels": pc.cast(t["channels"], pa.int64()),
+            "duration_us": pc.cast(pc.round(
+                pc.multiply(t["duration_s"], 1000000.0)), pa.int64()),
+            "crossings": pc.cast(pc.round(
+                pc.multiply(t["zcr"], n1)), pa.int64()),
+        })
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def q_flagship_corpus(sf_dir):
     """Flagship: synthetic web corpus -> html extract -> index -> top-k."""
     from lucene_solr_ray.index import IndexBuildConfig
@@ -1413,7 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_taxonomy": q_facet_taxonomy,
         "mm_decode_real": q_mm_decode_real,
         "ft_lm_jm": q_ft_lm_jm,
-        "ft_sort_by_field": q_ft_sort_by_field,
+        "mm_audio_real": q_mm_audio_real,
         "ft_field_filter": q_ft_field_filter,
         # --- round-3 additions: SORTED string docvalues, intervals ---
         "ft_sort_string": q_ft_sort_string,
@@ -1465,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest": q_ft_suggest,
         "ft_spell": q_ft_spell,
         "ft_percolate": q_ft_percolate,
+        "ft_sort_by_field": q_ft_sort_by_field,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1488,6 +1534,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": oracles.sql_jaccard_pairs(threshold=0.8, round_nd=RND),
         "embedding_dups": oracles.sql_embedding_pairs(threshold=0.95, dup_offset=10_000_000),
         "mm_decode": oracles.sql_mm_decode(),
+        "mm_audio_real": """
+            SELECT doc_id,
+                   CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(1 AS BIGINT) AS channels,
+                   CAST((100 + doc_id % 50) * 125 AS BIGINT)
+                     AS duration_us,
+                   CAST(99 + doc_id % 50 AS BIGINT) AS crossings
+            FROM documents WHERE doc_id < 512""",
         "mm_decode_real": """
             SELECT doc_id,
                    CAST(3 + doc_id % 7 AS BIGINT) AS height,

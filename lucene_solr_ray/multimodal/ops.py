@@ -175,3 +175,39 @@ def decode_images_real(
         Decode, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def decode_audio_real(
+    ds: Dataset, key_col: str, blob_col: str,
+    batch_size: int = 32, concurrency: int = 2,
+) -> Dataset:
+    """REAL decode stage for PCM WAV (audio.py): (key, binary) ->
+    (key, sample_rate, channels, n_samples, duration_s, rms, peak, zcr).
+    Compressed audio raises the honest NotImplementedError at the codec
+    boundary."""
+
+    class Decode:
+        def __init__(self):
+            from .audio import audio_features, sniff_and_decode_audio
+
+            self.decode = sniff_and_decode_audio
+            self.feats = audio_features
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            st = [self.feats(*self.decode(b))
+                  for b in t[blob_col].to_pylist()]
+            cols = {key_col: t[key_col]}
+            for name, typ in (("sample_rate", pa.int32()),
+                              ("channels", pa.int32()),
+                              ("n_samples", pa.int64()),
+                              ("duration_s", pa.float64()),
+                              ("rms", pa.float64()),
+                              ("peak", pa.float64()),
+                              ("zcr", pa.float64())):
+                cols[name] = pa.array([s[name] for s in st], typ)
+            return pa.table(cols)
+
+    return ds.map_batches(
+        Decode, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

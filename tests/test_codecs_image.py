@@ -91,3 +91,50 @@ def test_decode_images_real_stage(ray_session, tmp_path):
     assert len(out) == 12
     for i, r in out.sort_values("doc_id").reset_index(drop=True).iterrows():
         assert (r["height"], r["width"]) == (2 + i % 3, 3 + i % 5)
+
+
+# --- audio (multimodal/audio.py) -------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 3000), st.integers(1, 2), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip(n, ch, seed):
+    from lucene_solr_ray.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    sig = (rng.random((n, ch), dtype=np.float64) * 2 - 1).astype(np.float32)
+    back, rate = decode_wav(encode_wav(sig, 16000))
+    assert rate == 16000 and back.shape == (n, ch)
+    assert np.abs(back - sig).max() <= 1.0 / 32767 + 1e-6
+
+
+def test_wav_extra_chunks_and_stub_boundary():
+    from lucene_solr_ray.multimodal import (
+        decode_wav,
+        encode_wav,
+        sniff_and_decode_audio,
+    )
+
+    sig = np.ones((10, 1), np.float32) * 0.5
+    blob = encode_wav(sig, 8000)
+    # splice a LIST chunk between fmt and data: chunk walker must skip it
+    spliced = blob[:36] + b"LIST\x04\x00\x00\x00INFO" + blob[36:]
+    back, rate = decode_wav(spliced)
+    assert rate == 8000 and back.shape == (10, 1)
+    with pytest.raises(NotImplementedError):
+        sniff_and_decode_audio(b"ID3\x04rest-of-mp3")
+    with pytest.raises(ValueError):
+        sniff_and_decode_audio(b"noise")
+
+
+def test_audio_features_closed_form():
+    from lucene_solr_ray.multimodal import audio_features, decode_wav, encode_wav
+
+    n = 101
+    sig = np.empty(n, np.float32)
+    sig[0::2], sig[1::2] = 0.5, -0.5
+    back, rate = decode_wav(encode_wav(sig, 8000))
+    f = audio_features(back, rate)
+    assert f["n_samples"] == n and f["channels"] == 1
+    assert f["zcr"] == pytest.approx(1.0)           # alternating signs
+    assert f["rms"] == pytest.approx(0.5, abs=1e-4)
+    assert f["duration_s"] == pytest.approx(n / 8000)
