@@ -253,10 +253,16 @@ class ShardReader:
             docs, freqs = decode_posting(row)
             pos = []
             if with_positions:
+                n_occ = int(freqs.sum())
                 for arr, dt in zip(pos_arrs, pdtypes):
                     sl = arr.slice(r, 1) if arr is not None else None
                     if sl is None or sl.null_count:
-                        pos.append(np.zeros(0, dtype=dt))
+                        # column absent for this row (pre-offsets segment
+                        # appended to a store_offsets index, or the index
+                        # never stored it): fill the -1 "no payload"
+                        # sentinel 1:1 per occurrence so multi-row terms
+                        # stay aligned through merge and live filtering
+                        pos.append(np.full(n_occ, -1, dtype=dt))
                     else:
                         pos.append(
                             sl.flatten().to_numpy(zero_copy_only=False).astype(dt))

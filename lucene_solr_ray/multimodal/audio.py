@@ -55,7 +55,10 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
-    return (samples.astype(np.float32) / 32767.0).reshape(-1, ch), rate
+    # PCM min is -32768: clamp so full-scale-negative samples honor the
+    # documented [-1, 1] contract (1-LSB symmetric scale otherwise)
+    out = np.maximum(samples.astype(np.float32) / 32767.0, -1.0)
+    return out.reshape(-1, ch), rate
 
 
 def sniff_and_decode_audio(blob: bytes) -> tuple[np.ndarray, int]:

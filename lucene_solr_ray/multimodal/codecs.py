@@ -124,17 +124,21 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
-def image_stats(img: np.ndarray) -> dict:
-    """Per-image features: dims, per-channel means, 4-bucket luminance
-    histogram (fractions). One vectorized pass."""
+def image_stats(img: np.ndarray, with_hist: bool = True) -> dict:
+    """Per-image features: dims, per-channel means, and (with_hist) a
+    4-bucket luminance histogram (fractions). One vectorized pass; skip
+    the histogram when the caller only consumes dims/means — the luminance
+    plane is ~2x the per-pixel arithmetic."""
     f = img.astype(np.float64)
-    lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-    hist = np.histogram(lum, bins=4, range=(0.0, 256.0))[0]
-    npx = img.shape[0] * img.shape[1]
-    return {
+    out = {
         "height": img.shape[0], "width": img.shape[1],
         "mean_r": float(f[:, :, 0].mean()),
         "mean_g": float(f[:, :, 1].mean()),
         "mean_b": float(f[:, :, 2].mean()),
-        "lum_hist": (hist / max(npx, 1)).astype(np.float32),
     }
+    if with_hist:
+        lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        hist = np.histogram(lum, bins=4, range=(0.0, 256.0))[0]
+        npx = img.shape[0] * img.shape[1]
+        out["lum_hist"] = (hist / max(npx, 1)).astype(np.float32)
+    return out

@@ -161,7 +161,8 @@ def decode_images_real(
             self.stats = image_stats
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            st = [self.stats(self.decode(b)) for b in t[blob_col].to_pylist()]
+            st = [self.stats(self.decode(b), with_hist=False)
+                  for b in t[blob_col].to_pylist()]
             return pa.table({
                 key_col: t[key_col],
                 "height": pa.array([s["height"] for s in st], pa.int32()),

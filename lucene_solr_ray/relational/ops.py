@@ -190,19 +190,11 @@ def taxonomy_facet_counts(ds: Dataset, levels: list[str], sep: str = "/",
             paths, cnt = pc.filter(paths, keep), pc.filter(cnt, keep)
         return pa.table({"path": paths, count_name: cnt})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("path").aggregate(Sum(count_name, alias_name=count_name)))
-
-    # same guard as rollup(): Ray's combine can promote an integer Sum
-    # through float when a partial is empty, so pin the count dtype
-    def cast_int(t: pa.Table) -> pa.Table:
-        if not pa.types.is_integer(t[count_name].type):
-            i = t.column_names.index(count_name)
-            t = t.set_column(i, count_name,
-                             pc.cast(pc.round(t[count_name]), pa.int64()))
-        return t
-
-    return out.map_batches(cast_int, batch_format="pyarrow")
+    # rollup() supplies the groupby-Sum plus the int64 re-cast guard (Ray's
+    # combine can promote an integer Sum through float on empty partials)
+    return rollup(ds.map_batches(partial, batch_format="pyarrow"),
+                  ["path"], [("sum", count_name, count_name)],
+                  pre_aggregate=False, int_outputs=(count_name,))
 
 
 def facet_top_k_refined(

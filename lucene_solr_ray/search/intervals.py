@@ -78,6 +78,24 @@ class IContainedBy:
     big: object
 
 
+def stem_source(src, st):
+    """Rewrite every leaf ITerm through the query-side analysis fn ``st``
+    (the stemmer/chain mirror applied to Term nodes in query.apply_stemmer)."""
+    if isinstance(src, ITerm):
+        return ITerm(st(src.text))
+    if isinstance(src, (IOr, IOrdered, IUnordered, IPhrase)):
+        return type(src)(tuple(stem_source(s, st) for s in src.sources))
+    if isinstance(src, IMaxgaps):
+        return IMaxgaps(src.gaps, stem_source(src.source, st))
+    if isinstance(src, IMaxwidth):
+        return IMaxwidth(src.width, stem_source(src.source, st))
+    if isinstance(src, IContaining):
+        return IContaining(stem_source(src.big, st), stem_source(src.small, st))
+    if isinstance(src, IContainedBy):
+        return IContainedBy(stem_source(src.small, st), stem_source(src.big, st))
+    return src
+
+
 # --- convenience constructors (the Intervals.java static-factory surface) --
 
 def term(t: str) -> ITerm:

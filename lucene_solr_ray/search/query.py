@@ -461,6 +461,20 @@ def apply_stemmer(node, stem):
     if isinstance(node, FunctionScore):
         return FunctionScore(apply_stemmer(node.query, stem), node.expr,
                              node.boost)
+    if isinstance(node, SpanTerm):
+        return SpanTerm(st(node.text))
+    if isinstance(node, SpanOrQ):
+        return SpanOrQ(tuple(apply_stemmer(c, stem) for c in node.clauses))
+    if isinstance(node, SpanNear):
+        return SpanNear(tuple(apply_stemmer(c, stem) for c in node.clauses),
+                        node.slop, node.in_order, node.boost)
+    if isinstance(node, SpanFirst):
+        return SpanFirst(apply_stemmer(node.clause, stem), node.end,
+                         node.boost)
+    if isinstance(node, IntervalQuery):
+        from .intervals import stem_source
+
+        return IntervalQuery(stem_source(node.source, st), node.boost)
     if isinstance(node, ConstantScore):
         return ConstantScore(apply_stemmer(node.query, stem), node.boost)
     if isinstance(node, DisMax):

@@ -163,3 +163,29 @@ def test_stemmer_applies_inside_function_score(tmp_path, ray_session):
     mp = s.search(MultiPhrase((("running",), ("fast", "slowly"))),
                   k=5)["doc_id"].to_pylist()
     assert mp == [0]
+
+
+def test_stemmer_applies_inside_spans_and_intervals(tmp_path, ray_session):
+    """apply_stemmer must rewrite span clauses and interval sources too
+    (regression: SpanNear/IntervalQuery over raw inflected terms silently
+    matched nothing on a stemmed index)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher, intervals
+    from lucene_solr_ray.search.query import IntervalQuery, SpanNear, SpanTerm
+
+    corp = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["running quickly home", "walked slowly away"]),
+    }), corp)
+    idx = str(tmp_path / "idx")
+    build_index(corp, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, stemmer="porter"))
+    s = IndexSearcher(idx)
+    q = SpanNear((SpanTerm("running"), SpanTerm("quickly")), slop=0)
+    assert s.search(q, k=5)["doc_id"].to_pylist() == [0]
+    iq = IntervalQuery(intervals.ordered("running", "home"))
+    assert s.search(iq, k=5)["doc_id"].to_pylist() == [0]
