@@ -86,3 +86,31 @@ def test_shard_layout_parity_fuzz(fuzz_indexes):
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
         assert a["score"].to_pylist() == pytest.approx(
             b["score"].to_pylist(), rel=1e-6), q
+
+
+def test_parity_survives_random_deletes(fuzz_indexes, tmp_path_factory):
+    """Random tombstones: WAND and shard-layout parity must hold with live
+    filtering engaged (block-max bounds may cover dead docs — pruning must
+    stay conservative, never wrong)."""
+    import shutil
+
+    from lucene_solr_ray.index.maintenance import delete_by_ids
+
+    multi, one, queries = fuzz_indexes
+    tmp = tmp_path_factory.mktemp("fuzz_del")
+    m2, o2 = str(tmp / "m"), str(tmp / "o")
+    shutil.copytree(multi, m2)
+    shutil.copytree(one, o2)
+    rng = np.random.default_rng(99)
+    dead = rng.choice(250, size=40, replace=False).tolist()
+    delete_by_ids(m2, dead)
+    delete_by_ids(o2, dead)
+    sm, so = IndexSearcher(m2), IndexSearcher(o2)
+    for q in queries[:20]:
+        a = sm.search(q, k=10, use_wand="force")
+        b = sm.search(q, k=10, use_wand=False)
+        c = so.search(q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+        assert b["doc_id"].to_pylist() == c["doc_id"].to_pylist(), q
+        assert not set(a["doc_id"].to_pylist()) & set(dead), q
