@@ -491,6 +491,30 @@ def apply_stemmer(node, stem):
     return node
 
 
+def requires_positive_term(node) -> bool:
+    """True when the query CANNOT match a document containing none of its
+    query_terms() — the soundness condition for term-filtered presearch
+    (monitor/TermFilteredPresearcher.java:63). Conservative: anything not
+    provably term-anchored (pure must_not, match-all, multi-term patterns,
+    spans/intervals) returns False and must be checked on every batch."""
+    if isinstance(node, (Term, Phrase, Synonym, TermInSet, MultiPhrase)):
+        return True
+    if isinstance(node, (ConstantScore, FunctionScore)):
+        return requires_positive_term(node.query)
+    if isinstance(node, DisMax):
+        # matches when ANY clause matches: anchored only if every clause is
+        return bool(node.clauses) and all(
+            requires_positive_term(c) for c in node.clauses)
+    if isinstance(node, Bool):
+        pos = list(node.must) + list(node.filter)
+        if any(requires_positive_term(c) for c in pos):
+            return True  # a required conjunct is term-anchored
+        should = list(node.should)
+        return (not pos and bool(should)
+                and all(requires_positive_term(c) for c in should))
+    return False
+
+
 def query_terms(node) -> list[str]:
     """All positive terms referenced by a query (for stats resolution)."""
     out: list[str] = []

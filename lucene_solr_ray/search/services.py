@@ -564,11 +564,26 @@ class Monitor:
 
     def __init__(self, queries: dict[str, str], key_col: str = "doc_id",
                  text_col: str = "text"):
-        from .query import parse_query
+        from .query import parse_query, query_terms, requires_positive_term
 
         self.key_col = key_col
         self.text_col = text_col
         self.compiled = {qid: parse_query(q) for qid, q in queries.items()}
+        # TermFilteredPresearcher (monitor/TermFilteredPresearcher.java:63):
+        # invert each query's positive terms so a batch only runs the
+        # queries whose terms its vocabulary touches. Only queries PROVABLY
+        # anchored to one of their terms are filtered; everything else
+        # (pure must_not, match-all, multi-term patterns, spans) stays in
+        # the always-check set — conservative, never lossy.
+        self.term_to_qids: dict[str, list[str]] = {}
+        self.always_check: list[str] = []
+        for qid, node in self.compiled.items():
+            terms = set(query_terms(node))
+            if not terms or not requires_positive_term(node):
+                self.always_check.append(qid)
+                continue
+            for t in terms:
+                self.term_to_qids.setdefault(t, []).append(qid)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .memory import MemoryIndex
@@ -576,8 +591,17 @@ class Monitor:
         mini = MemoryIndex(
             batch[self.key_col].to_pylist(), batch[self.text_col].to_pylist()
         )
+        # presearch: candidate queries = union over the batch vocabulary
+        cand: set[str] = set(self.always_check)
+        if len(mini.postings) < len(self.term_to_qids):
+            probe = (t for t in mini.postings if t in self.term_to_qids)
+        else:
+            probe = (t for t in self.term_to_qids if t in mini.postings)
+        for t in probe:
+            cand.update(self.term_to_qids[t])
         out_doc, out_q = [], []
-        for qid, node in self.compiled.items():
+        for qid in sorted(cand):
+            node = self.compiled[qid]
             for d in sorted(mini.matches(node)):
                 out_doc.append(d)
                 out_q.append(qid)

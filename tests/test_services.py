@@ -55,3 +55,47 @@ def test_significant_terms(idx):
     assert out.num_rows > 0
     # "fast" itself is maximally over-represented in its own result set
     assert "fast" in out["term"].to_pylist()
+
+
+def test_monitor_presearcher_correct_and_selective(ray_session):
+    """TermFilteredPresearcher: term-anchored queries run only on batches
+    touching their terms; non-anchored queries (pure negation, prefix)
+    stay always-checked so results never change vs brute force."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.search.services import Monitor
+
+    from lucene_solr_ray.search.query import parse_query, requires_positive_term
+
+    # multi-term patterns are not term-anchored (classification only:
+    # MemoryIndex does not execute Prefix nodes)
+    assert not requires_positive_term(parse_query("bana*"))
+    queries = {
+        "q_apple": "apple",
+        "q_pear": "pear AND tart",
+        "q_neg": "NOT apple",            # must stay always-checked
+        "q_both": "apple OR pear",
+    }
+    mon = Monitor(queries)
+    assert "q_neg" in mon.always_check
+    assert "q_apple" not in mon.always_check
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["apple pie", "banana split", "pear tart now"]),
+    })
+    out = mon(batch).to_pandas()
+    got = set(zip(out["doc_id"], out["query_id"]))
+    # pure negation matches nothing (reference BooleanQuery semantics:
+    # no implicit MatchAll beside must_not)
+    assert got == {
+        (0, "q_apple"), (2, "q_pear"), (0, "q_both"), (2, "q_both"),
+    }
+    # selectivity structure: anchored queries are keyed by their terms,
+    # non-anchored ones always run
+    assert set(mon.term_to_qids.get("apple", [])) == {"q_apple", "q_both"}
+    assert set(mon.term_to_qids.get("pear", [])) == {"q_pear", "q_both"}
+    batch2 = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["unrelated words only"]),
+    })
+    assert mon(batch2).num_rows == 0
