@@ -64,4 +64,16 @@ class MemoryIndex:
             for c in node.must_not:
                 out -= self.matches(c)
             return out
+        from .multiterm import MULTI_TERM_TYPES, expand_terms
+
+        if isinstance(node, MULTI_TERM_TYPES):
+            # expand against THIS document set's vocabulary (the reference's
+            # Monitor rewrites multi-term queries per MemoryIndex segment)
+            import numpy as np
+
+            vocab = np.sort(np.asarray(list(self.postings), dtype=object))
+            out: set[int] = set()
+            for t in expand_terms(vocab, node):
+                out |= set(self.postings.get(t, {}))
+            return out
         raise TypeError(f"MemoryIndex does not support {type(node).__name__}")

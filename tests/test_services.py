@@ -99,3 +99,22 @@ def test_monitor_presearcher_correct_and_selective(ray_session):
         "text": pa.array(["unrelated words only"]),
     })
     assert mon(batch2).num_rows == 0
+
+
+def test_monitor_multi_term_queries(ray_session):
+    """Registered multi-term queries (prefix/wildcard/fuzzy) percolate by
+    expanding against each batch's own vocabulary — they live in the
+    always-check set since their concrete terms are batch-dependent."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.search.services import Monitor
+
+    mon = Monitor({"q_pre": "bana*", "q_fuz": "aple~1", "q_t": "pie"})
+    assert {"q_pre", "q_fuz"} <= set(mon.always_check)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["apple pie", "banana split", "bananas here"]),
+    })
+    out = mon(batch).to_pandas()
+    got = set(zip(out["doc_id"], out["query_id"]))
+    assert got == {(1, "q_pre"), (2, "q_pre"), (0, "q_fuz"), (0, "q_t")}
