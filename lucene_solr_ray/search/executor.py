@@ -36,9 +36,9 @@ from .query import (
 
 
 def _is_span(n) -> bool:
-    from .query import SpanFirst, SpanNear
+    from .query import SpanFirst, SpanNear, SpanNot
 
-    return isinstance(n, (SpanNear, SpanFirst))
+    return isinstance(n, (SpanNear, SpanFirst, SpanNot))
 
 
 def _field_of(reader: IndexReader, text: str) -> str | None:
@@ -122,7 +122,14 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
 
             key = _span_key(n)
             if key not in weights:
-                clauses = n.clauses if isinstance(n, _SN) else (n.clause,)
+                from .query import SpanNot as _SNOT
+
+                if isinstance(n, _SN):
+                    clauses = n.clauses
+                elif isinstance(n, _SNOT):
+                    clauses = (n.include,)  # exclude only filters
+                else:
+                    clauses = (n.clause,)
                 st = [[reader.term_stats(t) for t in span_clause_terms(c)]
                       for c in clauses]
                 weights[key] = sim.multi_weight(
@@ -543,6 +550,12 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         from .spans import eval_span_first
 
         return eval_span_first(shard, node, weights, dtype)
+    from .query import SpanNot as _SpanNot
+
+    if isinstance(node, _SpanNot):
+        from .spans import eval_span_not
+
+        return eval_span_not(shard, node, weights, dtype)
     if isinstance(node, IntervalQuery):
         from .intervals import eval_interval_query
 

@@ -140,6 +140,17 @@ class SpanNear:
 
 
 @dataclass(frozen=True)
+class SpanNot:
+    """SpanNotQuery (search/spans/SpanNotQuery.java): spans of `include`
+    with no `exclude` span within pre positions before / post after."""
+    include: object  # SpanTerm | SpanOrQ
+    exclude: object  # SpanTerm | SpanOrQ
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanFirst:
     """SpanFirstQuery: clause matches wholly before position `end`."""
     clause: object  # SpanTerm | SpanOrQ
@@ -471,6 +482,10 @@ def apply_stemmer(node, stem):
     if isinstance(node, SpanFirst):
         return SpanFirst(apply_stemmer(node.clause, stem), node.end,
                          node.boost)
+    if isinstance(node, SpanNot):
+        return SpanNot(apply_stemmer(node.include, stem),
+                       apply_stemmer(node.exclude, stem),
+                       node.pre, node.post, node.boost)
     if isinstance(node, IntervalQuery):
         from .intervals import stem_source
 

@@ -136,6 +136,38 @@ def eval_span_first(shard, node: SpanFirst, weights, dtype):
     return docs, score_postings(tw, freqs, norms, dtype)
 
 
+def eval_span_not(shard, node, weights, dtype):
+    """SpanNotQuery: include positions surviving when no exclude position
+    lies in [p - pre, p + post] (one-position clauses; SpanNotQuery.java)."""
+    cp_inc = _clause_positions(shard, node.include)
+    if not cp_inc:
+        return np.zeros(0, np.int64), np.zeros(0, dtype)
+    cp_exc = _clause_positions(shard, node.exclude)
+    docs_out, freqs_out = [], []
+    for d in sorted(cp_inc):
+        pos = cp_inc[d]
+        exc = cp_exc.get(d)
+        if exc is None:
+            f = len(pos)
+        else:
+            # survivor: no exclude position in [p - pre, p + post]
+            lo = np.searchsorted(exc, pos - node.pre, side="left")
+            hi = np.searchsorted(exc, pos + node.post, side="right")
+            f = int(np.count_nonzero(lo == hi))
+        if f:
+            docs_out.append(d)
+            freqs_out.append(f)
+    if not docs_out:
+        return np.zeros(0, np.int64), np.zeros(0, dtype)
+    docs = np.asarray(docs_out, dtype=np.int64)
+    freqs = np.asarray(freqs_out, dtype=np.int32)
+    from .bm25 import score_postings
+
+    tw = weights[_span_key(node)]
+    norms = shard.norms_for(docs)
+    return docs, score_postings(tw, freqs, norms, dtype)
+
+
 def span_clause_terms(clause) -> list[str]:
     if isinstance(clause, SpanTerm):
         return [clause.text]
@@ -145,6 +177,12 @@ def span_clause_terms(clause) -> list[str]:
 
 
 def _span_key(node):
+    from .query import SpanNot
+
+    if isinstance(node, SpanNot):
+        # scored from the INCLUDE clause (exclude only filters)
+        return ("\x1fSPANN\x1f" + "|".join(span_clause_terms(node.include)),
+                node.boost)
     if isinstance(node, SpanNear):
         return (
             "\x1fSPAN\x1f".join("|".join(span_clause_terms(c)) for c in node.clauses),

@@ -168,3 +168,34 @@ def test_span_near_scores_reflect_match_tightness(span_index):
     t = s.match_all(node)
     by_doc = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
     assert by_doc[4] > by_doc[0] > by_doc[1]
+
+
+def test_span_not(span_index):
+    """SpanNotQuery: include spans survive only when no exclude span sits
+    within [p - pre, p + post] (SpanNotQuery.java semantics on
+    one-position spans)."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import SpanNot, SpanTerm
+
+    texts = TEXTS
+    s = IndexSearcher(span_index)
+
+    def brute(inc, exc, pre, post):
+        out = []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            incs = [p for p, w in enumerate(toks) if w == inc]
+            excs = [p for p, w in enumerate(toks) if w == exc]
+            k = sum(1 for p in incs
+                    if not any(p - pre <= e <= p + post for e in excs))
+            if k:
+                out.append(i)
+        return sorted(out)
+
+    for inc, exc, pre, post in (("a", "b", 0, 1), ("a", "b", 1, 1),
+                                ("c", "x", 0, 0), ("b", "zz", 0, 5),
+                                ("a", "c", 2, 0)):
+        got = sorted(s.search(
+            SpanNot(SpanTerm(inc), SpanTerm(exc), pre=pre, post=post),
+            k=50)["doc_id"].to_pylist())
+        assert got == brute(inc, exc, pre, post), (inc, exc, pre, post)
