@@ -324,7 +324,11 @@ def main():
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "corpus_docs": CORPUS_DOCS,
+        # both probes: serial CPU state AND the 4-process parallel probe
+        # (neighbors can saturate memory bandwidth without slowing one core,
+        # so a quiet serial probe alone does not certify the measurement)
         "host_probe_sec": host_probe(),
+        "host_probe_mp_sec": host_probe_mp(),
     }))
 
 
