@@ -486,6 +486,22 @@ def q_ft_lm_dirichlet(sf_dir):
     return _round_col(s.match_all("query"), "score")
 
 
+def q_ft_span_near(sf_dir):
+    """SpanNearQuery match set (spans/SpanNearQuery.java ordered, slop=2):
+    'fast' before 'query' with at most 2 intervening positions. The match
+    SET is SQL-expressible as a position self-join, upgrading spans from
+    pytest-only to value-level driver verification."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import SpanNear, SpanTerm
+
+    s = IndexSearcher(_index_for(sf_dir))
+    res = s.match_all(SpanNear((SpanTerm("fast"), SpanTerm("query")),
+                               slop=2, in_order=True))
+    import pyarrow.compute as pc
+    ids = res["doc_id"].take(pc.sort_indices(res["doc_id"]))
+    return pa.table({"doc_id": ids})
+
+
 def q_ft_lm_jm(sf_dir):
     """LMJelinekMercerSimilarity term scoring
     (LMJelinekMercerSimilarity.java:47)."""
@@ -1442,7 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- fulltext core (entries whose code paths round 3 touches stay
         # in-window: delete+merge, facets, percolator, numeric planner) ---
         "ft_term_df": q_ft_term_df,
-        "ft_top_terms": q_ft_top_terms,
+        "ft_span_near": q_ft_span_near,
         "ft_bm25_term": q_ft_bm25_term,
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_and": q_ft_bm25_and,
@@ -1511,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell": q_ft_spell,
         "ft_percolate": q_ft_percolate,
         "ft_sort_by_field": q_ft_sort_by_field,
+        "ft_top_terms": q_ft_top_terms,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1652,6 +1669,18 @@ def oracle_sql() -> dict[str, str]:
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
+        "ft_span_near": """
+            WITH tokpos AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+            SELECT DISTINCT t1.doc_id AS doc_id
+            FROM tokpos t1 JOIN tokpos t2
+              ON t2.doc_id = t1.doc_id AND t2.pos > t1.pos
+             AND t2.pos <= t1.pos + 3
+            WHERE t1.term = 'fast' AND t2.term = 'query'
+            ORDER BY doc_id""",
         "ft_dfr": osql.sql_dfr_term("slow"),
         "ft_intervals": """
             WITH tok AS (
