@@ -486,6 +486,50 @@ def q_ft_lm_dirichlet(sf_dir):
     return _round_col(s.match_all("query"), "score")
 
 
+def _iodv_index(sf_dir: str) -> str:
+    """Index with 'lang' both as keyword postings AND SORTED docvalues —
+    the IndexOrDocValuesQuery precondition."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|iodv").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           keyword_fields=("lang",),
+                           string_docvalues_fields=("lang",))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    return index_dir
+
+
+def q_ft_iodv(sf_dir):
+    """IndexOrDocValuesQuery (search/IndexOrDocValuesQuery.java:50): an
+    equality filter planned per shard as keyword-postings lookup vs
+    docvalues verification of the lead's candidates — either plan must
+    yield these exact scored hits."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Bool, IndexOrDocValues, Term
+
+    s = IndexSearcher(_iodv_index(sf_dir), dtype=np.float64)
+    node = Bool(must=[Term("fast")],
+                filter=[IndexOrDocValues("lang", "en")])
+    return _round_col(s.match_all(node), "score")
+
+
+def q_ft_span_not(sf_dir):
+    """SpanNotQuery match set (spans/SpanNotQuery.java): 'fast' positions
+    with no 'query' within 2 following positions — SQL NOT EXISTS over the
+    token-position self-join."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import SpanNot, SpanTerm
+
+    s = IndexSearcher(_index_for(sf_dir))
+    res = s.match_all(SpanNot(SpanTerm("fast"), SpanTerm("query"),
+                              pre=0, post=2))
+    import pyarrow.compute as pc
+    ids = res["doc_id"].take(pc.sort_indices(res["doc_id"]))
+    return pa.table({"doc_id": ids})
+
+
 def q_ft_span_near(sf_dir):
     """SpanNearQuery match set (spans/SpanNearQuery.java ordered, slop=2):
     'fast' before 'query' with at most 2 intervening positions. The match
@@ -1468,8 +1512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box": q_geo_box,
         "geo_knn": q_geo_knn,
         "ft_after_delete": q_ft_after_delete,
-        "ft_stemmed": q_ft_stemmed,
-        "ft_synonym": q_ft_synonym,
+        "ft_iodv": q_ft_iodv,
+        "ft_span_not": q_ft_span_not,
         "ft_facet_index": q_ft_facet_index,
         "facet_taxonomy": q_facet_taxonomy,
         "mm_decode_real": q_mm_decode_real,
@@ -1528,6 +1572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_percolate": q_ft_percolate,
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_top_terms": q_ft_top_terms,
+        "ft_stemmed": q_ft_stemmed,
+        "ft_synonym": q_ft_synonym,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1669,6 +1715,25 @@ def oracle_sql() -> dict[str, str]:
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
+        "ft_iodv": """
+            SELECT doc_id, score FROM (
+              {bm25}
+            ) WHERE doc_id IN (SELECT doc_id FROM documents
+                               WHERE lang = 'en')""".format(
+            bm25=osql.sql_bm25_term("fast")),
+        "ft_span_not": """
+            WITH tokpos AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+            SELECT DISTINCT t1.doc_id AS doc_id
+            FROM tokpos t1
+            WHERE t1.term = 'fast' AND NOT EXISTS (
+              SELECT 1 FROM tokpos t2
+              WHERE t2.doc_id = t1.doc_id AND t2.term = 'query'
+                AND t2.pos >= t1.pos AND t2.pos <= t1.pos + 2)
+            ORDER BY doc_id""",
         "ft_span_near": """
             WITH tokpos AS (
               SELECT doc_id,
