@@ -530,6 +530,18 @@ def q_ft_span_not(sf_dir):
     return pa.table({"doc_id": ids})
 
 
+def q_ft_rescore(sf_dir):
+    """QueryRescorer (search/QueryRescorer.java): first-pass top-50 for
+    'fast', plus the 'merge' score on those docs, re-ranked top-10 —
+    mirrored in SQL by a two-pass window join."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import rescore
+
+    s = IndexSearcher(_index_for(sf_dir), dtype=np.float64)
+    return _round_col(
+        rescore(s, "fast", "merge", first_pass_n=50, k=10), "score")
+
+
 def q_ft_span_near(sf_dir):
     """SpanNearQuery match set (spans/SpanNearQuery.java ordered, slop=2):
     'fast' before 'query' with at most 2 intervening positions. The match
@@ -1514,7 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_after_delete": q_ft_after_delete,
         "ft_iodv": q_ft_iodv,
         "ft_span_not": q_ft_span_not,
-        "ft_facet_index": q_ft_facet_index,
+        "ft_rescore": q_ft_rescore,
         "facet_taxonomy": q_facet_taxonomy,
         "mm_decode_real": q_mm_decode_real,
         "ft_lm_jm": q_ft_lm_jm,
@@ -1574,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_top_terms": q_ft_top_terms,
         "ft_stemmed": q_ft_stemmed,
         "ft_synonym": q_ft_synonym,
+        "ft_facet_index": q_ft_facet_index,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1715,6 +1728,32 @@ def oracle_sql() -> dict[str, str]:
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
+        "ft_rescore": """
+            WITH {cte},
+            pass1 AS (
+              SELECT t.doc_id AS doc_id, {s_fast} AS s1
+              FROM tf t
+              JOIN df d ON d.term = t.term
+              JOIN qdl q ON q.doc_id = t.doc_id
+              CROSS JOIN stats s
+              WHERE t.term = 'fast'
+              ORDER BY s1 DESC, doc_id
+              LIMIT 50),
+            pass2 AS (
+              SELECT t.doc_id AS doc_id, {s_merge} AS s2
+              FROM tf t
+              JOIN df d ON d.term = t.term
+              JOIN qdl q ON q.doc_id = t.doc_id
+              CROSS JOIN stats s
+              WHERE t.term = 'merge')
+            SELECT p.doc_id AS doc_id,
+                   round(p.s1 + coalesce(p2.s2, 0.0), {rnd}) AS score
+            FROM pass1 p LEFT JOIN pass2 p2 ON p2.doc_id = p.doc_id
+            ORDER BY p.s1 + coalesce(p2.s2, 0.0) DESC, p.doc_id
+            LIMIT 10""".format(cte=osql.bm25_cte(),
+                              s_fast=osql.bm25_term_score_sql("'fast'"),
+                              s_merge=osql.bm25_term_score_sql("'merge'"),
+                              rnd=osql.ROUND),
         "ft_iodv": """
             SELECT doc_id, score FROM (
               {bm25}
