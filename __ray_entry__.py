@@ -530,6 +530,19 @@ def q_ft_span_not(sf_dir):
     return pa.table({"doc_id": ids})
 
 
+def q_ft_infix(sf_dir):
+    """AnalyzingInfixSuggester (suggest/analyzing/
+    AnalyzingInfixSuggester.java:106): terms CONTAINING 'er', df-ranked."""
+    from lucene_solr_ray.search.services import infix_suggest
+
+    s = _searcher64(sf_dir)
+    out = infix_suggest(s, "er", k=5)
+    return pa.table({
+        "term": pa.array([t for t, _ in out], pa.string()),
+        "df": pa.array([d for _, d in out], pa.int64()),
+    })
+
+
 def q_ft_rescore(sf_dir):
     """QueryRescorer (search/QueryRescorer.java): first-pass top-50 for
     'fast', plus the 'merge' score on those docs, re-ranked top-10 —
@@ -1519,7 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_or": q_ft_bm25_or,
         "ft_bm25_and": q_ft_bm25_and,
         "ft_phrase": q_ft_phrase,
-        "ft_numeric_range": q_ft_numeric_range,
+        "ft_infix": q_ft_infix,
         "ft_points_range": q_ft_points_range,
         "geo_box": q_geo_box,
         "geo_knn": q_geo_knn,
@@ -1587,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stemmed": q_ft_stemmed,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
+        "ft_numeric_range": q_ft_numeric_range,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1719,6 +1733,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE term <> 'fsat' AND damerau_levenshtein(term, 'fsat') <= 2
             ORDER BY damerau_levenshtein(term, 'fsat') ASC, df DESC, term ASC
             LIMIT 5""",
+        "ft_infix": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+                   WHERE term LIKE '%er%' GROUP BY term)
+            SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
         "ft_suggest": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
