@@ -530,6 +530,27 @@ def q_ft_span_not(sf_dir):
     return pa.table({"doc_id": ids})
 
 
+def q_ft_mlt(sf_dir):
+    """MoreLikeThis (queries/mlt/MoreLikeThis.java:143): top tf-idf terms
+    of the lowest-id doc (df >= 2, ties by term desc) OR-queried, top-10.
+    Both the term-selection pass and the disjunction scoring have exact
+    SQL mirrors."""
+    import duckdb
+
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import more_like_this
+
+    con = duckdb.connect()
+    text = con.execute(
+        "SELECT text FROM read_parquet(?) ORDER BY doc_id LIMIT 1",
+        [f"{sf_dir}/documents.parquet"]).fetchone()[0]
+    con.close()
+    s = IndexSearcher(_index_for(sf_dir), dtype=np.float64)
+    out = _round_col(
+        more_like_this(s, text, max_terms=10, min_df=2, k=10), "score")
+    return out.select(["doc_id", "score"])
+
+
 def q_ft_infix(sf_dir):
     """AnalyzingInfixSuggester (suggest/analyzing/
     AnalyzingInfixSuggester.java:106): terms CONTAINING 'er', df-ranked."""
@@ -1529,7 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_df": q_ft_term_df,
         "ft_span_near": q_ft_span_near,
         "ft_bm25_term": q_ft_bm25_term,
-        "ft_bm25_or": q_ft_bm25_or,
+        "ft_mlt": q_ft_mlt,
         "ft_bm25_and": q_ft_bm25_and,
         "ft_phrase": q_ft_phrase,
         "ft_infix": q_ft_infix,
@@ -1601,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
         "ft_numeric_range": q_ft_numeric_range,
+        "ft_bm25_or": q_ft_bm25_or,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
     }
@@ -1733,6 +1755,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE term <> 'fsat' AND damerau_levenshtein(term, 'fsat') <= 2
             ORDER BY damerau_levenshtein(term, 'fsat') ASC, df DESC, term ASC
             LIMIT 5""",
+        "ft_mlt": """
+            WITH {cte},
+            doc0 AS (
+              SELECT term, count(*) AS tf FROM tok
+              WHERE doc_id = (SELECT min(doc_id) FROM documents)
+              GROUP BY term),
+            sel AS (
+              SELECT d0.term
+              FROM doc0 d0 JOIN df d ON d.term = d0.term CROSS JOIN stats s
+              WHERE d.df >= 2
+              ORDER BY d0.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                       d0.term DESC
+              LIMIT 10),
+            scored AS (
+              SELECT t.doc_id AS doc_id, sum({sc}) AS sc
+              FROM tf t
+              JOIN df d ON d.term = t.term
+              JOIN qdl q ON q.doc_id = t.doc_id
+              CROSS JOIN stats s
+              WHERE t.term IN (SELECT term FROM sel)
+              GROUP BY t.doc_id)
+            SELECT doc_id, round(sc, {rnd}) AS score FROM scored
+            ORDER BY sc DESC, doc_id LIMIT 10""".format(
+            cte=osql.bm25_cte(), sc=osql.bm25_term_score_sql("t.term"),
+            rnd=osql.ROUND),
         "ft_infix": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
