@@ -63,6 +63,19 @@ class ShardReader:
         self._pdir = pdir
         ddir = os.path.join(index_dir, "docs", f"shard={shard}")
         self.dead = _load_shard_deletes(index_dir, shard)
+        mpath = os.path.join(index_dir, "manifest.json")
+        _cfgd: dict = {}
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                _cfgd = json.load(f).get("config") or {}
+        # whether the INDEX stores each payload: a null payload row on a
+        # stored column is a mixed-generation gap (-1 fill keeps occurrence
+        # alignment); on an unstored column it is the whole-index state
+        # (empty keeps the consumers' no-payload fast path)
+        self._stores_payload = {
+            "positions": bool(_cfgd.get("store_positions", True)),
+            "offsets": bool(_cfgd.get("store_offsets", False)),
+        }
         self._order = None              # sort permutation for lazy columns
         self._lazy: dict[str, pa.ChunkedArray | None] = {}
         t = None
@@ -254,15 +267,20 @@ class ShardReader:
             pos = []
             if with_positions:
                 n_occ = int(freqs.sum())
-                for arr, dt in zip(pos_arrs, pdtypes):
+                for c, arr, dt in zip(pcols, pos_arrs, pdtypes):
                     sl = arr.slice(r, 1) if arr is not None else None
                     if sl is None or sl.null_count:
-                        # column absent for this row (pre-offsets segment
-                        # appended to a store_offsets index, or the index
-                        # never stored it): fill the -1 "no payload"
-                        # sentinel 1:1 per occurrence so multi-row terms
-                        # stay aligned through merge and live filtering
-                        pos.append(np.full(n_occ, -1, dtype=dt))
+                        if self._stores_payload.get(c, True):
+                            # stored column, null ROW (pre-payload segment
+                            # appended to an index that stores it): fill
+                            # the -1 "no payload" sentinel 1:1 per
+                            # occurrence so multi-row terms stay aligned
+                            # through merge and live filtering
+                            pos.append(np.full(n_occ, -1, dtype=dt))
+                        else:
+                            # the index never stores this payload: empty
+                            # keeps the consumers' no-payload fast path
+                            pos.append(np.zeros(0, dtype=dt))
                     else:
                         pos.append(
                             sl.flatten().to_numpy(zero_copy_only=False).astype(dt))
@@ -285,9 +303,10 @@ class ShardReader:
                 ss = seg_starts[order]
                 cum = np.concatenate([[0], np.cumsum(sl)])
                 ranges = np.repeat(ss - cum[:-1], sl) + np.arange(int(sl.sum()))
-                # a payload column the index never stored (offsets without
-                # store_offsets) is a zeros(0) placeholder — leave it empty
-                # rather than indexing it with an occurrence-length mask
+                # an index-unstored payload is a zeros(0) placeholder —
+                # leave it empty rather than indexing it with an
+                # occurrence-length mask (row-null payloads on stored
+                # columns were -1-filled above and DO reorder)
                 pos_alls = [p[ranges] if len(p) == len(ranges) else p
                             for p in pos_alls]
             docs = docs[order]

@@ -68,10 +68,15 @@ class MemoryIndex:
 
         if isinstance(node, MULTI_TERM_TYPES):
             # expand against THIS document set's vocabulary (the reference's
-            # Monitor rewrites multi-term queries per MemoryIndex segment)
+            # Monitor rewrites multi-term queries per MemoryIndex segment);
+            # the sorted vocab is immutable after __init__ — build it once,
+            # not per registered pattern query
             import numpy as np
 
-            vocab = np.sort(np.asarray(list(self.postings), dtype=object))
+            vocab = getattr(self, "_vocab", None)
+            if vocab is None:
+                vocab = np.sort(np.asarray(list(self.postings), dtype=object))
+                self._vocab = vocab
             out: set[int] = set()
             for t in expand_terms(vocab, node):
                 out |= set(self.postings.get(t, {}))

@@ -94,10 +94,9 @@ def test_index_without_offsets_reads_empty(tmp_path, ray_session):
     r = ShardReader(d, 0)
     docs, freqs, offs = r.postings("fox", with_positions=True,
                                    payload_col="offsets")
-    # absent column -> -1 "no payload" sentinel per occurrence (keeps
-    # multi-row/live-filter alignment); consumers skip o < 0
-    assert len(docs) == 1 and len(offs) == int(freqs.sum())
-    assert (offs == -1).all()
+    # shard-absent column -> empty payload (the no-offsets highlight fast
+    # path); only row-null payloads on a stored column get -1 fills
+    assert len(docs) == 1 and len(offs) == 0
 
 
 def test_passage_from_offsets_wraps_and_windows():
@@ -286,9 +285,8 @@ def test_postings_offsets_absent_with_deletes(tmp_path, ray_session):
     for sh in s.reader.shards:
         got = sh.postings("fox", with_positions=True, payload_col="offsets")
         docs, freqs, offs = got
-        # absent column -> -1 sentinel per occurrence (alignment preserved
-        # through the live filter), no crash
-        assert len(offs) == int(freqs.sum())
-        assert (offs == -1).all()
+        # shard-absent column stays empty under deletes (no crash, fast
+        # path preserved)
+        assert len(offs) == 0
     out = highlight_results_offsets(s, corp, "doc_id", "text", "fox", k=5)
     assert 0 not in out["doc_id"].to_pylist()
