@@ -123,8 +123,13 @@ class ShardPoints:
         maxs = np.empty(md.num_row_groups, np.float64)
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(0).statistics
-            mins[g] = st.min
-            maxs[g] = st.max
+            if st is None or not st.has_min_max:
+                # all-NaN leaf (values sort NaN-last, stats skip NaNs):
+                # never overlaps any range
+                mins[g], maxs[g] = np.inf, -np.inf
+            else:
+                mins[g] = st.min
+                maxs[g] = st.max
         self._meta[field] = (path, mins, maxs, pf)
         return self._meta[field]
 

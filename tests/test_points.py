@@ -110,3 +110,24 @@ def test_points_respect_deletes_and_merge(points_index):
     merged = np.sort(np.concatenate(
         [s.point_range("n_chars", 100, 200) for s in reader.shards]))
     assert np.array_equal(merged, np.setdiff1d(want, victims))
+
+
+def test_points_all_nan_leaf_never_matches(tmp_path):
+    """A field missing on >= LEAF_SIZE docs yields all-NaN trailing row
+    groups with NO parquet min/max stats; those leaves must read as
+    never-overlapping, not crash the stats load."""
+    idx = str(tmp_path / "idx")
+    n_real = 100
+    vals = np.concatenate([np.sort(np.arange(n_real, dtype=np.float64)),
+                           np.full(2 * LEAF_SIZE + 7, np.nan)])
+    ids = np.arange(len(vals), dtype=np.int64)
+    path = os.path.join(idx, "points", "shard=0", "score.parquet")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.table({"value": pa.array(vals, pa.float64()),
+                             "doc_id": pa.array(ids, pa.int64())}),
+                   path, row_group_size=LEAF_SIZE)
+    sp = ShardPoints(idx, 0)
+    got = sp.range("score", 10.0, 20.0)
+    assert np.array_equal(got, np.arange(10, 21, dtype=np.int64))
+    assert sp.last_groups_read == 1  # the NaN leaves were pruned
+    assert len(sp.range("score", 1e9, None)) == 0
