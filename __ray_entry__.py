@@ -704,6 +704,47 @@ def q_geo_knn(sf_dir):
     return _round_col(t, "distance_km", 2)
 
 
+# pentagon vertices for geo_polygon (off the 0.01-degree synthetic grid so
+# no data point lies on an edge; shared by the query and its SQL oracle)
+_POLY_LATS = (-25.0031, 12.0057, 45.0013, 30.0049, -10.0023)
+_POLY_LONS = (-80.0077, -95.0041, -20.0093, 40.0061, 25.0087)
+
+
+def _polygon_oracle_sql(vlats, vlons) -> str:
+    """Crossing-number point-in-polygon as SQL: XOR (sum%2) of per-edge
+    terms spelled with the exact arithmetic point_in_polygon uses."""
+    edges = []
+    n = len(vlats)
+    for i in range(n):
+        j = (i - 1) % n
+        yi, yj, xi, xj = vlats[i], vlats[j], vlons[i], vlons[j]
+        edges.append(
+            f"CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat)) AND "
+            f"(lon < ({xj!r} - {xi!r}) * (lat - {yi!r}) / ({yj!r} - {yi!r})"
+            f" + {xi!r}) THEN 1 ELSE 0 END"
+        )
+    return f"""
+        WITH g AS (SELECT doc_id,
+                   ((doc_id * 7919) % 18001) / 100.0 - 90.0 AS lat,
+                   ((doc_id * 104729) % 36001) / 100.0 - 180.0 AS lon
+                   FROM documents)
+        SELECT doc_id FROM g
+        WHERE ({' + '.join(edges)}) % 2 = 1
+        ORDER BY doc_id"""
+
+
+def q_geo_polygon(sf_dir):
+    """LatLonPoint.newPolygonQuery (geo/Polygon.java role): bbox prefilter
+    over the points index, vectorized crossing-number verify
+    (search/geo.py polygon_docs)."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.geo import GeoPolygon
+
+    s = IndexSearcher(_geo_index(sf_dir), dtype=np.float64)
+    node = GeoPolygon("lat", "lon", _POLY_LATS, _POLY_LONS)
+    return s.match_all(node).select(["doc_id"])
+
+
 def q_ft_points_range(sf_dir):
     """PointRangeQuery over the points index (index/points.py): a standalone
     numeric range resolved by leaf (parquet row-group) pruning — only row
@@ -1555,12 +1596,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_near": q_ft_span_near,
         "ft_bm25_term": q_ft_bm25_term,
         "ft_mlt": q_ft_mlt,
-        "ft_bm25_and": q_ft_bm25_and,
         "ft_phrase": q_ft_phrase,
         "ft_infix": q_ft_infix,
         "ft_points_range": q_ft_points_range,
         "geo_box": q_geo_box,
         "geo_knn": q_geo_knn,
+        "geo_polygon": q_geo_polygon,
         "ft_after_delete": q_ft_after_delete,
         "ft_iodv": q_ft_iodv,
         "ft_span_not": q_ft_span_not,
@@ -1629,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_or": q_ft_bm25_or,
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
+        "ft_bm25_and": q_ft_bm25_and,
     }
 
 
@@ -1992,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(km, 2) AS distance_km,
                    CAST(row_number() OVER (ORDER BY km, doc_id) AS INT) AS rank
             FROM d ORDER BY km, doc_id LIMIT 50""",
+        "geo_polygon": _polygon_oracle_sql(_POLY_LATS, _POLY_LONS),
         "select_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice*100,0) AS BIGINT)

@@ -438,13 +438,17 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     if isinstance(node, MatchAll):
         docs = shard.live_doc_ids
         return docs, np.full(len(docs), node.boost, dtype=dtype)
-    from .geo import GeoBox, GeoDistance, box_docs, distance_docs
+    from .geo import (GeoBox, GeoDistance, GeoPolygon, box_docs,
+                      distance_docs, polygon_docs)
 
     if isinstance(node, GeoBox):
         docs = box_docs(shard, node)
         return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, GeoDistance):
         docs, _ = distance_docs(shard, node)
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
+    if isinstance(node, GeoPolygon):
+        docs = polygon_docs(shard, node)
         return docs, np.full(len(docs), node.boost, dtype=dtype)
     if isinstance(node, NumericRange):
         # BKD-substitute fast path: a standalone range reads only the

@@ -54,6 +54,55 @@ class GeoDistance:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class GeoPolygon:
+    """LatLonPoint.newPolygonQuery role (document/LatLonPoint.java,
+    geo/Polygon.java): docs whose point lies inside the polygon. Vertices
+    are in ring order (closed implicitly); like the reference, a polygon
+    must not cross the dateline — split it and OR the parts."""
+    lat_field: str
+    lon_field: str
+    lats: tuple  # vertex latitudes, ring order
+    lons: tuple  # vertex longitudes
+    boost: float = 1.0
+
+
+def point_in_polygon(py: np.ndarray, px: np.ndarray, vlats, vlons) -> np.ndarray:
+    """Vectorized crossing-number (even-odd) point-in-polygon over
+    (lat=py, lon=px) arrays. The per-edge arithmetic is kept in the exact
+    form `px < (xj-xi)*(py-yi)/(yj-yi)+xi` so a SQL oracle spelling the
+    same expression is float-identical (geo/GeoUtils ray-crossing form)."""
+    py = np.asarray(py, np.float64)
+    px = np.asarray(px, np.float64)
+    inside = np.zeros(py.shape, dtype=bool)
+    n = len(vlats)
+    for i in range(n):
+        j = (i - 1) % n
+        yi, yj = float(vlats[i]), float(vlats[j])
+        xi, xj = float(vlons[i]), float(vlons[j])
+        gate = (yi > py) != (yj > py)
+        if yi == yj:
+            continue  # horizontal edge never satisfies the gate
+        cross = px < (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= gate & cross
+    return inside
+
+
+def polygon_docs(shard, node: GeoPolygon) -> np.ndarray:
+    """Sorted live doc ids inside the polygon: bounding-box prefilter over
+    the points index (the reference's BKD relate on the polygon's bbox),
+    exact crossing-number verify on the candidates only."""
+    cand = box_docs(shard, GeoBox(node.lat_field, node.lon_field,
+                                  min(node.lats), max(node.lats),
+                                  min(node.lons), max(node.lons)))
+    if not len(cand):
+        return cand
+    idx = np.searchsorted(shard.doc_ids, cand)
+    lats = shard.docvalues[node.lat_field][idx]
+    lons = shard.docvalues[node.lon_field][idx]
+    return cand[point_in_polygon(lats, lons, node.lats, node.lons)]
+
+
 def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
     """Vectorized great-circle distance (km). The operand order is fixed so
     the float64 result is bit-reproducible against the SQL oracle form."""

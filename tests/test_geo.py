@@ -113,3 +113,45 @@ def test_geo_nearest(geo_index):
     got_d = np.asarray(res["distance_km"].to_pylist())
     assert np.allclose(got_d, d[want])
     assert np.all(np.diff(got_d) >= 0)
+
+
+def test_polygon_square_matches_box(geo_index):
+    from lucene_solr_ray.search.geo import GeoPolygon
+
+    idx, lat, lon = geo_index
+    s = IndexSearcher(idx)
+    # an axis-aligned square polygon must equal the box filter (interior;
+    # vertices off the sample grid so no point sits on an edge)
+    la0, la1, lo0, lo1 = 10.0, 40.0, -20.0, 30.0
+    poly = GeoPolygon("lat", "lon",
+                      (la0, la0, la1, la1), (lo0, lo1, lo1, lo0))
+    got = np.sort(s.match_all(poly)["doc_id"].to_numpy(zero_copy_only=False))
+    want = np.flatnonzero((lat > la0) & (lat < la1) & (lon > lo0) & (lon < lo1))
+    assert np.array_equal(got, want)
+
+
+def test_polygon_concave_parity_brute_force(geo_index):
+    from lucene_solr_ray.search.geo import GeoPolygon, point_in_polygon
+
+    idx, lat, lon = geo_index
+    s = IndexSearcher(idx)
+    # concave "arrow" polygon
+    vlats = (0.0, 30.0, 60.0, 30.0)
+    vlons = (-40.0, 50.0, -40.0, -10.0)
+    poly = GeoPolygon("lat", "lon", vlats, vlons)
+    got = np.sort(s.match_all(poly)["doc_id"].to_numpy(zero_copy_only=False))
+    want = np.flatnonzero(point_in_polygon(lat, lon, vlats, vlons))
+    assert np.array_equal(got, want)
+    assert 0 < len(got) < N
+
+
+def test_point_in_polygon_winding_independent():
+    from lucene_solr_ray.search.geo import point_in_polygon
+
+    rng = np.random.default_rng(3)
+    py, px = rng.uniform(-5, 5, 500), rng.uniform(-5, 5, 500)
+    vlats, vlons = (0.0, 4.0, 4.0, 0.0), (0.0, 0.0, 4.0, 4.0)
+    a = point_in_polygon(py, px, vlats, vlons)
+    b = point_in_polygon(py, px, vlats[::-1], vlons[::-1])
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, (py > 0) & (py < 4) & (px > 0) & (px < 4))
