@@ -234,6 +234,8 @@ def update_documents_versioned(
     inc = pa.concat_tables([
         pq.read_table(p) for p in new_paths
     ], promote_options="default")
+    if inc.num_rows == 0:
+        return manifest
     keys = inc[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
     vers = inc[version_col].to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.lexsort((-vers, keys))
@@ -723,6 +725,8 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
     Tombstone id arrays are ray.put ONCE and read from the object store in
     every task (zero-copy numpy, no per-task closure serialization — at
     web delete rates the arrays are O(deleted docs))."""
+    import shutil as _shutil
+
     import pyarrow as pa
     import ray as _ray
 
@@ -730,6 +734,15 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
 
     cfg = IndexBuildConfig(**manifest["config"])
     K = cfg.num_shards
+    # Retry safety: target ids [new_off, new_off+K) are only ever published
+    # by THIS merge's manifest commit, so any existing dir with those ids is
+    # debris from a crashed prior attempt. Clear it first — parquet writes
+    # APPEND into existing partition dirs, and a retry would otherwise
+    # publish doubled postings/docs under the same shard ids.
+    for kind in ("postings", "docs", "points"):
+        for s in range(new_off, new_off + K):
+            _shutil.rmtree(os.path.join(index_dir, kind, f"shard={s}"),
+                           ignore_errors=True)
     nb = max(4, cfg.num_buckets)
     gens = _tombstone_gens(index_dir, manifest)
     gens_ref = _ray.put(gens) if gens else None

@@ -29,6 +29,95 @@ def merge_top_k(parts, k: int):
     return top_k_select(docs, scores, k)
 
 
+def rewrite_analyzed_fields(reader, node):
+    """'field:value' over an ANALYZED field becomes a SCORED analyzed
+    node (the reference's QueryParser runs the field's analyzer on the
+    value and scores with field stats/norms, QueryParserBase.java
+    newFieldQuery); keyword fields keep their constant-score exact-value
+    semantics. Programmatic Term nodes are taken as already analyzed."""
+    af = reader.analyzed_fields
+    if not af:
+        return node
+    from .query import Bool, ConstantScore, DisMax, FunctionScore, Phrase, Term
+
+    def analyzed_node(field: str, value: str, boost: float):
+        from ..analysis import standard_analyzer
+        from ..analysis.filters import build_chain
+        from ..analysis.stem import get_stemmer
+
+        stem_name, stops, filt = reader.analyzer_chain(field)
+        terms, _ = standard_analyzer(value, stops)
+        ch, _drops = build_chain(filt)
+        if ch is not None:
+            terms = [t2 for t in terms if (t2 := ch(t)) is not None]
+        stem = get_stemmer(stem_name)
+        if stem is not None:
+            terms = [stem(t) for t in terms]
+        pref = [f"{field}:{t}" for t in terms]
+        if not pref:
+            return None
+        if len(pref) == 1:
+            return Term(pref[0], boost)
+        return Phrase(tuple(pref), boost)
+
+    def rw(n):
+        if isinstance(n, ConstantScore) and isinstance(n.query, Term):
+            t = n.query.text
+            i = t.find(":")
+            if i > 0 and t[:i] in af:
+                out = analyzed_node(t[:i], t[i + 1:], n.boost)
+                if out is not None:
+                    return out
+            return n
+        if isinstance(n, ConstantScore) and isinstance(n.query, Phrase):
+            # field:"a b" from the parser: namespaced phrase terms run
+            # the field's stem chain and score as a field phrase
+            first = n.query.terms[0]
+            i = first.find(":")
+            if i > 0 and first[:i] in af:
+                from ..analysis.filters import build_chain
+                from ..analysis.stem import get_stemmer
+
+                fld = first[:i]
+                stem_name, stops, filt = reader.analyzer_chain(fld)
+                stem = get_stemmer(stem_name)
+                ch, _d = build_chain(filt)
+                toks = [t.split(":", 1)[1] for t in n.query.terms]
+                if stops:
+                    # the field's stop filter dropped these index-side;
+                    # keep parity with the single-term analyzed path
+                    toks = [t for t in toks if t not in stops]
+                if ch is not None:
+                    toks = [t2 for t in toks
+                            if (t2 := ch(t)) is not None]
+                if stem is not None:
+                    toks = [stem(t) for t in toks]
+                pref = tuple(f"{fld}:{t}" for t in toks)
+                if not pref:
+                    return n
+                if len(pref) == 1:
+                    return Term(pref[0], n.boost)
+                return Phrase(pref, n.boost, n.query.slop)
+            return n
+        if isinstance(n, ConstantScore):
+            return ConstantScore(rw(n.query), n.boost)
+        if isinstance(n, FunctionScore):
+            return FunctionScore(rw(n.query), n.expr, n.boost)
+        if isinstance(n, DisMax):
+            return DisMax(tuple(rw(c) for c in n.clauses), n.tiebreak)
+        if isinstance(n, Bool):
+            return Bool(
+                must=[rw(c) for c in n.must],
+                should=[rw(c) for c in n.should],
+                must_not=[rw(c) for c in n.must_not],
+                filter=[rw(c) for c in n.filter],
+                min_should=n.min_should,
+            )
+        return n
+
+    return rw(node)
+
+
 class IndexSearcher:
     """Single-process searcher over all shards.
 
@@ -96,86 +185,7 @@ class IndexSearcher:
         return fn
 
     def _rewrite_analyzed_fields(self, node):
-        """'field:value' over an ANALYZED field becomes a SCORED analyzed
-        node (the reference's QueryParser runs the field's analyzer on the
-        value and scores with field stats/norms, QueryParserBase.java
-        newFieldQuery); keyword fields keep their constant-score exact-value
-        semantics. Programmatic Term nodes are taken as already analyzed."""
-        af = self.reader.analyzed_fields
-        if not af:
-            return node
-        from .query import Bool, ConstantScore, DisMax, FunctionScore, Phrase, Term
-
-        def analyzed_node(field: str, value: str, boost: float):
-            from ..analysis import standard_analyzer
-            from ..analysis.filters import build_chain
-            from ..analysis.stem import get_stemmer
-
-            stem_name, stops, filt = self.reader.analyzer_chain(field)
-            terms, _ = standard_analyzer(value, stops)
-            ch, _drops = build_chain(filt)
-            if ch is not None:
-                terms = [t2 for t in terms if (t2 := ch(t)) is not None]
-            stem = get_stemmer(stem_name)
-            if stem is not None:
-                terms = [stem(t) for t in terms]
-            pref = [f"{field}:{t}" for t in terms]
-            if not pref:
-                return None
-            if len(pref) == 1:
-                return Term(pref[0], boost)
-            return Phrase(tuple(pref), boost)
-
-        def rw(n):
-            if isinstance(n, ConstantScore) and isinstance(n.query, Term):
-                t = n.query.text
-                i = t.find(":")
-                if i > 0 and t[:i] in af:
-                    out = analyzed_node(t[:i], t[i + 1:], n.boost)
-                    if out is not None:
-                        return out
-                return n
-            if isinstance(n, ConstantScore) and isinstance(n.query, Phrase):
-                # field:"a b" from the parser: namespaced phrase terms run
-                # the field's stem chain and score as a field phrase
-                first = n.query.terms[0]
-                i = first.find(":")
-                if i > 0 and first[:i] in af:
-                    from ..analysis.filters import build_chain
-                    from ..analysis.stem import get_stemmer
-
-                    fld = first[:i]
-                    stem_name, _, filt = self.reader.analyzer_chain(fld)
-                    stem = get_stemmer(stem_name)
-                    ch, _d = build_chain(filt)
-                    toks = [t.split(":", 1)[1] for t in n.query.terms]
-                    if ch is not None:
-                        toks = [t2 for t in toks
-                                if (t2 := ch(t)) is not None]
-                    if stem is not None:
-                        toks = [stem(t) for t in toks]
-                    pref = tuple(f"{fld}:{t}" for t in toks)
-                    if len(pref) == 1:
-                        return Term(pref[0], n.boost)
-                    return Phrase(pref, n.boost, n.query.slop)
-                return n
-            if isinstance(n, ConstantScore):
-                return ConstantScore(rw(n.query), n.boost)
-            if isinstance(n, FunctionScore):
-                return FunctionScore(rw(n.query), n.expr, n.boost)
-            if isinstance(n, DisMax):
-                return DisMax(tuple(rw(c) for c in n.clauses), n.tiebreak)
-            if isinstance(n, Bool):
-                return Bool(
-                    must=[rw(c) for c in n.must],
-                    should=[rw(c) for c in n.should],
-                    must_not=[rw(c) for c in n.must_not],
-                    filter=[rw(c) for c in n.filter],
-                    min_should=n.min_should,
-                )
-            return n
-
-        return rw(node)
+        return rewrite_analyzed_fields(self.reader, node)
 
     def _node(self, query):
         from .query import apply_stemmer
@@ -302,6 +312,20 @@ class _ShardServer:
             out[t] = (df, ttf)
         return out
 
+    def field_stats(self, fields: list[str]):
+        """Per-analyzed-field (docCount, sumTotalTermFreq) partials over
+        this actor's shards (fdl_<field> doclen docvalues)."""
+        out = {}
+        for f in fields:
+            dc = sdl = 0
+            for s in self.shards:
+                v = s.docvalues.get(f"fdl_{f}")
+                if v is not None and len(v):
+                    dc += int(np.count_nonzero(v))
+                    sdl += int(v.sum())
+            out[f] = (dc, sdl)
+        return out
+
     def expand(self, node):
         from .multiterm import expand_terms
 
@@ -384,6 +408,9 @@ class DistributedSearcher:
         self.params = params
         self.dtype = dtype
         reader = IndexReader(index_dir)
+        # manifest-only handle (shard tables stay on the actors): drives the
+        # analyzed-field rewrite; per-field stats are gathered from actors
+        self.reader = reader
         self.doc_count = reader.doc_count
         self.sum_ttf = reader.sum_total_term_freq
         from ..analysis.filters import build_chain
@@ -418,7 +445,9 @@ class DistributedSearcher:
         node = parse_query(query) if isinstance(query, str) else query
         from .query import apply_stemmer
 
-        # mirror the index chain order: token_filters then stemmer
+        # mirror IndexSearcher._node: analyzed-field rewrite first, then
+        # token_filters, then stemmer
+        node = rewrite_analyzed_fields(self.reader, node)
         node = apply_stemmer(node, self._tf)
         node = apply_stemmer(node, self._stem)
 
@@ -446,7 +475,25 @@ class DistributedSearcher:
         stats_parts = ray.get([a.term_stats.remote(terms) for a in self.actors])
         df = {t: sum(p[t][0] for p in stats_parts) for t in terms}
         ttf = {t: sum(p[t][1] for p in stats_parts) for t in terms}
+        from .executor import _field_of
         from .similarity import as_similarity
+
+        # analyzed-field collection stats, gathered from the actors once
+        # (norm_field-tagged weights keep scoring parity with IndexSearcher)
+        flds = sorted({f for t in terms
+                       if (f := _field_of(self.reader, t)) is not None})
+        fstats: dict = {}
+        if flds:
+            fp = ray.get([a.field_stats.remote(flds) for a in self.actors])
+            fstats = {f: (sum(p[f][0] for p in fp), sum(p[f][1] for p in fp))
+                      for f in flds}
+
+        def _ctx(first_term: str):
+            f = _field_of(self.reader, first_term)
+            if f is None or f not in fstats:
+                return self.doc_count, self.sum_ttf, None
+            dc, sdl = fstats[f]
+            return dc, sdl, f
 
         sim = as_similarity(self.params)
         weights: dict = {}
@@ -457,34 +504,46 @@ class DistributedSearcher:
             if isinstance(n, Term):
                 key = (n.text, n.boost)
                 if key not in weights:
-                    weights[key] = sim.weight(
-                        df[n.text], ttf[n.text], self.doc_count, self.sum_ttf,
-                        n.boost, self.dtype,
-                    )
+                    fN, fttf, fld = _ctx(n.text)
+                    w = sim.weight(df[n.text], ttf[n.text], fN, fttf,
+                                   n.boost, self.dtype)
+                    w.norm_field = fld
+                    weights[key] = w
             elif isinstance(n, Phrase):
                 key = ("\x1f".join(n.terms), n.boost)
                 if key not in weights:
-                    weights[key] = sim.multi_weight(
+                    fN, fttf, fld = _ctx(n.terms[0])
+                    w = sim.multi_weight(
                         [df[t] for t in n.terms], [ttf[t] for t in n.terms],
-                        self.doc_count, self.sum_ttf, n.boost, self.dtype,
+                        fN, fttf, n.boost, self.dtype,
                     )
+                    w.norm_field = fld
+                    weights[key] = w
             elif isinstance(n, Synonym):
                 key = ("\x1fSYN\x1f".join(n.terms), n.boost)
                 if key not in weights:
-                    weights[key] = sim.weight(
+                    fN, fttf, fld = _ctx(n.terms[0])
+                    w = sim.weight(
                         max((df[t] for t in n.terms), default=0),
                         sum(ttf[t] for t in n.terms),
-                        self.doc_count, self.sum_ttf, n.boost, self.dtype,
+                        fN, fttf, n.boost, self.dtype,
                     )
+                    w.norm_field = fld
+                    weights[key] = w
             elif isinstance(n, MultiPhrase):
                 key = ("\x1fMP\x1f".join("|".join(p) for p in n.positions), n.boost)
                 if key not in weights:
-                    weights[key] = sim.multi_weight(
+                    fN, fttf, fld = _ctx(
+                        n.positions[0][0]) if n.positions and n.positions[0] \
+                        else (self.doc_count, self.sum_ttf, None)
+                    w = sim.multi_weight(
                         [max((df.get(t, 0) for t in pos), default=0)
                          for pos in n.positions],
                         [sum(ttf.get(t, 0) for t in pos) for pos in n.positions],
-                        self.doc_count, self.sum_ttf, n.boost, self.dtype,
+                        fN, fttf, n.boost, self.dtype,
                     )
+                    w.norm_field = fld
+                    weights[key] = w
             elif isinstance(n, ConstantScore):
                 walk(n.query)
             elif isinstance(n, DisMax):
@@ -493,6 +552,10 @@ class DistributedSearcher:
             elif isinstance(n, Bool):
                 for c in n.must + n.should + n.must_not + n.filter:
                     walk(c)
+            else:
+                from .query import FunctionScore
+                if isinstance(n, FunctionScore):
+                    walk(n.query)
 
         walk(node)
         # phase 2: scatter search, gather + merge

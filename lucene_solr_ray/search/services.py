@@ -100,9 +100,14 @@ def passage_from_offsets(text: str, spans: np.ndarray, max_chars: int = 160,
     pad = max(0, (max_chars - (w_end - w_start)) // 2)
     a = max(0, w_start - pad)
     b = min(len(text), w_end + pad)
-    a = text.rfind(" ", 0, w_start) + 1 if w_start and a > 0 else a
-    sp = text.find(" ", w_end, b)
-    b = sp if sp != -1 else b
+    # trim the partial word at each pad edge (keep the context, snap to a
+    # word boundary): first space after a, last space before b
+    if a > 0:
+        sp = text.find(" ", a, w_start)
+        a = sp + 1 if sp != -1 else a
+    if b < len(text):
+        sp = text.rfind(" ", w_end, b)
+        b = sp if sp != -1 else b
     out, cur = [], a
     for s, e in zip(starts[lo:hi], ends[lo:hi]):
         out.append(text[cur:s])
@@ -120,9 +125,8 @@ def collect_offset_spans(searcher: IndexSearcher, qterms,
     id_arr = np.asarray(sorted(ids), dtype=np.int64)
     spans: dict[int, list] = {int(d): [] for d in ids}
     for sh in searcher.reader.shards:
-        have = set(sh.terms.tolist()) if len(sh.terms) else set()
         for t in qterms:
-            if t not in have:
+            if not sh.term_rows(t):   # O(log V), not an O(V) set rebuild
                 continue
             docs, freqs, offs = sh.postings(t, with_positions=True,
                                             payload_col="offsets")
@@ -150,8 +154,7 @@ def collect_phrase_spans(searcher: IndexSearcher, phrase_terms,
     spans: dict[int, list] = {int(d): [] for d in ids}
     k = len(phrase_terms)
     for sh in searcher.reader.shards:
-        have = set(sh.terms.tolist()) if len(sh.terms) else set()
-        if any(t not in have for t in phrase_terms):
+        if any(not sh.term_rows(t) for t in phrase_terms):
             continue
         # per term: {doc -> (positions, offsets)} restricted to hit docs
         per_term: list[dict[int, tuple]] = []
@@ -309,6 +312,17 @@ def infix_suggest(searcher: IndexSearcher, fragment: str, k: int = 5) -> list[tu
     return [(t, df) for df, t in ranked[:k]]
 
 
+def _analyze_key(text: str) -> list[str]:
+    """Suggester key analysis: the ASCII fast path, falling back to the
+    general analyzer on non-ASCII input (analyze_fast returns None there)."""
+    from ..analysis.analyzers import analyze_fast, standard_analyzer
+
+    toks = analyze_fast(text)
+    if toks is None:
+        toks, _ = standard_analyzer(text)
+    return toks
+
+
 class CompletionSuggester:
     """Weighted completion suggester (suggest/analyzing/
     AnalyzingSuggester.java:121 role): a (suggestion, weight) dictionary
@@ -319,21 +333,16 @@ class CompletionSuggester:
     build once, ray.put(self), look up inside map_batches tasks."""
 
     def __init__(self, entries: list[tuple[str, int]]):
-        from ..analysis.analyzers import analyze_fast
-
         keys = []
         for text, w in entries:
-            toks = analyze_fast(text or "")
-            keys.append((" ".join(toks), str(text), int(w)))
+            keys.append((" ".join(_analyze_key(text or "")), str(text), int(w)))
         keys.sort()
         self._keys = np.asarray([x[0] for x in keys], dtype="U")
         self._texts = np.asarray([x[1] for x in keys], dtype=object)
         self._weights = np.asarray([x[2] for x in keys], dtype=np.int64)
 
     def suggest(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
-        from ..analysis.analyzers import analyze_fast
-
-        key = " ".join(analyze_fast(prefix or ""))
+        key = " ".join(_analyze_key(prefix or ""))
         if not key:
             return []
         lo = np.searchsorted(self._keys, key, side="left")
@@ -502,14 +511,17 @@ def facet_string_docvalues(index_dir: str, field: str, query=None,
     index's docs tables only (SortedSetDocValuesFacetCounts.java:66 role for
     the single-valued SORTED case; multi-valued facets go through
     facet_sorted_set_docvalues). Returns (value, cnt) sorted by cnt desc,
-    value asc."""
+    value asc. Docs with no value ("" is the build-time missing sentinel,
+    build.py SORTED transport) are not counted — the reference's
+    SortedSetDocValuesFacetCounts likewise counts only docs with ords."""
     col = f"sdv_{field}"
 
     def extract(t: pa.Table, keep: np.ndarray) -> np.ndarray:
         vcol = t[col]
         if pa.types.is_dictionary(vcol.type):
             vcol = vcol.cast(pa.large_string())
-        return np.asarray(vcol.to_pylist(), dtype=object)[keep]
+        vals = np.asarray(vcol.to_pylist(), dtype=object)[keep]
+        return vals[vals != ""]
 
     return _facet_docvalues_scan(index_dir, col, extract, query, top_n)
 

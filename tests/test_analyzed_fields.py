@@ -208,3 +208,41 @@ def test_function_score_boost_survives_analyzed_rewrite(af_index):
     assert set(b) == set(d) and len(b) > 0
     for k, v in d.items():
         assert v == pytest.approx(2.0 * b[k], rel=1e-12)
+
+
+def test_distributed_matches_local_on_analyzed_fields(af_index, ray_session):
+    """DistributedSearcher must run the analyzed-field rewrite and score
+    namespaced terms with field stats + field norms, identically to
+    IndexSearcher (it previously skipped both)."""
+    from lucene_solr_ray.search import DistributedSearcher
+
+    local = IndexSearcher(af_index, dtype=np.float64)
+    dist = DistributedSearcher(af_index, num_actors=2, dtype=np.float64)
+    for q in ["title:ray", "title:data", 'title:"ray data"',
+              "title:ray AND ka", "title:learning OR mi"]:
+        a = local.search(q, k=10)
+        b = dist.search(q, k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        np.testing.assert_allclose(
+            a["score"].to_numpy(zero_copy_only=False),
+            b["score"].to_numpy(zero_copy_only=False), rtol=0, atol=0,
+            err_msg=q)
+
+
+def test_phrase_rewrite_drops_field_stopwords(tmp_path_factory, ray_session):
+    """title:"the cat" with 'the' in the field's stopword set must match
+    docs whose title contains cat — the stopword never reached the index,
+    so keeping it would make the phrase unmatchable."""
+    tmp = tmp_path_factory.mktemp("afstop")
+    p = _write(tmp, [("aa bb", "the cat sat"), ("cc dd", "a dog ran"),
+                     ("ee ff", "cat nap time")])
+    idx = str(tmp / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=4,
+        analyzed_fields=(("title", "", "the,a"),),
+    ))
+    s = IndexSearcher(idx)
+    hits = s.search('title:"the cat"', k=10)["doc_id"].to_pylist()
+    assert sorted(hits) == [0, 2]
+    # all-stopword phrase: matches nothing, no crash
+    assert s.search('title:"the a"', k=10).num_rows == 0

@@ -1,4 +1,5 @@
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -139,3 +140,24 @@ def test_append_preserves_docvalues_and_keywords(tmp_path, ray_session):
     # docvalues present in delta shards too
     total = sum(len(sh.docvalues.get("doc_id", [])) for sh in s.reader.shards)
     assert total == 400
+
+
+def test_sorted_facet_skips_missing_values(tmp_path, ray_session):
+    """Docs with a null SORTED value ('' sentinel at build) must not form
+    an empty-string facet bucket — SortedSetDocValuesFacetCounts counts
+    only docs with ords."""
+    from lucene_solr_ray.search.services import facet_string_docvalues
+
+    p = str(tmp_path / "c.parquet")
+    langs = ["en", None, "de", None, "en", None, None, "fr"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "text": pa.array([f"fast doc{i}" for i in range(8)], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=4, string_docvalues_fields=("lang",)))
+    out = facet_string_docvalues(idx, "lang").to_pandas()
+    assert dict(zip(out["value"], out["cnt"])) == {"en": 2, "de": 1, "fr": 1}
+    assert "" not in set(out["value"])

@@ -256,3 +256,64 @@ def test_force_merge_crash_before_gc_leaves_readable_index(tmp_path, monkeypatch
     force_merge(idx)
     res2 = IndexSearcher(idx).search("banana", k=20)
     assert (res2["doc_id"].to_pylist(), res2["score"].to_pylist()) == expect
+
+
+def test_force_merge_retry_after_midway_crash(tmp_path, monkeypatch):
+    """Crash AFTER the merged shards are written but BEFORE the manifest
+    commit, then retry: the retry reuses the same target shard ids, and
+    parquet writes append into existing partition dirs — without clearing
+    the debris first the retry would publish doubled postings/docs."""
+    from lucene_solr_ray.index import maintenance as mnt
+
+    idx, p = _build(tmp_path, n=80)
+    delete_by_ids(idx, [1, 4, 7])
+
+    real = mnt._atomic_write_json
+    calls = {"n": 0}
+
+    def boom(path, obj):
+        if path.endswith("manifest.json") and obj.get("deletes") == []:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before manifest commit")
+        return real(path, obj)
+
+    monkeypatch.setattr(mnt, "_atomic_write_json", boom)
+    with pytest.raises(RuntimeError):
+        force_merge(idx)
+    assert calls["n"] == 1
+    monkeypatch.setattr(mnt, "_atomic_write_json", real)
+
+    # the crashed attempt is invisible: old manifest still governs
+    assert IndexSearcher(idx).count("banana") == 77
+
+    m = force_merge(idx)  # retry must clear the debris, not append to it
+    assert m["stats"]["doc_count"] == 77
+    assert check_index(idx)["ok"]
+    res = IndexSearcher(idx).search("banana", k=10)
+    assert res.num_rows == 10
+    assert 1 not in res["doc_id"].to_pylist()
+
+
+def test_versioned_update_empty_batch_is_noop(tmp_path):
+    from lucene_solr_ray.index.maintenance import update_documents_versioned
+
+    p = str(tmp_path / "c.parquet")
+    ids = np.arange(10, dtype=np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"apple doc{i}" for i in ids], pa.string()),
+        "warc_ts": pa.array(ids.astype(np.float64), pa.float64()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=4, docvalues_fields=("warc_ts",)))
+
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.float64()),
+    }), empty)
+    m = update_documents_versioned(idx, empty)
+    assert m["stats"]["doc_count"] == 10
+    assert IndexSearcher(idx).count("apple") == 10

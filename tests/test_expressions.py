@@ -84,3 +84,14 @@ def test_infix_and_completion_suggest(idx):
                                    ("apple pie recipe", 20), ("Apple Pie", 10)]
     assert cs.suggest("apple p") == [("apple pie recipe", 20), ("Apple Pie", 10)]
     assert cs.suggest("zzz") == []
+
+
+def test_completion_suggester_non_ascii():
+    from lucene_solr_ray.search.services import CompletionSuggester
+
+    cs = CompletionSuggester([("café au lait", 5), ("cat food", 3),
+                              ("日本語 入力", 7)])
+    assert cs.suggest("café") == [("café au lait", 5)]
+    assert cs.suggest("日本語") == [("日本語 入力", 7)]
+    assert cs.suggest("cat") == [("cat food", 3)]
+    assert cs.suggest("") == []

@@ -290,3 +290,17 @@ def test_postings_offsets_absent_with_deletes(tmp_path, ray_session):
         assert len(offs) == 0
     out = highlight_results_offsets(s, corp, "doc_id", "text", "fox", k=5)
     assert 0 not in out["doc_id"].to_pylist()
+
+
+def test_passage_keeps_trailing_context():
+    """The right pad must carry context past the last match (it previously
+    cut at the first space after the match, leaving zero right context)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    # single match on 'beta' [6, 10)
+    sp = np.array([(6 << 32) | 10], np.int64)
+    out = passage_from_offsets(text, sp, max_chars=40)
+    assert "<b>beta</b>" in out
+    tail = out.split("</b>", 1)[1]
+    assert len(tail) > 10 and "gamma" in tail          # real right context
+    head = out.split("<b>", 1)[0]
+    assert "alpha" in head                             # left pad intact
