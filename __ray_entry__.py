@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
@@ -370,6 +371,8 @@ def _ssdv_index(sf_dir: str) -> str:
             })
 
         tmp = corpus_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)  # parquet writes APPEND: a
+        # crashed prior attempt's partial files would otherwise survive
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "lang", "source", "n_chars"],
@@ -436,6 +439,7 @@ def _sndv_index(sf_dir: str) -> str:
             })
 
         tmp = corpus_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)  # clear crashed-attempt debris
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet",
             columns=["doc_id", "text", "n_chars"],
@@ -667,6 +671,7 @@ def _geo_index(sf_dir: str) -> str:
                 .append_column("lon", pa.array(lon, pa.float64()))
 
     if not os.path.exists(os.path.join(cdir, "_done")):
+        shutil.rmtree(cdir, ignore_errors=True)  # clear crashed-attempt debris
         _rd().read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
             derive, batch_format="pyarrow").write_parquet(cdir)
@@ -1037,7 +1042,10 @@ def q_percentile(sf_dir):
 
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
     p = percentile_exact(ds, "o_totalprice", 0.5)
-    return pa.table({"p50": pa.array([round(p, 4)], pa.float64())})
+    # half-away rounding: DuckDB's round() rounds .5 away from zero while
+    # Python's round() is half-to-even (same reason _round_half_away exists)
+    p4 = float(_round_half_away(np.array([p]), 4)[0])
+    return pa.table({"p50": pa.array([p4], pa.float64())})
 
 
 def q_window_sliding(sf_dir):
@@ -1342,8 +1350,8 @@ def q_ann_topk(sf_dir):
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     order = pc.sort_indices(qt["vec_id"])
-    qt = qt.take(order)
-    queries = np.asarray(qt["embedding"].to_pylist()[:3], dtype=np.float64)
+    head = qt.take(order.slice(0, 3))   # pylist only the 3 query vectors
+    queries = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     out = brute_force_knn(emb, "vec_id", "embedding", queries, k=10)
     out = _round_col(out, "cosine", 4)
     return out.rename_columns(["query_id", "vec_id", "cosine", "rank"])
@@ -1361,8 +1369,8 @@ def q_ann_lsh(sf_dir):
     ds = _embeddings_with_dups(sf_dir)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     order = pc.sort_indices(qt["vec_id"])
-    qt = qt.take(order)
-    queries = np.asarray(qt["embedding"].to_pylist()[:2], dtype=np.float64)
+    head = qt.take(order.slice(0, 2))   # pylist only the 2 query vectors
+    queries = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
     out = lsh_knn(ds, "vec_id", "embedding", queries, k=2,
                   num_planes=10, probes=3)
     out = _round_col(out, "cosine", 4)

@@ -11,7 +11,7 @@ pipeline timings over $GRAFT_SF_DIR.
                               # processes; reports both + scaling efficiency
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-BENCH_CORPUS_DOCS (default 20000).
+BENCH_CORPUS_DOCS (default 200000; set 20000 for a quick run).
 """
 
 from __future__ import annotations

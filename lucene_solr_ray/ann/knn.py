@@ -129,6 +129,12 @@ def lsh_knn(
             if not len(cand):
                 continue
             sims = m[cand] @ qm2[q]
+            if len(cand) > k:
+                # per-batch top-k cut (same (-sim, key) tiebreak as
+                # _topk_table): the driver merge sees O(batches * k) rows,
+                # not O(all probe-radius candidates)
+                o = np.lexsort((keys[cand], -sims))[:k]
+                cand, sims = cand[o], sims[o]
             rows["query_id"].extend([q] * len(cand))
             rows["key"].extend(keys[cand].tolist())
             rows["cosine"].extend(sims.tolist())

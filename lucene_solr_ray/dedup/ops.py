@@ -469,14 +469,20 @@ def embedding_dup_pairs(
 
     Buckets above max_bucket are dropped with a warning (same policy as
     dedup_minhash_lsh)."""
-    rng = np.random.default_rng(seed)
-    planes_ref: list = []  # lazily created once dim is known (deterministic)
+    # per-worker plane memo, keyed on dim: deterministic (fixed seed), built
+    # once per worker process instead of regenerated for every batch
+    _planes: dict[int, np.ndarray] = {}
+
+    def _planes_for(dim: int) -> np.ndarray:
+        if dim not in _planes:
+            r = np.random.default_rng(seed)
+            _planes[dim] = r.standard_normal((dim, num_tables * num_planes))
+        return _planes[dim]
 
     def sigs(t: pa.Table) -> pa.Table:
         m = vec_matrix(t[vec_col])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        r = np.random.default_rng(seed)
-        planes = r.standard_normal((m.shape[1], num_tables * num_planes))
+        planes = _planes_for(m.shape[1])
         proj = m @ planes > 0
         weights = (1 << np.arange(num_planes, dtype=np.int64))
         keys = t[key_col].to_numpy(zero_copy_only=False)

@@ -287,7 +287,10 @@ def _facet_top_k_refined(
     ).groupby(key).aggregate(Sum(count_name, alias_name=count_name)).take_all()
     exact.sort(key=lambda r: (-int(r[count_name]), r[key]))
     kth = int(exact[k - 1][count_name]) if len(exact) >= k else 0
-    certified = kth >= spill_lower + thresh_sum
+    # STRICT >: an unexamined value's true count is bounded by
+    # spill_lower + thresh_sum, and at equality it could still TIE the
+    # k-th candidate and win the key-ascending tiebreak
+    certified = kth > spill_lower + thresh_sum
 
     if not certified:
         # exact fallback: the full rollup (cardinality-sized shuffle)
@@ -397,15 +400,22 @@ def collapse_first(ds: Dataset, key: str, order_col: str) -> Dataset:
 
 # worker-process-level memo for broadcast objects: tasks re-fetch via a local
 # zero-copy plasma read, and any per-worker transform (e.g. arrow -> pandas)
-# runs once per worker instead of once per batch
+# runs once per worker instead of once per batch. LRU-bounded: a long-lived
+# worker running many pipelines must not pin one private deserialized copy
+# per broadcast table forever.
 _BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 4
 
 
 def _cached_broadcast(ref, transform=None):
     key = ref.hex()
     if key not in _BCAST_CACHE:
         val = ray.get(ref)
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         _BCAST_CACHE[key] = transform(val) if transform else val
+    else:  # LRU refresh
+        _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)
     return _BCAST_CACHE[key]
 
 def broadcast_join(

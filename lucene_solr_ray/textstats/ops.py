@@ -87,17 +87,19 @@ def quality_score(ds: Dataset, key_col: str, text_col: str) -> Dataset:
         flat = pc.list_flatten(toks)
         tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
         offsets = np.concatenate([[0], np.cumsum(n_tokens)])
-        mean_len = np.array(
-            [tok_lens[offsets[i]:offsets[i + 1]].mean() if n_tokens[i] else 0.0
-             for i in range(len(n_tokens))]
-        )
+        nz = np.maximum(n_tokens, 1).astype(np.float64)
+
+        def seg_mean(vals: np.ndarray) -> np.ndarray:
+            # per-doc mean via cumsum-diff (no per-row Python loop); empty
+            # docs divide by the clamped 1 and zero out via the sum
+            c = np.concatenate([[0.0], np.cumsum(vals)])
+            return (c[offsets[1:]] - c[offsets[:-1]]) / nz
+
+        mean_len = seg_mean(tok_lens)
         stop_mask = pc.is_in(flat, value_set=pa.array(sorted(_STOPWORDS))).to_numpy(
             zero_copy_only=False
         ).astype(np.float64)
-        stop_ratio = np.array(
-            [stop_mask[offsets[i]:offsets[i + 1]].mean() if n_tokens[i] else 0.0
-             for i in range(len(n_tokens))]
-        )
+        stop_ratio = seg_mean(stop_mask)
         return pa.table(
             {
                 key_col: t[key_col],

@@ -74,7 +74,8 @@ def main():
     for name in names:
         t0 = time.time()
         try:
-            got = canon(to_pandas(qs[name](SF_DIR)))
+            got_raw = to_pandas(qs[name](SF_DIR))
+            got = canon(got_raw)
         except Exception as e:
             print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
             failures.append(name)
@@ -101,6 +102,17 @@ def main():
                 print(f"FAIL {name}: oracle col {c!r} is Decimal/HUGEINT — "
                       f"CAST the aggregate to BIGINT in the SQL")
                 ok = False
+        # the driver hashes raw representations: surface any dtype-KIND
+        # divergence (int vs float vs object) the canon() coercion would
+        # otherwise hide — warning only (exact driver policy unknown)
+        for c in exp_raw.columns:
+            if c in got_raw.columns:
+                ka = got_raw[c].dtype.kind
+                kb = exp_raw[c].dtype.kind
+                if ka != kb and {ka, kb} != {"i", "u"}:
+                    print(f"WARN {name}: col {c!r} dtype kind ray="
+                          f"{got_raw[c].dtype} sql={exp_raw[c].dtype} — "
+                          f"may hash-mismatch on the driver")
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns ray={list(got.columns)} sql={list(exp.columns)}")
             ok = False
