@@ -804,6 +804,24 @@ def q_sort_topk(sf_dir):
     return sort_limit(ds, [("o_totalprice", True), ("o_orderkey", False)], 100)
 
 
+def q_relatedness(sf_dir):
+    """RelatednessAgg (search/facet/RelatednessAgg.java:52): per-lang
+    relatedness of the long-document foreground (n_chars > 500) vs the
+    background corpus — (fg_pop - bg_pop) / max(fg_pop, bg_pop), one
+    map-side-combined groupby, bucket-cardinality shuffle."""
+    from lucene_solr_ray.relational.ops import relatedness_facet
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        fg = (t["n_chars"].to_numpy(zero_copy_only=False) > 500).astype(np.int64)
+        return pa.table({"lang": t["lang"], "fg": pa.array(fg, pa.int64())})
+
+    return relatedness_facet(
+        ds.map_batches(tag, batch_format="pyarrow"), "lang", "fg")
+
+
 def q_rollup_q1(sf_dir):
     from lucene_solr_ray.relational import rollup
 
@@ -1604,7 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_near": q_ft_span_near,
         "ft_bm25_term": q_ft_bm25_term,
         "ft_mlt": q_ft_mlt,
-        "ft_phrase": q_ft_phrase,
+        "relatedness": q_relatedness,
         "ft_infix": q_ft_infix,
         "ft_points_range": q_ft_points_range,
         "geo_box": q_geo_box,
@@ -1679,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
         "ft_bm25_and": q_ft_bm25_and,
+        "ft_phrase": q_ft_phrase,
     }
 
 
@@ -2043,6 +2062,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY km, doc_id) AS INT) AS rank
             FROM d ORDER BY km, doc_id LIMIT 50""",
         "geo_polygon": _polygon_oracle_sql(_POLY_LATS, _POLY_LONS),
+        "relatedness": """
+            WITH d AS (SELECT lang,
+                       CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS fg
+                       FROM documents),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(fg) AS BIGINT) AS fgs FROM d),
+            b AS (SELECT lang, CAST(count(*) AS BIGINT) AS bg_count,
+                         CAST(sum(fg) AS BIGINT) AS fg_count
+                  FROM d GROUP BY lang),
+            s AS (SELECT b.lang AS value, b.fg_count, b.bg_count,
+                         b.fg_count / CAST(tot.fgs AS DOUBLE) AS fg_pop,
+                         b.bg_count / CAST(tot.n AS DOUBLE) AS bg_pop
+                  FROM b, tot)
+            SELECT value, fg_count, bg_count,
+                   CASE WHEN greatest(fg_pop, bg_pop) = 0 THEN 0.0
+                        ELSE round((fg_pop - bg_pop) / greatest(fg_pop, bg_pop), 6)
+                   END AS relatedness
+            FROM s ORDER BY relatedness DESC, value ASC""",
         "select_project": """
             SELECT l_orderkey, l_linenumber,
                    CAST(round(l_extendedprice*100,0) AS BIGINT)

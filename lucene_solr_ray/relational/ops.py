@@ -159,6 +159,61 @@ def facet_counts(ds: Dataset, key: str, count_name: str = "cnt") -> Dataset:
     return rollup(ds, [key], [("count", None, count_name)])
 
 
+def relatedness_facet(ds: Dataset, key: str, fg_col: str,
+                      round_nd: int = 6) -> pa.Table:
+    """RelatednessAgg (solr/.../search/facet/RelatednessAgg.java:52): per
+    facet bucket, how related the bucket is to a foreground doc set vs the
+    background (all docs):
+
+        fg_pop = fg_count(bucket) / fg_size
+        bg_pop = bg_count(bucket) / background_size
+        relatedness = (fg_pop - bg_pop) / max(fg_pop, bg_pop)   (0 when both 0)
+
+    `fg_col` is a 0/1 foreground indicator column. One map-side combined
+    groupby(bucket) computes (fg_count, bg_count) partials — the shuffle
+    moves only bucket-cardinality rows; totals come from the same partials,
+    so the corpus is scanned once. Final scoring is driver-side over the
+    (tiny) bucket table. Returns (value, fg_count, bg_count, relatedness)
+    sorted by relatedness desc, value asc."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key, fg_col]).group_by([key], use_threads=False) \
+            .aggregate([(fg_col, "sum"), ([], "count_all")])
+        return pa.table({
+            "value": g[key],
+            "fg": pc.cast(g[f"{fg_col}_sum"], pa.int64()),
+            "bg": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("value") \
+        .aggregate(Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"))
+    rows = agg.take_all()  # bucket cardinality, tiny
+    vals = np.asarray([r["value"] for r in rows], dtype=object)
+    fg = np.asarray([int(r["fg"]) for r in rows], dtype=np.int64)
+    bg = np.asarray([int(r["bg"]) for r in rows], dtype=np.int64)
+    fg_size = int(fg.sum())
+    n = int(bg.sum())
+    fg_pop = fg / float(max(fg_size, 1))
+    bg_pop = bg / float(max(n, 1))
+    mx = np.maximum(fg_pop, bg_pop)
+    rel = np.divide(fg_pop - bg_pop, mx,
+                    out=np.zeros(len(mx), np.float64), where=mx > 0)
+    # round-half-away-from-zero, replicating DuckDB's round(x, nd) so an
+    # oracle sorting by the rounded score sees the identical tie order
+    p = 10.0 ** round_nd
+    ax = np.abs(rel) * p
+    fl = np.floor(ax)
+    rel = np.sign(rel) * (fl + (ax - fl >= 0.5)) / p
+    order = np.lexsort((vals.astype("U"), -rel))
+    return pa.table({
+        "value": pa.array(vals[order].tolist(), pa.string()),
+        "fg_count": pa.array(fg[order], pa.int64()),
+        "bg_count": pa.array(bg[order], pa.int64()),
+        "relatedness": pa.array(rel[order], pa.float64()),
+    })
+
+
 def taxonomy_facet_counts(ds: Dataset, levels: list[str], sep: str = "/",
                           prefix: str | None = None,
                           count_name: str = "cnt") -> Dataset:

@@ -4,6 +4,7 @@ multimodal layers, cross-checked against DuckDB or pandas on sf0.001."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -303,3 +304,27 @@ def test_minhash_lsh_distributed_join_sieve_parity(ray_session, tmp_path,
     joined = run()                                 # distributed join plan
     assert base == broadcast == joined
     assert {(5, 25), (12, 40), (33, 50)} <= base
+
+
+def test_relatedness_facet(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.relational.ops import relatedness_facet
+
+    # buckets: a (3 docs, 2 fg), b (2 docs, 0 fg), c (1 doc, 1 fg)
+    rows = [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 0), ("c", 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "fg": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+    out = relatedness_facet(ds, "k", "fg")
+    got = {v: (f, b, r) for v, f, b, r in zip(
+        out["value"].to_pylist(), out["fg_count"].to_pylist(),
+        out["bg_count"].to_pylist(), out["relatedness"].to_pylist())}
+    # fg_size=3, N=6
+    # a: fg_pop=2/3, bg_pop=3/6=.5 -> (2/3-.5)/(2/3) = .25
+    # b: fg_pop=0, bg_pop=2/6 -> (0-1/3)/(1/3) = -1.0
+    # c: fg_pop=1/3, bg_pop=1/6 -> (1/3-1/6)/(1/3) = .5
+    assert got == {"a": (2, 3, 0.25), "b": (0, 2, -1.0), "c": (1, 1, 0.5)}
+    # sorted by relatedness desc, value asc
+    assert out["value"].to_pylist() == ["c", "a", "b"]
