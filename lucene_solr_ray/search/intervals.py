@@ -78,6 +78,24 @@ class IContainedBy:
     big: object
 
 
+@dataclass(frozen=True)
+class INotContaining:
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class INotContainedBy:
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class IOverlapping:
+    source: object
+    reference: object
+
+
 def stem_source(src, st):
     """Rewrite every leaf ITerm through the query-side analysis fn ``st``
     (the stemmer/chain mirror applied to Term nodes in query.apply_stemmer)."""
@@ -93,6 +111,15 @@ def stem_source(src, st):
         return IContaining(stem_source(src.big, st), stem_source(src.small, st))
     if isinstance(src, IContainedBy):
         return IContainedBy(stem_source(src.small, st), stem_source(src.big, st))
+    if isinstance(src, INotContaining):
+        return INotContaining(stem_source(src.big, st),
+                              stem_source(src.small, st))
+    if isinstance(src, INotContainedBy):
+        return INotContainedBy(stem_source(src.small, st),
+                               stem_source(src.big, st))
+    if isinstance(src, IOverlapping):
+        return IOverlapping(stem_source(src.source, st),
+                            stem_source(src.reference, st))
     return src
 
 
@@ -130,6 +157,21 @@ def containing(big, small) -> IContaining:
     return IContaining(_coerce(big), _coerce(small))
 
 
+def not_containing(big, small) -> INotContaining:
+    """Intervals.notContaining: big intervals containing NO small interval."""
+    return INotContaining(_coerce(big), _coerce(small))
+
+
+def not_contained_by(small, big) -> INotContainedBy:
+    """Intervals.notContainedBy: small intervals inside NO big interval."""
+    return INotContainedBy(_coerce(small), _coerce(big))
+
+
+def overlapping(source, reference) -> IOverlapping:
+    """Intervals.overlapping: source intervals overlapping >= 1 reference."""
+    return IOverlapping(_coerce(source), _coerce(reference))
+
+
 def contained_by(small, big) -> IContainedBy:
     return IContainedBy(_coerce(small), _coerce(big))
 
@@ -148,8 +190,11 @@ def terms_of(src) -> list[str]:
         return [t for s in src.sources for t in terms_of(s)]
     if isinstance(src, (IMaxgaps, IMaxwidth)):
         return terms_of(src.source)
-    if isinstance(src, (IContaining, IContainedBy)):
+    if isinstance(src, (IContaining, IContainedBy, INotContaining,
+                        INotContainedBy)):
         return terms_of(src.big) + terms_of(src.small)
+    if isinstance(src, IOverlapping):
+        return terms_of(src.source) + terms_of(src.reference)
     raise TypeError(f"unsupported interval source {src!r}")
 
 
@@ -168,6 +213,14 @@ def source_key(src) -> str:
         return f"IContaining({source_key(src.big)},{source_key(src.small)})"
     if isinstance(src, IContainedBy):
         return f"IContainedBy({source_key(src.small)},{source_key(src.big)})"
+    if isinstance(src, INotContaining):
+        return f"INotContaining({source_key(src.big)},{source_key(src.small)})"
+    if isinstance(src, INotContainedBy):
+        return (f"INotContainedBy({source_key(src.small)},"
+                f"{source_key(src.big)})")
+    if isinstance(src, IOverlapping):
+        return (f"IOverlapping({source_key(src.source)},"
+                f"{source_key(src.reference)})")
     raise TypeError(f"unsupported interval source {src!r}")
 
 
@@ -197,6 +250,15 @@ def _docs_of(src, term_docs: dict) -> np.ndarray:
     if isinstance(src, IContainedBy):
         a = _docs_of(src.small, term_docs)
         b = _docs_of(src.big, term_docs)
+        return a[np.isin(a, b, assume_unique=True)]
+    if isinstance(src, INotContaining):
+        # the exclusion may be absent: every big doc is a candidate
+        return _docs_of(src.big, term_docs)
+    if isinstance(src, INotContainedBy):
+        return _docs_of(src.small, term_docs)
+    if isinstance(src, IOverlapping):
+        a = _docs_of(src.source, term_docs)
+        b = _docs_of(src.reference, term_docs)
         return a[np.isin(a, b, assume_unique=True)]
     raise TypeError(f"unsupported interval source {src!r}")
 
@@ -323,6 +385,44 @@ def _intervals(src, pos_of: dict, doc: int) -> np.ndarray:
         idx_c = np.maximum(idx, 0)
         ok &= pref_max[idx_c] >= small[:, 1]
         return small[ok]
+    if isinstance(src, INotContaining):
+        big = _intervals(src.big, pos_of, doc)
+        if not len(big):
+            return _EMPTY
+        small = _intervals(src.small, pos_of, doc)
+        if not len(small):
+            return big
+        suff_min = np.minimum.accumulate(small[::-1, 1])[::-1]
+        idx = np.searchsorted(small[:, 0], big[:, 0], side="left")
+        has = idx < len(small)
+        idx_c = np.minimum(idx, len(small) - 1)
+        has &= suff_min[idx_c] <= big[:, 1]
+        return big[~has]
+    if isinstance(src, INotContainedBy):
+        small = _intervals(src.small, pos_of, doc)
+        if not len(small):
+            return _EMPTY
+        big = _intervals(src.big, pos_of, doc)
+        if not len(big):
+            return small
+        pref_max = np.maximum.accumulate(big[:, 1])
+        idx = np.searchsorted(big[:, 0], small[:, 0], side="right") - 1
+        inside = idx >= 0
+        idx_c = np.maximum(idx, 0)
+        inside &= pref_max[idx_c] >= small[:, 1]
+        return small[~inside]
+    if isinstance(src, IOverlapping):
+        sv = _intervals(src.source, pos_of, doc)
+        rf = _intervals(src.reference, pos_of, doc)
+        if not len(sv) or not len(rf):
+            return _EMPTY
+        # [s,e] overlaps some ref [s2,e2] iff max e2 among s2 <= e is >= s
+        pref_max = np.maximum.accumulate(rf[:, 1])
+        idx = np.searchsorted(rf[:, 0], sv[:, 1], side="right") - 1
+        ok = idx >= 0
+        idx_c = np.maximum(idx, 0)
+        ok &= pref_max[idx_c] >= sv[:, 0]
+        return sv[ok]
     raise TypeError(f"unsupported interval source {src!r}")
 
 

@@ -111,3 +111,98 @@ def test_intervals_compose_with_bool(idx):
 def test_intervals_empty_and_missing_term(idx):
     assert _docs(idx, iv.ordered("w1", "nosuchterm")) == []
     assert _docs(idx, iv.maxgaps(0, iv.ordered("w3", "w1"))) == []
+
+
+def test_not_containing(idx):
+    # unordered(w1,w5) spans: doc0 [0,4] contains w3@2; doc2 [0,4] contains
+    # w3@2 — both excluded; docs 1,3 have no w5 at all
+    assert _docs(idx, iv.not_containing(
+        iv.unordered("w1", "w5"), iv.term("w3"))) == []
+    # exclusion absent everywhere: every big doc passes
+    assert _docs(idx, iv.not_containing(
+        iv.unordered("w1", "w5"), iv.term("zz"))) == [0, 2]
+    # w2..w4 spans not containing w3: doc1 has [2,4]=w2 w3 w4 (contains) but
+    # minimal spans may differ — assert against the positive complement
+    pos = set(_docs(idx, iv.containing(iv.unordered("w2", "w4"), iv.term("w3"))))
+    neg = set(_docs(idx, iv.not_containing(iv.unordered("w2", "w4"),
+                                           iv.term("w3"))))
+    both = set(_docs(idx, iv.unordered("w2", "w4")))
+    assert pos | neg <= both  # each doc appears where >= 1 span qualifies
+
+
+def test_not_contained_by(idx):
+    # w3 occurrences outside every w2..w4 cover: doc3's w3@4 sits inside
+    # [3,4]? w2@3,w3@4 -> unordered(w2,w4) needs w4 which doc3 lacks -> all
+    # of doc3's w3 qualify
+    got = _docs(idx, iv.not_contained_by(iv.term("w3"),
+                                         iv.unordered("w2", "w4")))
+    assert 3 in got
+    # big absent -> small passes untouched
+    assert _docs(idx, iv.not_contained_by(iv.term("w3"), iv.term("zz"))) \
+        == [0, 1, 2, 3]
+
+
+def test_overlapping(idx):
+    # w3 occurrences overlapping a w2..w4 cover: docs 0,1,2 have a w3
+    # inside the minimal w2..w4 span; doc3 lacks w4 entirely
+    got = _docs(idx, iv.overlapping(iv.term("w3"),
+                                    iv.unordered("w2", "w4")))
+    assert got == [0, 1, 2]
+    # no reference -> nothing overlaps
+    assert _docs(idx, iv.overlapping(iv.unordered("w1", "w2"),
+                                     iv.term("zz"))) == []
+
+
+def test_negative_ops_brute_force_parity(idx):
+    """Randomized parity: not_containing/not_contained_by/overlapping vs a
+    brute-force O(n^2) interval filter over the same minimal child sets."""
+    rng = np.random.default_rng(5)
+    vocab = ["w1", "w2", "w3", "w4", "w5"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+             for _ in range(40)]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/c.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}), p)
+        out = f"{d}/idx"
+        build_index(p, out, cfg=IndexBuildConfig(num_shards=1, num_buckets=4))
+
+        def brute(doc_text, big_pair, small_term, mode):
+            toks = doc_text.split()
+            def occs(w):
+                return [i for i, t in enumerate(toks) if t == w]
+            a, b = big_pair
+            spans = []
+            for i in occs(a):
+                for j in occs(b):
+                    lo, hi = min(i, j), max(i, j)
+                    if a == b and i == j:
+                        continue
+                    spans.append((lo, hi))
+            # minimalize
+            spans = sorted(set(spans))
+            spans = [s for s in spans
+                     if not any(o != s and s[0] <= o[0] and o[1] <= s[1]
+                                for o in spans)]
+            sm = occs(small_term)
+            if mode == "not_containing":
+                return any(not any(s[0] <= x <= s[1] for x in sm)
+                           for s in spans)
+            if mode == "overlapping":
+                return any(any(s[0] <= x <= s[1] for x in sm) for s in spans)
+            raise AssertionError(mode)
+
+        for big, small, mode, node in [
+            (("w1", "w2"), "w3", "not_containing",
+             iv.not_containing(iv.unordered("w1", "w2"), iv.term("w3"))),
+            (("w2", "w4"), "w5", "not_containing",
+             iv.not_containing(iv.unordered("w2", "w4"), iv.term("w5"))),
+            (("w1", "w3"), "w2", "overlapping",
+             iv.overlapping(iv.unordered("w1", "w3"), iv.term("w2"))),
+        ]:
+            got = set(_docs(out, node))
+            want = {i for i, t in enumerate(texts) if brute(t, big, small, mode)}
+            assert got == want, (mode, big, small)
