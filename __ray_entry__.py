@@ -572,6 +572,24 @@ def q_ft_infix(sf_dir):
     })
 
 
+def q_ft_completion(sf_dir):
+    """Weighted completion suggester (suggest/analyzing/
+    AnalyzingSuggester.java:121): dictionary = per-source doc counts from a
+    distributed groupby (bucket-cardinality rows on the driver), lookup by
+    analyzed prefix, top-5 by weight desc then suggestion asc."""
+    from lucene_solr_ray.search.services import CompletionSuggester
+
+    agg = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["source"]).groupby("source").count()
+    rows = agg.take_all()
+    cs = CompletionSuggester([(r["source"], int(r["count()"])) for r in rows])
+    out = cs.suggest("src1", k=5)
+    return pa.table({
+        "suggestion": pa.array([t for t, _ in out], pa.string()),
+        "weight": pa.array([w for _, w in out], pa.int64()),
+    })
+
+
 def q_ft_rescore(sf_dir):
     """QueryRescorer (search/QueryRescorer.java): first-pass top-50 for
     'fast', plus the 'merge' score on those docs, re-ranked top-10 —
@@ -1620,7 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window: delete+merge, facets, percolator, numeric planner) ---
         "ft_term_df": q_ft_term_df,
         "ft_span_near": q_ft_span_near,
-        "ft_bm25_term": q_ft_bm25_term,
+        "ft_completion": q_ft_completion,
         "ft_mlt": q_ft_mlt,
         "relatedness": q_relatedness,
         "ft_infix": q_ft_infix,
@@ -1698,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_highlight": q_ft_highlight,
         "ft_bm25_and": q_ft_bm25_and,
         "ft_phrase": q_ft_phrase,
+        "ft_bm25_term": q_ft_bm25_term,
     }
 
 
@@ -2062,6 +2081,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY km, doc_id) AS INT) AS rank
             FROM d ORDER BY km, doc_id LIMIT 50""",
         "geo_polygon": _polygon_oracle_sql(_POLY_LATS, _POLY_LONS),
+        "ft_completion": """
+            SELECT source AS suggestion, CAST(count(*) AS BIGINT) AS weight
+            FROM documents GROUP BY source
+            HAVING source LIKE 'src1%'
+            ORDER BY weight DESC, suggestion ASC LIMIT 5""",
         "relatedness": """
             WITH d AS (SELECT lang,
                        CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS fg

@@ -96,6 +96,12 @@ class IOverlapping:
     reference: object
 
 
+@dataclass(frozen=True)
+class INonOverlapping:
+    source: object
+    reference: object
+
+
 def stem_source(src, st):
     """Rewrite every leaf ITerm through the query-side analysis fn ``st``
     (the stemmer/chain mirror applied to Term nodes in query.apply_stemmer)."""
@@ -120,6 +126,9 @@ def stem_source(src, st):
     if isinstance(src, IOverlapping):
         return IOverlapping(stem_source(src.source, st),
                             stem_source(src.reference, st))
+    if isinstance(src, INonOverlapping):
+        return INonOverlapping(stem_source(src.source, st),
+                               stem_source(src.reference, st))
     return src
 
 
@@ -172,6 +181,11 @@ def overlapping(source, reference) -> IOverlapping:
     return IOverlapping(_coerce(source), _coerce(reference))
 
 
+def non_overlapping(source, reference) -> INonOverlapping:
+    """Intervals.nonOverlapping: source intervals meeting NO reference."""
+    return INonOverlapping(_coerce(source), _coerce(reference))
+
+
 def contained_by(small, big) -> IContainedBy:
     return IContainedBy(_coerce(small), _coerce(big))
 
@@ -193,7 +207,7 @@ def terms_of(src) -> list[str]:
     if isinstance(src, (IContaining, IContainedBy, INotContaining,
                         INotContainedBy)):
         return terms_of(src.big) + terms_of(src.small)
-    if isinstance(src, IOverlapping):
+    if isinstance(src, (IOverlapping, INonOverlapping)):
         return terms_of(src.source) + terms_of(src.reference)
     raise TypeError(f"unsupported interval source {src!r}")
 
@@ -220,6 +234,9 @@ def source_key(src) -> str:
                 f"{source_key(src.big)})")
     if isinstance(src, IOverlapping):
         return (f"IOverlapping({source_key(src.source)},"
+                f"{source_key(src.reference)})")
+    if isinstance(src, INonOverlapping):
+        return (f"INonOverlapping({source_key(src.source)},"
                 f"{source_key(src.reference)})")
     raise TypeError(f"unsupported interval source {src!r}")
 
@@ -260,6 +277,9 @@ def _docs_of(src, term_docs: dict) -> np.ndarray:
         a = _docs_of(src.source, term_docs)
         b = _docs_of(src.reference, term_docs)
         return a[np.isin(a, b, assume_unique=True)]
+    if isinstance(src, INonOverlapping):
+        # the reference may be absent: every source doc is a candidate
+        return _docs_of(src.source, term_docs)
     raise TypeError(f"unsupported interval source {src!r}")
 
 
@@ -423,6 +443,19 @@ def _intervals(src, pos_of: dict, doc: int) -> np.ndarray:
         idx_c = np.maximum(idx, 0)
         ok &= pref_max[idx_c] >= sv[:, 0]
         return sv[ok]
+    if isinstance(src, INonOverlapping):
+        sv = _intervals(src.source, pos_of, doc)
+        if not len(sv):
+            return _EMPTY
+        rf = _intervals(src.reference, pos_of, doc)
+        if not len(rf):
+            return sv
+        pref_max = np.maximum.accumulate(rf[:, 1])
+        idx = np.searchsorted(rf[:, 0], sv[:, 1], side="right") - 1
+        hit = idx >= 0
+        idx_c = np.maximum(idx, 0)
+        hit &= pref_max[idx_c] >= sv[:, 0]
+        return sv[~hit]
     raise TypeError(f"unsupported interval source {src!r}")
 
 

@@ -206,3 +206,18 @@ def test_negative_ops_brute_force_parity(idx):
             got = set(_docs(out, node))
             want = {i for i, t in enumerate(texts) if brute(t, big, small, mode)}
             assert got == want, (mode, big, small)
+
+
+def test_non_overlapping(idx):
+    # w3 occurrences meeting no w2..w4 cover: complement of overlapping
+    # within each doc's qualifying spans
+    ov = _docs(idx, iv.overlapping(iv.term("w3"), iv.unordered("w2", "w4")))
+    non = _docs(idx, iv.non_overlapping(iv.term("w3"),
+                                        iv.unordered("w2", "w4")))
+    # doc3 lacks w4: reference absent -> all w3 occurrences pass
+    assert 3 in non
+    # every doc shows up on at least one side (w3 exists in all docs)
+    assert sorted(set(ov) | set(non)) == [0, 1, 2, 3]
+    # reference absent everywhere: identical to the bare source
+    assert _docs(idx, iv.non_overlapping(iv.term("w3"), iv.term("zz"))) \
+        == [0, 1, 2, 3]
