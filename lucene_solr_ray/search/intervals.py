@@ -102,6 +102,20 @@ class INonOverlapping:
     reference: object
 
 
+@dataclass(frozen=True)
+class IPrefix:
+    """Intervals.prefix (intervals/Intervals.java multi-term sources):
+    expands to IOr over matching dictionary terms BEFORE weight resolution
+    (multiterm.rewrite -> expand_multiterm), like the reference's
+    MultiTermIntervalsSource with its expansion cap."""
+    prefix: str
+
+
+@dataclass(frozen=True)
+class IWildcard:
+    pattern: str
+
+
 def stem_source(src, st):
     """Rewrite every leaf ITerm through the query-side analysis fn ``st``
     (the stemmer/chain mirror applied to Term nodes in query.apply_stemmer)."""
@@ -129,6 +143,8 @@ def stem_source(src, st):
     if isinstance(src, INonOverlapping):
         return INonOverlapping(stem_source(src.source, st),
                                stem_source(src.reference, st))
+    # IPrefix/IWildcard patterns pass through un-analyzed (the reference
+    # never runs the analyzer on multi-term patterns)
     return src
 
 
@@ -184,6 +200,53 @@ def overlapping(source, reference) -> IOverlapping:
 def non_overlapping(source, reference) -> INonOverlapping:
     """Intervals.nonOverlapping: source intervals meeting NO reference."""
     return INonOverlapping(_coerce(source), _coerce(reference))
+
+
+def prefix(p: str) -> IPrefix:
+    return IPrefix(p)
+
+
+def wildcard(pattern: str) -> IWildcard:
+    return IWildcard(pattern)
+
+
+def expand_multiterm(src, expander):
+    """Replace IPrefix/IWildcard leaves with IOr(ITerm...) via the searcher's
+    global expander (runs before weight resolution; an empty expansion
+    becomes IOr(()) which yields no intervals)."""
+    from .query import Prefix as QPrefix
+    from .query import Wildcard as QWildcard
+
+    if isinstance(src, IPrefix):
+        return IOr(tuple(ITerm(t) for t in expander(QPrefix(src.prefix))))
+    if isinstance(src, IWildcard):
+        return IOr(tuple(ITerm(t) for t in expander(QWildcard(src.pattern))))
+    if isinstance(src, (IOr, IOrdered, IUnordered, IPhrase)):
+        return type(src)(tuple(expand_multiterm(s, expander)
+                               for s in src.sources))
+    if isinstance(src, IMaxgaps):
+        return IMaxgaps(src.gaps, expand_multiterm(src.source, expander))
+    if isinstance(src, IMaxwidth):
+        return IMaxwidth(src.width, expand_multiterm(src.source, expander))
+    if isinstance(src, IContaining):
+        return IContaining(expand_multiterm(src.big, expander),
+                           expand_multiterm(src.small, expander))
+    if isinstance(src, INotContaining):
+        return INotContaining(expand_multiterm(src.big, expander),
+                              expand_multiterm(src.small, expander))
+    if isinstance(src, IContainedBy):
+        return IContainedBy(expand_multiterm(src.small, expander),
+                            expand_multiterm(src.big, expander))
+    if isinstance(src, INotContainedBy):
+        return INotContainedBy(expand_multiterm(src.small, expander),
+                               expand_multiterm(src.big, expander))
+    if isinstance(src, IOverlapping):
+        return IOverlapping(expand_multiterm(src.source, expander),
+                            expand_multiterm(src.reference, expander))
+    if isinstance(src, INonOverlapping):
+        return INonOverlapping(expand_multiterm(src.source, expander),
+                               expand_multiterm(src.reference, expander))
+    return src
 
 
 def contained_by(small, big) -> IContainedBy:

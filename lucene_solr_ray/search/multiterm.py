@@ -141,6 +141,13 @@ def rewrite(node, expander):
         if not terms:
             return Bool()
         return ConstantScore(TermInSet(tuple(terms)), node.boost)
+    from .query import IntervalQuery
+
+    if isinstance(node, IntervalQuery):
+        from .intervals import expand_multiterm
+
+        return IntervalQuery(expand_multiterm(node.source, expander),
+                             node.boost)
     if isinstance(node, ConstantScore):
         return ConstantScore(rewrite(node.query, expander), node.boost)
     if isinstance(node, DisMax):

@@ -221,3 +221,16 @@ def test_non_overlapping(idx):
     # reference absent everywhere: identical to the bare source
     assert _docs(idx, iv.non_overlapping(iv.term("w3"), iv.term("zz"))) \
         == [0, 1, 2, 3]
+
+
+def test_multiterm_interval_sources(idx):
+    # prefix expands to an IOr over matching dictionary terms
+    assert _docs(idx, iv.ordered(iv.term("w1"), iv.prefix("w3"))) \
+        == _docs(idx, iv.ordered("w1", "w3"))
+    # wildcard w? == any vocab term; phrase(w2, w?) == w2 followed by any
+    got = _docs(idx, iv.phrase(iv.term("w2"), iv.wildcard("w?")))
+    assert got == _docs(idx, iv.phrase(iv.term("w2"),
+                                       iv.or_("w1", "w2", "w3", "w4", "w5")))
+    assert 0 in got
+    # no dictionary match -> no intervals, no crash
+    assert _docs(idx, iv.ordered(iv.term("w1"), iv.prefix("zz"))) == []
