@@ -590,6 +590,17 @@ def q_ft_completion(sf_dir):
     })
 
 
+def q_ft_elevate(sf_dir):
+    """QueryElevationComponent (handler/component/
+    QueryElevationComponent.java:117): pin docs 7 then 3 for 'fast'
+    (kept even if non-matching, score 0), exclude doc 2, top-10."""
+    from lucene_solr_ray.search.services import elevate
+
+    s = _searcher64(sf_dir)
+    return _round_col(elevate(s, "fast", [7, 3], exclude_ids=[2], k=10),
+                      "score")
+
+
 def q_ft_rescore(sf_dir):
     """QueryRescorer (search/QueryRescorer.java): first-pass top-50 for
     'fast', plus the 'merge' score on those docs, re-ranked top-10 —
@@ -1636,7 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_corpus": q_flagship_corpus,
         # --- fulltext core (entries whose code paths round 3 touches stay
         # in-window: delete+merge, facets, percolator, numeric planner) ---
-        "ft_term_df": q_ft_term_df,
+        "ft_elevate": q_ft_elevate,
         "ft_span_near": q_ft_span_near,
         "ft_completion": q_ft_completion,
         "ft_mlt": q_ft_mlt,
@@ -1717,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_and": q_ft_bm25_and,
         "ft_phrase": q_ft_phrase,
         "ft_bm25_term": q_ft_bm25_term,
+        "ft_term_df": q_ft_term_df,
     }
 
 
@@ -2081,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY km, doc_id) AS INT) AS rank
             FROM d ORDER BY km, doc_id LIMIT 50""",
         "geo_polygon": _polygon_oracle_sql(_POLY_LATS, _POLY_LONS),
+        "ft_elevate": osql.sql_elevate("fast", [7, 3], [2], 10),
         "ft_completion": """
             SELECT source AS suggestion, CAST(count(*) AS BIGINT) AS weight
             FROM documents GROUP BY source

@@ -301,3 +301,37 @@ SELECT query_id,
 FROM agg
 LEFT JOIN idcg_tbl it ON it.m = least(greatest(num_rel, 1), {k})
 ORDER BY query_id"""
+
+
+def sql_elevate(term: str, elevate_ids, exclude_ids, k: int = 10) -> str:
+    """QueryElevationComponent mirror: pinned ids first in configured order
+    (score 0 when not matching), then remaining matches by score desc /
+    doc_id asc, excluded ids removed, top-k."""
+    ev = ", ".join(f"({int(d)}, {i})" for i, d in enumerate(elevate_ids))
+    not_in = ", ".join(str(int(d)) for d in
+                       list(elevate_ids) + list(exclude_ids))
+    ex = ", ".join(str(int(d)) for d in exclude_ids) or "NULL"
+    return f"""
+WITH {bm25_cte()},
+sc AS (
+  SELECT t.doc_id AS doc_id, {bm25_term_score_sql(term)} AS score
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = '{term}'
+),
+elev(doc_id, ord) AS (SELECT * FROM (VALUES {ev}) AS v(doc_id, ord)),
+ranked AS (
+  SELECT e.doc_id, coalesce(sc.score, 0.0) AS score, TRUE AS elevated,
+         0 AS grp, CAST(e.ord AS BIGINT) AS ord
+  FROM elev e LEFT JOIN sc ON sc.doc_id = e.doc_id
+  WHERE e.doc_id NOT IN ({ex})
+  UNION ALL
+  SELECT doc_id, score, FALSE, 1,
+         row_number() OVER (ORDER BY score DESC, doc_id)
+  FROM sc WHERE doc_id NOT IN ({not_in})
+)
+SELECT doc_id, round(score, {ROUND}) AS score, elevated,
+       CAST(row_number() OVER (ORDER BY grp, ord) AS BIGINT) AS rank
+FROM ranked ORDER BY grp, ord LIMIT {k}"""

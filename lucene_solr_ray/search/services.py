@@ -546,6 +546,41 @@ def facet_sorted_set_docvalues(index_dir: str, field: str, query=None,
     return _facet_docvalues_scan(index_dir, col, extract, query, top_n)
 
 
+def elevate(searcher: IndexSearcher, query: str, elevate_ids,
+            exclude_ids=(), k: int = 10) -> pa.Table:
+    """QueryElevationComponent (solr/.../handler/component/
+    QueryElevationComponent.java:117): pinned docs first in the configured
+    order (kept even when they don't match the query, score 0 then), then
+    the remaining matches by score desc / doc_id asc, excluded ids removed,
+    top-k overall. Returns (doc_id, score, elevated, rank)."""
+    res = searcher.match_all(query)
+    ids = res["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = res["score"].to_numpy(zero_copy_only=False).astype(np.float64)
+    elevate_ids = [int(d) for d in elevate_ids]
+    drop = set(int(d) for d in exclude_ids) | set(elevate_ids)
+    smap = dict(zip(ids.tolist(), sc.tolist()))
+    out_ids, out_sc, out_el = [], [], []
+    for d in elevate_ids:
+        if d in set(int(x) for x in exclude_ids):
+            continue
+        out_ids.append(d)
+        out_sc.append(float(smap.get(d, 0.0)))
+        out_el.append(True)
+    rest = [(int(d), float(s)) for d, s in zip(ids, sc) if int(d) not in drop]
+    rest.sort(key=lambda x: (-x[1], x[0]))
+    for d, s in rest:
+        out_ids.append(d)
+        out_sc.append(s)
+        out_el.append(False)
+    out_ids, out_sc, out_el = out_ids[:k], out_sc[:k], out_el[:k]
+    return pa.table({
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "score": pa.array(out_sc, pa.float64()),
+        "elevated": pa.array(out_el, pa.bool_()),
+        "rank": pa.array(np.arange(1, len(out_ids) + 1, dtype=np.int64)),
+    })
+
+
 def rescore(searcher: IndexSearcher, query: str, rescore_query: str,
             first_pass_n: int = 50, weight: float = 1.0, k: int = 10) -> "pa.Table":
     """QueryRescorer role: take the first-pass top-N, add weight * second

@@ -225,3 +225,22 @@ def test_knn_classifier_and_sampled_facets(ray_session):
                           ).to_pandas()["lang"].value_counts()
     for _, row in est.iterrows():
         assert abs(row["cnt"] - exact[row["lang"]]) <= max(6, 0.8 * exact[row["lang"]])
+
+
+def test_elevate_pins_excludes_and_ranks(idx):
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import elevate
+
+    s = IndexSearcher(idx, dtype=np.float64)
+    base = s.search("fast", k=10)
+    base_ids = base["doc_id"].to_pylist()
+    pin = [base_ids[-1], 10**9]          # a real match + a non-matching id
+    out = elevate(s, "fast", pin, exclude_ids=[base_ids[0]], k=10)
+    got = out["doc_id"].to_pylist()
+    assert got[:2] == pin                # pinned order preserved
+    assert out["elevated"].to_pylist()[:2] == [True, True]
+    assert out["score"].to_pylist()[1] == 0.0   # non-matching pin scores 0
+    assert base_ids[0] not in got        # excluded
+    assert got[2:] == [d for d in base_ids
+                       if d not in (base_ids[0], pin[0])][:8]
+    assert out["rank"].to_pylist() == list(range(1, len(got) + 1))
