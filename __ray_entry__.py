@@ -790,6 +790,21 @@ def q_ft_points_range(sf_dir):
     return s.match_all(NumericRange("n_chars", 500, 600)).select(["doc_id"])
 
 
+def q_ft_expr_score(sf_dir):
+    """FunctionScoreQuery with a compiled score expression
+    (queries/function/FunctionScoreQuery.java:46; the expressions module's
+    JavascriptCompiler.java:77 role is search/expressions.py): BM25('fast')
+    hits re-scored as `score * log1p(n_chars) + sqrt(n_chars)` over the
+    n_chars NUMERIC docvalues column — vectorized numpy over the hit set,
+    never a per-row loop."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import FunctionScore, Term
+
+    s = IndexSearcher(_points_index(sf_dir), dtype=np.float64)
+    node = FunctionScore(Term("fast"), "score * log1p(n_chars) + sqrt(n_chars)")
+    return _round_col(s.match_all(node), "score")
+
+
 # ---------------------------------------------------------------------------
 # relational entries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1654,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relatedness": q_relatedness,
         "ft_infix": q_ft_infix,
         "ft_points_range": q_ft_points_range,
+        "ft_expr_score": q_ft_expr_score,
         "geo_box": q_geo_box,
         "geo_knn": q_geo_knn,
         "geo_polygon": q_geo_polygon,
@@ -1896,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
                    WHERE term LIKE 's%' GROUP BY term)
             SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
+        "ft_expr_score": osql.sql_function_score("fast"),
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),

@@ -209,6 +209,27 @@ WHERE t.term = '{term}'
 ORDER BY doc_id"""
 
 
+def sql_function_score(term: str, col: str = "n_chars") -> str:
+    """FunctionScoreQuery + compiled expression oracle
+    (queries/function/FunctionScoreQuery.java:46,
+    expressions/js/JavascriptCompiler.java:77 role): the engine evaluates
+    `score * log1p(col) + sqrt(col)` over the NUMERIC docvalues column in
+    float64; the SQL mirror computes the identical double expression over
+    the raw documents column the docvalues were built from."""
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(({bm25_term_score_sql(term)}) * ln(1 + doc.{col})
+             + sqrt(doc.{col}), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+JOIN documents doc ON doc.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
 def sql_count_term(term: str) -> str:
     return f"""
 WITH tok AS (
