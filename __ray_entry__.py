@@ -805,6 +805,22 @@ def q_ft_expr_score(sf_dir):
     return _round_col(s.match_all(node), "score")
 
 
+def q_ft_distance_feature(sf_dir):
+    """LongPoint.newDistanceFeatureQuery
+    (document/LongDistanceFeatureQuery.java:43): BM25('fast') with an
+    optional proximity boost 2.0 * 100/(100 + |n_chars - 400|) from the
+    n_chars NUMERIC docvalues — the recency-boost pattern, summed by the
+    ReqOptSumScorer path."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Bool, DistanceFeature, Term
+
+    s = IndexSearcher(_points_index(sf_dir), dtype=np.float64)
+    node = Bool(must=[Term("fast")],
+                should=[DistanceFeature("n_chars", origin=400.0,
+                                        pivot=100.0, weight=2.0)])
+    return _round_col(s.match_all(node), "score")
+
+
 # ---------------------------------------------------------------------------
 # relational entries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1670,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_infix": q_ft_infix,
         "ft_points_range": q_ft_points_range,
         "ft_expr_score": q_ft_expr_score,
+        "ft_distance_feature": q_ft_distance_feature,
         "geo_box": q_geo_box,
         "geo_knn": q_geo_knn,
         "geo_polygon": q_geo_polygon,
@@ -1913,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
                    WHERE term LIKE 's%' GROUP BY term)
             SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 5""",
         "ft_expr_score": osql.sql_function_score("fast"),
+        "ft_distance_feature": osql.sql_distance_feature("fast"),
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),

@@ -524,6 +524,25 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             m &= shard._live_mask
         docs = shard.doc_ids[m]
         return docs, np.full(len(docs), node.boost, dtype=dtype)
+    from .query import DistanceFeature
+
+    if isinstance(node, DistanceFeature):
+        # LongDistanceFeatureQuery.java:43 — matches every live doc with
+        # the field; score = weight * (pivot / (pivot + |v - origin|)).
+        # Same multiply/divide order as the reference for float parity.
+        if node.field in getattr(shard, "docvalues", {}):
+            vals = shard.docvalues[node.field]
+        elif node.field == "doclen":
+            vals = shard.doclens.astype(np.float64)
+        else:
+            raise ValueError(f"unknown distance-feature field {node.field!r}")
+        m = ~np.isnan(np.asarray(vals, dtype=np.float64))
+        if shard._live_mask is not None:
+            m &= shard._live_mask
+        v = vals[m].astype(np.float64)
+        dist = np.abs(v - float(node.origin))
+        sc = node.weight * (float(node.pivot) / (float(node.pivot) + dist))
+        return shard.doc_ids[m], sc.astype(dtype)
     if isinstance(node, FeatureQuery):
         if node.field in getattr(shard, "docvalues", {}):
             vals = shard.docvalues[node.field]

@@ -230,6 +230,28 @@ WHERE t.term = '{term}'
 ORDER BY doc_id"""
 
 
+def sql_distance_feature(term: str, col: str = "n_chars",
+                         origin: float = 400.0, pivot: float = 100.0,
+                         weight: float = 2.0) -> str:
+    """LongPoint.newDistanceFeatureQuery oracle
+    (document/LongDistanceFeatureQuery.java:43): BM25(term) must-clause plus
+    the optional proximity feature weight * pivot / (pivot + |col - origin|)
+    — the ReqOptSumScorer sum, identical double op order on both sides."""
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(({bm25_term_score_sql(term)})
+             + {weight} * ({pivot} / ({pivot} + abs(doc.{col} - {origin}))),
+             {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+JOIN documents doc ON doc.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
 def sql_count_term(term: str) -> str:
     return f"""
 WITH tok AS (

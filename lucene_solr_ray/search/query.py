@@ -247,6 +247,19 @@ class FeatureQuery:
 
 
 @dataclass(frozen=True)
+class DistanceFeature:
+    """LongPoint.newDistanceFeatureQuery
+    (document/LongDistanceFeatureQuery.java:43): matches every live doc
+    carrying the numeric field, scored
+    weight * (pivot / (pivot + |value - origin|)) — the recency/geo
+    proximity boost Lucene folds into relevance as a should clause."""
+    field: str
+    origin: float
+    pivot: float
+    weight: float = 1.0
+
+
+@dataclass(frozen=True)
 class NumericRange:
     """PointRangeQuery / docvalues range (search/PointRangeQuery.java:47,
     IndexOrDocValuesQuery role): constant-score filter on a columnar per-doc

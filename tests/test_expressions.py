@@ -68,6 +68,52 @@ def test_function_score_reorders_topk(idx):
     assert all(pop[d] == 6.0 for d in top["doc_id"].to_pylist())
 
 
+def test_distance_feature_query(idx):
+    """LongDistanceFeatureQuery.java:43 semantics: matches every live doc
+    with the field, scored weight * pivot / (pivot + |v - origin|); as a
+    should clause it adds to the must clause's BM25."""
+    from lucene_solr_ray.search.query import Bool, DistanceFeature
+
+    out, pop = idx
+    s = IndexSearcher(out, dtype=np.float64)
+    feat = DistanceFeature("pop", origin=3.0, pivot=2.0, weight=1.5)
+    alone = s.match_all(feat)
+    assert len(alone) == len(pop)  # every doc carries the field
+    got = dict(zip(alone["doc_id"].to_pylist(), alone["score"].to_pylist()))
+    for d, v in got.items():
+        assert v == pytest.approx(1.5 * 2.0 / (2.0 + abs(pop[d] - 3.0)),
+                                  rel=1e-12)
+    # top hits are exactly the pop==3 docs (distance 0)
+    top = s.search(feat, k=len(pop))
+    best = max(got.values())
+    exact = {d for d, v in got.items() if v == best}
+    assert {d for d, v in zip(top["doc_id"].to_pylist(),
+                              top["score"].to_pylist()) if v == best} == exact
+
+    base = s.match_all(Term("apple"))
+    b = dict(zip(base["doc_id"].to_pylist(), base["score"].to_pylist()))
+    summed = s.match_all(Bool(must=[Term("apple")], should=[feat]))
+    sm = dict(zip(summed["doc_id"].to_pylist(), summed["score"].to_pylist()))
+    assert set(sm) == set(b)
+    for d, v in sm.items():
+        assert v == pytest.approx(b[d] + got[d], rel=1e-12)
+
+
+def test_distance_feature_respects_deletes(idx, tmp_path):
+    from lucene_solr_ray.index.maintenance import delete_by_ids
+    from lucene_solr_ray.search.query import DistanceFeature
+    import shutil
+
+    out, pop = idx
+    out2 = str(tmp_path / "idx_del")
+    shutil.copytree(out, out2)
+    delete_by_ids(out2, [0, 1, 2])
+    s = IndexSearcher(out2, dtype=np.float64)
+    alone = s.match_all(DistanceFeature("pop", origin=3.0, pivot=2.0))
+    ids = set(alone["doc_id"].to_pylist())
+    assert len(alone) == len(pop) - 3 and not ids & {0, 1, 2}
+
+
 def test_infix_and_completion_suggest(idx):
     from lucene_solr_ray.search.services import (
         CompletionSuggester, infix_suggest)
