@@ -629,6 +629,39 @@ def q_ft_span_near(sf_dir):
     return pa.table({"doc_id": ids})
 
 
+def q_ft_block_join(sf_dir):
+    """ToParentBlockJoinQuery score modes (join/ToParentBlockJoinQuery.
+    java:63, ScoreMode Max/Total/Avg): children matching 'fast' roll up to
+    parent_id = doc_id // 16 with per-shard partial aggregation. Child BM25
+    scores are rounded per child (round_child) so the SQL mirror's
+    per-child rounding composes identically."""
+    from lucene_solr_ray.search.services import to_parent_block_join
+
+    s = _searcher64(sf_dir)
+    span = 16
+
+    def parent_of(ids):
+        return np.asarray(ids, dtype=np.int64) // span
+
+    mx = to_parent_block_join(s, "fast", parent_of, score_mode="max",
+                              round_child=RND)
+    tot = to_parent_block_join(s, "fast", parent_of, score_mode="total",
+                               round_child=RND)
+    # avg derives from the ROUNDED total (not a third float summation):
+    # both sides then divide bit-identical inputs, so the 6-dp rounding
+    # can't land on opposite sides of a half-boundary
+    total_r = _round_half_away(tot["score"].to_numpy())
+    cnt = mx["n_children"].to_numpy().astype(np.float64)
+    out = pa.table({
+        "parent_id": mx["parent_id"],
+        "score_max": mx["score"],
+        "score_total": pa.array(total_r, pa.float64()),
+        "score_avg": pa.array(_round_half_away(total_r / cnt), pa.float64()),
+        "n_children": mx["n_children"],
+    })
+    return _round_col(out, "score_max")
+
+
 def q_ft_lm_jm(sf_dir):
     """LMJelinekMercerSimilarity term scoring
     (LMJelinekMercerSimilarity.java:47)."""
@@ -1657,9 +1690,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
-        # --- similarity search ---
-        "ann_topk": q_ann_topk,
+        # --- similarity search (ann_topk passed r1; rotated to tail to
+        # make window room for the block-join score modes) ---
         "ann_lsh": q_ann_lsh,
+        "ft_block_join": q_ft_block_join,
         # --- model training / scoring (TextLogitStream) ---
         "logit_train": q_logit_train,
         "features_select": q_features_select,
@@ -1716,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Stable tail: every entry below passed rows+schema+hash in BOTH
         # round 1 and round 2 (hll_distinct/to_child_join in round 2);
         # code untouched since round 2.
+        "ann_topk": q_ann_topk,
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
         "significant_terms": q_significant_terms,
@@ -1934,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_tfidf": osql.sql_tfidf_or(["fast", "query"]),
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
+        "ft_block_join": osql.sql_block_join("fast", span=16),
         "ft_rescore": """
             WITH {cte},
             pass1 AS (

@@ -378,3 +378,32 @@ ranked AS (
 SELECT doc_id, round(score, {ROUND}) AS score, elevated,
        CAST(row_number() OVER (ORDER BY grp, ord) AS BIGINT) AS rank
 FROM ranked ORDER BY grp, ord LIMIT {k}"""
+
+
+def sql_block_join(term: str, span: int = 16) -> str:
+    """ToParentBlockJoin mirror: per-child BM25 term score (rounded per
+    child, as the engine's round_child does) grouped to parent_id =
+    doc_id // span with Max / Total / Avg score modes + child count."""
+    return f"""
+WITH {bm25_cte()},
+child AS (
+  SELECT t.doc_id AS doc_id,
+         round({bm25_term_score_sql(term)}, {ROUND}) AS score
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = '{term}')
+SELECT parent_id,
+       score_max,
+       score_total,
+       round(score_total / n_children, {ROUND}) AS score_avg,
+       n_children
+FROM (
+  SELECT doc_id // {span} AS parent_id,
+         round(max(score), {ROUND}) AS score_max,
+         round(sum(score), {ROUND}) AS score_total,
+         CAST(count(*) AS BIGINT) AS n_children
+  FROM child
+  GROUP BY parent_id)
+ORDER BY parent_id"""

@@ -870,3 +870,131 @@ def geo_nearest(searcher: IndexSearcher, lat: float, lon: float,
         "distance_km": pa.array(km[order], pa.float64()),
         "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
     })
+
+
+def to_parent_block_join(searcher: IndexSearcher, child_query,
+                         parent_of, score_mode: str = "max",
+                         k: int | None = None,
+                         round_child: int | None = None) -> pa.Table:
+    """ToParentBlockJoinQuery: children matching child_query roll up to
+    their parent with a ScoreMode aggregation (join/ToParentBlockJoinQuery.
+    java:63; BlockJoinScorer score modes None/Avg/Max/Total/Min per
+    search/join/ScoreMode.java).
+
+    The reference derives each child's parent from index order (the parent
+    BitSet: parent doc follows its children in one addDocuments block).
+    Doc ids here are application keys, so `parent_of` is a vectorized
+    callable mapping a child doc_id array -> parent key array — the same
+    parent identity, expressed as a key function instead of adjacency.
+
+    Scale shape: child matching and child->parent partial aggregation run
+    per shard (threaded); the driver merges O(distinct parents per shard)
+    partials, never the raw child stream. score_mode:
+      "max" / "min" / "total" / "avg" — aggregated child score
+      "none"  — parent matches if any child matches; score 0 (filter role)
+    k = None returns ALL parents sorted by parent_id (oracle mode); k
+    returns the top-k by (score desc, parent_id asc) like TopDocs ties.
+    round_child rounds each child score before aggregating (oracle-exact
+    comparisons against a SQL mirror that rounds per child).
+    """
+    from .executor import eval_node, resolve_weights
+
+    node = searcher._node(child_query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+
+    def partial(shard):
+        docs, scores = eval_node(shard, node, weights, searcher.dtype)
+        if not len(docs):
+            z64 = np.zeros(0, np.float64)
+            return (np.zeros(0, np.int64), z64, z64, z64,
+                    np.zeros(0, np.int64))
+        s = scores.astype(np.float64)
+        if round_child is not None:
+            p10 = 10.0 ** round_child
+            ax = np.abs(s) * p10
+            fl = np.floor(ax)
+            s = np.sign(s) * (fl + (ax - fl >= 0.5)) / p10
+        par = np.asarray(parent_of(docs), dtype=np.int64)
+        order = np.argsort(par, kind="stable")
+        p, v = par[order], s[order]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        ends = np.r_[starts[1:], len(p)]
+        return (p[starts],
+                np.add.reduceat(v, starts),
+                np.maximum.reduceat(v, starts),
+                np.minimum.reduceat(v, starts),
+                (ends - starts).astype(np.int64))
+
+    parts = searcher._map_shards(partial,
+                                 parallel=searcher._big_query(weights))
+    par = np.concatenate([p[0] for p in parts])
+    if not len(par):
+        return pa.table({"parent_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "n_children": pa.array([], pa.int64())})
+    tot = np.concatenate([p[1] for p in parts])
+    mx = np.concatenate([p[2] for p in parts])
+    mn = np.concatenate([p[3] for p in parts])
+    cnt = np.concatenate([p[4] for p in parts])
+    order = np.argsort(par, kind="stable")
+    par, tot, mx, mn, cnt = (par[order], tot[order], mx[order],
+                             mn[order], cnt[order])
+    starts = np.flatnonzero(np.r_[True, par[1:] != par[:-1]])
+    pid = par[starts]
+    g_tot = np.add.reduceat(tot, starts)
+    g_cnt = np.add.reduceat(cnt, starts)
+    if score_mode == "max":
+        score = np.maximum.reduceat(mx, starts)
+    elif score_mode == "min":
+        score = np.minimum.reduceat(mn, starts)
+    elif score_mode == "total":
+        score = g_tot
+    elif score_mode == "avg":
+        score = g_tot / g_cnt
+    elif score_mode == "none":
+        score = np.zeros(len(pid), np.float64)
+    else:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    if k is not None:
+        loc = np.lexsort((pid, -score))[:k]
+        pid, score, g_cnt = pid[loc], score[loc], g_cnt[loc]
+    return pa.table({
+        "parent_id": pa.array(pid, pa.int64()),
+        "score": pa.array(score, pa.float64()),
+        "n_children": pa.array(g_cnt, pa.int64()),
+    })
+
+
+def to_child_block_join(searcher: IndexSearcher, parent_query,
+                        parent_of, child_ids: np.ndarray) -> pa.Table:
+    """ToChildBlockJoinQuery: parents matching parent_query project DOWN to
+    their child docs, each child inheriting its parent's score
+    (join/ToChildBlockJoinQuery.java:42 — childScore = parentScore).
+
+    child_ids is the candidate child doc_id universe (e.g. a shard's doc
+    column or a prior filter's matches); children whose parent matched are
+    returned with the parent's score.
+    """
+    t = searcher.match_all(parent_query)
+    p_ids = t["doc_id"].to_numpy()
+    p_scores = t["score"].to_numpy()
+    kids = np.asarray(child_ids, dtype=np.int64)
+    kpar = np.asarray(parent_of(kids), dtype=np.int64)
+    order = np.argsort(p_ids)
+    pos = np.searchsorted(p_ids, kpar, sorter=order)
+    pos_c = np.minimum(pos, len(p_ids) - 1) if len(p_ids) else pos
+    if len(p_ids):
+        take = order[pos_c]
+        m = p_ids[take] == kpar
+    else:
+        m = np.zeros(len(kids), dtype=bool)
+        take = np.zeros(len(kids), dtype=np.int64)
+    sel = np.flatnonzero(m)
+    out_kids = kids[sel]
+    out_scores = p_scores[take[sel]].astype(np.float64)
+    o = np.argsort(out_kids)
+    return pa.table({
+        "doc_id": pa.array(out_kids[o], pa.int64()),
+        "score": pa.array(out_scores[o], pa.float64()),
+    })
