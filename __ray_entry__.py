@@ -411,6 +411,67 @@ def q_ft_ssdv_filter(sf_dir):
     return t.select(["doc_id"])
 
 
+def _payload_index(sf_dir: str) -> str:
+    """Index over a payload-annotated derivation of the documents table:
+    token i of doc d becomes `token|(1 + (d + i) % 7)` — every occurrence
+    carries a deterministic integer payload the SQL oracle can recompute
+    from (doc_id, position) alone. Built with payload_delimiter='|'
+    (whitespace -> DelimitedPayloadTokenFilter chain)."""
+    import ray.data
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + "|payload").encode()).hexdigest()[:10]
+    corpus_dir = os.path.join(_CACHE_ROOT, f"pay_corpus_{key}")
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    if not os.path.exists(corpus_dir):
+        def derive(t: "pa.Table") -> "pa.Table":
+            ids = t["doc_id"].to_numpy()
+            texts = t["text"].to_pylist()
+            ann = [
+                " ".join(f"{tok}|{1 + (int(d) + i) % 7}"
+                         for i, tok in enumerate(s.split(" ")))
+                for d, s in zip(ids, texts)
+            ]
+            return pa.table({"doc_id": t["doc_id"],
+                             "text": pa.array(ann, pa.large_string())})
+
+        tmp = corpus_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        ).map_batches(derive, batch_format="pyarrow").write_parquet(tmp)
+        os.replace(tmp, corpus_dir)
+    import glob as _glob
+
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           payload_delimiter="|")
+    build_index(sorted(_glob.glob(corpus_dir + "/*.parquet")), index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    return index_dir
+
+
+def q_ft_payload(sf_dir):
+    """PayloadScoreQuery(SpanTermQuery('fast'), Max/Sum/Average,
+    includeSpanScore=false) — queries/payloads/PayloadScoreQuery.java:57 —
+    over the payload-annotated corpus: per matching doc, the aggregate of
+    the payload ints at the term's occurrences."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import payload_score
+
+    s = IndexSearcher(_payload_index(sf_dir))
+    mx = payload_score(s, "fast", "max")
+    tot = payload_score(s, "fast", "sum")
+    avg = payload_score(s, "fast", "avg")
+    out = pa.table({
+        "doc_id": mx["doc_id"],
+        "pay_max": mx["score"],
+        "pay_sum": tot["score"],
+        "pay_avg": avg["score"],
+    })
+    return _round_col(out, "pay_avg")
+
+
 def _sndv_index(sf_dir: str) -> str:
     """Index with a SORTED_NUMERIC docvalues field 'price': per doc the
     ascending values {n_chars % 997, (doc_id*131) % 997} plus n_chars % 89
@@ -1686,8 +1747,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_sigs": q_simhash,
         "doc_fingerprint": q_fingerprint,
         "embedding_dups": q_embedding_dups,
-        # --- text stats ---
-        "token_stats": q_token_stats,
+        # --- text stats (token_stats passed r1; rotated to tail to make
+        # window room for payload scoring) ---
+        "ft_payload": q_ft_payload,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         # --- similarity search (ann_topk passed r1; rotated to tail to
@@ -1751,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 1 and round 2 (hll_distinct/to_child_join in round 2);
         # code untouched since round 2.
         "ann_topk": q_ann_topk,
+        "token_stats": q_token_stats,
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
         "significant_terms": q_significant_terms,
@@ -1970,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
         "ft_block_join": osql.sql_block_join("fast", span=16),
+        "ft_payload": osql.sql_payload_score("fast"),
         "ft_rescore": """
             WITH {cte},
             pass1 AS (

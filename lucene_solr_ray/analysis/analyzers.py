@@ -114,3 +114,35 @@ def word_delimiter_parts(token: str) -> list[str]:
     if cat and cat not in parts:
         out.append(cat)
     return out
+
+
+def whitespace_payload_analyzer(text: str, delimiter: str = "|",
+                                stopwords: frozenset[str] | None = None):
+    """WhitespaceTokenizer -> DelimitedPayloadTokenFilter(IntegerEncoder)
+    -> LowerCaseFilter (analysis/core/WhitespaceTokenizer.java:32 +
+    analysis/payloads/DelimitedPayloadTokenFilter.java:33).
+
+    Splits on whitespace runs; a token of the form `term<delim>int` carries
+    the integer as its payload, any other token carries -1 (no payload).
+    Returns (terms, positions, payloads) — positions leave StopFilter-style
+    holes when stopwords drop tokens.
+    """
+    terms: list[str] = []
+    positions: list[int] = []
+    payloads: list[int] = []
+    pos = -1
+    for raw in (text or "").split():
+        pos += 1
+        term, _, tail = raw.rpartition(delimiter)
+        if term and tail and (tail.isdigit()
+                              or (tail[0] == "-" and tail[1:].isdigit())):
+            pay = int(tail)
+        else:
+            term, pay = raw, -1
+        term = java_lower(term)
+        if stopwords is not None and term in stopwords:
+            continue
+        terms.append(term)
+        positions.append(pos)
+        payloads.append(pay)
+    return terms, positions, payloads

@@ -113,6 +113,17 @@ class IndexBuildConfig:
     # (no offsets); synonym / word-delimiter insertions carry the offsets
     # of the token they stack on.
     store_offsets: bool = False
+    # DelimitedPayloadTokenFilter chain (analysis/payloads/
+    # DelimitedPayloadTokenFilter.java:33 with the IntegerEncoder, fed by
+    # WhitespaceTokenizer.java:32 — the reference's standard payload field
+    # config, since UAX#29 would split the delimiter): tokens `term<d>int`
+    # index `term` carrying the integer as a per-occurrence payload; other
+    # tokens carry -1. Payloads ride the same per-occurrence int64 sidecar
+    # as offsets (the reference likewise interleaves payloads and offsets
+    # in the .pos stream, Lucene84PostingsWriter.java:57), so one index
+    # stores offsets OR payloads, not both — validated below. Query side:
+    # search.services.payload_score (PayloadScoreQuery.java:57).
+    payload_delimiter: str | None = None
     batch_size: int = 0            # docs per tokenize batch (0 = auto)
     stopwords: tuple = ()
     # head-term skew handling: terms whose sampled token share exceeds
@@ -225,6 +236,20 @@ class IndexBuildConfig:
             # the reference's IndexOptions enum has no offsets-without-
             # positions level either (IndexOptions.java:24-41)
             raise ValueError("store_offsets requires store_positions")
+        if self.payload_delimiter:
+            if not self.store_positions:
+                raise ValueError("payload_delimiter requires store_positions")
+            if self.store_offsets:
+                raise ValueError(
+                    "payloads and offsets share the per-occurrence sidecar "
+                    "column; an index stores one or the other")
+            clash = [f for f in ("word_delimiter", "edge_ngram", "synonyms",
+                                 "stemmer", "token_filters", "html_col")
+                     if getattr(self, f)]
+            if clash:
+                raise ValueError(
+                    "payload_delimiter selects the whitespace->payload->"
+                    f"lowercase chain; incompatible with {clash}")
         if self.token_filters:
             from ..analysis.filters import build_chain
 
@@ -266,7 +291,10 @@ class TokenizeExplode:
         self.num_buckets = cfg["num_buckets"]
         self.sub_span = cfg["head_sub_span"]
         self.store_positions = cfg["store_positions"]
-        self.store_offsets = bool(cfg.get("store_offsets"))
+        self.payload_delim = cfg.get("payload_delimiter") or None
+        # payload ints ride the offsets sidecar: downstream assembly/encode
+        # plumbing is identical, so payload mode simply turns `so` on
+        self.store_offsets = bool(cfg.get("store_offsets")) or bool(self.payload_delim)
         from ..analysis.filters import build_chain
         from ..analysis.stem import get_stemmer, get_stemmer_cfg
 
@@ -343,10 +371,17 @@ class TokenizeExplode:
                                               standard_tokenize_offsets)
         if so and not wdg:
             from ..analysis.analyzers import standard_analyzer_offsets
+        if self.payload_delim:
+            from ..analysis.analyzers import whitespace_payload_analyzer
         for i, text in enumerate(texts):
             positions = None
             offs_doc = None
-            if wdg:
+            if self.payload_delim:
+                # whitespace -> delimited-payload -> lowercase chain; the
+                # payload ints ARE this build's per-occurrence sidecar
+                terms, positions, offs_doc = whitespace_payload_analyzer(
+                    text or "", self.payload_delim, self.stop)
+            elif wdg:
                 # case information feeds the splitter, so the pre-lowercase
                 # tokenizer output is needed here
                 if so:
@@ -1238,7 +1273,7 @@ def build_index(
     # object store; previously-checkpointed chunks stream from parquet
     data_cols = ["shard", "bucket", "sub", "term", "docs", "freqs", "norms",
                  "positions", "dv", "sdv"]
-    if cfg.store_offsets:
+    if cfg.store_offsets or cfg.payload_delimiter:
         data_cols.insert(data_cols.index("dv"), "offsets")
 
     def _from_disk(kind: int) -> list:

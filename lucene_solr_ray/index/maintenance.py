@@ -751,7 +751,7 @@ def _merge_encoded(index_dir: str, manifest: dict, merged_ids: list[int],
     post_cols = ["term", "df", "short_bin", "docs_bin", "freqs_bin"]
     if cfg.store_positions:
         post_cols.append("positions")
-    if getattr(cfg, "store_offsets", False):
+    if getattr(cfg, "store_offsets", False) or getattr(cfg, "payload_delimiter", None):
         post_cols.append("offsets")
 
     # Single-source fast path: every target shard has exactly one source

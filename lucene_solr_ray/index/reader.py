@@ -74,7 +74,8 @@ class ShardReader:
         # (empty keeps the consumers' no-payload fast path)
         self._stores_payload = {
             "positions": bool(_cfgd.get("store_positions", True)),
-            "offsets": bool(_cfgd.get("store_offsets", False)),
+            "offsets": bool(_cfgd.get("store_offsets", False))
+            or bool(_cfgd.get("payload_delimiter")),
         }
         self._order = None              # sort permutation for lazy columns
         self._lazy: dict[str, pa.ChunkedArray | None] = {}

@@ -407,3 +407,26 @@ FROM (
   FROM child
   GROUP BY parent_id)
 ORDER BY parent_id"""
+
+
+def sql_payload_score(term: str) -> str:
+    """PayloadScoreQuery mirror over the payload-annotated derivation of
+    the documents table: token i of doc d carries payload 1 + (d + i) % 7
+    (the engine's _payload_index derivation), recomputed here from
+    (doc_id, position) via zipped unnest."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents),
+ann AS (
+  SELECT doc_id, term, 1 + (doc_id + pos) % 7 AS pay FROM tok)
+SELECT doc_id,
+       CAST(max(pay) AS DOUBLE) AS pay_max,
+       CAST(sum(pay) AS DOUBLE) AS pay_sum,
+       round(CAST(sum(pay) AS DOUBLE) / count(*), {ROUND}) AS pay_avg
+FROM ann
+WHERE term = '{term}'
+GROUP BY doc_id
+ORDER BY doc_id"""

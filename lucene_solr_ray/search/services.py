@@ -998,3 +998,54 @@ def to_child_block_join(searcher: IndexSearcher, parent_query,
         "doc_id": pa.array(out_kids[o], pa.int64()),
         "score": pa.array(out_scores[o], pa.float64()),
     })
+
+
+def payload_score(searcher: IndexSearcher, term: str,
+                  function: str = "max") -> pa.Table:
+    """PayloadScoreQuery(SpanTermQuery, PayloadFunction, includeSpanScore=
+    false) — queries/payloads/PayloadScoreQuery.java:57 with
+    Max/Min/Average/SumPayloadFunction: each matching doc scores the
+    aggregate of the payload ints at the term's positions. Occurrences
+    without a payload (-1 sentinel) are skipped, exactly the reference's
+    payload-absent behavior (PayloadFunction only sees present payloads);
+    a doc whose occurrences carry no payloads scores 0.
+
+    Runs per shard off one postings decode (payloads ride the positions
+    layout); the driver concatenates disjoint per-shard doc ranges.
+    """
+    if function not in ("max", "min", "avg", "sum"):
+        raise ValueError(f"unknown payload function {function!r}")
+
+    def per_shard(shard):
+        got = shard.postings(term, with_positions=True, payload_col="offsets")
+        docs, freqs, pay = got[0], got[1], got[2]
+        if not len(docs):
+            return docs, np.zeros(0, np.float64)
+        if not len(pay):
+            # index without payloads: every doc scores 0 (matches only)
+            return docs, np.zeros(len(docs), np.float64)
+        starts = np.concatenate([[0], np.cumsum(freqs.astype(np.int64))])[:-1]
+        present = pay != -1
+        seg = np.repeat(np.arange(len(docs)), freqs)
+        cnt = np.bincount(seg[present], minlength=len(docs))
+        if function in ("sum", "avg"):
+            tot = np.bincount(seg[present],
+                              weights=pay[present].astype(np.float64),
+                              minlength=len(docs))
+            score = tot if function == "sum" else np.divide(
+                tot, cnt, out=np.zeros(len(docs)), where=cnt > 0)
+        else:
+            fill = np.float64(-np.inf if function == "max" else np.inf)
+            v = np.where(present, pay.astype(np.float64), fill)
+            red = (np.maximum if function == "max" else np.minimum)
+            score = red.reduceat(v, starts)
+        return docs, np.where(cnt > 0, score, 0.0)
+
+    parts = searcher._map_shards(per_shard, parallel=False)
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    order = np.argsort(docs)
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "score": pa.array(scores[order].astype(np.float64), pa.float64()),
+    })
