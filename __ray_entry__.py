@@ -472,6 +472,24 @@ def q_ft_payload(sf_dir):
     return _round_col(out, "pay_avg")
 
 
+def q_ft_freetext(sf_dir):
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:135):
+    bigram stupid-backoff completion of 'fast q…' — candidates seen after
+    'fast' score count(fast,w)/count(fast); unseen prefix-matches back off
+    to ALPHA * count(w)/total. Counts built distributed (map_batches gram
+    partials + groupby sum), lookup reads only pruned parquet rows."""
+    from lucene_solr_ray.search.freetext import (FreeTextSuggester,
+                                                 build_freetext)
+
+    key = hashlib.md5((sf_dir + "|freetext").encode()).hexdigest()[:10]
+    out = os.path.join(_CACHE_ROOT, f"ft_lm_{key}")
+    if not os.path.exists(out):
+        build_freetext(f"{sf_dir}/documents.parquet", out, n=2)
+    s = FreeTextSuggester(out, n=2)
+    # trailing separator = every continuation of 'fast' is a candidate
+    return s.lookup("fast ", k=10, round_nd=RND)
+
+
 def _sndv_index(sf_dir: str) -> str:
     """Index with a SORTED_NUMERIC docvalues field 'price': per doc the
     ascending values {n_chars % 997, (doc_id*131) % 997} plus n_chars % 89
@@ -1750,7 +1768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text stats (token_stats passed r1; rotated to tail to make
         # window room for payload scoring) ---
         "ft_payload": q_ft_payload,
-        "quality_score": q_quality,
+        # quality_score passed r1; rotated to tail for the LM suggester
+        "ft_freetext": q_ft_freetext,
         "lang_id": q_lang_id,
         # --- similarity search (ann_topk passed r1; rotated to tail to
         # make window room for the block-join score modes) ---
@@ -1814,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # code untouched since round 2.
         "ann_topk": q_ann_topk,
         "token_stats": q_token_stats,
+        "quality_score": q_quality,
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
         "significant_terms": q_significant_terms,
@@ -2034,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
         "ft_block_join": osql.sql_block_join("fast", span=16),
         "ft_payload": osql.sql_payload_score("fast"),
+        "ft_freetext": osql.sql_freetext("fast", "", k=10),
         "ft_rescore": """
             WITH {cte},
             pass1 AS (

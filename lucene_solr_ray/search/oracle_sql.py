@@ -430,3 +430,33 @@ FROM ann
 WHERE term = '{term}'
 GROUP BY doc_id
 ORDER BY doc_id"""
+
+
+def sql_freetext(context: str, prefix: str, k: int = 5,
+                 alpha: float = 0.4) -> str:
+    """FreeTextSuggester bigram stupid-backoff mirror: candidates with the
+    prefix score count(context,w)/count(context) when the bigram exists,
+    else alpha * count(w)/total_tokens."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents),
+uni AS (SELECT term AS word, count(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT sum(cnt) AS total FROM uni),
+big AS (
+  SELECT a.term AS ctx, b.term AS word, count(*) AS cnt
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+ctxc AS (SELECT cnt AS c FROM uni WHERE word = '{context}')
+SELECT u.word AS word,
+       round(CASE WHEN bg.cnt IS NOT NULL THEN bg.cnt * 1.0 / ctxc.c
+                  ELSE {alpha} * u.cnt * 1.0 / tot.total END,
+             {ROUND}) AS score
+FROM uni u
+LEFT JOIN big bg ON bg.ctx = '{context}' AND bg.word = u.word
+CROSS JOIN ctxc CROSS JOIN tot
+WHERE u.word LIKE '{prefix}%'
+ORDER BY score DESC, word ASC
+LIMIT {k}"""
