@@ -472,6 +472,19 @@ def q_ft_payload(sf_dir):
     return _round_col(out, "pay_avg")
 
 
+def q_ft_term_vectors(sf_dir):
+    """Term-vector sidecar (Lucene50TermVectorsFormat.java:31 role): per-doc
+    term -> freq forward index, built in one shuffle-free distributed pass
+    and read back with partition + row-group pruning. Rows for docs 0..19."""
+    from lucene_solr_ray.index.termvectors import (build_term_vectors,
+                                                   term_vectors_for)
+
+    idx = _index_for(sf_dir)
+    if not os.path.exists(os.path.join(idx, "tv")):
+        build_term_vectors(f"{sf_dir}/documents.parquet", idx, num_shards=4)
+    return term_vectors_for(idx, range(20), num_shards=4)
+
+
 def q_ft_freetext(sf_dir):
     """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:135):
     bigram stupid-backoff completion of 'fast q…' — candidates seen after
@@ -1770,7 +1783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_payload": q_ft_payload,
         # quality_score passed r1; rotated to tail for the LM suggester
         "ft_freetext": q_ft_freetext,
-        "lang_id": q_lang_id,
+        # lang_id passed r1; rotated to tail for the term-vector sidecar
+        "ft_term_vectors": q_ft_term_vectors,
         # --- similarity search (ann_topk passed r1; rotated to tail to
         # make window room for the block-join score modes) ---
         "ann_lsh": q_ann_lsh,
@@ -1834,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
+        "lang_id": q_lang_id,
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
         "significant_terms": q_significant_terms,
@@ -2055,6 +2070,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_block_join": osql.sql_block_join("fast", span=16),
         "ft_payload": osql.sql_payload_score("fast"),
         "ft_freetext": osql.sql_freetext("fast", "", k=10),
+        "ft_term_vectors": """
+            SELECT doc_id, term, CAST(count(*) AS INT) AS freq
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents WHERE doc_id < 20)
+            GROUP BY doc_id, term
+            ORDER BY doc_id, term""",
         "ft_rescore": """
             WITH {cte},
             pass1 AS (

@@ -1,0 +1,160 @@
+"""Term vectors: per-document term -> freq sidecar
+(codecs/lucene50/Lucene50TermVectorsFormat.java:31 role; enabled per field
+by FieldType.setStoreTermVectors, document/FieldType.java:32).
+
+In the reference term vectors are a per-doc forward index written beside
+the postings and never k-way merged — the Ray-native equivalent is an
+independent parquet table `tv/shard=N` with rows (doc_id, term, freq),
+hash-partitioned by the same doc->shard rule as the docs table. Build is
+one distributed tokenize pass (vectorized factorize + run-length, no
+shuffle: rows are already per-doc); lookup is a pruned parquet read.
+
+Consumers: MoreLikeThis without corpus access (the reference's
+MoreLikeThis.java:710 retrieveTerms(docNum) reads term vectors first and
+re-analyzes only as a fallback), and CheckIndex-style tf cross-checks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TV_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("term", pa.large_string()),
+    ("freq", pa.int32()),
+])
+
+
+class _TvTokenizer:
+    """map_batches fn: (doc_id, term, freq) rows per batch, shard column
+    for partitioned write."""
+
+    def __init__(self, key_col: str, text_col: str, num_shards: int,
+                 stopwords: tuple = ()):
+        self.key_col = key_col
+        self.text_col = text_col
+        self.num_shards = num_shards
+        self.stop = frozenset(stopwords) if stopwords else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..analysis.analyzers import analyze_fast, standard_analyzer
+
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch[self.text_col].to_pylist()
+        toks: list[str] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            terms = analyze_fast(t or "") if self.stop is None else None
+            if terms is None:
+                terms, _ = standard_analyzer(t or "", self.stop)
+            toks.extend(terms)
+            lens[i] = len(terms)
+        if not toks:
+            return TV_SCHEMA.empty_table().append_column(
+                "shard", pa.array([], pa.int32()))
+        arr = np.asarray(toks, dtype=object)
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        codes, uniques = pd.factorize(arr)
+        order = np.lexsort((codes, doc_idx))
+        sc, sd = codes[order], doc_idx[order]
+        new = np.empty(len(sc), dtype=bool)
+        new[0] = True
+        new[1:] = (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])
+        starts = np.flatnonzero(new)
+        freq = np.diff(np.append(starts, len(sc))).astype(np.int32)
+        d = keys[sd[starts]]
+        u = uniques.astype(object)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "term": pa.array(u[sc[starts]], pa.large_string()),
+            "freq": pa.array(freq, pa.int32()),
+            "shard": pa.array((d % self.num_shards).astype(np.int32)),
+        })
+
+
+def build_term_vectors(corpus_paths, index_dir: str, key_col: str = "doc_id",
+                       text_col: str = "text", num_shards: int = 4,
+                       stopwords: tuple = ()) -> str:
+    """One tokenize pass -> tv/shard=N parquet partitions (no shuffle)."""
+    import ray.data
+
+    out = os.path.join(index_dir, "tv")
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds = ray.data.read_parquet(corpus_paths, columns=[key_col, text_col])
+    ds.map_batches(
+        _TvTokenizer(key_col, text_col, num_shards, stopwords),
+        batch_format="pyarrow",
+    ).write_parquet(tmp, partition_cols=["shard"])
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def term_vector(index_dir: str, doc_id: int,
+                num_shards: int | None = None) -> pa.Table:
+    """One doc's term vector (pruned read of its shard partition)."""
+    tv_dir = os.path.join(index_dir, "tv")
+    path = tv_dir
+    if num_shards is not None:
+        path = os.path.join(tv_dir, f"shard={int(doc_id) % num_shards}")
+    t = pq.read_table(path, filters=pc.field("doc_id") == int(doc_id),
+                      columns=["doc_id", "term", "freq"])
+    return t.sort_by("term")
+
+
+def term_vectors_for(index_dir: str, doc_ids,
+                     num_shards: int | None = None) -> pa.Table:
+    """Term vectors for a set of docs (one pruned read per touched shard)."""
+    ids = sorted(int(d) for d in doc_ids)
+    tv_dir = os.path.join(index_dir, "tv")
+    if num_shards is None:
+        t = pq.read_table(tv_dir, filters=pc.field("doc_id").isin(ids),
+                          columns=["doc_id", "term", "freq"])
+        return t.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+    by_shard: dict[int, list[int]] = {}
+    for d in ids:
+        by_shard.setdefault(d % num_shards, []).append(d)
+    parts = [
+        pq.read_table(os.path.join(tv_dir, f"shard={s}"),
+                      filters=pc.field("doc_id").isin(ds_),
+                      columns=["doc_id", "term", "freq"])
+        for s, ds_ in sorted(by_shard.items())
+    ]
+    t = pa.concat_tables(parts)
+    return t.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
+
+def more_like_this_tv(searcher, index_dir: str, doc_id: int,
+                      max_terms: int = 10, min_df: int = 2, k: int = 10):
+    """MoreLikeThis off the term-vector sidecar (MoreLikeThis.java:710
+    retrieveTerms(docNum)): identical term selection to the re-analyze
+    path, with the doc's tf read from tv instead of the corpus."""
+    from ..search.query import Bool, Term
+
+    nshards = getattr(searcher.reader, "num_shards", None)
+    tv = term_vector(index_dir, doc_id, num_shards=nshards)
+    tf = dict(zip(tv["term"].to_pylist(),
+                  (int(x) for x in tv["freq"].to_pylist())))
+    n_docs = searcher.reader.doc_count
+    scored = []
+    for t, f in tf.items():
+        df, _ = searcher.reader.term_stats(t)
+        if df < min_df:
+            continue
+        idf = np.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        scored.append((f * idf, t))
+    # identical selection AND tie order to services.more_like_this
+    scored.sort(reverse=True)
+    terms = [t for _, t in scored[:max_terms]]
+    if not terms:
+        return None, []
+    node = Bool(should=[Term(t) for t in terms], min_should=1)
+    return searcher.search(node, k=k), terms
