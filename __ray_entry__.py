@@ -472,6 +472,19 @@ def q_ft_payload(sf_dir):
     return _round_col(out, "pay_avg")
 
 
+def q_ft_grouping(sf_dir):
+    """Query-time two-pass grouping (grouping/GroupingSearch.java:51): top
+    3 lang groups of docs matching 'fast' by best BM25 score, top 2 docs
+    per group; per-shard per-group partials, scores rounded before ranking
+    so the SQL window-function mirror ranks identically."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import grouping_search
+
+    s = IndexSearcher(_sdv_index(sf_dir), dtype=np.float64)
+    return grouping_search(s, "fast", "lang", n_groups=3, docs_per_group=2,
+                           round_nd=RND)
+
+
 def q_ft_term_vectors(sf_dir):
     """Term-vector sidecar (Lucene50TermVectorsFormat.java:31 role): per-doc
     term -> freq forward index, built in one shuffle-free distributed pass
@@ -1768,8 +1781,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     family that rounds 1-2 left unverified, (b) entries whose oracle or
     implementation changed this round, and (c) a representative core of the
     fulltext engine. Entries past 50 are the most stable ones — each passed
-    all three driver gates in BOTH round 1 and round 2 with code untouched
-    since.
+    all three driver gates in an earlier round (or, for the late-round-3
+    additions ft_dfr / ft_field_bm25 / facet_refined and the rotated-out
+    r1-verified dedup/textstats entries, carries local check_oracle
+    evidence at sf0.01 AND sf0.1). tools/check_oracle.py replicates the
+    driver gate over ALL entries regardless of window position.
     """
     return {
         # --- dedup / curation (never driver-checked before round 3) ---
@@ -1794,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "features_select": q_features_select,
         # --- multimodal plumbing (stubbed decode) ---
         "mm_decode": q_mm_decode,
+        "ft_grouping": q_ft_grouping,
         # --- sketches ---
         "tdigest_quantiles": q_tdigest_quantiles,
         # --- new in round 3: relevance eval + streaming-expression e2e ---
@@ -2070,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_block_join": osql.sql_block_join("fast", span=16),
         "ft_payload": osql.sql_payload_score("fast"),
         "ft_freetext": osql.sql_freetext("fast", "", k=10),
+        "ft_grouping": osql.sql_grouping("fast", "lang", 3, 2),
         "ft_term_vectors": """
             SELECT doc_id, term, CAST(count(*) AS INT) AS freq
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

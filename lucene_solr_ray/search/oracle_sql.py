@@ -460,3 +460,37 @@ CROSS JOIN ctxc CROSS JOIN tot
 WHERE u.word LIKE '{prefix}%'
 ORDER BY score DESC, word ASC
 LIMIT {k}"""
+
+
+def sql_grouping(term: str, field: str = "lang", n_groups: int = 3,
+                 docs_per_group: int = 2) -> str:
+    """GroupingSearch mirror: per-doc BM25 term score rounded, groups
+    ranked by best score (desc, group asc), docs ranked inside each
+    (score desc, doc_id asc) via window functions."""
+    return f"""
+WITH {bm25_cte()},
+scored AS (
+  SELECT t.doc_id AS doc_id, doc.{field} AS grp,
+         round({bm25_term_score_sql(term)}, {ROUND}) AS score
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  JOIN documents doc ON doc.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = '{term}'),
+gr AS (
+  SELECT grp, row_number() OVER (ORDER BY max(score) DESC, grp ASC)
+         AS grp_rank
+  FROM scored GROUP BY grp),
+ranked AS (
+  SELECT s.grp, s.doc_id, s.score, gr.grp_rank,
+         row_number() OVER (PARTITION BY s.grp
+                            ORDER BY s.score DESC, s.doc_id ASC) AS doc_rank
+  FROM scored s JOIN gr USING (grp)
+  WHERE gr.grp_rank <= {n_groups})
+SELECT grp, doc_id, score,
+       CAST(grp_rank AS BIGINT) AS grp_rank,
+       CAST(doc_rank AS BIGINT) AS doc_rank
+FROM ranked
+WHERE doc_rank <= {docs_per_group}
+ORDER BY grp_rank, doc_rank"""

@@ -1049,3 +1049,86 @@ def payload_score(searcher: IndexSearcher, term: str,
         "doc_id": pa.array(docs[order], pa.int64()),
         "score": pa.array(scores[order].astype(np.float64), pa.float64()),
     })
+
+
+def grouping_search(searcher: IndexSearcher, query, field: str,
+                    n_groups: int = 3, docs_per_group: int = 2,
+                    round_nd: int | None = None) -> pa.Table:
+    """Two-pass grouping at query time (grouping/GroupingSearch.java:51):
+    pass 1 picks the top n_groups group values by their best doc score
+    (FirstPassGroupingCollector.java:43), pass 2 the top docs_per_group
+    docs inside each (TopGroupsCollector role). Groups come from a SORTED
+    string docvalues field.
+
+    Scale shape: each shard scores its matches, attaches group ords, and
+    keeps only docs_per_group candidates per group (a per-shard partial —
+    any doc in a global per-group top-k is in its shard's per-group
+    top-k); the driver merges partials, never the raw match stream.
+    Ties: groups order by (best score desc, group asc); docs inside a
+    group by (score desc, doc_id asc). round_nd rounds scores before
+    ranking so an oracle rounding identically ranks identically.
+    """
+    from .executor import eval_node, resolve_weights
+
+    node = searcher._node(query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+
+    def partial(shard):
+        docs, scores = eval_node(shard, node, weights, searcher.dtype)
+        if not len(docs):
+            return (np.zeros(0, object), np.zeros(0, np.int64),
+                    np.zeros(0, np.float64))
+        s = scores.astype(np.float64)
+        if round_nd is not None:
+            p10 = 10.0 ** round_nd
+            ax = np.abs(s) * p10
+            fl = np.floor(ax)
+            s = np.sign(s) * (fl + (ax - fl >= 0.5)) / p10
+        grp = np.asarray(shard.strings_for(field, docs), dtype=object)
+        order = np.lexsort((docs, -s, grp))
+        g, d, v = grp[order], docs[order], s[order]
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        run_pos = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(g)), 0))
+        keep = run_pos < docs_per_group
+        return g[keep], d[keep], v[keep]
+
+    parts = searcher._map_shards(partial,
+                                 parallel=searcher._big_query(weights))
+    grp = np.concatenate([p[0] for p in parts])
+    if not len(grp):
+        return pa.table({"grp": pa.array([], pa.large_string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "grp_rank": pa.array([], pa.int64()),
+                         "doc_rank": pa.array([], pa.int64())})
+    docs = np.concatenate([p[1] for p in parts])
+    scores = np.concatenate([p[2] for p in parts])
+    # pass 1: top groups by best score
+    order = np.lexsort((docs, -scores, grp))
+    g, d, v = grp[order], docs[order], scores[order]
+    new = np.empty(len(g), dtype=bool)
+    new[0] = True
+    new[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(new)
+    gvals = g[starts]
+    gmax = np.maximum.reduceat(v, starts)
+    gorder = np.lexsort((gvals, -gmax))[:n_groups]
+    grp_rank = {gvals[i]: r + 1 for r, i in enumerate(gorder)}
+    # pass 2: top docs inside each selected group
+    run_pos = np.arange(len(g)) - np.repeat(starts, np.diff(
+        np.append(starts, len(g))))
+    keep = np.array([x in grp_rank for x in g]) & (run_pos < docs_per_group)
+    g, d, v, rp = g[keep], d[keep], v[keep], run_pos[keep]
+    gr = np.array([grp_rank[x] for x in g], dtype=np.int64)
+    out_order = np.lexsort((rp, gr))
+    return pa.table({
+        "grp": pa.array(g[out_order], pa.large_string()),
+        "doc_id": pa.array(d[out_order], pa.int64()),
+        "score": pa.array(v[out_order], pa.float64()),
+        "grp_rank": pa.array(gr[out_order], pa.int64()),
+        "doc_rank": pa.array(rp[out_order] + 1, pa.int64()),
+    })
