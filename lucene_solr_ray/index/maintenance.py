@@ -1014,3 +1014,59 @@ def force_merge(index_dir: str) -> dict:
             pass
     shutil.rmtree(os.path.join(index_dir, "stage1"), ignore_errors=True)
     return manifest
+
+
+def split_index(index_dir: str, out_dirs: list[str], route) -> list[dict]:
+    """SolrIndexSplitter / MultiPassIndexSplitter role
+    (solr/update/SolrIndexSplitter.java:80, lucene/misc
+    MultiPassIndexSplitter.java:44): split a committed index into
+    len(out_dirs) self-contained indexes by a doc route.
+
+    route: vectorized callable doc_id array -> target part index in
+    [0, len(out_dirs)) — the Solr hash-route / docID-range predicate.
+
+    Mechanism is the reference's own (MultiPassIndexSplitter "deletes" the
+    complement in each pass, then the merge purges): each part gets the
+    committed segment FILES (hardlinks where possible — the replicator's
+    copy), tombstones for every doc routed elsewhere, and a force_merge
+    that physically drops them via the encoded-segment path. Each output
+    is a normal committed index; the input is left untouched.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    manifest = load_manifest(index_dir)
+    if not manifest or not manifest.get("committed"):
+        raise ValueError("split_index requires a committed index")
+    n_parts = len(out_dirs)
+
+    # route every live doc once (pruned read: just the doc_id column)
+    shard_ids = manifest.get("shard_ids") or list(range(manifest["num_shards"]))
+    all_ids = []
+    for s in shard_ids:
+        d = os.path.join(index_dir, "docs", f"shard={s}")
+        if os.path.isdir(d):
+            all_ids.append(pq.read_table(d, columns=["doc_id"])["doc_id"]
+                           .to_numpy(zero_copy_only=False))
+    # tombstoned copies need no special casing: every part inherits the
+    # source's tombstone files via the revision pull, so a dead (or
+    # superseded-by-update) copy stays masked wherever it lands, and the
+    # live copy is dropped exactly in the parts it isn't routed to
+    ids = np.concatenate(all_ids) if all_ids else np.zeros(0, np.int64)
+    part_of = np.asarray(route(ids), dtype=np.int64)
+    if len(part_of) and (part_of.min() < 0 or part_of.max() >= n_parts):
+        raise ValueError("route returned a part index out of range")
+
+    from .replicator import pull_revision, publish_revision
+
+    publish_revision(index_dir)
+    out_manifests = []
+    for p, out in enumerate(out_dirs):
+        pull_revision(index_dir, out)
+        drop = ids[part_of != p]
+        if len(drop):
+            delete_by_ids(out, drop)
+        out_manifests.append(force_merge(out))
+    return out_manifests
+
+
