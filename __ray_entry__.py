@@ -767,6 +767,25 @@ def q_ft_block_join(sf_dir):
     return _round_col(out, "score_max")
 
 
+def q_ft_axiomatic(sf_dir):
+    """AxiomaticF2EXP similarity term scoring (AxiomaticF2EXP.java:33)."""
+    from lucene_solr_ray.search import AxiomaticF2EXP, IndexSearcher
+
+    s = IndexSearcher(_index_for(sf_dir), params=AxiomaticF2EXP(),
+                      dtype=np.float64)
+    return _round_col(s.match_all("fast"), "score")
+
+
+def q_ft_dfi(sf_dir):
+    """DFISimilarity (standardized independence) term scoring
+    (DFISimilarity.java:42) — docs at/below expected frequency score 0."""
+    from lucene_solr_ray.search import DFISimilarity, IndexSearcher
+
+    s = IndexSearcher(_index_for(sf_dir), params=DFISimilarity(),
+                      dtype=np.float64)
+    return _round_col(s.match_all("query"), "score")
+
+
 def q_ft_lm_jm(sf_dir):
     """LMJelinekMercerSimilarity term scoring
     (LMJelinekMercerSimilarity.java:47)."""
@@ -1855,6 +1874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_tfidf": q_ft_tfidf,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_dfr": q_ft_dfr,
+        "ft_axiomatic": q_ft_axiomatic,
+        "ft_dfi": q_ft_dfi,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2088,6 +2109,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_payload": osql.sql_payload_score("fast"),
         "ft_freetext": osql.sql_freetext("fast", "", k=10),
         "ft_grouping": osql.sql_grouping("fast", "lang", 3, 2),
+        "ft_axiomatic": osql.sql_axiomatic_f2exp_term("fast"),
+        "ft_dfi": osql.sql_dfi_term("query"),
         "ft_term_vectors": """
             SELECT doc_id, term, CAST(count(*) AS INT) AS freq
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -494,3 +494,41 @@ SELECT grp, doc_id, score,
 FROM ranked
 WHERE doc_rank <= {docs_per_group}
 ORDER BY grp_rank, doc_rank"""
+
+
+def sql_axiomatic_f2exp_term(term: str, s_p: float = 0.25,
+                             k_p: float = 0.35) -> str:
+    """AxiomaticF2EXP: score = freq/(freq + s + s*dl/avgdl)
+    * ((N+1)/df)^k (AxiomaticF2EXP.java tfln/idf)."""
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round((t.freq / (t.freq + {s_p} + {s_p} * q.qlen / s.avgdl))
+             * pow((s.n + 1.0) / d.df, {k_p}), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
+def sql_dfi_term(term: str) -> str:
+    """DFISimilarity (standardized independence): expected =
+    (F+1)*dl/(sum_dl+1); 0 when freq <= expected else
+    log2((freq-expected)/sqrt(expected) + 1) (DFISimilarity.java:63)."""
+    return f"""
+WITH {bm25_cte()},
+tt AS (SELECT term, count(*) AS ttf FROM tok GROUP BY term)
+SELECT t.doc_id AS doc_id,
+       round(CASE
+         WHEN t.freq <= (c.ttf + 1.0) * q.qlen / (s.sum_dl + 1.0) THEN 0.0
+         ELSE log2((t.freq - (c.ttf + 1.0) * q.qlen / (s.sum_dl + 1.0))
+                   / sqrt((c.ttf + 1.0) * q.qlen / (s.sum_dl + 1.0)) + 1.0)
+       END, {ROUND}) AS score
+FROM tf t
+JOIN tt c ON c.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""

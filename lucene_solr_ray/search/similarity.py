@@ -256,3 +256,73 @@ def as_similarity(params) -> Similarity:
     if isinstance(params, Similarity):
         return params
     return BM25Similarity(params if isinstance(params, BM25Params) else BM25Params())
+
+
+@dataclass
+class AxiomaticF2EXPWeight(TermWeight):
+    """F2EXP: score = boost * idf * freq/(freq + s + s*dl/avgdl) with
+    idf = ((N+1)/df)^k (AxiomaticF2EXP.java tfln/idf, Axiomatic.java:89
+    score composition; defaults s=0.25, k=0.35 from Axiomatic():45).
+    ``cache`` holds (s + s*dl/avgdl) per norm byte; ``weight`` = boost*idf."""
+
+    def score(self, freqs, norms, dtype=np.float32):
+        f64 = freqs.astype(np.float64)
+        s = float(self.weight) * f64 / (f64 + self.cache[norms.astype(np.int64)])
+        if dtype == np.float32:
+            return s.astype(np.float32)
+        return s
+
+
+class AxiomaticF2EXP(Similarity):
+    """Axiomatic retrieval F2EXP (AxiomaticF2EXP.java:33)."""
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        self.s = float(s)
+        self.k = float(k)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        avgdl = sum_ttf / max(doc_count, 1)
+        idf = (doc_count + 1.0) / max(df, 1)
+        dl = np.maximum(LENGTH_TABLE.astype(np.float64), 0.0)
+        cache = self.s + self.s * dl / avgdl
+        return AxiomaticF2EXPWeight(weight=float(boost) * idf ** self.k,
+                                    cache=cache, df=df, max_score=math.inf)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
+                           doc_count, sum_ttf, boost, dtype)
+
+
+@dataclass
+class DFIWeight(TermWeight):
+    """DFI with the standardized independence measure
+    (DFISimilarity.java:63: expected = (F+1)*dl/(sum_dl+1); 0 when
+    freq <= expected, else boost * log2((freq-expected)/sqrt(expected)+1);
+    IndependenceStandardized.java:28). ``cache`` holds expected/dl factor
+    (F+1)/(sum_dl+1) applied to the per-norm dl."""
+
+    def score(self, freqs, norms, dtype=np.float32):
+        f64 = freqs.astype(np.float64)
+        expected = self.cache[norms.astype(np.int64)]
+        measure = (f64 - expected) / np.sqrt(np.maximum(expected, 1e-300))
+        # clamp keeps log2's domain valid for the masked (freq <= expected)
+        # lanes; the where() zeroes them regardless
+        s = float(self.weight) * np.log2(np.maximum(measure, 0.0) + 1.0)
+        s = np.where(f64 <= expected, 0.0, s)
+        if dtype == np.float32:
+            return s.astype(np.float32)
+        return s
+
+
+class DFISimilarity(Similarity):
+    """Divergence from independence (DFISimilarity.java:42)."""
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        dl = np.maximum(LENGTH_TABLE.astype(np.float64), 0.0)
+        cache = (ttf + 1.0) * dl / (sum_ttf + 1.0)
+        return DFIWeight(weight=float(boost), cache=cache, df=df,
+                         max_score=math.inf)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
+                           doc_count, sum_ttf, boost, dtype)

@@ -168,3 +168,56 @@ def test_lm_jelinek_mercer_hand_formula(idx):
         exp = math.log(1.0 + ((1.0 - lam) * freq / _qlen(dl[doc]))
                        / (lam * p))
         assert sc == pytest.approx(exp, rel=1e-9)
+
+
+def test_axiomatic_f2exp_hand_formula(idx):
+    from lucene_solr_ray.search import AxiomaticF2EXP
+
+    d, texts = idx
+    dl, n, sum_ttf = _stats(texts)
+    s_p, k_p = 0.25, 0.35
+    s = IndexSearcher(d, params=AxiomaticF2EXP(), dtype=np.float64)
+    res = s.match_all("merge")
+    df = sum(1 for t in texts if "merge" in t.split())
+    avgdl = sum_ttf / n
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        freq = texts[doc].split().count("merge")
+        tfln = freq / (freq + s_p + s_p * _qlen(dl[doc]) / avgdl)
+        exp = tfln * ((n + 1.0) / df) ** k_p
+        assert sc == pytest.approx(exp, rel=1e-9)
+        assert sc > 0
+
+
+def test_dfi_hand_formula(idx):
+    from lucene_solr_ray.search import DFISimilarity
+
+    d, texts = idx
+    dl, n, sum_ttf = _stats(texts)
+    s = IndexSearcher(d, params=DFISimilarity(), dtype=np.float64)
+    res = s.match_all("index")
+    F = sum(t.split().count("index") for t in texts)
+    seen_zero = seen_pos = False
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        freq = texts[doc].split().count("index")
+        expected = (F + 1.0) * _qlen(dl[doc]) / (sum_ttf + 1.0)
+        if freq <= expected:
+            assert sc == 0.0
+            seen_zero = True
+        else:
+            measure = (freq - expected) / math.sqrt(expected)
+            assert sc == pytest.approx(math.log2(measure + 1.0), rel=1e-9)
+            seen_pos = True
+    assert seen_pos  # the corpus must exercise the scoring branch
+
+
+def test_wand_parity_axiomatic_dfi(idx):
+    from lucene_solr_ray.search import AxiomaticF2EXP, DFISimilarity
+
+    d, _ = idx
+    for sim in (AxiomaticF2EXP(), DFISimilarity()):
+        s = IndexSearcher(d, params=sim)
+        for q in ("fast", "fast OR slow", '"fast query"'):
+            a = s.search(q, k=10, use_wand=True)
+            b = s.search(q, k=10, use_wand=False)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+            assert a["score"].to_pylist() == b["score"].to_pylist()
