@@ -786,6 +786,15 @@ def q_ft_dfi(sf_dir):
     return _round_col(s.match_all("query"), "score")
 
 
+def q_ft_ib(sf_dir):
+    """IBSimilarity LL-D(F)-H2 term scoring (IBSimilarity.java:70)."""
+    from lucene_solr_ray.search import IBSimilarity, IndexSearcher
+
+    s = IndexSearcher(_index_for(sf_dir), params=IBSimilarity(),
+                      dtype=np.float64)
+    return _round_col(s.match_all("merge"), "score")
+
+
 def q_ft_lm_jm(sf_dir):
     """LMJelinekMercerSimilarity term scoring
     (LMJelinekMercerSimilarity.java:47)."""
@@ -1876,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dfr": q_ft_dfr,
         "ft_axiomatic": q_ft_axiomatic,
         "ft_dfi": q_ft_dfi,
+        "ft_ib": q_ft_ib,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2111,6 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_grouping": osql.sql_grouping("fast", "lang", 3, 2),
         "ft_axiomatic": osql.sql_axiomatic_f2exp_term("fast"),
         "ft_dfi": osql.sql_dfi_term("query"),
+        "ft_ib": osql.sql_ib_ll_term("merge"),
         "ft_term_vectors": """
             SELECT doc_id, term, CAST(count(*) AS INT) AS freq
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -7,6 +7,7 @@ from .similarity import (  # noqa: F401
     BooleanSimilarity,
     ClassicSimilarity,
     DFISimilarity,
+    IBSimilarity,
     DFRSimilarity,
     LMDirichletSimilarity,
     LMJelinekMercerSimilarity,

@@ -532,3 +532,22 @@ JOIN qdl q ON q.doc_id = t.doc_id
 CROSS JOIN stats s
 WHERE t.term = '{term}'
 ORDER BY doc_id"""
+
+
+def sql_ib_ll_term(term: str, c: float = 1.0) -> str:
+    """IBSimilarity LL-D(F)-H2: lambda = float32((df+1)/(N+1)),
+    tfn = freq * log2(1 + c*avgdl/dl), score = -ln(lambda/(tfn+lambda))
+    (IBSimilarity.java:109, DistributionLL.java:30, LambdaDF.java:33)."""
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(-ln(CAST((d.df + 1.0) / (s.n + 1.0) AS REAL)
+                 / (t.freq * log2(1.0 + {c} * s.avgdl / q.qlen)
+                    + CAST((d.df + 1.0) / (s.n + 1.0) AS REAL))),
+             {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""

@@ -326,3 +326,41 @@ class DFISimilarity(Similarity):
     def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
         return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
                            doc_count, sum_ttf, boost, dtype)
+
+
+@dataclass
+class IBWeight(TermWeight):
+    """IB LL-D(F)-H2 (IBSimilarity.java:109 score = boost *
+    distribution(normalization.tfn, lambda); DistributionLL.java:30
+    -ln(lambda/(tfn+lambda)); LambdaDF.java:33 lambda = float((df+1)/(N+1));
+    NormalizationH2 tfn = freq * log2(1 + c*avgdl/dl)). ``cache`` holds the
+    per-norm log2 factor; ``lam`` keeps the reference's float cast."""
+
+    lam: float = 0.5
+
+    def score(self, freqs, norms, dtype=np.float32):
+        tfn = freqs.astype(np.float64) * self.cache[norms.astype(np.int64)]
+        s = float(self.weight) * np.log((tfn + self.lam) / self.lam)
+        if dtype == np.float32:
+            return s.astype(np.float32)
+        return s
+
+
+class IBSimilarity(Similarity):
+    """Information-based similarity, LL distribution, DF lambda, H2
+    normalization (IBSimilarity.java:70)."""
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(c)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        avgdl = sum_ttf / max(doc_count, 1)
+        dl = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+        cache = np.log2(1.0 + self.c * avgdl / dl)
+        lam = float(np.float32((df + 1.0) / (doc_count + 1.0)))
+        return IBWeight(weight=float(boost), cache=cache, df=df,
+                        max_score=math.inf, lam=lam)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
+                           doc_count, sum_ttf, boost, dtype)

@@ -221,3 +221,34 @@ def test_wand_parity_axiomatic_dfi(idx):
             b = s.search(q, k=10, use_wand=False)
             assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
             assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_ib_ll_hand_formula(idx):
+    from lucene_solr_ray.search import IBSimilarity
+
+    d, texts = idx
+    dl, n, sum_ttf = _stats(texts)
+    c = 1.0
+    s = IndexSearcher(d, params=IBSimilarity(), dtype=np.float64)
+    res = s.match_all("shard")
+    df = sum(1 for t in texts if "shard" in t.split())
+    lam = float(np.float32((df + 1.0) / (n + 1.0)))
+    avgdl = sum_ttf / n
+    for doc, sc in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        freq = texts[doc].split().count("shard")
+        tfn = freq * math.log2(1 + c * avgdl / _qlen(dl[doc]))
+        exp = -math.log(lam / (tfn + lam))
+        assert sc == pytest.approx(exp, rel=1e-9)
+        assert sc > 0
+
+
+def test_wand_parity_ib(idx):
+    from lucene_solr_ray.search import IBSimilarity
+
+    d, _ = idx
+    s = IndexSearcher(d, params=IBSimilarity())
+    for q in ("fast", "fast OR slow", '"fast query"'):
+        a = s.search(q, k=10, use_wand=True)
+        b = s.search(q, k=10, use_wand=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
