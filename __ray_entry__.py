@@ -786,6 +786,19 @@ def q_ft_dfi(sf_dir):
     return _round_col(s.match_all("query"), "score")
 
 
+def q_ft_multi_sim(sf_dir):
+    """MultiSimilarity (MultiSimilarity.java:31): per-doc score = BM25 +
+    ClassicSimilarity for the same term, summed by the wrapper SimScorer."""
+    from lucene_solr_ray.search import (BM25Similarity, ClassicSimilarity,
+                                        IndexSearcher, MultiSimilarity)
+
+    s = IndexSearcher(
+        _index_for(sf_dir),
+        params=MultiSimilarity([BM25Similarity(), ClassicSimilarity()]),
+        dtype=np.float64)
+    return _round_col(s.match_all("fast"), "score")
+
+
 def q_ft_ib(sf_dir):
     """IBSimilarity LL-D(F)-H2 term scoring (IBSimilarity.java:70)."""
     from lucene_solr_ray.search import IBSimilarity, IndexSearcher
@@ -1886,6 +1899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_axiomatic": q_ft_axiomatic,
         "ft_dfi": q_ft_dfi,
         "ft_ib": q_ft_ib,
+        "ft_multi_sim": q_ft_multi_sim,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2122,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_axiomatic": osql.sql_axiomatic_f2exp_term("fast"),
         "ft_dfi": osql.sql_dfi_term("query"),
         "ft_ib": osql.sql_ib_ll_term("merge"),
+        "ft_multi_sim": osql.sql_multi_sim_term("fast"),
         "ft_term_vectors": """
             SELECT doc_id, term, CAST(count(*) AS INT) AS freq
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -8,6 +8,8 @@ from .similarity import (  # noqa: F401
     ClassicSimilarity,
     DFISimilarity,
     IBSimilarity,
+    MultiSimilarity,
+    PerFieldSimilarityWrapper,
     DFRSimilarity,
     LMDirichletSimilarity,
     LMJelinekMercerSimilarity,

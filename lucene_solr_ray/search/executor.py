@@ -67,6 +67,10 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
 
     def _ctx(first_term: str) -> tuple[int, int, str | None]:
         fld = _field_of(reader, first_term)
+        if hasattr(sim, "set_field"):
+            # PerFieldSimilarityWrapper routing: the wrapper resolves the
+            # delegate before weight construction (its createWeight step)
+            sim.set_field(fld)
         if fld is None:
             return N, sum_ttf, None
         fn, fttf = reader.field_stats(fld)
@@ -132,6 +136,8 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
                     clauses = (n.clause,)
                 st = [[reader.term_stats(t) for t in span_clause_terms(c)]
                       for c in clauses]
+                if hasattr(sim, "set_field"):
+                    sim.set_field(None)  # spans score the main text field
                 weights[key] = sim.multi_weight(
                     [max((s[0] for s in c), default=0) for c in st],
                     [sum(s[1] for s in c) for c in st],
@@ -142,6 +148,8 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
             key = ("\x1fIV\x1f" + source_key(n.source), n.boost)
             if key not in weights:
                 st = [reader.term_stats(t) for t in set(terms_of(n.source))]
+                if hasattr(sim, "set_field"):
+                    sim.set_field(None)  # intervals score the text field
                 weights[key] = sim.multi_weight(
                     [s[0] for s in st], [s[1] for s in st], N, sum_ttf,
                     n.boost, dtype)

@@ -551,3 +551,19 @@ JOIN qdl q ON q.doc_id = t.doc_id
 CROSS JOIN stats s
 WHERE t.term = '{term}'
 ORDER BY doc_id"""
+
+
+def sql_multi_sim_term(term: str) -> str:
+    """MultiSimilarity mirror: BM25 + Classic scores summed per doc."""
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(({bm25_term_score_sql(term)})
+             + ((ln((s.n + 1.0) / (d.df + 1.0)) + 1) * sqrt(t.freq))
+               * (1.0 / sqrt(q.qlen)), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""

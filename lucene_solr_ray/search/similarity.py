@@ -364,3 +364,66 @@ class IBSimilarity(Similarity):
     def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
         return self.weight(min(dfs) if len(dfs) else 0, int(sum(ttfs)),
                            doc_count, sum_ttf, boost, dtype)
+
+
+@dataclass
+class MultiWeight(TermWeight):
+    """Sum of the sub-similarities' scores (MultiSimilarity.java:59
+    SimScorer.score sums subScorers)."""
+
+    subs: tuple = ()
+
+    def score(self, freqs, norms, dtype=np.float32):
+        s = self.subs[0].score(freqs, norms, dtype)
+        for w in self.subs[1:]:
+            s = s + w.score(freqs, norms, dtype)
+        return s
+
+
+class MultiSimilarity(Similarity):
+    """MultiSimilarity (MultiSimilarity.java:31): delegates stats to every
+    sub-similarity and sums their scores."""
+
+    def __init__(self, sims):
+        self.sims = tuple(sims)
+        if not self.sims:
+            raise ValueError("MultiSimilarity needs at least one sub")
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        subs = tuple(s.weight(df, ttf, doc_count, sum_ttf, boost, dtype)
+                     for s in self.sims)
+        return MultiWeight(weight=float(boost), cache=subs[0].cache, df=df,
+                           max_score=sum(w.max_score for w in subs),
+                           subs=subs)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        subs = tuple(s.multi_weight(dfs, ttfs, doc_count, sum_ttf, boost,
+                                    dtype) for s in self.sims)
+        return MultiWeight(weight=float(boost), cache=subs[0].cache,
+                           df=min(dfs) if len(dfs) else 0,
+                           max_score=sum(w.max_score for w in subs),
+                           subs=subs)
+
+
+class PerFieldSimilarityWrapper(Similarity):
+    """PerFieldSimilarityWrapper (similarities/PerFieldSimilarityWrapper.
+    java:29): route each ANALYZED FIELD's namespaced terms to its own
+    similarity. Resolution happens at weight-build time via the
+    field-aware resolve_weights hook (set_field); the default similarity
+    scores the main text field."""
+
+    def __init__(self, default: Similarity, per_field: dict | None = None):
+        self.default = default
+        self.per_field = dict(per_field or {})
+        self._current = default
+
+    def set_field(self, field: str | None):
+        self._current = self.per_field.get(field, self.default)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        return self._current.weight(df, ttf, doc_count, sum_ttf, boost,
+                                    dtype)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        return self._current.multi_weight(dfs, ttfs, doc_count, sum_ttf,
+                                          boost, dtype)

@@ -252,3 +252,45 @@ def test_wand_parity_ib(idx):
         b = s.search(q, k=10, use_wand=False)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
         assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_multi_similarity_sums(idx):
+    from lucene_solr_ray.search import (BM25Similarity, ClassicSimilarity,
+                                        MultiSimilarity)
+
+    d, _ = idx
+    a = IndexSearcher(d, params=BM25Similarity(), dtype=np.float64).match_all("fast")
+    b = IndexSearcher(d, params=ClassicSimilarity(), dtype=np.float64).match_all("fast")
+    m = IndexSearcher(
+        d, params=MultiSimilarity([BM25Similarity(), ClassicSimilarity()]),
+        dtype=np.float64).match_all("fast")
+    assert m["doc_id"].to_pylist() == a["doc_id"].to_pylist()
+    want = [x + y for x, y in zip(a["score"].to_pylist(), b["score"].to_pylist())]
+    assert m["score"].to_pylist() == pytest.approx(want, rel=1e-12)
+
+
+def test_per_field_similarity_routes(tmp_path_factory, ray_session):
+    """Main text scores BM25; the analyzed field 'title' scores Boolean
+    (PerFieldSimilarityWrapper.java:29)."""
+    from lucene_solr_ray.search import (BM25Similarity, BooleanSimilarity,
+                                        PerFieldSimilarityWrapper)
+
+    tmp = tmp_path_factory.mktemp("pfsim")
+    texts = ["fast query merge", "fast fast slow", "query table"]
+    titles = ["alpha fast", "beta", "alpha slow"]
+    p = str(tmp / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(3), pa.int64()),
+        "text": pa.array(texts), "title": pa.array(titles)}), p)
+    d = str(tmp / "idx")
+    build_index(p, d, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, analyzed_fields=(("title",),)))
+    wrap = PerFieldSimilarityWrapper(BM25Similarity(),
+                                     {"title": BooleanSimilarity()})
+    s = IndexSearcher(d, params=wrap, dtype=np.float64)
+    # field term scores = boost (Boolean)
+    r = s.match_all("title:alpha")
+    assert r["score"].to_pylist() == pytest.approx([1.0, 1.0])
+    # text term scores = BM25 (matches a pure-BM25 searcher)
+    bm = IndexSearcher(d, params=BM25Similarity(), dtype=np.float64)
+    assert s.match_all("fast").equals(bm.match_all("fast"))
