@@ -786,6 +786,56 @@ def q_ft_dfi(sf_dir):
     return _round_col(s.match_all("query"), "score")
 
 
+def q_ft_binary_dv(sf_dir):
+    """BINARY docvalues (BinaryDocValuesField.java:33): per-doc opaque
+    bytes beside the docs table. Corpus derivation: blob = utf-8 of
+    'source/lang'; entry returns matching docs' blobs hex-encoded (the
+    driver hash compares strings)."""
+    import glob as _glob
+
+    import ray.data
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|bdv").encode()).hexdigest()[:10]
+    corpus_dir = os.path.join(_CACHE_ROOT, f"bdv_corpus_{key}")
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    if not os.path.exists(corpus_dir):
+        def derive(t: "pa.Table") -> "pa.Table":
+            blobs = [f"{s}/{la}".encode() for s, la in
+                     zip(t["source"].to_pylist(), t["lang"].to_pylist())]
+            return pa.table({
+                "doc_id": t["doc_id"], "text": t["text"],
+                "blob": pa.array(blobs, pa.large_binary())})
+
+        tmp = corpus_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source", "lang"],
+        ).map_batches(derive, batch_format="pyarrow").write_parquet(tmp)
+        os.replace(tmp, corpus_dir)
+    build_index(sorted(_glob.glob(corpus_dir + "/*.parquet")), index_dir,
+                key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=4, num_buckets=8,
+                                     binary_docvalues_fields=("blob",)),
+                resume=True)
+    s = IndexSearcher(index_dir)
+    res = s.match_all("fast")
+    ids = res["doc_id"].to_numpy()
+    parts = {}
+    for sh in s.reader.shards:
+        mine = ids[np.isin(ids, sh.doc_ids)]
+        for d, v in zip(mine.tolist(), sh.bytes_for("blob", mine).tolist()):
+            parts[d] = v.hex()
+    docs = sorted(parts)
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "blob_hex": pa.array([parts[d] for d in docs], pa.large_string()),
+    })
+
+
 def q_ft_multi_sim(sf_dir):
     """MultiSimilarity (MultiSimilarity.java:31): per-doc score = BM25 +
     ClassicSimilarity for the same term, summed by the wrapper SimScorer."""
@@ -1900,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dfi": q_ft_dfi,
         "ft_ib": q_ft_ib,
         "ft_multi_sim": q_ft_multi_sim,
+        "ft_binary_dv": q_ft_binary_dv,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2137,6 +2188,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_dfi": osql.sql_dfi_term("query"),
         "ft_ib": osql.sql_ib_ll_term("merge"),
         "ft_multi_sim": osql.sql_multi_sim_term("fast"),
+        "ft_binary_dv": """
+            SELECT doc_id,
+                   lower(hex(encode(source || '/' || lang))) AS blob_hex
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+              AND list_contains(string_split(text, ' '), 'fast')
+            ORDER BY doc_id""",
         "ft_term_vectors": """
             SELECT doc_id, term, CAST(count(*) AS INT) AS freq
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -178,6 +178,13 @@ class IndexBuildConfig:
     # range-filterable (newSlowRangeQuery: match if ANY value in range) and
     # sortable with a MIN/MAX selector (SortedNumericSelector.java:34).
     sorted_numeric_docvalues_fields: tuple = ()
+    # BINARY docvalues columns (DocValuesType.BINARY,
+    # BinaryDocValuesField.java:33): per-doc opaque bytes stored beside the
+    # docs table as bdv_<name> large_binary (null = missing). The corpus
+    # column holds binary or string (utf-8 encoded). Transport rides the
+    # string sidecar as 'x'+hex ('' = missing) so encode/merge plumbing is
+    # shared; docs_explode decodes back to bytes.
+    binary_docvalues_fields: tuple = ()
     # points fields (the reference's BKD-indexed numerics,
     # util/bkd/BKDWriter.java:59-90): per shard, a (value, doc_id) file
     # sorted by value with row_group_size=1024 leaves; PointRangeQuery reads
@@ -799,7 +806,8 @@ class TokenizeExplode:
         ssdv_fields = tuple(self.cfg.get("sorted_set_docvalues_fields") or ())
         sndv_fields = tuple(
             self.cfg.get("sorted_numeric_docvalues_fields") or ())
-        if sdv_fields or ssdv_fields or sndv_fields:
+        bdv_fields = tuple(self.cfg.get("binary_docvalues_fields") or ())
+        if sdv_fields or ssdv_fields or sndv_fields or bdv_fields:
             # SORTED_SET transport: a doc's value set rides the same flat
             # strided sidecar as SORTED fields, joined by \x1f (US), deduped
             # + sorted (the reference stores per-doc ords in increasing
@@ -824,7 +832,15 @@ class TokenizeExplode:
                      if isinstance(v, list)
                      else ("" if v is None else float(v).hex())
                      for v in vals], dtype=object))
-            sdv_fields_all = sdv_fields + ssdv_fields + sndv_fields
+            for c in bdv_fields:
+                # BINARY transport: 'x'+hex, '' = missing (distinguishes
+                # null from empty bytes); strings encode as utf-8
+                vals = batch[c].to_pylist()
+                sdv_cols.append(np.asarray(
+                    ["" if v is None else "x" + (
+                        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    ).hex() for v in vals], dtype=object))
+            sdv_fields_all = sdv_fields + ssdv_fields + sndv_fields + bdv_fields
             sdv_mat = np.stack(sdv_cols, axis=1)  # (n_docs, n_sfields) object
         else:
             sdv_fields_all = ()
@@ -978,7 +994,7 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
 
 def docs_explode(batch: pa.Table, dv_fields: tuple = (),
                  sdv_fields: tuple = (), ssdv_fields: tuple = (),
-                 sndv_fields: tuple = ()) -> pa.Table:
+                 sndv_fields: tuple = (), bdv_fields: tuple = ()) -> pa.Table:
     """Stage C: doc list rows -> one row per document (+ docvalues columns).
 
     String docvalues columns are dictionary-encoded (the SORTED DocValues
@@ -1005,7 +1021,8 @@ def docs_explode(batch: pa.Table, dv_fields: tuple = (),
         mat = flat.reshape(-1, len(dv_fields))
         for j, name in enumerate(dv_fields):
             cols[f"dv_{name}"] = pa.array(mat[:, j], pa.float64())
-    all_s = tuple(sdv_fields) + tuple(ssdv_fields) + tuple(sndv_fields)
+    all_s = (tuple(sdv_fields) + tuple(ssdv_fields) + tuple(sndv_fields)
+             + tuple(bdv_fields))
     if all_s and "sdv" in batch.column_names:
         svals = batch["sdv"].combine_chunks().values
         n_f = len(all_s)
@@ -1037,6 +1054,11 @@ def docs_explode(batch: pa.Table, dv_fields: tuple = (),
                 cols[f"ssdv_{name}"] = pa.LargeListArray.from_arrays(
                     pa.array(new_off), vals.dictionary_encode()
                 )
+            elif name in bdv_fields:
+                joined = col.to_pylist()
+                cols[f"bdv_{name}"] = pa.array(
+                    [bytes.fromhex(s[1:]) if s else None for s in joined],
+                    pa.large_binary())
             else:
                 cols[f"sdv_{name}"] = col.dictionary_encode()
     return pa.table(cols)
@@ -1128,6 +1150,7 @@ def corpus_read_columns(cfg: "IndexBuildConfig", key_col: str,
     cols += [c for c in (cfg.sorted_set_docvalues_fields or ()) if c not in cols]
     cols += [c for c in (cfg.sorted_numeric_docvalues_fields or ())
              if c not in cols]
+    cols += [c for c in (cfg.binary_docvalues_fields or ()) if c not in cols]
     return cols
 
 
@@ -1324,9 +1347,10 @@ def build_index(
     sdv_fields = tuple(cfg.string_docvalues_fields or ())
     ssdv_fields = tuple(cfg.sorted_set_docvalues_fields or ())
     sndv_fields = tuple(cfg.sorted_numeric_docvalues_fields or ())
+    bdv_fields = tuple(cfg.binary_docvalues_fields or ())
     dds = _stage1_ds(1).map_batches(
         lambda t: docs_explode(t, dv_fields, sdv_fields, ssdv_fields,
-                               sndv_fields),
+                               sndv_fields, bdv_fields),
         batch_format="pyarrow"
     )
     dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")

@@ -362,8 +362,9 @@ def append_index(
     sdvf = tuple(cfg.string_docvalues_fields or ())
     ssdvf = tuple(cfg.sorted_set_docvalues_fields or ())
     sndvf = tuple(getattr(cfg, "sorted_numeric_docvalues_fields", ()) or ())
+    bdvf = tuple(getattr(cfg, "binary_docvalues_fields", ()) or ())
     dds = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
-        lambda t: docs_explode(t, dvf, sdvf, ssdvf, sndvf),
+        lambda t: docs_explode(t, dvf, sdvf, ssdvf, sndvf, bdvf),
         batch_format="pyarrow")
     dds.write_parquet(os.path.join(index_dir, "docs"), partition_cols=["shard"])
     if getattr(cfg, "points_fields", ()):
@@ -376,7 +377,7 @@ def append_index(
     from ray.data.aggregate import Count, Sum
 
     delta = ray.data.read_parquet(expand_parquet_dirs(docs_in)).map_batches(
-        lambda t: docs_explode(t, dvf, sdvf, ssdvf, sndvf),
+        lambda t: docs_explode(t, dvf, sdvf, ssdvf, sndvf, bdvf),
         batch_format="pyarrow"
     ).aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
 

@@ -112,6 +112,9 @@ class ShardReader:
         # SORTED_NUMERIC docvalues: per-field (flat float64 values ascending
         # within each doc, per-doc offsets) — DocValuesType.SORTED_NUMERIC
         self.sorted_numeric_dv: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # BINARY docvalues: per-field object array of bytes (None = missing)
+        # — DocValuesType.BINARY (BinaryDocValuesField.java:33)
+        self.binary_dv: dict[str, np.ndarray] = {}
         if d is not None and d.num_rows:
             order = pa.compute.sort_indices(d["doc_id"])
             d = d.take(order).combine_chunks()
@@ -130,6 +133,9 @@ class ShardReader:
                     vals = np.asarray(col.to_pylist(), dtype="U")
                     u, inv = np.unique(vals, return_inverse=True)
                     self.sorted_dv[name[4:]] = (u, inv.astype(np.int32))
+                elif name.startswith("bdv_"):
+                    self.binary_dv[name[4:]] = np.asarray(
+                        d[name].to_pylist(), dtype=object)
                 elif name.startswith("sndv_"):
                     lst = d[name].combine_chunks()
                     offs = lst.offsets.to_numpy().astype(np.int64)
@@ -497,6 +503,12 @@ class ShardReader:
         u, inv = self.sorted_dv[field]
         idx = np.searchsorted(self.doc_ids, docs)
         return u[inv[idx]]
+
+    def bytes_for(self, field: str, docs: np.ndarray) -> np.ndarray:
+        """doc_id -> bytes (or None) for a BINARY docvalues field."""
+        vals = self.binary_dv[field]
+        idx = np.searchsorted(self.doc_ids, docs)
+        return vals[idx]
 
 
 class IndexReader:
