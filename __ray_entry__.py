@@ -1264,6 +1264,28 @@ def q_ft_field_bm25(sf_dir):
     return _round_col(s.match_all("text:tables"), "score")
 
 
+def q_ft_edismax(sf_dir):
+    """edismax (ExtendedDismaxQParser.java:106): 'tables fast' over
+    qf = [main text, stemmed field text^1.5], tie=0.1, mm=1. Each term is
+    a DisMax over the fields; the stemmed field matches 'tables' via its
+    query-side analyzer where the main field cannot."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import edismax
+
+    key = hashlib.md5((sf_dir + "|afield").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(
+        num_shards=4, num_buckets=8,
+        analyzed_fields=(("text", "minimal_english", ""),),
+    )
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    node = edismax("tables fast", ["", "text^1.5"], tie=0.1, mm=1)
+    return _round_col(s.match_all(node), "score")
+
+
 def q_facet_taxonomy(sf_dir):
     """Taxonomy facet with ancestor rollup (FastTaxonomyFacetCounts role):
     every doc counts at each prefix of its source/lang category path."""
@@ -1951,6 +1973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ib": q_ft_ib,
         "ft_multi_sim": q_ft_multi_sim,
         "ft_binary_dv": q_ft_binary_dv,
+        "ft_edismax": q_ft_edismax,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2188,6 +2211,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_dfi": osql.sql_dfi_term("query"),
         "ft_ib": osql.sql_ib_ll_term("merge"),
         "ft_multi_sim": osql.sql_multi_sim_term("fast"),
+        "ft_edismax": osql.sql_edismax(
+            [("tables", "table"), ("fast", "fast")], boost=1.5, tie=0.1),
         "ft_binary_dv": """
             SELECT doc_id,
                    lower(hex(encode(source || '/' || lang))) AS blob_hex

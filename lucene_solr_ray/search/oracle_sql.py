@@ -567,3 +567,51 @@ JOIN qdl q ON q.doc_id = t.doc_id
 CROSS JOIN stats s
 WHERE t.term = '{term}'
 ORDER BY doc_id"""
+
+
+def sql_edismax(terms: list[tuple[str, str]], boost: float = 1.5,
+                tie: float = 0.1) -> str:
+    """edismax mirror over (main text, stemmed analyzed field 'text'):
+    per term, DisMax(main BM25, boost * field BM25) with tiebreak; terms
+    sum as SHOULD with mm=1. `terms` = [(raw_term, stemmed_term), ...].
+    The analyzed field indexes the same tokens 1:1 (stemming is 1:1), so
+    field docCount/sumTTF/norms equal the main field's — qdl/stats CTEs
+    are shared; only tf/df differ."""
+    from ..analysis.stem import sql_minimal_stem
+
+    vals = ", ".join(f"('{r}', '{s}')" for r, s in terms)
+    score = bm25_term_score_sql("t.term")
+    return f"""
+WITH {bm25_cte()},
+stok AS (
+  SELECT doc_id, {sql_minimal_stem('raw')} AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS raw FROM documents)),
+stf AS (SELECT doc_id, term, count(*) AS freq FROM stok GROUP BY doc_id, term),
+sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+qt(raw_term, fld_term) AS (VALUES {vals}),
+a AS (
+  SELECT qt.raw_term AS qterm, t.doc_id AS doc_id, ({score}) AS sc
+  FROM qt
+  JOIN tf t ON t.term = qt.raw_term
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s),
+b AS (
+  SELECT qt.raw_term AS qterm, t.doc_id AS doc_id,
+         {boost} * ({score}) AS sc
+  FROM qt
+  JOIN stf t ON t.term = qt.fld_term
+  JOIN sdf d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s),
+comb AS (
+  SELECT coalesce(a.qterm, b.qterm) AS qterm,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.sc IS NOT NULL AND b.sc IS NOT NULL
+              THEN greatest(a.sc, b.sc) + {tie} * least(a.sc, b.sc)
+              ELSE coalesce(a.sc, b.sc) END AS sc
+  FROM a FULL OUTER JOIN b ON a.qterm = b.qterm AND a.doc_id = b.doc_id)
+SELECT doc_id, round(sum(sc), {ROUND}) AS score
+FROM comb
+GROUP BY doc_id
+ORDER BY doc_id"""

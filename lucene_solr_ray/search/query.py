@@ -576,3 +576,40 @@ def query_terms(node) -> list[str]:
             seen.add(t)
             uniq.append(t)
     return uniq
+
+
+def edismax(q: str, qf: list[str], tie: float = 0.0,
+            mm: int = 1):
+    """ExtendedDisMaxQParser core (solr/core/.../search/
+    ExtendedDismaxQParser.java:106 + DisMaxQParser.java:58): each analyzed
+    query term becomes a DisjunctionMax over the query fields, and terms
+    combine as SHOULD clauses with minimum-should-match = mm.
+
+    qf entries use Solr's `field^boost` syntax; the empty field name ''
+    addresses the main text field, any other name an analyzed field
+    (terms rewrite to `field:term` and route to per-field stats/norms/
+    query-side analysis downstream).
+    """
+    from ..analysis import standard_analyzer
+
+    fields = []
+    for f in qf:
+        name, _, b = f.partition("^")
+        fields.append((name, float(b) if b else 1.0))
+    if not fields:
+        raise ValueError("edismax needs at least one query field")
+    terms, _ = standard_analyzer(q)
+    shoulds = []
+    for t in terms:
+        # field terms use the parser's ConstantScore marker so the
+        # analyzed-field rewrite runs the field's query-side analyzer and
+        # scores with field stats (keyword fields stay constant-score,
+        # exactly the parser's field:value semantics)
+        clauses = tuple(
+            Term(t, boost=b) if not name
+            else ConstantScore(Term(f"{name}:{t}"), boost=b)
+            for name, b in fields)
+        shoulds.append(clauses[0] if len(clauses) == 1
+                       else DisMax(clauses, tiebreak=tie))
+    return Bool(should=shoulds,
+                min_should=min(mm, len(shoulds)) if shoulds else 0)
