@@ -1286,6 +1286,27 @@ def q_ft_edismax(sf_dir):
     return _round_col(s.match_all(node), "score")
 
 
+def q_ft_fuzzy_suggest(sf_dir):
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:139): typo-
+    tolerant completion of 'fsat' (maxEdits=1, transpositions, first char
+    exact), ranked df desc / term asc."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import fuzzy_suggest
+
+    s = IndexSearcher(_index_for(sf_dir))
+    keys, terms, dfs = [], [], []
+    for key in ("fsat", "quer", "bathc", "srot"):
+        for t, d in fuzzy_suggest(s, key, k=10, max_edits=1):
+            keys.append(key)
+            terms.append(t)
+            dfs.append(d)
+    return pa.table({
+        "key": pa.array(keys, pa.large_string()),
+        "term": pa.array(terms, pa.large_string()),
+        "df": pa.array(dfs, pa.int64()),
+    })
+
+
 def q_facet_taxonomy(sf_dir):
     """Taxonomy facet with ancestor rollup (FastTaxonomyFacetCounts role):
     every doc counts at each prefix of its source/lang category path."""
@@ -1974,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multi_sim": q_ft_multi_sim,
         "ft_binary_dv": q_ft_binary_dv,
         "ft_edismax": q_ft_edismax,
+        "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2213,6 +2235,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_multi_sim": osql.sql_multi_sim_term("fast"),
         "ft_edismax": osql.sql_edismax(
             [("tables", "table"), ("fast", "fast")], boost=1.5, tie=0.1),
+        "ft_fuzzy_suggest": osql.sql_fuzzy_suggest(
+            ["fsat", "quer", "bathc", "srot"], k=10),
         "ft_binary_dv": """
             SELECT doc_id,
                    lower(hex(encode(source || '/' || lang))) AS blob_hex

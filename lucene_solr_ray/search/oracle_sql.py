@@ -615,3 +615,35 @@ SELECT doc_id, round(sum(sc), {ROUND}) AS score
 FROM comb
 GROUP BY doc_id
 ORDER BY doc_id"""
+
+
+def sql_fuzzy_suggest(prefixes: list[str], k: int = 10,
+                      max_edits: int = 1) -> str:
+    """FuzzySuggester mirror: per typed key, dictionary terms whose prefix
+    of length len(key)+-max_edits is within max_edits restricted-Damerau
+    edits (DuckDB damerau_levenshtein is the same OSA metric), first char
+    anchored; ranked by df desc, term asc, top k per key."""
+    branches = []
+    for p in prefixes:
+        n = len(p)
+        lens = range(max(1, n - max_edits), n + max_edits + 1)
+        dist = " OR ".join(
+            f"damerau_levenshtein('{p}', substr(term, 1, {L}))"
+            f" <= {max_edits}" for L in lens)
+        branches.append(
+            f"SELECT '{p}' AS key, term, df FROM df "
+            f"WHERE substr(term, 1, 1) = '{p[0]}' AND ({dist})")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+cand AS ({union}),
+ranked AS (
+  SELECT key, term, CAST(df AS BIGINT) AS df,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY df DESC, term ASC) AS rn
+  FROM cand)
+SELECT key, term, df FROM ranked WHERE rn <= {k}
+ORDER BY key, df DESC, term"""

@@ -1132,3 +1132,41 @@ def grouping_search(searcher: IndexSearcher, query, field: str,
         "grp_rank": pa.array(gr[out_order], pa.int64()),
         "doc_rank": pa.array(rp[out_order] + 1, pa.int64()),
     })
+
+
+def fuzzy_suggest(searcher: IndexSearcher, prefix: str, k: int = 5,
+                  max_edits: int = 1, non_fuzzy_prefix: int = 1,
+                  min_fuzzy_length: int = 3) -> list[tuple[str, int]]:
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:139; defaults
+    maxEdits=1, transpositions=true, nonFuzzyPrefix=1, minFuzzyLength=3):
+    dictionary terms whose prefix is within max_edits (restricted-Damerau)
+    of the typed key, first non_fuzzy_prefix chars exact; keys shorter than
+    min_fuzzy_length fall back to exact-prefix completion. Ranked df desc,
+    term asc (the engine's df-weight convention, as services.suggest).
+
+    The reference intersects a Levenshtein automaton with the suggest FST;
+    here the resident sorted term dictionary is sliced to the exact
+    non-fuzzy prefix range and the survivors run the same banded DP the
+    fuzzy query path uses. A term matches when ANY of its prefixes of
+    length len(key)-max_edits .. len(key)+max_edits is within max_edits.
+    """
+    from .multiterm import _levenshtein_leq
+
+    p = prefix.lower()
+    if len(p) < min_fuzzy_length:
+        return suggest(searcher, p, k=k)
+    anchor = p[:non_fuzzy_prefix]
+    lens = range(max(1, len(p) - max_edits), len(p) + max_edits + 1)
+    seen: set[str] = set()
+    for s in searcher.reader.shards:
+        terms = s.terms
+        lo = np.searchsorted(terms, anchor)
+        hi = np.searchsorted(terms, anchor[:-1] + chr(ord(anchor[-1]) + 1))
+        for t in terms[lo:hi].tolist():
+            if t in seen:
+                continue
+            if any(_levenshtein_leq(p, t[:L], max_edits) for L in lens):
+                seen.add(t)
+    ranked = sorted(((searcher.reader.term_stats(t)[0], t) for t in seen),
+                    key=lambda x: (-x[0], x[1]))
+    return [(t, df) for df, t in ranked[:k]]

@@ -244,3 +244,38 @@ def test_elevate_pins_excludes_and_ranks(idx):
     assert got[2:] == [d for d in base_ids
                        if d not in (base_ids[0], pin[0])][:8]
     assert out["rank"].to_pylist() == list(range(1, len(got) + 1))
+
+
+def test_fuzzy_suggest(idx):
+    from lucene_solr_ray.search.services import fuzzy_suggest, suggest
+
+    s = IndexSearcher(idx)
+    # typo 'fsat' -> 'fast' completions within 1 transposition
+    out = fuzzy_suggest(s, "fsat", max_edits=1)
+    terms = [t for t, _ in out]
+    assert any(t.startswith("fast") for t in terms)
+    # df-desc rank
+    dfs = [d for _, d in out]
+    assert dfs == sorted(dfs, reverse=True)
+    # exact-prefix fallback below min_fuzzy_length == plain suggest
+    assert fuzzy_suggest(s, "fa", min_fuzzy_length=3, k=3) == suggest(s, "fa", k=3)
+    # first char anchored: no term with a different first letter
+    assert all(t[0] == "f" for t in terms)
+
+
+def test_fuzzy_suggest_brute_force(idx):
+    from lucene_solr_ray.search.multiterm import _levenshtein_leq
+    from lucene_solr_ray.search.services import fuzzy_suggest
+
+    s = IndexSearcher(idx)
+    p = "querv"  # 1 substitution from 'query'
+    out = dict(fuzzy_suggest(s, p, k=100, max_edits=1))
+    vocab = set()
+    for sh in s.reader.shards:
+        vocab.update(sh.terms.tolist())
+    want = {
+        t for t in vocab
+        if t[:1] == p[:1] and any(
+            _levenshtein_leq(p, t[:L], 1) for L in (4, 5, 6))
+    }
+    assert set(out) == want
