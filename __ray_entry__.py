@@ -955,6 +955,18 @@ def q_geo_box(sf_dir):
     return s.match_all(node).select(["doc_id"])
 
 
+def q_geo_distance(sf_dir):
+    """LatLonPoint.newDistanceQuery (document/LatLonPoint.java:238): docs
+    within 2000 km of Paris — bounding-box leaf pruning over the points
+    index + exact haversine verify."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.geo import GeoDistance
+
+    s = IndexSearcher(_geo_index(sf_dir), dtype=np.float64)
+    node = GeoDistance("lat", "lon", 48.8566, 2.3522, 2000.0)
+    return s.match_all(node).select(["doc_id"])
+
+
 def q_geo_knn(sf_dir):
     """Distance sort (LatLonDocValuesField.newDistanceSort): 50 nearest
     docs to Paris; haversine over docvalues, rounded to 10 m for the
@@ -1970,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box": q_geo_box,
         "geo_knn": q_geo_knn,
         "geo_polygon": q_geo_polygon,
+        "geo_distance": q_geo_distance,
         "ft_after_delete": q_ft_after_delete,
         "ft_iodv": q_ft_iodv,
         "ft_span_not": q_ft_span_not,
@@ -2444,6 +2457,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY km, doc_id) AS INT) AS rank
             FROM d ORDER BY km, doc_id LIMIT 50""",
         "geo_polygon": _polygon_oracle_sql(_POLY_LATS, _POLY_LONS),
+        "geo_distance": """
+            WITH g AS (SELECT doc_id,
+                       ((doc_id * 7919) % 18001) / 100.0 - 90.0 AS lat,
+                       ((doc_id * 104729) % 36001) / 100.0 - 180.0 AS lon
+                       FROM documents)
+            SELECT doc_id FROM g
+            WHERE 2 * 6371.0088 * asin(sqrt(
+                      pow(sin((radians(lat) - radians(48.8566)) / 2), 2)
+                      + cos(radians(48.8566)) * cos(radians(lat))
+                        * pow(sin((radians(lon) - radians(2.3522)) / 2), 2)
+                  )) <= 2000.0
+            ORDER BY doc_id""",
         "ft_elevate": osql.sql_elevate("fast", [7, 3], [2], 10),
         "ft_completion": """
             SELECT source AS suggestion, CAST(count(*) AS BIGINT) AS weight
