@@ -512,6 +512,28 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
         keys = _csv(named.get("over", ""))
         return ops.rollup(sub(), keys, _metrics(args[1:]))
 
+    if name == "facet":
+        # FacetStream (io/stream/FacetStream.java:72): bucketed metrics
+        # pushed into the engine (here: Ray groupby), with bucketSorts and
+        # bucketSizeLimit
+        keys = _csv(named["buckets"])
+        out = ops.rollup(sub(), keys, _metrics(args[1:]))
+        sorts = named.get("bucketSorts")
+        if sorts:
+            out = ops.sort_limit(out, _sort_keys(sorts))
+        lim = named.get("bucketSizeLimit")
+        return out.limit(int(_coerce(lim))) if lim else out
+
+    if name == "timeseries":
+        # TimeSeriesStream (io/stream/TimeSeriesStream.java:63): date_trunc
+        # bucketing + metrics; gap filling is not applicable (buckets come
+        # from the data, the reference fills from start/end params)
+        fld = named["field"]
+        gap = str(named.get("gap", "day"))
+        out = ops.timeseries(sub(), fld, gap, _metrics(args[1:]),
+                             bucket_name=named.get("bucketName", "bucket"))
+        return ops.sort_limit(out, [("bucket", False)])
+
     if name == "stats":
         return ops.rollup(sub(), [], _metrics(args[1:]), pre_aggregate=False)
 
@@ -672,7 +694,7 @@ def _as_cell(v):
 
 _STREAM_NAMES = frozenset({
     "table", "jdbc", "sql", "search", "select", "having", "sort", "top",
-    "rank", "rollup", "hashRollup", "stats", "unique", "innerJoin",
+    "rank", "rollup", "hashRollup", "facet", "timeseries", "stats", "unique", "innerJoin",
     "hashJoin", "leftOuterJoin", "outerHashJoin", "intersect", "complement",
     "fetch", "cartesianProduct", "merge", "list", "plist", "random",
     "parallel", "shuffle", "export", "echo", "tuple", "cell", "let", "get",

@@ -579,7 +579,7 @@ def query_terms(node) -> list[str]:
 
 
 def edismax(q: str, qf: list[str], tie: float = 0.0,
-            mm: int = 1):
+            mm: int = 1, pf: list[str] | None = None):
     """ExtendedDisMaxQParser core (solr/core/.../search/
     ExtendedDismaxQParser.java:106 + DisMaxQParser.java:58): each analyzed
     query term becomes a DisjunctionMax over the query fields, and terms
@@ -611,5 +611,18 @@ def edismax(q: str, qf: list[str], tie: float = 0.0,
             for name, b in fields)
         shoulds.append(clauses[0] if len(clauses) == 1
                        else DisMax(clauses, tiebreak=tie))
-    return Bool(should=shoulds,
-                min_should=min(mm, len(shoulds)) if shoulds else 0)
+    mm_eff = min(mm, len(shoulds)) if shoulds else 0
+    if pf and len(terms) > 1:
+        # phrase fields (edismax pf, ExtendedDismaxQParser.java:258): the
+        # whole query as a phrase per pf field, appended as an extra
+        # optional boost clause. min_should stays at the term-based mm: a
+        # phrase can only match when every term matches, so the threshold
+        # semantics are unchanged for any mm <= len(terms).
+        for f in pf:
+            name, _, b = f.partition("^")
+            boost = float(b) if b else 1.0
+            pts = tuple(t if not name else f"{name}:{t}" for t in terms)
+            ph = Phrase(pts, boost)
+            shoulds.append(ph if not name else ConstantScore(
+                Phrase(tuple(f"{name}:{t}" for t in terms), 1.0), boost))
+    return Bool(should=shoulds, min_should=mm_eff)

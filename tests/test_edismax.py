@@ -67,3 +67,23 @@ def test_single_field_degenerates_to_terms(searcher):
 def test_empty_query(searcher):
     node = edismax("", ["", "text"])
     assert searcher.match_all(node).num_rows == 0
+
+
+def test_pf_phrase_boost(searcher):
+    node = edismax("fast query", [""], mm=1, pf=[""])
+    got = _scores(searcher, node)
+    base = _scores(searcher, "fast OR query")
+    phrase = _scores(searcher, '"fast query"')
+    want = {d: base[d] + phrase.get(d, 0.0) for d in base}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    # phrase-matching docs are boosted above term-only peers
+    boosted = [d for d in phrase if d in base]
+    assert boosted and all(got[d] > base[d] for d in boosted)
+
+
+def test_pf_does_not_relax_mm(searcher):
+    with_pf = edismax("fast query", [""], mm=2, pf=[""])
+    without = edismax("fast query", [""], mm=2)
+    assert set(_scores(searcher, with_pf)) == set(_scores(searcher, without))

@@ -283,3 +283,31 @@ def test_analyze_stream(ray_session, sf_dir):
     (regression: the (terms, positions) tuple leaked into the column)."""
     got = run_expression('analyze("Hello, World! FOO")')
     assert got.to_pandas()["term"].tolist() == ["hello", "world", "foo"]
+
+
+def test_facet_stream(ray_session):
+    got = run_expression(
+        'facet(table(documents), buckets="lang", count(*), sum(n_chars), '
+        'bucketSorts="count(*) desc, lang asc", bucketSizeLimit=3)',
+        tables=tables(),
+    ).to_pandas()
+    want = duck("""
+        SELECT lang, count(*) AS cnt, sum(n_chars) AS s
+        FROM documents GROUP BY lang
+        ORDER BY cnt DESC, lang ASC LIMIT 3""")
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["count(*)"].astype(int).tolist() == want["cnt"].astype(int).tolist()
+    assert got["sum(n_chars)"].astype(int).tolist() == want["s"].astype(int).tolist()
+
+
+def test_timeseries_stream(ray_session):
+    got = run_expression(
+        'timeseries(table(orders), field="o_orderdate", gap="month", '
+        'count(*))',
+        tables=tables(),
+    ).to_pandas()
+    want = duck("""
+        SELECT date_trunc('month', o_orderdate) AS b, count(*) AS cnt
+        FROM orders GROUP BY b ORDER BY b""")
+    assert len(got) == len(want)
+    assert got["count(*)"].astype(int).tolist() == want["cnt"].astype(int).tolist()
