@@ -325,7 +325,11 @@ _EVALUATORS: dict = {
 del _EVALUATORS["expr"]
 
 _METRIC_KINDS = {"sum": "sum", "min": "min", "max": "max",
-                 "avg": "mean", "count": "count"}
+                 "avg": "mean", "count": "count",
+                 # StatsStream stddev metric (io/stream/metrics/
+                 # StdMetric.java role): sample stddev, Welford-combined
+                 # across blocks by Ray's Std aggregate
+                 "std": "std", "stddev": "std"}
 
 
 def compile_evaluator(node, ctx: "StreamContext"):

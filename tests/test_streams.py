@@ -311,3 +311,16 @@ def test_timeseries_stream(ray_session):
         FROM orders GROUP BY b ORDER BY b""")
     assert len(got) == len(want)
     assert got["count(*)"].astype(int).tolist() == want["cnt"].astype(int).tolist()
+
+
+def test_stddev_metric(ray_session):
+    got = run_expression(
+        'rollup(table(documents), over="lang", stddev(n_chars), count(*))',
+        tables=tables(),
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    want = duck("""
+        SELECT lang, stddev_samp(n_chars) AS sd, count(*) AS cnt
+        FROM documents GROUP BY lang ORDER BY lang""")
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["stddev(n_chars)"].tolist() == pytest.approx(
+        want["sd"].tolist(), rel=1e-9)
