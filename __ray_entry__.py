@@ -967,6 +967,18 @@ def q_geo_distance(sf_dir):
     return s.match_all(node).select(["doc_id"])
 
 
+def q_ft_iv_before(sf_dir):
+    """Intervals.before (intervals/Intervals.java before/after sources):
+    docs where 'fast' occurs before some 'query' occurrence."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search import intervals as iv
+    from lucene_solr_ray.search.query import IntervalQuery
+
+    s = IndexSearcher(_index_for(sf_dir))
+    t = s.match_all(IntervalQuery(iv.before("fast", "query")))
+    return t.select(["doc_id"])
+
+
 def q_geo_knn(sf_dir):
     """Distance sort (LatLonDocValuesField.newDistanceSort): 50 nearest
     docs to Paris; haversine over docvalues, rounded to 10 m for the
@@ -2009,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_binary_dv": q_ft_binary_dv,
         "ft_edismax": q_ft_edismax,
         "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
+        "ft_iv_before": q_ft_iv_before,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2250,6 +2263,18 @@ def oracle_sql() -> dict[str, str]:
             [("tables", "table"), ("fast", "fast")], boost=1.5, tie=0.1),
         "ft_fuzzy_suggest": osql.sql_fuzzy_suggest(
             ["fsat", "quer", "bathc", "srot"], k=10),
+        "ft_iv_before": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                     unnest(range(len(string_split(text, ' ')))) AS pos
+              FROM documents)
+            SELECT DISTINCT a.doc_id AS doc_id
+            FROM tok a
+            JOIN (SELECT doc_id, max(pos) AS mp FROM tok
+                  WHERE term = 'query' GROUP BY doc_id) b
+              ON b.doc_id = a.doc_id
+            WHERE a.term = 'fast' AND a.pos < b.mp
+            ORDER BY doc_id""",
         "ft_binary_dv": """
             SELECT doc_id,
                    lower(hex(encode(source || '/' || lang))) AS blob_hex

@@ -103,6 +103,23 @@ class INonOverlapping:
 
 
 @dataclass(frozen=True)
+class IBefore:
+    """Intervals.before(source, reference): source intervals ending before
+    the start of SOME reference interval (intervals/Intervals.java:before,
+    OffsetIntervalsSource role)."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IAfter:
+    """Intervals.after(source, reference): source intervals starting after
+    the end of SOME reference interval."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
 class IPrefix:
     """Intervals.prefix (intervals/Intervals.java multi-term sources):
     expands to IOr over matching dictionary terms BEFORE weight resolution
@@ -140,6 +157,9 @@ def stem_source(src, st):
     if isinstance(src, IOverlapping):
         return IOverlapping(stem_source(src.source, st),
                             stem_source(src.reference, st))
+    if isinstance(src, (IBefore, IAfter)):
+        return type(src)(stem_source(src.source, st),
+                         stem_source(src.reference, st))
     if isinstance(src, INonOverlapping):
         return INonOverlapping(stem_source(src.source, st),
                                stem_source(src.reference, st))
@@ -202,6 +222,14 @@ def non_overlapping(source, reference) -> INonOverlapping:
     return INonOverlapping(_coerce(source), _coerce(reference))
 
 
+def before(source, reference) -> IBefore:
+    return IBefore(_coerce(source), _coerce(reference))
+
+
+def after(source, reference) -> IAfter:
+    return IAfter(_coerce(source), _coerce(reference))
+
+
 def prefix(p: str) -> IPrefix:
     return IPrefix(p)
 
@@ -243,6 +271,9 @@ def expand_multiterm(src, expander):
     if isinstance(src, IOverlapping):
         return IOverlapping(expand_multiterm(src.source, expander),
                             expand_multiterm(src.reference, expander))
+    if isinstance(src, (IBefore, IAfter)):
+        return type(src)(expand_multiterm(src.source, expander),
+                         expand_multiterm(src.reference, expander))
     if isinstance(src, INonOverlapping):
         return INonOverlapping(expand_multiterm(src.source, expander),
                                expand_multiterm(src.reference, expander))
@@ -270,7 +301,7 @@ def terms_of(src) -> list[str]:
     if isinstance(src, (IContaining, IContainedBy, INotContaining,
                         INotContainedBy)):
         return terms_of(src.big) + terms_of(src.small)
-    if isinstance(src, (IOverlapping, INonOverlapping)):
+    if isinstance(src, (IOverlapping, INonOverlapping, IBefore, IAfter)):
         return terms_of(src.source) + terms_of(src.reference)
     raise TypeError(f"unsupported interval source {src!r}")
 
@@ -297,6 +328,9 @@ def source_key(src) -> str:
                 f"{source_key(src.big)})")
     if isinstance(src, IOverlapping):
         return (f"IOverlapping({source_key(src.source)},"
+                f"{source_key(src.reference)})")
+    if isinstance(src, (IBefore, IAfter)):
+        return (f"{type(src).__name__}({source_key(src.source)},"
                 f"{source_key(src.reference)})")
     if isinstance(src, INonOverlapping):
         return (f"INonOverlapping({source_key(src.source)},"
@@ -337,6 +371,10 @@ def _docs_of(src, term_docs: dict) -> np.ndarray:
     if isinstance(src, INotContainedBy):
         return _docs_of(src.small, term_docs)
     if isinstance(src, IOverlapping):
+        a = _docs_of(src.source, term_docs)
+        b = _docs_of(src.reference, term_docs)
+        return a[np.isin(a, b, assume_unique=True)]
+    if isinstance(src, (IBefore, IAfter)):
         a = _docs_of(src.source, term_docs)
         b = _docs_of(src.reference, term_docs)
         return a[np.isin(a, b, assume_unique=True)]
@@ -506,6 +544,19 @@ def _intervals(src, pos_of: dict, doc: int) -> np.ndarray:
         idx_c = np.maximum(idx, 0)
         ok &= pref_max[idx_c] >= sv[:, 0]
         return sv[ok]
+    if isinstance(src, IBefore):
+        sv = _intervals(src.source, pos_of, doc)
+        rf = _intervals(src.reference, pos_of, doc)
+        if not len(sv) or not len(rf):
+            return _EMPTY
+        # exists a reference interval starting after the source's end
+        return sv[sv[:, 1] < int(rf[:, 0].max())]
+    if isinstance(src, IAfter):
+        sv = _intervals(src.source, pos_of, doc)
+        rf = _intervals(src.reference, pos_of, doc)
+        if not len(sv) or not len(rf):
+            return _EMPTY
+        return sv[sv[:, 0] > int(rf[:, 1].min())]
     if isinstance(src, INonOverlapping):
         sv = _intervals(src.source, pos_of, doc)
         if not len(sv):

@@ -234,3 +234,22 @@ def test_multiterm_interval_sources(idx):
     assert 0 in got
     # no dictionary match -> no intervals, no crash
     assert _docs(idx, iv.ordered(iv.term("w1"), iv.prefix("zz"))) == []
+
+
+def test_before_after_brute_force(idx):
+    for src_t, ref_t in (("w1", "w3"), ("w4", "w2"), ("w3", "w3")):
+        for kind in ("before", "after"):
+            ctor = iv.before if kind == "before" else iv.after
+            got = set(_docs(idx, ctor(src_t, ref_t)))
+            want = set()
+            for d, text in enumerate(TEXTS):
+                toks = text.split()
+                sp = [i for i, t in enumerate(toks) if t == src_t]
+                rp = [i for i, t in enumerate(toks) if t == ref_t]
+                if not sp or not rp:
+                    continue
+                if kind == "before" and any(a < max(rp) for a in sp):
+                    want.add(d)
+                if kind == "after" and any(a > min(rp) for a in sp):
+                    want.add(d)
+            assert got == want, (kind, src_t, ref_t)
