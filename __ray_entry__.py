@@ -967,6 +967,31 @@ def q_geo_distance(sf_dir):
     return s.match_all(node).select(["doc_id"])
 
 
+def q_ft_sort_multi(sf_dir):
+    """Compound Sort (Sort.java multi-SortField): docs matching 'fast'
+    ordered by (lang asc, n_chars desc, doc_id asc), top 25; key values
+    returned for hashing."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import search_sorted_by_fields
+
+    key = hashlib.md5((sf_dir + "|msort").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=4, num_buckets=8,
+                                     string_docvalues_fields=("lang",),
+                                     docvalues_fields=("n_chars",)),
+                resume=True)
+    s = IndexSearcher(index_dir)
+    out = search_sorted_by_fields(
+        s, "fast", [("lang", False), ("n_chars", True)], k=25)
+    # int-typed n_chars for the oracle hash
+    i = out.column_names.index("n_chars")
+    return out.set_column(i, "n_chars",
+                          pc.cast(out["n_chars"], pa.int64()))
+
+
 def q_ft_iv_before(sf_dir):
     """Intervals.before (intervals/Intervals.java before/after sources):
     docs where 'fast' occurs before some 'query' occurrence."""
@@ -2022,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_edismax": q_ft_edismax,
         "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
         "ft_iv_before": q_ft_iv_before,
+        "ft_sort_multi": q_ft_sort_multi,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2263,6 +2289,12 @@ def oracle_sql() -> dict[str, str]:
             [("tables", "table"), ("fast", "fast")], boost=1.5, tie=0.1),
         "ft_fuzzy_suggest": osql.sql_fuzzy_suggest(
             ["fsat", "quer", "bathc", "srot"], k=10),
+        "ft_sort_multi": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE list_contains(string_split(text, ' '), 'fast')
+            ORDER BY lang ASC, n_chars DESC, doc_id ASC
+            LIMIT 25""",
         "ft_iv_before": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -1170,3 +1170,69 @@ def fuzzy_suggest(searcher: IndexSearcher, prefix: str, k: int = 5,
     ranked = sorted(((searcher.reader.term_stats(t)[0], t) for t in seen),
                     key=lambda x: (-x[0], x[1]))
     return [(t, df) for df, t in ranked[:k]]
+
+
+def search_sorted_by_fields(searcher: IndexSearcher, query,
+                            fields: list[tuple[str, bool]],
+                            k: int = 10) -> pa.Table:
+    """Compound sort (search/Sort.java with multiple SortFields feeding
+    TopFieldCollector.java:42): top-k matching docs ordered by several
+    keys — SORTED string docvalues, NUMERIC docvalues, doclen or doc_id —
+    each ascending or descending; final tiebreak doc_id asc.
+
+    fields: [(field_name, descending), ...] in priority order.
+    """
+    from .executor import eval_node, resolve_weights
+
+    node = searcher._node(query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+
+    def vals_of(s, docs, field):
+        if field in s.sorted_dv:
+            return s.strings_for(field, docs)
+        if field == "doclen":
+            return s.doclens[np.searchsorted(s.doc_ids, docs)]
+        if field == "doc_id":
+            return docs
+        if field in getattr(s, "docvalues", {}):
+            return s.docvalues[field][np.searchsorted(s.doc_ids, docs)]
+        raise ValueError(f"unknown sort field {field!r}")
+
+    all_docs, per_field = [], [[] for _ in fields]
+    for s in searcher.reader.shards:
+        docs, _ = eval_node(s, node, weights, searcher.dtype)
+        if not len(docs):
+            continue
+        all_docs.append(docs)
+        for j, (f, _) in enumerate(fields):
+            per_field[j].append(vals_of(s, docs, f))
+    if not all_docs:
+        cols = {"doc_id": pa.array([], pa.int64())}
+        for f, _ in fields:
+            cols[f] = pa.array([])
+        return pa.table(cols)
+    docs = np.concatenate(all_docs)
+    keys = [docs]  # least-significant lexsort key = final doc_id tiebreak
+    out_cols = {}
+    for j in range(len(fields) - 1, -1, -1):
+        f, desc = fields[j]
+        v = np.concatenate(per_field[j])
+        out_cols[f] = v
+        if v.dtype.kind in ("U", "O"):  # strings sort via global ranks
+            _, inv = np.unique(v, return_inverse=True)
+            keys.append(-inv if desc else inv)
+        else:
+            vv = v.astype(np.float64)
+            keys.append(-vv if desc else vv)
+    order = np.lexsort(tuple(keys))[:k]
+    cols = {"doc_id": pa.array(docs[order], pa.int64())}
+    for f, _ in fields:
+        v = out_cols[f][order]
+        if v.dtype.kind in ("U", "O"):
+            cols[f] = pa.array(v.tolist(), pa.string())
+        elif np.issubdtype(v.dtype, np.integer):
+            cols[f] = pa.array(v.astype(np.int64), pa.int64())
+        else:
+            cols[f] = pa.array(v.astype(np.float64), pa.float64())
+    return pa.table(cols)

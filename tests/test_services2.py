@@ -279,3 +279,28 @@ def test_fuzzy_suggest_brute_force(idx):
             _levenshtein_leq(p, t[:L], 1) for L in (4, 5, 6))
     }
     assert set(out) == want
+
+
+def test_search_sorted_by_fields(tmp_path_factory, ray_session):
+    from lucene_solr_ray.search.services import search_sorted_by_fields
+
+    d = str(tmp_path_factory.mktemp("msort"))
+    build_index(DOCS, d, key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=2, num_buckets=4,
+                                     string_docvalues_fields=("lang",),
+                                     docvalues_fields=("n_chars",)))
+    s = IndexSearcher(d)
+    out = search_sorted_by_fields(
+        s, "fast", [("lang", False), ("n_chars", True)], k=15)
+    t = pq.read_table(DOCS, columns=["doc_id", "lang", "n_chars"])
+    meta = {r["doc_id"]: (r["lang"], r["n_chars"])
+            for r in t.to_pylist()}
+    matches = s.match_all("fast")["doc_id"].to_pylist()
+    want = sorted(matches,
+                  key=lambda d_: (meta[d_][0], -meta[d_][1], d_))[:15]
+    assert out["doc_id"].to_pylist() == want
+    # returned key columns carry the true values
+    for doc, lg, nc in zip(out["doc_id"].to_pylist(),
+                           out["lang"].to_pylist(),
+                           out["n_chars"].to_pylist()):
+        assert (lg, nc) == (meta[doc][0], float(meta[doc][1]))
