@@ -532,6 +532,32 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             m &= shard._live_mask
         docs = shard.doc_ids[m]
         return docs, np.full(len(docs), node.boost, dtype=dtype)
+    from .query import FieldExists
+
+    if isinstance(node, FieldExists):
+        # FieldExistsQuery.java:46 — value-presence filter per DV type
+        f = node.field
+        m = None
+        if f in getattr(shard, "binary_dv", {}):
+            vals = shard.binary_dv[f]
+            m = np.array([v is not None for v in vals], dtype=bool)
+        elif f in getattr(shard, "sorted_set_dv", {}):
+            _, _, offs = shard.sorted_set_dv[f]
+            m = np.diff(offs) > 0
+        elif f in getattr(shard, "sorted_numeric_dv", {}):
+            _, offs = shard.sorted_numeric_dv[f]
+            m = np.diff(offs) > 0
+        elif f in getattr(shard, "sorted_dv", {}):
+            _, inv = shard.sorted_dv[f]
+            m = np.ones(len(inv), dtype=bool)
+        elif f in getattr(shard, "docvalues", {}):
+            m = ~np.isnan(shard.docvalues[f])
+        if m is None:
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        if shard._live_mask is not None:
+            m &= shard._live_mask
+        docs = shard.doc_ids[m]
+        return docs, np.full(len(docs), node.boost, dtype=dtype)
     from .query import DistanceFeature
 
     if isinstance(node, DistanceFeature):

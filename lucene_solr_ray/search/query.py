@@ -626,3 +626,14 @@ def edismax(q: str, qf: list[str], tie: float = 0.0,
             shoulds.append(ph if not name else ConstantScore(
                 Phrase(tuple(f"{name}:{t}" for t in terms), 1.0), boost))
     return Bool(should=shoulds, min_should=mm_eff)
+
+
+@dataclass(frozen=True)
+class FieldExists:
+    """FieldExistsQuery (search/FieldExistsQuery.java:46): constant-score
+    filter matching docs that HAVE a value for a docvalues field — BINARY
+    (non-null), SORTED_SET / SORTED_NUMERIC (non-empty set), SORTED /
+    NUMERIC (always present when the column exists; missing only on
+    mixed-generation appends without the field)."""
+    field: str
+    boost: float = 1.0

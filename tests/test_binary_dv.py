@@ -80,3 +80,19 @@ def test_survives_append_and_force_merge(idx, tmp_path):
     want = {i: b for i, b in enumerate(blobs)}
     want.update({100: b"new0", 101: None})
     assert got == want
+
+
+def test_field_exists_query(idx, tmp_path_factory, ray_session):
+    from lucene_solr_ray.search.query import Bool, FieldExists, Term
+
+    d, blobs = idx
+    s = IndexSearcher(d)
+    # BINARY presence: doc 2 carries None
+    got = sorted(s.match_all(FieldExists("blob"))["doc_id"].to_pylist())
+    assert got == [i for i, b in enumerate(blobs) if b is not None]
+    # scored must + exists filter
+    res = s.match_all(Bool(must=[Term("fast")],
+                           filter=[FieldExists("blob")]))
+    assert 2 not in res["doc_id"].to_pylist()
+    # unknown field matches nothing
+    assert s.match_all(FieldExists("nope")).num_rows == 0
