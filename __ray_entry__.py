@@ -836,6 +836,48 @@ def q_ft_binary_dv(sf_dir):
     })
 
 
+def q_ft_exists(sf_dir):
+    """FieldExistsQuery (search/FieldExistsQuery.java:46): docs matching
+    'fast' that HAVE a binary docvalue — the derivation nulls the blob for
+    'de'-language docs, so presence is corpus-decidable."""
+    import glob as _glob
+
+    import ray.data
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Bool, FieldExists, Term
+
+    key = hashlib.md5((sf_dir + "|bdv2").encode()).hexdigest()[:10]
+    corpus_dir = os.path.join(_CACHE_ROOT, f"bdv2_corpus_{key}")
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    if not os.path.exists(corpus_dir):
+        def derive(t: "pa.Table") -> "pa.Table":
+            blobs = [None if la == "de" else f"{s}/{la}".encode()
+                     for s, la in zip(t["source"].to_pylist(),
+                                      t["lang"].to_pylist())]
+            return pa.table({
+                "doc_id": t["doc_id"], "text": t["text"],
+                "blob": pa.array(blobs, pa.large_binary())})
+
+        tmp = corpus_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source", "lang"],
+        ).map_batches(derive, batch_format="pyarrow").write_parquet(tmp)
+        os.replace(tmp, corpus_dir)
+    build_index(sorted(_glob.glob(corpus_dir + "/*.parquet")), index_dir,
+                key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=4, num_buckets=8,
+                                     binary_docvalues_fields=("blob",)),
+                resume=True)
+    s = IndexSearcher(index_dir)
+    res = s.match_all(Bool(must=[Term("fast")],
+                           filter=[FieldExists("blob")]))
+    return res.select(["doc_id"])
+
+
 def q_ft_multi_sim(sf_dir):
     """MultiSimilarity (MultiSimilarity.java:31): per-doc score = BM25 +
     ClassicSimilarity for the same term, summed by the wrapper SimScorer."""
@@ -2048,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
         "ft_iv_before": q_ft_iv_before,
         "ft_sort_multi": q_ft_sort_multi,
+        "ft_exists": q_ft_exists,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2289,6 +2332,11 @@ def oracle_sql() -> dict[str, str]:
             [("tables", "table"), ("fast", "fast")], boost=1.5, tie=0.1),
         "ft_fuzzy_suggest": osql.sql_fuzzy_suggest(
             ["fsat", "quer", "bathc", "srot"], k=10),
+        "ft_exists": """
+            SELECT doc_id FROM documents
+            WHERE list_contains(string_split(text, ' '), 'fast')
+              AND lang <> 'de'
+            ORDER BY doc_id""",
         "ft_sort_multi": """
             SELECT doc_id, lang, n_chars
             FROM documents
