@@ -836,6 +836,42 @@ def q_ft_binary_dv(sf_dir):
     })
 
 
+def q_graph_gather(sf_dir):
+    """GatherNodesStream (io/graph/GatherNodesStream.java:63): depth-2 BFS
+    over a deterministic 2-out-regular edge table derived from documents
+    (doc i -> (3i+7)%N and (5i+11)%N); per level, distinct first-reached
+    nodes with distinct-parent counts. Each level is one broadcast-frontier
+    pruned scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from lucene_solr_ray.relational.graph import gather_nodes
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    key = hashlib.md5((sf_dir + "|graph").encode()).hexdigest()[:10]
+    edge_dir = os.path.join(_CACHE_ROOT, f"graph_edges_{key}")
+    if not os.path.exists(edge_dir):
+        def derive(t: "pa.Table") -> "pa.Table":
+            ids = t["doc_id"].to_numpy().astype(np.int64)
+            src = np.concatenate([ids, ids])
+            dst = np.concatenate([(ids * 3 + 7) % n_docs,
+                                  (ids * 5 + 11) % n_docs])
+            return pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64())})
+
+        tmp = edge_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"],
+        ).map_batches(derive, batch_format="pyarrow").write_parquet(tmp)
+        os.replace(tmp, edge_dir)
+    out = gather_nodes(sorted(_glob.glob(edge_dir + "/*.parquet")),
+                       "src", "dst", [0, 1, 2, 3, 4], depth=2)
+    return out.sort_by([("level", "ascending"), ("node", "ascending")])
+
+
 def q_ft_exists(sf_dir):
     """FieldExistsQuery (search/FieldExistsQuery.java:46): docs matching
     'fast' that HAVE a binary docvalue — the derivation nulls the blob for
@@ -2091,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_iv_before": q_ft_iv_before,
         "ft_sort_multi": q_ft_sort_multi,
         "ft_exists": q_ft_exists,
+        "graph_gather": q_graph_gather,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2332,6 +2369,33 @@ def oracle_sql() -> dict[str, str]:
             [("tables", "table"), ("fast", "fast")], boost=1.5, tie=0.1),
         "ft_fuzzy_suggest": osql.sql_fuzzy_suggest(
             ["fsat", "quer", "bathc", "srot"], k=10),
+        "graph_gather": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 3 + 7) % n.n AS dst
+              FROM documents, n
+              UNION ALL
+              SELECT doc_id, (doc_id * 5 + 11) % n.n FROM documents, n),
+            roots(node) AS (VALUES (0), (1), (2), (3), (4)),
+            l1 AS (
+              SELECT e.dst AS node,
+                     count(DISTINCT e.src) AS ancestors
+              FROM e JOIN roots r ON e.src = r.node
+              WHERE e.dst NOT IN (SELECT node FROM roots)
+              GROUP BY e.dst),
+            l2 AS (
+              SELECT e.dst AS node, count(DISTINCT e.src) AS ancestors
+              FROM e JOIN l1 ON e.src = l1.node
+              WHERE e.dst NOT IN (SELECT node FROM roots
+                                  UNION SELECT node FROM l1)
+              GROUP BY e.dst)
+            SELECT node, CAST(0 AS BIGINT) AS level,
+                   CAST(0 AS BIGINT) AS ancestors FROM roots
+            UNION ALL
+            SELECT node, 1, ancestors FROM l1
+            UNION ALL
+            SELECT node, 2, ancestors FROM l2
+            ORDER BY level, node""",
         "ft_exists": """
             SELECT doc_id FROM documents
             WHERE list_contains(string_split(text, ' '), 'fast')
