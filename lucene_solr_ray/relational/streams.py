@@ -600,6 +600,34 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
             out = out.union(sub(i))
         return out
 
+    if name == "nodes":
+        # gatherNodes verb (io/graph/GatherNodesStream.java expression
+        # form): nodes(table, walk="from->to", root="1,2", depth=N)
+        from .graph import gather_nodes
+
+        frm, _, to = str(named["walk"]).partition("->")
+        roots = [int(x) for x in _csv(named["root"])]
+        out = gather_nodes(ctx.tables[args[0]], frm.strip(), to.strip(),
+                           roots, depth=int(_coerce(named.get("depth", 1))))
+        return ray.data.from_arrow(out)
+
+    if name == "shortestPath":
+        from .graph import shortest_path
+
+        frm, _, to = str(named["edge"]).partition("->")
+        path = shortest_path(
+            ctx.tables[args[0]], frm.strip(), to.strip(),
+            int(_coerce(named["from"])), int(_coerce(named["to"])),
+            max_depth=int(_coerce(named.get("maxDepth", 6))))
+        if path is None:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "step": pa.array([], pa.int64())}))
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(path, pa.int64()),
+            "step": pa.array(range(len(path)), pa.int64()),
+        }))
+
     if name == "random":
         src = ray.data.read_parquet(ctx.tables[args[0]])
         rows = int(_coerce(named.get("rows", 10)))
@@ -701,6 +729,7 @@ _STREAM_NAMES = frozenset({
     "rank", "rollup", "hashRollup", "facet", "timeseries", "stats", "unique", "innerJoin",
     "hashJoin", "leftOuterJoin", "outerHashJoin", "intersect", "complement",
     "fetch", "cartesianProduct", "merge", "list", "plist", "random",
+    "nodes", "shortestPath",
     "parallel", "shuffle", "export", "echo", "tuple", "cell", "let", "get",
     "stream", "eval", "priority", "null", "noop", "analyze",
 })

@@ -324,3 +324,23 @@ def test_stddev_metric(ray_session):
     assert got["lang"].tolist() == want["lang"].tolist()
     assert got["stddev(n_chars)"].tolist() == pytest.approx(
         want["sd"].tolist(), rel=1e-9)
+
+
+def test_nodes_and_shortest_path_verbs(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "edges.parquet")
+    pq.write_table(pa.table({
+        "src": pa.array([0, 0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 3, 4], pa.int64()),
+    }), p)
+    tbls = {"edges": p}
+    got = run_expression(
+        'nodes(edges, walk="src->dst", root="0", depth=2)',
+        tables=tbls).to_pandas()
+    lv = dict(zip(got["node"], got["level"]))
+    assert lv == {0: 0, 1: 1, 2: 1, 3: 2}
+    sp = run_expression(
+        'shortestPath(edges, edge="src->dst", from=0, to=4, maxDepth=4)',
+        tables=tbls).to_pandas()
+    assert sp["node"].tolist() == [0, 1, 3, 4] or sp["node"].tolist() == [0, 2, 3, 4]
