@@ -2097,7 +2097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box": q_geo_box,
         "geo_knn": q_geo_knn,
         "geo_polygon": q_geo_polygon,
-        "geo_distance": q_geo_distance,
+        # geo_distance rotated to tail (geo family keeps 3 window slots);
+        # the graph-traversal family takes the slot
+        "graph_gather": q_graph_gather,
         "ft_after_delete": q_ft_after_delete,
         "ft_iodv": q_ft_iodv,
         "ft_span_not": q_ft_span_not,
@@ -2111,23 +2113,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_string": q_ft_sort_string,
         "ft_facet_dv": q_ft_facet_dv,
         "ft_facet_ssdv": q_ft_facet_ssdv,
-        "ft_ssdv_filter": q_ft_ssdv_filter,
+        # ft_ssdv_filter rotated to tail (SORTED_SET keeps the facet slot);
+        # the edismax parser takes the slot
+        "ft_edismax": q_ft_edismax,
         "ft_sndv_range": q_ft_sndv_range,
         "ft_intervals": q_ft_intervals,
-        "ft_tfidf": q_ft_tfidf,
+        # ft_tfidf rotated to tail (similarities keep ft_lm_jm in-window);
+        # the BINARY docvalues entry takes the slot
+        "ft_binary_dv": q_ft_binary_dv,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_dfr": q_ft_dfr,
         "ft_axiomatic": q_ft_axiomatic,
         "ft_dfi": q_ft_dfi,
         "ft_ib": q_ft_ib,
         "ft_multi_sim": q_ft_multi_sim,
-        "ft_binary_dv": q_ft_binary_dv,
-        "ft_edismax": q_ft_edismax,
+        "ft_tfidf": q_ft_tfidf,
+        "ft_ssdv_filter": q_ft_ssdv_filter,
         "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
         "ft_iv_before": q_ft_iv_before,
         "ft_sort_multi": q_ft_sort_multi,
         "ft_exists": q_ft_exists,
-        "graph_gather": q_graph_gather,
+        "geo_distance": q_geo_distance,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
