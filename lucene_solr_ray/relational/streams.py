@@ -8,7 +8,10 @@ Three layers, mirroring the reference's registry design
    key=value, ...)`, nested expressions, double-quoted strings;
 2. a vectorized evaluator registry (io/eval/*, 249 files in the reference;
    here the arithmetic / boolean / string / temporal / column-statistics
-   subset as numpy kernels over Arrow batches);
+   core as numpy kernels over Arrow batches, plus the math families —
+   matrices, sequences, time series, statistics with real t/F p-values,
+   probability distributions, model fit + predict, k-means, FFT — from
+   evaluators.py);
 3. stream constructors that compose the EXISTING Ray Data operators in
    `relational.ops`, `pipelines.sources` and `search.searcher` — every
    stream stays a lazy Dataset; only the explicitly tuple-shaped streams
@@ -323,6 +326,15 @@ _EVALUATORS: dict = {
     "val": lambda x: x,
 }
 del _EVALUATORS["expr"]
+
+# extended families (matrices, sequences, time series, statistics with real
+# t/F p-values, probability distributions, model fit + predict, clustering,
+# FFT) live in evaluators.py; core entries keep precedence on name clashes
+from .evaluators import EXTENDED_EVALUATORS  # noqa: E402
+
+for _k, _v in EXTENDED_EVALUATORS.items():
+    _EVALUATORS.setdefault(_k, _v)
+del _k, _v
 
 _METRIC_KINDS = {"sum": "sum", "min": "min", "max": "max",
                  "avg": "mean", "count": "count",
@@ -647,7 +659,7 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
     if name == "tuple":
         cols = {}
         for k, v in named.items():
-            if isinstance(v, SExpr) and v.name in _STREAM_NAMES:
+            if _is_stream_node(v):
                 cols[k] = build_stream(v, ctx).to_pandas().to_dict("records")
             elif isinstance(v, SExpr):
                 cols[k] = compile_evaluator(v, ctx)()
@@ -664,7 +676,7 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
         for k, v in named.items():
             if k == "echo":
                 continue
-            if isinstance(v, SExpr) and v.name in _STREAM_NAMES:
+            if _is_stream_node(v):
                 ctx.lets[k] = build_stream(v, ctx)
             elif isinstance(v, SExpr):
                 ctx.lets[k] = compile_evaluator(v, ctx)()
@@ -714,6 +726,18 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
         f"unknown stream {name!r} (module-owned verbs — update/delete/"
         "commit/topic/daemon/train/knnSearch/significantTerms — have direct "
         "Python APIs; see index.maintenance, search.topic, relational.ml)")
+
+
+def _is_stream_node(v) -> bool:
+    """True when the SExpr should be built as a STREAM in a binding
+    position. Some names are dual-registered (the reference's Lang.java
+    maps 'rank' to both RankStream and RankEvaluator and resolves by
+    context); the stream form always takes a stream as its first arg."""
+    if not isinstance(v, SExpr) or v.name not in _STREAM_NAMES:
+        return False
+    if v.name in _EVALUATORS:
+        return bool(v.args) and isinstance(v.args[0], SExpr)
+    return True
 
 
 def _as_cell(v):
