@@ -151,6 +151,67 @@ def q_ft_phrase(sf_dir):
     return t.select(["doc_id"])
 
 
+def q_ft_common_terms(sf_dir):
+    """CommonTermsQuery (queries/CommonTermsQuery.java:61): 'dup' (~5% df)
+    lands in the low-freq MUST group, 'fast'/'query' (~75% df) in the
+    high-freq SHOULD group at max_term_frequency=0.4 — stable at every sf
+    because the synthetic vocabulary's df fractions are scale-invariant."""
+    from lucene_solr_ray.search.query import CommonTerms
+
+    s = _searcher64(sf_dir)
+    t = s.match_all(CommonTerms(terms=("dup", "fast", "query"),
+                                max_term_frequency=0.4))
+    return _round_col(t, "score")
+
+
+def _index_with_minm(sf_dir: str) -> str:
+    """Corpus + a per-doc NUMERIC docvalues field min_m = doc_id % 3 + 1
+    (missing on every 7th doc) for the CoveringQuery entry."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + ":minm").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    src = os.path.join(_CACHE_ROOT, f"minm_{key}.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        m = (ids % 3 + 1).astype(np.float64)
+        mask = ids % 7 == 0
+        pq.write_table(t.append_column(
+            "min_m", pa.array(np.where(mask, np.nan, m), pa.float64(),
+                              mask=mask)), src)
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8, batch_size=512,
+                           docvalues_fields=("min_m",))
+    build_index(src, index_dir, key_col="doc_id", text_col="text", cfg=cfg,
+                resume=True)
+    return index_dir
+
+
+def q_ft_covering(sf_dir):
+    """CoveringQuery (sandbox/search/CoveringQuery.java:35): per-doc
+    required match count from the min_m NUMERIC docvalues field."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import Covering, Term
+
+    s = IndexSearcher(_index_with_minm(sf_dir), dtype=np.float64)
+    t = s.match_all(Covering((Term("fast"), Term("query"), Term("scan")),
+                             "min_m"))
+    return _round_col(t, "score")
+
+
+def q_ft_phrase_wildcard(sf_dir):
+    """PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+    "fast s*" — exact lead term, prefix-expanded second position."""
+    from lucene_solr_ray.search.query import PhraseWildcard, Prefix
+
+    s = _searcher64(sf_dir)
+    t = s.match_all(PhraseWildcard(("fast", Prefix("s"))))
+    return t.select(["doc_id"])
+
+
 def q_ft_prefix(sf_dir):
     s = _searcher64(sf_dir)
     return s.match_all("fa*").select(["doc_id"])
@@ -2100,15 +2161,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geo_distance rotated to tail (geo family keeps 3 window slots);
         # the graph-traversal family takes the slot
         "graph_gather": q_graph_gather,
-        "ft_after_delete": q_ft_after_delete,
+        # ft_after_delete / ft_field_filter rotated to tail (both passed
+        # rows+schema+hash in round 2); the continuation-session sandbox
+        # queries (CommonTerms / Covering / PhraseWildcard) take the slots,
+        # and ft_span_not rotates out keeping ft_span_near for the family
+        "ft_common_terms": q_ft_common_terms,
+        "ft_covering": q_ft_covering,
+        "ft_phrase_wildcard": q_ft_phrase_wildcard,
         "ft_iodv": q_ft_iodv,
-        "ft_span_not": q_ft_span_not,
         "ft_rescore": q_ft_rescore,
         "facet_taxonomy": q_facet_taxonomy,
         "mm_decode_real": q_mm_decode_real,
         "ft_lm_jm": q_ft_lm_jm,
         "mm_audio_real": q_mm_audio_real,
-        "ft_field_filter": q_ft_field_filter,
         # --- round-3 additions: SORTED string docvalues, intervals ---
         "ft_sort_string": q_ft_sort_string,
         "ft_facet_dv": q_ft_facet_dv,
@@ -2142,6 +2207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 1 and round 2 (hll_distinct/to_child_join in round 2);
         # code untouched since round 2.
         "ann_topk": q_ann_topk,
+        "ft_after_delete": q_ft_after_delete,
+        "ft_field_filter": q_ft_field_filter,
+        "ft_span_not": q_ft_span_not,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "lang_id": q_lang_id,
@@ -2580,6 +2648,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_and": osql.sql_bm25_and(["fast", "query"]),
         "ft_count": osql.sql_count_term("fast"),
         "ft_phrase": osql.sql_phrase_docs("fast query"),
+        "ft_common_terms": osql.sql_common_terms(["dup", "fast", "query"],
+                                                 0.4),
+        "ft_covering": osql.sql_covering(["fast", "query", "scan"]),
+        "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_prefix": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                          FROM documents)

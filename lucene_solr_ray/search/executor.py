@@ -160,7 +160,13 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
         elif isinstance(n, DisMax):
             for c in n.clauses:
                 walk(c)
-        elif isinstance(n, Bool):
+        else:
+            from .query import Covering as _Cov
+
+            if isinstance(n, _Cov):
+                for c in n.clauses:
+                    walk(c)
+        if isinstance(n, Bool):
             for c in n.must + n.should + n.must_not + n.filter:
                 walk(c)
 
@@ -638,6 +644,36 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             if name in fn.variables:
                 env[name] = vals[idx]
         return docs, (node.boost * fn(env)).astype(dtype)
+    from .query import Covering as _Covering
+
+    if isinstance(node, _Covering):
+        # CoveringQuery (sandbox/search/CoveringQuery.java:35 /
+        # CoveringScorer.java:94-115): per-doc required match count from a
+        # NUMERIC docvalues field; missing value = never matches; values
+        # below 1 count as 1; score = sum of matching clauses' scores
+        dv = shard.docvalues.get(node.min_match_field)
+        if dv is None:
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        res = [eval_node(shard, c, weights, dtype) for c in node.clauses]
+        res = [(d, s) for d, s in res if len(d)]
+        if not res:
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        docs = np.concatenate([d for d, _ in res])
+        scores = np.concatenate([s for _, s in res]).astype(np.float64)
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        new = np.empty(len(docs), dtype=bool)
+        new[0] = True
+        new[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(new)
+        udocs = docs[starts]
+        sums = np.add.reduceat(scores, starts)
+        counts = np.diff(np.append(starts, len(docs)))
+        idx = np.searchsorted(shard.doc_ids, udocs)
+        vals = dv[idx]
+        need = np.maximum(vals, 1.0)  # values < 1 treated as 1
+        keep = ~np.isnan(vals) & (counts >= need)
+        return udocs[keep], (node.boost * sums[keep]).astype(dtype)
     if isinstance(node, Synonym):
         # summed member freqs scored as one term with blended stats
         tw = weights[("\x1fSYN\x1f".join(node.terms), node.boost)]

@@ -141,6 +141,32 @@ def rewrite(node, expander):
         if not terms:
             return Bool()
         return ConstantScore(TermInSet(tuple(terms)), node.boost)
+    from .query import Covering, MultiPhrase, PhraseWildcard
+
+    if isinstance(node, PhraseWildcard):
+        # PhraseWildcardQuery rewrite: expand every pattern position against
+        # the term dictionary (globally unioned; the reference expands per
+        # segment under the same expansion budget —
+        # sandbox/search/PhraseWildcardQuery.java), then evaluate as a
+        # MultiPhrase through the exact union-positions matcher.
+        positions = []
+        for p in node.positions:
+            if isinstance(p, str):
+                positions.append((p,))
+            elif isinstance(p, Term):
+                positions.append((p.text,))
+            else:
+                terms = expander(p)
+                if not terms:
+                    return Bool()  # a position with no matching term: no docs
+                positions.append(tuple(terms[: node.max_expansions]))
+        if all(len(p) == 1 for p in positions):
+            return Phrase(tuple(p[0] for p in positions), node.boost,
+                          node.slop)
+        return MultiPhrase(tuple(positions), node.boost, node.slop)
+    if isinstance(node, Covering):
+        return Covering(tuple(rewrite(c, expander) for c in node.clauses),
+                        node.min_match_field, node.boost)
     from .query import IntervalQuery
 
     if isinstance(node, IntervalQuery):

@@ -268,6 +268,71 @@ WHERE (' ' || text || ' ') LIKE '% {phrase} %'
 ORDER BY doc_id"""
 
 
+def sql_common_terms(terms: list[str], mtf: float) -> str:
+    """CommonTermsQuery mirror (queries/CommonTermsQuery.java:158-222),
+    default SHOULD/SHOULD occurs: the low/high split is computed from the
+    DATA (df > ceil(mtf * docCount) -> high-freq group); a doc matches when
+    it contains at least one LOW-freq term, scored as the BM25 sum over all
+    matching query terms (low group MUST + high group SHOULD, both pure
+    disjunctions, scores additive)."""
+    quoted_vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {bm25_cte()},
+qt(term) AS (VALUES {quoted_vals}),
+split AS (
+  SELECT qt.term,
+         CASE WHEN coalesce(d.df, 0) >
+              ceil({mtf} * (SELECT n FROM stats)) THEN 1 ELSE 0 END AS hi
+  FROM qt LEFT JOIN df d ON d.term = qt.term
+)
+SELECT t.doc_id AS doc_id,
+       round(sum({bm25_term_score_sql("t.term")}), {ROUND}) AS score
+FROM tf t
+JOIN split sp ON sp.term = t.term
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+HAVING max(CASE WHEN sp.hi = 0 THEN 1 ELSE 0 END) = 1
+ORDER BY doc_id"""
+
+
+def sql_covering(terms: list[str]) -> str:
+    """CoveringQuery mirror (sandbox/search/CoveringQuery.java:35): per-doc
+    required match count min_m = doc_id mod 3 + 1 (NULL — never matches —
+    every 7th doc), matching docs need count(matching clauses) >=
+    greatest(1, min_m); score = BM25 sum of the matching clauses."""
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {bm25_cte()},
+minm AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL
+                      ELSE doc_id % 3 + 1 END AS m
+  FROM documents
+)
+SELECT t.doc_id AS doc_id,
+       round(sum({bm25_term_score_sql("t.term")}), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+JOIN minm mm ON mm.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term IN ({quoted}) AND mm.m IS NOT NULL
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.term) >= greatest(1, max(mm.m))
+ORDER BY doc_id"""
+
+
+def sql_phrase_prefix_docs(lead: str, prefix: str) -> str:
+    """PhraseWildcardQuery mirror: token i == lead, token i+1 starts with
+    prefix (single-spaced corpus text; the trailing %% spans the rest of
+    the second token)."""
+    return f"""
+SELECT doc_id FROM documents
+WHERE (' ' || text || ' ') LIKE '% {lead} {prefix}%'
+ORDER BY doc_id"""
+
+
 def sql_quality_eval(queries: list[tuple[str, str, str]], k: int = 10) -> str:
     """Relevance-eval metrics in SQL (QualityBenchmark/QualityStats oracle,
     quality/QualityStats.java:68-113): each (query_id, term, rel_term)

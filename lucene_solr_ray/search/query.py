@@ -281,6 +281,162 @@ class Bool:
     min_should: int = 0
 
 
+@dataclass(frozen=True)
+class CommonTerms:
+    """CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java:61):
+    terms are split into low-df and high-df groups by max_term_frequency
+    (absolute df cutoff when >= 1, else a fraction of doc_count) and
+    rewritten at search time — buildQuery (:158-222) — into
+    Bool(must=[low-freq group], should=[high-freq group]). Occur values:
+    'should' (with the fractional minimum-should-match calc) or 'must'.
+    Rewrite needs global df, so it runs in the searcher (the reference
+    equally rewrites against the IndexReader)."""
+    terms: tuple
+    max_term_frequency: float = 0.01
+    low_freq_occur: str = "should"
+    high_freq_occur: str = "should"
+    low_min_should: float = 0.0   # <1.0 = fraction of optional clauses
+    high_min_should: float = 0.0
+    low_boost: float = 1.0
+    high_boost: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Covering:
+    """CoveringQuery (lucene/sandbox/.../search/CoveringQuery.java:35):
+    per-doc minimum-match count read from a NUMERIC docvalues field;
+    values < 1 are treated as 1; docs missing the field never match;
+    score = sum of the matching clauses' scores (CoveringScorer.java:94-115
+    advances only while the potential match count can reach minMatch)."""
+    clauses: tuple
+    min_match_field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseWildcard:
+    """PhraseWildcardQuery (lucene/sandbox/.../search/
+    PhraseWildcardQuery.java): a phrase where any position may be a
+    multi-term pattern (wildcard/prefix/fuzzy...). The reference expands
+    segment-by-segment under a shared maxMultiTermExpansions budget; here
+    each pattern position expands once against the GLOBAL term dictionary
+    (same matches — a term matching in any segment is in the union) and the
+    result is a MultiPhrase evaluated by the existing exact matcher."""
+    positions: tuple  # each element: str exact term OR a multi-term node
+    max_expansions: int = 128
+    slop: int = 0
+    boost: float = 1.0
+
+
+def rewrite_common_terms(node, df_of, max_doc: int):
+    """Resolve CommonTerms nodes into Bool trees using global df stats
+    (CommonTermsQuery.buildQuery, CommonTermsQuery.java:158-222).
+
+    df_of: term -> collection doc freq; max_doc: collection doc count."""
+    import math
+
+    def _min_should(f: float, num_optional: int) -> int:
+        # CommonTermsQuery.minNrShouldMatch (:171-176): >=1 or ==0 pass
+        # through as int; a fraction rounds against the optional count
+        if f >= 1.0 or f == 0.0:
+            return int(f)
+        return int(math.floor(f * num_optional + 0.5))  # Java Math.round
+
+    def _group(terms, occur, msm: int, gboost: float, boost: float):
+        # fold the reference's BoostQuery(group, groupBoost) into the term
+        # boosts — BM25 scores are linear in boost, and the group scores
+        # sum, so per-term scaling is exact
+        ts = [Term(t, gboost * boost) for t in terms]
+        if occur == "must":
+            return Bool(must=ts)
+        return Bool(should=ts, min_should=msm)
+
+    if isinstance(node, CommonTerms):
+        if not node.terms:
+            return Bool()
+        if len(node.terms) == 1:
+            return Term(node.terms[0], node.boost)
+        low, high = [], []
+        frac_cut = int(math.ceil(node.max_term_frequency * max_doc))
+        for t in node.terms:
+            df = df_of(t)
+            if df == 0:
+                low.append(t)  # null TermStates -> low-freq group (:166)
+            elif ((node.max_term_frequency >= 1.0
+                   and df > node.max_term_frequency)
+                  or df > frac_cut):
+                high.append(t)
+            else:
+                low.append(t)
+        low_occur, high_occur = node.low_freq_occur, node.high_freq_occur
+        low_msm = (_min_should(node.low_min_should, len(low))
+                   if low_occur == "should" and low else 0)
+        high_msm = (_min_should(node.high_min_should, len(high))
+                    if high_occur == "should" and high else 0)
+        if not low:
+            # all terms common: conjunction of the high-freq terms unless a
+            # quorum/occur was configured (:197-204)
+            if high_msm == 0 and high_occur != "must":
+                high_occur = "must"
+            return _group(high, high_occur, high_msm, node.high_boost,
+                          node.boost)
+        outer = Bool(must=[_group(low, low_occur, low_msm, node.low_boost,
+                                  node.boost)])
+        if high:
+            outer.should.append(_group(high, high_occur, high_msm,
+                                       node.high_boost, node.boost))
+        return outer
+    if isinstance(node, ConstantScore):
+        return ConstantScore(rewrite_common_terms(node.query, df_of, max_doc),
+                             node.boost)
+    if isinstance(node, FunctionScore):
+        return FunctionScore(rewrite_common_terms(node.query, df_of, max_doc),
+                             node.expr, node.boost)
+    if isinstance(node, DisMax):
+        return DisMax(tuple(rewrite_common_terms(c, df_of, max_doc)
+                            for c in node.clauses), node.tiebreak)
+    if isinstance(node, Covering):
+        return Covering(tuple(rewrite_common_terms(c, df_of, max_doc)
+                              for c in node.clauses),
+                        node.min_match_field, node.boost)
+    if isinstance(node, Bool):
+        return Bool(
+            must=[rewrite_common_terms(c, df_of, max_doc) for c in node.must],
+            should=[rewrite_common_terms(c, df_of, max_doc)
+                    for c in node.should],
+            must_not=[rewrite_common_terms(c, df_of, max_doc)
+                      for c in node.must_not],
+            filter=[rewrite_common_terms(c, df_of, max_doc)
+                    for c in node.filter],
+            min_should=node.min_should,
+        )
+    return node
+
+
+def collect_common_terms(node) -> list[str]:
+    """All terms under CommonTerms nodes (one batched stats fetch for the
+    distributed searcher's rewrite)."""
+    out: list[str] = []
+
+    def walk(n):
+        if n is None:
+            return
+        if isinstance(n, CommonTerms):
+            out.extend(n.terms)
+        elif isinstance(n, (ConstantScore, FunctionScore)):
+            walk(n.query)
+        elif isinstance(n, (DisMax, Covering)):
+            for c in n.clauses:
+                walk(c)
+        elif isinstance(n, Bool):
+            for c in n.must + n.should + n.must_not + n.filter:
+                walk(c)
+
+    walk(node)
+    return list(dict.fromkeys(out))
+
+
 _TOKEN_RE = re.compile(
     r'\(|\)|[A-Za-z_][A-Za-z0-9_]*:"[^"]*"|"[^"]*"|\[[^\]]*\]|/[^/]*/'
     r'|AND\b|OR\b|NOT\b|[^\s()]+')
@@ -505,6 +661,18 @@ def apply_stemmer(node, stem):
         return IntervalQuery(stem_source(node.source, st), node.boost)
     if isinstance(node, ConstantScore):
         return ConstantScore(apply_stemmer(node.query, stem), node.boost)
+    if isinstance(node, CommonTerms):
+        from dataclasses import replace
+
+        return replace(node, terms=tuple(st(t) for t in node.terms))
+    if isinstance(node, Covering):
+        return Covering(tuple(apply_stemmer(c, stem) for c in node.clauses),
+                        node.min_match_field, node.boost)
+    if isinstance(node, PhraseWildcard):
+        return PhraseWildcard(
+            tuple(st(p) if isinstance(p, str)
+                  else apply_stemmer(p, stem) for p in node.positions),
+            node.max_expansions, node.slop, node.boost)
     if isinstance(node, DisMax):
         return DisMax(tuple(apply_stemmer(c, stem) for c in node.clauses),
                       node.tiebreak)
@@ -559,9 +727,11 @@ def query_terms(node) -> list[str]:
         elif isinstance(n, MultiPhrase):
             for pos_terms in n.positions:
                 out.extend(pos_terms)
+        elif isinstance(n, CommonTerms):
+            out.extend(n.terms)
         elif isinstance(n, ConstantScore):
             walk(n.query)
-        elif isinstance(n, DisMax):
+        elif isinstance(n, (DisMax, Covering)):
             for c in n.clauses:
                 walk(c)
         elif isinstance(n, Bool):

@@ -212,7 +212,14 @@ class IndexSearcher:
                 terms = sorted(ranked[: n.max_expansions])
             return terms
 
-        return rewrite(node, expander)
+        node = rewrite(node, expander)
+        from .query import collect_common_terms, rewrite_common_terms
+
+        if collect_common_terms(node):
+            node = rewrite_common_terms(
+                node, lambda t: self.reader.term_stats(t)[0],
+                self.reader.doc_count)
+        return node
 
     def search(self, query, k: int = 10, use_wand: bool = True) -> pa.Table:
         from .executor import MaxScoreAccumulator
@@ -470,6 +477,15 @@ class DistributedSearcher:
             return out
 
         node = rewrite(node, expander)
+        from .query import collect_common_terms, rewrite_common_terms
+
+        ct_terms = collect_common_terms(node)
+        if ct_terms:
+            # one batched stats fetch feeds the CommonTerms df split
+            sp = ray.get([a.term_stats.remote(ct_terms) for a in self.actors])
+            dfm = {t: sum(p[t][0] for p in sp) for t in ct_terms}
+            node = rewrite_common_terms(node, lambda t: dfm.get(t, 0),
+                                        self.doc_count)
         terms = query_terms(node)
         # phase 1: global term stats (createWeight)
         stats_parts = ray.get([a.term_stats.remote(terms) for a in self.actors])
@@ -553,9 +569,12 @@ class DistributedSearcher:
                 for c in n.must + n.should + n.must_not + n.filter:
                     walk(c)
             else:
-                from .query import FunctionScore
+                from .query import Covering, FunctionScore
                 if isinstance(n, FunctionScore):
                     walk(n.query)
+                elif isinstance(n, Covering):
+                    for c in n.clauses:
+                        walk(c)
 
         walk(node)
         # phase 2: scatter search, gather + merge
