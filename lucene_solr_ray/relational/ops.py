@@ -159,6 +159,37 @@ def facet_counts(ds: Dataset, key: str, count_name: str = "cnt") -> Dataset:
     return rollup(ds, [key], [("count", None, count_name)])
 
 
+def pivot_facets(ds: Dataset, fields: list[str], count_name: str = "cnt",
+                 all_label: str = "(all)") -> pa.Table:
+    """facet.pivot (solr/core/.../component/PivotFacetProcessor.java):
+    hierarchical counts over a field list, emitted as the full ROLLUP
+    lattice — one row per (f1, ..., fk) leaf plus every rolled-up level
+    (rolled-up positions carry `all_label`) and the grand total.
+
+    Scale shape: ONE map-side-combined groupby over the leaf key (the only
+    shuffle, bucket-cardinality rows); every higher level re-aggregates the
+    leaf table driver-side, which is vocabulary-sized, never corpus-sized —
+    the reference likewise refines from per-shard leaf buckets rather than
+    re-scanning."""
+    leaf = rollup(ds, list(fields), [("count", None, count_name)]).to_pandas()
+    import pandas as pd
+
+    parts = [leaf]
+    for k in range(len(fields) - 1, -1, -1):
+        if k == 0:
+            lvl = pd.DataFrame({count_name: [int(leaf[count_name].sum())]})
+        else:
+            lvl = (leaf.groupby(list(fields[:k]), as_index=False)
+                   [count_name].sum())
+        for f in fields[k:]:
+            lvl[f] = all_label
+        parts.append(lvl[list(fields) + [count_name]])
+    out = pd.concat(parts, ignore_index=True)
+    cols = {f: pa.array(out[f].astype(str), pa.string()) for f in fields}
+    cols[count_name] = pa.array(out[count_name].astype("int64"), pa.int64())
+    return pa.table(cols)
+
+
 def relatedness_facet(ds: Dataset, key: str, fg_col: str,
                       round_nd: int = 6) -> pa.Table:
     """RelatednessAgg (solr/.../search/facet/RelatednessAgg.java:52): per

@@ -745,6 +745,86 @@ def facet_keyword_field(index_dir: str, field: str, query=None,
     })
 
 
+def terms_enum(index_dir: str, field: str | None = None, prefix: str = "",
+               regex: str | None = None, lower: str | None = None,
+               upper: str | None = None, mincount: int = 1,
+               maxcount: int | None = None, limit: int = 10,
+               sort: str = "count") -> pa.Table:
+    """TermsComponent (solr/core/.../handler/component/TermsComponent.java):
+    enumerate a field's terms with their doc frequencies, filtered by
+    terms.prefix / terms.regex / terms.lower..terms.upper /
+    terms.mincount/maxcount, sorted by count (df desc, term asc) or index
+    (term asc), limited to terms.limit.
+
+    Distributed: one pruned-column read of the postings parquet (term, df
+    only), a vectorized per-batch filter, one groupby(term) partial sum —
+    the aggregated table is vocabulary-sized, so the final sort+limit is
+    cheap at any corpus scale. df is the RAW doc frequency (the reference's
+    docFreq likewise counts tombstoned docs until they merge away).
+
+    field=None enumerates the main text field (terms without a field
+    namespace); a named field reads its 'field:value' keyword/analyzed
+    postings."""
+    import os
+    import re as _re
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ns = (field + ":") if field else ""
+    rx = _re.compile(regex) if regex else None
+    ds = ray.data.read_parquet(os.path.join(index_dir, "postings"),
+                               columns=["term", "df"])
+
+    def part(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t, out_d = [], []
+        for i, x in enumerate(terms):
+            if ns:
+                if not x.startswith(ns):
+                    continue
+                x = x[len(ns):]
+            elif ":" in x:
+                continue  # keyword / analyzed-field namespace
+            if prefix and not x.startswith(prefix):
+                continue
+            if lower is not None and x < lower:
+                continue
+            if upper is not None and x > upper:
+                continue
+            if rx is not None and rx.fullmatch(x) is None:
+                continue
+            out_t.append(x)
+            out_d.append(dfs[i])
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "df": pa.array(out_d, pa.int64())})
+
+    agg = ds.map_batches(part, batch_format="pyarrow").groupby("term") \
+        .aggregate(Sum("df", alias_name="df"))
+
+    def count_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.greater_equal(t["df"], mincount)
+        if maxcount is not None:
+            m = pc.and_(m, pc.less_equal(t["df"], maxcount))
+        return t.filter(m)
+
+    agg = agg.map_batches(count_filter, batch_format="pyarrow")
+    if sort == "count":
+        rows = agg.sort(["df", "term"], descending=[True, False])
+    else:
+        rows = agg.sort("term")
+    if limit is not None:
+        rows = rows.limit(limit)  # only `limit` rows reach the driver
+    out = rows.take_all()
+    return pa.table({
+        "term": pa.array([r["term"] for r in out], pa.string()),
+        "df": pa.array([r["df"] for r in out], pa.int64()),
+    })
+
+
 def significant_terms(searcher: IndexSearcher, query: str, top_n: int = 10,
                       min_df: int = 2) -> pa.Table:
     """Terms over-represented in the matching set vs the background.
