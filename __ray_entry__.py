@@ -212,6 +212,44 @@ def q_ft_phrase_wildcard(sf_dir):
     return t.select(["doc_id"])
 
 
+def _index_with_fields(sf_dir: str) -> str:
+    """Two-analyzed-field corpus derived deterministically from text
+    (title = first 3 tokens, body = the rest) for the BM25F entry."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    key = hashlib.md5((sf_dir + ":flds").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    src = os.path.join(_CACHE_ROOT, f"flds_{key}.parquet")
+    if not os.path.exists(src):
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        toks = [s.split(" ") for s in t["text"].to_pylist()]
+        pq.write_table(t.append_column(
+            "title", pa.array([" ".join(x[:3]) for x in toks], pa.string())
+        ).append_column(
+            "body", pa.array([" ".join(x[3:]) for x in toks], pa.string())
+        ), src)
+    cfg = IndexBuildConfig(
+        num_shards=4, num_buckets=8, batch_size=512,
+        analyzed_fields=(("title", "", ""), ("body", "", "")))
+    build_index(src, index_dir, key_col="doc_id", text_col="text", cfg=cfg,
+                resume=True)
+    return index_dir
+
+
+def q_ft_bm25f(sf_dir):
+    """BM25FQuery (sandbox/search/BM25FQuery.java:58): 'fast' scored across
+    title^1 + body^2 as one pseudo-field with combined norms."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import CombinedField
+
+    s = IndexSearcher(_index_with_fields(sf_dir), dtype=np.float64)
+    t = s.match_all(CombinedField((("title", 1.0), ("body", 2.0)), ("fast",)))
+    return _round_col(t, "score")
+
+
 def q_ft_terms_enum(sf_dir):
     """TermsComponent (solr/.../component/TermsComponent.java): prefix
     's' terms by df desc, term asc, limit 10 — distributed postings-only
@@ -2256,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_terms_enum": q_ft_terms_enum,
         "facet_pivot": q_facet_pivot,
         "urp_chain": q_urp_chain,
+        "ft_bm25f": q_ft_bm25f,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2702,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
                                                  0.4),
         "ft_covering": osql.sql_covering(["fast", "query", "scan"]),
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
+        "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_terms_enum": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                          FROM documents),

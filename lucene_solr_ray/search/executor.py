@@ -161,17 +161,85 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
             for c in n.clauses:
                 walk(c)
         else:
+            from .query import CombinedField as _CF
             from .query import Covering as _Cov
 
             if isinstance(n, _Cov):
                 for c in n.clauses:
                     walk(c)
+            elif isinstance(n, _CF):
+                # BM25FQuery pseudo stats (BM25FQuery.java:279-315)
+                key = _cf_key(n)
+                if key not in weights:
+                    df = 0
+                    ttf = 0.0
+                    for f, fw in n.field_weights:
+                        for t in n.terms:
+                            d, tt = reader.term_stats(f"{f}:{t}")
+                            df = max(df, d)
+                            ttf += float(np.float32(fw)) * tt
+                    dc = 0
+                    sttf = 0.0
+                    for f, fw in n.field_weights:
+                        fn_, fttf_ = reader.field_stats(f)
+                        dc = max(dc, fn_)
+                        sttf += float(np.float32(fw)) * fttf_
+                    if hasattr(sim, "set_field"):
+                        sim.set_field(None)
+                    w = sim.weight(df, max(1, int(ttf)), max(1, dc),
+                                   max(1, int(sttf)), n.boost, dtype)
+                    w.norm_field = None  # kernel combines norms itself
+                    weights[key] = w
         if isinstance(n, Bool):
             for c in n.must + n.should + n.must_not + n.filter:
                 walk(c)
 
     walk(node)
     return weights
+
+
+def _cf_key(n) -> tuple:
+    return ("\x1fCF\x1f"
+            + "|".join(f"{f}^{w}" for f, w in n.field_weights)
+            + "\x1f" + "|".join(n.terms), n.boost)
+
+
+def _score_combined_field(shard: ShardReader, node, weights, dtype):
+    """BM25FQuery scorer: weighted freq sum over all (term, field)
+    postings, norm = combined per-field norms (MultiNormsLeafSimScorer)."""
+    from ..util.smallfloat import byte4_to_int_vec, int_to_byte4_vec
+
+    tw = weights[_cf_key(node)]
+    parts = []
+    for f, fw in node.field_weights:
+        for t in node.terms:
+            d, fr = shard.postings(f"{f}:{t}")
+            if len(d):
+                parts.append((d, fr.astype(np.float64) * np.float32(fw)))
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, dtype)
+    docs = np.concatenate([d for d, _ in parts])
+    freqs = np.concatenate([fr for _, fr in parts])
+    order = np.argsort(docs, kind="stable")
+    docs, freqs = docs[order], freqs[order]
+    new = np.empty(len(docs), dtype=bool)
+    new[0] = True
+    new[1:] = docs[1:] != docs[:-1]
+    starts = np.flatnonzero(new)
+    udocs = docs[starts]
+    wfreqs = np.add.reduceat(freqs, starts)
+    fields = [f for f, _ in node.field_weights]
+    if len(fields) == 1:
+        norms = shard.norms_for(udocs, fields[0])
+    else:
+        # weighted decoded-length sum, re-quantized
+        # (MultiNormsLeafSimScorer.java:124-133; Java Math.round = floor+0.5)
+        acc = np.zeros(len(udocs), dtype=np.float64)
+        for f, fw in node.field_weights:
+            nb = shard.norms_for(udocs, f)
+            acc += np.float32(fw) * byte4_to_int_vec(nb).astype(np.float64)
+        norms = int_to_byte4_vec(np.floor(acc + 0.5).astype(np.int64))
+    return udocs, score_postings(tw, wfreqs, norms, dtype)
 
 
 def _score_term(shard: ShardReader, node: Term, weights, dtype):
@@ -644,6 +712,10 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             if name in fn.variables:
                 env[name] = vals[idx]
         return docs, (node.boost * fn(env)).astype(dtype)
+    from .query import CombinedField as _CombinedField
+
+    if isinstance(node, _CombinedField):
+        return _score_combined_field(shard, node, weights, dtype)
     from .query import Covering as _Covering
 
     if isinstance(node, _Covering):

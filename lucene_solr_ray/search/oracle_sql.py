@@ -323,6 +323,61 @@ HAVING count(DISTINCT t.term) >= greatest(1, max(mm.m))
 ORDER BY doc_id"""
 
 
+def sql_bm25f(term: str, title_len: int = 3, wt: float = 1.0,
+              wb: float = 2.0) -> str:
+    """BM25FQuery mirror (sandbox/search/BM25FQuery.java:58) over the
+    derived two-field corpus (title = first `title_len` tokens, body =
+    rest): pseudo df = greatest of the field dfs, docCount = greatest of
+    the field doc counts, sumTTF = weighted field length sums; per doc
+    freq = weighted tf sum and norm = requantized weighted sum of the
+    per-field quantized lengths (MultiNormsLeafSimScorer.java:124-133)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+flds AS (
+  SELECT doc_id,
+         list_slice(toks, 1, {title_len}) AS title,
+         list_slice(toks, {title_len + 1}, len(toks)) AS body
+  FROM base
+),
+per AS (
+  SELECT doc_id,
+         len(list_filter(title, x -> x = '{term}')) AS tf_t,
+         len(list_filter(body,  x -> x = '{term}')) AS tf_b,
+         len(title) AS dl_t, len(body) AS dl_b
+  FROM flds
+),
+st AS (
+  SELECT greatest(count(*) FILTER (WHERE tf_t > 0),
+                  count(*) FILTER (WHERE tf_b > 0)) AS df,
+         greatest(count(*) FILTER (WHERE dl_t > 0),
+                  count(*) FILTER (WHERE dl_b > 0)) AS dc,
+         CAST({wt} * sum(dl_t) + {wb} * sum(dl_b) AS BIGINT) AS sttf
+  FROM per
+),
+lut(v) AS (VALUES {_lut_values()}),
+scored AS (
+  SELECT p.doc_id,
+         {wt} * p.tf_t + {wb} * p.tf_b AS freq,
+         (SELECT max(l.v) FROM lut l WHERE l.v <= floor(
+             {wt} * (SELECT max(a.v) FROM lut a WHERE a.v <= p.dl_t)
+           + {wb} * (SELECT max(b.v) FROM lut b WHERE b.v <= p.dl_b)
+           + 0.5)) AS dlq,
+         s.df AS df, s.dc AS dc, s.sttf * 1.0 / s.dc AS avgdl
+  FROM per p CROSS JOIN st s
+  WHERE {wt} * p.tf_t + {wb} * p.tf_b > 0
+)
+SELECT doc_id,
+       round(
+         ln(1 + (dc - df + 0.5) / (df + 0.5))
+         - ln(1 + (dc - df + 0.5) / (df + 0.5))
+           / (1 + freq * (1.0 / ({K1} * ((1 - {B}) + {B} * dlq / avgdl)))),
+         {ROUND}) AS score
+FROM scored
+ORDER BY doc_id"""
+
+
 def sql_phrase_prefix_docs(lead: str, prefix: str) -> str:
     """PhraseWildcardQuery mirror: token i == lead, token i+1 starts with
     prefix (single-spaced corpus text; the trailing %% spans the rest of

@@ -315,6 +315,28 @@ class Covering:
 
 
 @dataclass(frozen=True)
+class CombinedField:
+    """BM25FQuery / CombinedFieldQuery (lucene/sandbox/.../search/
+    BM25FQuery.java:58): scores terms across several analyzed fields AS ONE
+    pseudo-field. Pseudo term stats (:279-294): df = max over all
+    (term, field) pairs, ttf = max(1, sum of weight_f * ttf(term, field));
+    pseudo collection stats (:302-315): docCount = max over fields,
+    sumTotalTermFreq = sum of weight_f * sumTTF(field). Per doc:
+    freq = sum of weight_f * tf (WeightedDisiWrapper.freq :397-408, float),
+    norm = the single field's norm byte when only one field carries norms,
+    else intToByte4(round(sum weight_f * byte4ToInt(norm_f)))
+    re-quantized (MultiNormsLeafSimScorer.java:124-133). Field weights
+    must be >= 1 (Builder.addField :98-102)."""
+    field_weights: tuple  # ((analyzed_field, weight), ...)
+    terms: tuple
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if any(w < 1 for _, w in self.field_weights):
+            raise ValueError("field weight must be greater or equal to 1")
+
+
+@dataclass(frozen=True)
 class PhraseWildcard:
     """PhraseWildcardQuery (lucene/sandbox/.../search/
     PhraseWildcardQuery.java): a phrase where any position may be a
@@ -729,6 +751,9 @@ def query_terms(node) -> list[str]:
                 out.extend(pos_terms)
         elif isinstance(n, CommonTerms):
             out.extend(n.terms)
+        elif isinstance(n, CombinedField):
+            out.extend(f"{f}:{t}" for f, _ in n.field_weights
+                       for t in n.terms)
         elif isinstance(n, ConstantScore):
             walk(n.query)
         elif isinstance(n, (DisMax, Covering)):

@@ -569,12 +569,34 @@ class DistributedSearcher:
                 for c in n.must + n.should + n.must_not + n.filter:
                     walk(c)
             else:
-                from .query import Covering, FunctionScore
+                from .query import CombinedField, Covering, FunctionScore
                 if isinstance(n, FunctionScore):
                     walk(n.query)
                 elif isinstance(n, Covering):
                     for c in n.clauses:
                         walk(c)
+                elif isinstance(n, CombinedField):
+                    from .executor import _cf_key
+
+                    key = _cf_key(n)
+                    if key not in weights:
+                        # BM25FQuery pseudo stats from the gathered dicts
+                        pseudo_df = max(
+                            (df[f"{f}:{t}"] for f, _ in n.field_weights
+                             for t in n.terms), default=0)
+                        pttf = sum(
+                            float(np.float32(fw)) * ttf[f"{f}:{t}"]
+                            for f, fw in n.field_weights for t in n.terms)
+                        dc = max((fstats.get(f, (0, 0))[0]
+                                  for f, _ in n.field_weights), default=0)
+                        sttf = sum(
+                            float(np.float32(fw)) * fstats.get(f, (0, 0))[1]
+                            for f, fw in n.field_weights)
+                        w = sim.weight(pseudo_df, max(1, int(pttf)),
+                                       max(1, dc), max(1, int(sttf)),
+                                       n.boost, self.dtype)
+                        w.norm_field = None
+                        weights[key] = w
 
         walk(node)
         # phase 2: scatter search, gather + merge
