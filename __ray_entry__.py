@@ -1978,6 +1978,29 @@ def q_ann_topk(sf_dir):
     return out.rename_columns(["query_id", "vec_id", "cosine", "rank"])
 
 
+def q_ann_ivf(sf_dir):
+    """IVF-Flat ANN (k-means lists, partitioned layout): probing ALL lists
+    is exact, so this entry verifies the entire IVF plumbing — training,
+    assignment, partitioned write, probe mask, merge — against the same SQL
+    oracle as brute force; recall at small nprobe is pytest-pinned."""
+    from lucene_solr_ray.ann import build_ivf_index, ivf_index_search
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    key = hashlib.md5((sf_dir + ":ivf").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"ivf_{key}")
+    if not os.path.exists(os.path.join(index_dir, "ivf_meta.json")):
+        build_ivf_index(emb, index_dir, "vec_id", "embedding", n_lists=16)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    order = pc.sort_indices(qt["vec_id"])
+    head = qt.take(order.slice(0, 3))
+    queries = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    out = ivf_index_search(index_dir, queries, k=10, nprobe=16)
+    out = _round_col(out, "cosine", 4)
+    return out.rename_columns(["query_id", "vec_id", "cosine", "rank"])
+
+
 def q_ann_lsh(sf_dir):
     # LSH top-2 over the planted-duplicate corpus: each query's true top-2
     # (itself + its exact copy) shares its bucket in every hash table, so
@@ -2295,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_pivot": q_facet_pivot,
         "urp_chain": q_urp_chain,
         "ft_bm25f": q_ft_bm25f,
+        "ann_ivf": q_ann_ivf,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -3031,6 +3055,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, length(d.text) AS n_chars, t.n_tokens,
                    t.mean_token_len, t.stopword_ratio
             FROM documents d JOIN t ON d.doc_id = t.doc_id""",
+        "ann_ivf": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding FROM embeddings
+              WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+            ), sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+              FROM sims) WHERE rank <= 10""",
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding FROM embeddings
