@@ -250,6 +250,30 @@ def q_ft_bm25f(sf_dir):
     return _round_col(t, "score")
 
 
+def q_ft_blended(sf_dir):
+    """BlendedTermQuery (core/search/BlendedTermQuery.java): 'dup' + 'fast'
+    with artificial max-df stats, DisjunctionMax(0.01) combine."""
+    from lucene_solr_ray.search.query import BlendedTerm
+
+    s = _searcher64(sf_dir)
+    t = s.match_all(BlendedTerm((("dup", 1.0), ("fast", 1.5))))
+    return _round_col(t, "score")
+
+
+def q_interval_facet(sf_dir):
+    """Solr interval facets (request/IntervalFacets.java:102): overlapping
+    open/closed numeric intervals answered in one pass."""
+    import ray.data
+
+    from lucene_solr_ray.relational.ops import interval_facets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+    return interval_facets(
+        ds, "n_chars",
+        ["[*,150)", "[150,200)", "[150,200]", "(150,*]", "[*,*]"])
+
+
 def q_ft_terms_enum(sf_dir):
     """TermsComponent (solr/.../component/TermsComponent.java): prefix
     's' terms by df desc, term asc, limit 10 — distributed postings-only
@@ -2319,6 +2343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urp_chain": q_urp_chain,
         "ft_bm25f": q_ft_bm25f,
         "ann_ivf": q_ann_ivf,
+        "ft_blended": q_ft_blended,
+        "interval_facet": q_interval_facet,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2766,6 +2792,22 @@ def oracle_sql() -> dict[str, str]:
         "ft_covering": osql.sql_covering(["fast", "query", "scan"]),
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
+        "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "interval_facet": """
+            SELECT '[*,150)' AS interval,
+                   CAST(count(*) FILTER (WHERE n_chars < 150) AS BIGINT) AS cnt
+            FROM documents
+            UNION ALL SELECT '[150,200)',
+                   count(*) FILTER (WHERE n_chars >= 150 AND n_chars < 200)
+            FROM documents
+            UNION ALL SELECT '[150,200]',
+                   count(*) FILTER (WHERE n_chars >= 150 AND n_chars <= 200)
+            FROM documents
+            UNION ALL SELECT '(150,*]',
+                   count(*) FILTER (WHERE n_chars > 150) FROM documents
+            UNION ALL SELECT '[*,*]',
+                   count(*) FILTER (WHERE n_chars IS NOT NULL)
+            FROM documents""",
         "ft_terms_enum": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
                          FROM documents),

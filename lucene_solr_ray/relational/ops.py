@@ -159,6 +159,90 @@ def facet_counts(ds: Dataset, key: str, count_name: str = "cnt") -> Dataset:
     return rollup(ds, [key], [("count", None, count_name)])
 
 
+def parse_facet_interval(spec: str):
+    """Parse Solr interval-faceting syntax
+    (solr/core/.../request/IntervalFacets.java:70-90): '['/'(' start ','
+    end ')'/']', '*' = unbounded (bracket kind ignored for '*'),
+    '\\'-escaped commas/brackets, surrounding whitespace stripped.
+    Returns (key, lo, hi, lo_incl, hi_incl); lo/hi None = unbounded."""
+    s = spec.strip()
+    if len(s) < 3 or s[0] not in "([" or s[-1] not in ")]":
+        raise ValueError(f"invalid interval: {spec!r}")
+    lo_incl, hi_incl = s[0] == "[", s[-1] == "]"
+    body = s[1:-1]
+    parts, cur, esc = [], [], False
+    for ch in body:
+        if esc:
+            cur.append(ch)
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch == "," and not parts:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if not parts:
+        raise ValueError(f"invalid interval (no comma): {spec!r}")
+    parts.append("".join(cur))
+    lo_s, hi_s = parts[0].strip(), parts[1].strip()
+    lo = None if lo_s == "*" else lo_s
+    hi = None if hi_s == "*" else hi_s
+    return s, lo, hi, lo_incl, hi_incl
+
+
+def interval_facets(ds: Dataset, field: str, intervals: list[str],
+                    count_name: str = "cnt") -> pa.Table:
+    """Solr interval facets (request/IntervalFacets.java:102): per interval,
+    the count of docs whose field value falls inside — identical to the
+    matching range query's count, but all intervals are answered in ONE
+    pass (a doc may land in several overlapping intervals). Numeric fields
+    compare numerically, everything else lexicographically (the
+    reference's case-sensitive string comparison).
+
+    Map-side partials (one row per interval per batch) + a tiny
+    groupby(interval) sum: the shuffle is bounded by len(intervals)."""
+    from ray.data.aggregate import Sum
+
+    specs = [parse_facet_interval(s) for s in intervals]
+
+    def part(t: pa.Table) -> pa.Table:
+        col = t[field]
+        numeric = pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+        if numeric:
+            vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            valid = ~np.isnan(vals)
+            conv = float
+        else:
+            raw = col.to_pylist()
+            vals = np.array(["" if v is None else str(v) for v in raw])
+            valid = np.array([v is not None for v in raw], dtype=bool)
+            conv = str
+        keys, counts = [], []
+        for key, lo, hi, li, hi_i in specs:
+            m = valid.copy()
+            if lo is not None:
+                lov = conv(lo)
+                m &= (vals >= lov) if li else (vals > lov)
+            if hi is not None:
+                hiv = conv(hi)
+                m &= (vals <= hiv) if hi_i else (vals < hiv)
+            keys.append(key)
+            counts.append(int(np.count_nonzero(m)))
+        return pa.table({"interval": pa.array(keys, pa.string()),
+                         count_name: pa.array(counts, pa.int64())})
+
+    agg = ds.select_columns([field]).map_batches(
+        part, batch_format="pyarrow"
+    ).groupby("interval").aggregate(Sum(count_name, alias_name=count_name))
+    got = {r["interval"]: r[count_name] for r in agg.take_all()}
+    return pa.table({
+        "interval": pa.array([s[0] for s in specs], pa.string()),
+        count_name: pa.array([int(got.get(s[0], 0)) for s in specs],
+                             pa.int64()),
+    })
+
+
 def pivot_facets(ds: Dataset, fields: list[str], count_name: str = "cnt",
                  all_label: str = "(all)") -> pa.Table:
     """facet.pivot (solr/core/.../component/PivotFacetProcessor.java):

@@ -161,12 +161,27 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
             for c in n.clauses:
                 walk(c)
         else:
+            from .query import BlendedTerm as _BT
             from .query import CombinedField as _CF
             from .query import Covering as _Cov
 
             if isinstance(n, _Cov):
                 for c in n.clauses:
                     walk(c)
+            elif isinstance(n, _BT):
+                # blended artificial stats: df = max, ttf = sum (:276-281);
+                # each member keeps its OWN field context and norms
+                stats = [reader.term_stats(t) for t, _ in n.term_boosts]
+                bdf = max((s[0] for s in stats), default=0)
+                bttf = sum(s[1] for s in stats)
+                for t, b in n.term_boosts:
+                    key = ("\x1fBT\x1f" + t, b * n.boost)
+                    if key not in weights:
+                        fN, fttf, fld = _ctx(t)
+                        w = sim.weight(bdf, max(1, bttf), fN, fttf,
+                                       b * n.boost, dtype)
+                        w.norm_field = fld
+                        weights[key] = w
             elif isinstance(n, _CF):
                 # BM25FQuery pseudo stats (BM25FQuery.java:279-315)
                 key = _cf_key(n)
@@ -712,8 +727,35 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             if name in fn.variables:
                 env[name] = vals[idx]
         return docs, (node.boost * fn(env)).astype(dtype)
+    from .query import BlendedTerm as _BlendedTerm
     from .query import CombinedField as _CombinedField
 
+    if isinstance(node, _BlendedTerm):
+        # member scores under blended stats, combined per rewrite method
+        res = []
+        for t, b in node.term_boosts:
+            d, fr = shard.postings(t)
+            if not len(d):
+                continue
+            tw = weights[("\x1fBT\x1f" + t, b * node.boost)]
+            norms = shard.norms_for(d, tw.norm_field)
+            res.append((d, score_postings(tw, fr, norms, dtype)))
+        if not res:
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        docs = np.concatenate([d for d, _ in res])
+        scores = np.concatenate([s for _, s in res]).astype(np.float64)
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        new = np.empty(len(docs), dtype=bool)
+        new[0] = True
+        new[1:] = docs[1:] != docs[:-1]
+        starts = np.flatnonzero(new)
+        udocs = docs[starts]
+        sm = np.add.reduceat(scores, starts)
+        if node.rewrite == "bool":
+            return udocs, sm.astype(dtype)
+        mx = np.maximum.reduceat(scores, starts)
+        return udocs, (mx + node.tiebreak * (sm - mx)).astype(dtype)
     if isinstance(node, _CombinedField):
         return _score_combined_field(shard, node, weights, dtype)
     from .query import Covering as _Covering

@@ -378,6 +378,38 @@ FROM scored
 ORDER BY doc_id"""
 
 
+def sql_blended(term_boosts: list[tuple[str, float]],
+                tie: float = 0.01) -> str:
+    """BlendedTermQuery mirror (core/search/BlendedTermQuery.java:270-295):
+    every member scores with the ARTIFICIAL blended df (max over members);
+    members combine as DisjunctionMax(tie)."""
+    quoted = ", ".join(f"'{t}'" for t, _ in term_boosts)
+    case = " ".join(f"WHEN '{t}' THEN {b}" for t, b in term_boosts)
+    return f"""
+WITH {bm25_cte()},
+bl AS (
+  SELECT max(df) AS bdf FROM df WHERE term IN ({quoted})
+),
+member AS (
+  SELECT t.doc_id,
+         (CASE t.term {case} END)
+           * ln(1 + (s.n - bl.bdf + 0.5) / (bl.bdf + 0.5)) AS w,
+         t.freq AS freq, q.qlen AS qlen, s.avgdl AS avgdl
+  FROM tf t
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s CROSS JOIN bl
+  WHERE t.term IN ({quoted})
+),
+scored AS (
+  SELECT doc_id,
+         w - w / (1 + freq * (1.0 / ({K1} * ((1 - {B}) + {B} * qlen / avgdl))))
+           AS sc
+  FROM member
+)
+SELECT doc_id, round(max(sc) + {tie} * (sum(sc) - max(sc)), {ROUND}) AS score
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+
 def sql_phrase_prefix_docs(lead: str, prefix: str) -> str:
     """PhraseWildcardQuery mirror: token i == lead, token i+1 starts with
     prefix (single-spaced corpus text; the trailing %% spans the rest of

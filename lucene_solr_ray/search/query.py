@@ -315,6 +315,20 @@ class Covering:
 
 
 @dataclass(frozen=True)
+class BlendedTerm:
+    """BlendedTermQuery (lucene/core/.../search/BlendedTermQuery.java:270-295):
+    every member term is scored with ARTIFICIAL blended stats — df = max of
+    the members' dfs, ttf = sum — so cross-field synonyms rank comparably;
+    members keep their own field's collection stats and norms. Combined via
+    DisjunctionMax(tiebreak) (DISJUNCTION_MAX_REWRITE, tie 0.01 default,
+    :182-183) or a SHOULD Boolean (BOOLEAN_REWRITE, :133)."""
+    term_boosts: tuple  # ((text, boost), ...)
+    tiebreak: float = 0.01
+    rewrite: str = "dismax"  # 'dismax' | 'bool'
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class CombinedField:
     """BM25FQuery / CombinedFieldQuery (lucene/sandbox/.../search/
     BM25FQuery.java:58): scores terms across several analyzed fields AS ONE
@@ -687,6 +701,11 @@ def apply_stemmer(node, stem):
         from dataclasses import replace
 
         return replace(node, terms=tuple(st(t) for t in node.terms))
+    if isinstance(node, BlendedTerm):
+        from dataclasses import replace
+
+        return replace(node, term_boosts=tuple(
+            (st(t), b) for t, b in node.term_boosts))
     if isinstance(node, Covering):
         return Covering(tuple(apply_stemmer(c, stem) for c in node.clauses),
                         node.min_match_field, node.boost)
@@ -754,6 +773,8 @@ def query_terms(node) -> list[str]:
         elif isinstance(n, CombinedField):
             out.extend(f"{f}:{t}" for f, _ in n.field_weights
                        for t in n.terms)
+        elif isinstance(n, BlendedTerm):
+            out.extend(t for t, _ in n.term_boosts)
         elif isinstance(n, ConstantScore):
             walk(n.query)
         elif isinstance(n, (DisMax, Covering)):

@@ -569,12 +569,28 @@ class DistributedSearcher:
                 for c in n.must + n.should + n.must_not + n.filter:
                     walk(c)
             else:
-                from .query import CombinedField, Covering, FunctionScore
+                from .query import (
+                    BlendedTerm,
+                    CombinedField,
+                    Covering,
+                    FunctionScore,
+                )
                 if isinstance(n, FunctionScore):
                     walk(n.query)
                 elif isinstance(n, Covering):
                     for c in n.clauses:
                         walk(c)
+                elif isinstance(n, BlendedTerm):
+                    bdf = max((df[t] for t, _ in n.term_boosts), default=0)
+                    bttf = sum(ttf[t] for t, _ in n.term_boosts)
+                    for t, b in n.term_boosts:
+                        key = ("\x1fBT\x1f" + t, b * n.boost)
+                        if key not in weights:
+                            fN, fttf_, fld = _ctx(t)
+                            w = sim.weight(bdf, max(1, bttf), fN, fttf_,
+                                           b * n.boost, self.dtype)
+                            w.norm_field = fld
+                            weights[key] = w
                 elif isinstance(n, CombinedField):
                     from .executor import _cf_key
 
