@@ -274,6 +274,27 @@ def q_interval_facet(sf_dir):
         ["[*,150)", "[150,200)", "[150,200]", "(150,*]", "[*,*]"])
 
 
+def q_ft_collate(sf_dir):
+    """SpellCheckCollator (solr/.../spelling/SpellCheckCollator.java:62):
+    the top candidate collation for two misspelled conjuncts, verified by
+    re-running the rewritten query (max_tries=1 keeps the choice
+    deterministic: distance asc, df desc candidate order)."""
+    from lucene_solr_ray.search.services import spell_collate
+
+    s = _searcher64(sf_dir)
+    return spell_collate(s, "fsat AND qeury", max_collations=1, max_tries=1)
+
+
+def q_ft_expr_sort(sf_dir):
+    """Expression SortField (lucene/expressions ExpressionSortField role):
+    matching docs ordered by a compiled arithmetic expression."""
+    from lucene_solr_ray.search.services import search_sorted_by_expression
+
+    s = _searcher64(sf_dir)
+    return search_sorted_by_expression(
+        s, "fast", "doclen + doc_id / 1000.0", k=10)
+
+
 def q_ft_terms_enum(sf_dir):
     """TermsComponent (solr/.../component/TermsComponent.java): prefix
     's' terms by df desc, term asc, limit 10 — distributed postings-only
@@ -2345,6 +2366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ft_blended": q_ft_blended,
         "interval_facet": q_interval_facet,
+        "ft_collate": q_ft_collate,
+        "ft_expr_sort": q_ft_expr_sort,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2793,6 +2816,22 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "ft_collate": """
+            SELECT 'fast AND query' AS collation,
+                   CAST(count(*) AS BIGINT) AS hits
+            FROM documents
+            WHERE (' ' || text || ' ') LIKE '% fast %'
+              AND (' ' || text || ' ') LIKE '% query %'""",
+        "ft_expr_sort": """
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) + doc_id / 1000.0
+                       AS sort_value
+              FROM documents
+              WHERE (' ' || text || ' ') LIKE '% fast %'
+            )
+            SELECT doc_id, sort_value FROM m
+            ORDER BY sort_value DESC, doc_id ASC LIMIT 10""",
         "interval_facet": """
             SELECT '[*,150)' AS interval,
                    CAST(count(*) FILTER (WHERE n_chars < 150) AS BIGINT) AS cnt

@@ -376,6 +376,93 @@ def spell_correct(searcher: IndexSearcher, word: str, max_edits: int = 2,
     return [(t, -negdf) for d, negdf, t in ranked[:k]]
 
 
+def spell_collate(searcher: IndexSearcher, query: str,
+                  max_collations: int = 3, max_tries: int = 10,
+                  max_edits: int = 2) -> pa.Table:
+    """SpellCheckCollator (solr/core/.../spelling/SpellCheckCollator.java:62):
+    substitute the top spelling corrections for each unknown query term
+    back into the ORIGINAL query string, re-run each candidate collation,
+    and keep only collations that produce hits — ranked by hit count desc
+    (the reference's collation verification loop, :96-170).
+
+    Returns (collation, hits)."""
+    import itertools
+    import re as _re
+
+    ops = {"AND", "OR", "NOT", "TO"}
+    words = _re.findall(r"[A-Za-z][A-Za-z0-9]*", query)
+    bad = []
+    for w in dict.fromkeys(words):
+        if w in ops:
+            continue
+        if searcher.reader.term_stats(w.lower())[0] == 0:
+            bad.append(w)
+    if not bad:
+        return pa.table({"collation": pa.array([], pa.string()),
+                         "hits": pa.array([], pa.int64())})
+    cand = {w: [c for c, _ in spell_correct(searcher, w, max_edits, k=3)]
+            or [w] for w in bad}
+    out = []
+    tries = 0
+    for combo in itertools.product(*(cand[w] for w in bad)):
+        if tries >= max_tries:
+            break
+        tries += 1
+        collation = query
+        for w, rep in zip(bad, combo):
+            collation = _re.sub(rf"\b{_re.escape(w)}\b", rep, collation)
+        hits = searcher.count(collation)
+        if hits > 0:
+            out.append((collation, hits))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    out = out[:max_collations]
+    return pa.table({
+        "collation": pa.array([c for c, _ in out], pa.string()),
+        "hits": pa.array([h for _, h in out], pa.int64()),
+    })
+
+
+def search_sorted_by_expression(searcher: IndexSearcher, query, expr: str,
+                                k: int = 10,
+                                descending: bool = True) -> pa.Table:
+    """Expression SortField (lucene/expressions/.../ExpressionSortField —
+    the compiled-bindings sort the expressions module feeds into Sort):
+    top-k matching docs ordered by a compiled arithmetic expression over
+    score / doclen / doc_id / NUMERIC docvalues. Ties break by doc_id asc
+    (the TopFieldCollector rule)."""
+    from .executor import eval_node, resolve_weights
+    from .expressions import compile_expression
+
+    node = searcher._node(query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+    fn = compile_expression(expr)
+    all_docs, all_vals = [], []
+    for s in searcher.reader.shards:
+        docs, scores = eval_node(s, node, weights, searcher.dtype)
+        if not len(docs):
+            continue
+        idx = np.searchsorted(s.doc_ids, docs)
+        env = {"score": scores.astype(np.float64),
+               "doclen": s.doclens[idx].astype(np.float64),
+               "doc_id": docs.astype(np.float64)}
+        for name, vals in s.docvalues.items():
+            if name in fn.variables:
+                env[name] = vals[idx]
+        all_docs.append(docs)
+        all_vals.append(np.asarray(fn(env), dtype=np.float64))
+    if not all_docs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sort_value": pa.array([], pa.float64())})
+    docs = np.concatenate(all_docs)
+    vals = np.concatenate(all_vals)
+    order = np.lexsort((docs, -vals if descending else vals))[:k]
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "sort_value": pa.array(vals[order], pa.float64()),
+    })
+
+
 def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
                            k: int = 10, descending: bool = True,
                            selector: str = "min") -> "pa.Table":

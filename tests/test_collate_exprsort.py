@@ -1,0 +1,73 @@
+"""SpellCheckCollator and expression-SortField tests."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import IndexBuildConfig, build_index
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.search.services import (
+    search_sorted_by_expression,
+    spell_collate,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("col_idx"))
+    cfg = IndexBuildConfig(num_shards=2, num_buckets=4, batch_size=256)
+    build_index(DOCS, d, key_col="doc_id", text_col="text", cfg=cfg)
+    return d
+
+
+@pytest.fixture(scope="module")
+def raw():
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    return list(zip(t["doc_id"].to_pylist(),
+                    [s.split(" ") for s in t["text"].to_pylist()]))
+
+
+def test_spell_collate_fixes_misspellings(idx, raw):
+    s = IndexSearcher(idx, dtype=np.float64)
+    got = spell_collate(s, "fsat AND qeury")
+    assert got.num_rows >= 1
+    top = got["collation"].to_pylist()[0]
+    assert top == "fast AND query"
+    want_hits = sum(1 for _, toks in raw
+                    if "fast" in toks and "query" in toks)
+    assert got["hits"].to_pylist()[0] == want_hits
+
+
+def test_spell_collate_no_misspellings(idx):
+    s = IndexSearcher(idx, dtype=np.float64)
+    got = spell_collate(s, "fast AND query")
+    assert got.num_rows == 0
+
+
+def test_spell_collate_hits_sorted_desc(idx):
+    s = IndexSearcher(idx, dtype=np.float64)
+    got = spell_collate(s, "fsat", max_collations=3)
+    hits = got["hits"].to_pylist()
+    assert hits == sorted(hits, reverse=True) and all(h > 0 for h in hits)
+
+
+def test_expression_sort(idx, raw):
+    s = IndexSearcher(idx, dtype=np.float64)
+    got = search_sorted_by_expression(s, "fast", "doclen + doc_id / 1000.0",
+                                      k=5)
+    matching = [(d, toks) for d, toks in raw if "fast" in toks]
+    vals = sorted(((len(t) + d / 1000.0, d) for d, t in matching),
+                  key=lambda x: (-x[0], x[1]))[:5]
+    assert got["doc_id"].to_pylist() == [d for _, d in vals]
+    np.testing.assert_allclose(got["sort_value"].to_pylist(),
+                               [v for v, _ in vals])
+
+
+def test_expression_sort_uses_score(idx):
+    s = IndexSearcher(idx, dtype=np.float64)
+    # expr == score reproduces relevance order on distinct scores
+    a = search_sorted_by_expression(s, "dup", "score", k=10)
+    b = s.search("dup", k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
