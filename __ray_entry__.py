@@ -274,6 +274,17 @@ def q_interval_facet(sf_dir):
         ["[*,150)", "[150,200)", "[150,200]", "(150,*]", "[*,*]"])
 
 
+def q_ft_term_automaton(sf_dir):
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:71):
+    'fast <ANY> query' — exactly one arbitrary token between."""
+    from lucene_solr_ray.search.query import TermAutomaton
+
+    s = _searcher64(sf_dir)
+    ta = TermAutomaton(4, ((0, 1, "fast"), (2, 3, "query")), ((1, 2),),
+                       (3,))
+    return s.match_all(ta).select(["doc_id"])
+
+
 def q_ft_collate(sf_dir):
     """SpellCheckCollator (solr/.../spelling/SpellCheckCollator.java:62):
     the top candidate collation for two misspelled conjuncts, verified by
@@ -2368,6 +2379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_facet": q_interval_facet,
         "ft_collate": q_ft_collate,
         "ft_expr_sort": q_ft_expr_sort,
+        "ft_term_automaton": q_ft_term_automaton,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2816,6 +2828,15 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "ft_term_automaton": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.term = 'fast' AND b.term = 'query'
+              AND b.pos = a.pos + 2
+            ORDER BY a.doc_id""",
         "ft_collate": """
             SELECT 'fast AND query' AS collation,
                    CAST(count(*) AS BIGINT) AS hits

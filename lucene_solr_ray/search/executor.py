@@ -164,10 +164,23 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
             from .query import BlendedTerm as _BT
             from .query import CombinedField as _CF
             from .query import Covering as _Cov
+            from .query import TermAutomaton as _TA
 
             if isinstance(n, _Cov):
                 for c in n.clauses:
                     walk(c)
+            elif isinstance(n, _TA):
+                key = _ta_key(n)
+                if key not in weights:
+                    # summed idf over matched terms only (df > 0),
+                    # TermAutomatonWeight:357-374
+                    st = [reader.term_stats(t) for t in n.terms()]
+                    st = [s for s in st if s[0] > 0]
+                    if hasattr(sim, "set_field"):
+                        sim.set_field(None)
+                    weights[key] = sim.multi_weight(
+                        [s[0] for s in st], [s[1] for s in st], N, sum_ttf,
+                        n.boost, dtype)
             elif isinstance(n, _BT):
                 # blended artificial stats: df = max, ttf = sum (:276-281);
                 # each member keeps its OWN field context and norms
@@ -217,6 +230,61 @@ def _cf_key(n) -> tuple:
     return ("\x1fCF\x1f"
             + "|".join(f"{f}^{w}" for f, w in n.field_weights)
             + "\x1f" + "|".join(n.terms), n.boost)
+
+
+def _ta_key(n) -> tuple:
+    return ("\x1fTA\x1f"
+            + ";".join(f"{f}>{t}:{term}" for f, t, term in n.transitions)
+            + "|" + ";".join(f"{f}>{t}" for f, t in n.any_transitions)
+            + "|" + ",".join(map(str, n.accepts)), n.boost)
+
+
+def _score_term_automaton(shard: ShardReader, node, weights, dtype):
+    """TermAutomatonScorer: merge all automaton terms' positions per doc,
+    run the determinized automaton, score freq = accepting paths."""
+    from .term_automaton import determinize, run_doc
+
+    tw = weights[_ta_key(node)]
+    parts = []
+    for term in node.terms():
+        d, f, pos = shard.postings(term, with_positions=True)
+        if len(d):
+            parts.append((np.repeat(d, f), pos.astype(np.int64), term))
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, dtype)
+    docs = np.concatenate([p[0] for p in parts])
+    poss = np.concatenate([p[1] for p in parts])
+    tids = np.concatenate([np.full(len(p[0]), i, dtype=np.int64)
+                           for i, p in enumerate(parts)])
+    terms = [p[2] for p in parts]
+    order = np.lexsort((poss, docs))
+    docs, poss, tids = docs[order], poss[order], tids[order]
+    dfa_term, dfa_any, dfa_acc = determinize(
+        node.num_states,
+        [(f, t, term) for f, t, term in node.transitions],
+        list(node.any_transitions), list(node.accepts))
+    # remap term strings -> per-shard tid ints for the runner
+    dfa_term = {(s, terms.index(term) if term in terms else -2): to
+                for (s, term), to in dfa_term.items()}
+    new = np.empty(len(docs), dtype=bool)
+    new[0] = True
+    new[1:] = docs[1:] != docs[:-1]
+    starts = np.flatnonzero(new)
+    bounds = np.append(starts, len(docs))
+    out_docs, out_freqs = [], []
+    for j in range(len(starts)):
+        lo, hi = bounds[j], bounds[j + 1]
+        freq = run_doc(list(zip(poss[lo:hi].tolist(), tids[lo:hi].tolist())),
+                       dfa_term, dfa_any, dfa_acc)
+        if freq > 0:
+            out_docs.append(docs[lo])
+            out_freqs.append(freq)
+    if not out_docs:
+        return np.zeros(0, np.int64), np.zeros(0, dtype)
+    udocs = np.asarray(out_docs, dtype=np.int64)
+    ufreqs = np.asarray(out_freqs, dtype=np.int64)
+    norms = shard.norms_for(udocs, getattr(tw, "norm_field", None))
+    return udocs, score_postings(tw, ufreqs, norms, dtype)
 
 
 def _score_combined_field(shard: ShardReader, node, weights, dtype):
@@ -729,7 +797,10 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         return docs, (node.boost * fn(env)).astype(dtype)
     from .query import BlendedTerm as _BlendedTerm
     from .query import CombinedField as _CombinedField
+    from .query import TermAutomaton as _TermAutomaton
 
+    if isinstance(node, _TermAutomaton):
+        return _score_term_automaton(shard, node, weights, dtype)
     if isinstance(node, _BlendedTerm):
         # member scores under blended stats, combined per rewrite method
         res = []

@@ -315,6 +315,25 @@ class Covering:
 
 
 @dataclass(frozen=True)
+class TermAutomaton:
+    """TermAutomatonQuery (lucene/sandbox/.../search/
+    TermAutomatonQuery.java:71): proximity matching against an automaton
+    whose transitions are terms (plus ANY wildcards) — the generalization
+    of Phrase/MultiPhrase/SpanNear. freq counts accepting term-step paths
+    (TermAutomatonScorer.java:230-330); weight = summed idf over the
+    automaton's matched terms (TermAutomatonWeight:357-374). Semantics
+    details in search/term_automaton.py."""
+    num_states: int
+    transitions: tuple      # (from_state, to_state, term)
+    any_transitions: tuple = ()   # (from_state, to_state)
+    accepts: tuple = ()
+    boost: float = 1.0
+
+    def terms(self) -> tuple:
+        return tuple(dict.fromkeys(t for _, _, t in self.transitions))
+
+
+@dataclass(frozen=True)
 class BlendedTerm:
     """BlendedTermQuery (lucene/core/.../search/BlendedTermQuery.java:270-295):
     every member term is scored with ARTIFICIAL blended stats — df = max of
@@ -706,6 +725,11 @@ def apply_stemmer(node, stem):
 
         return replace(node, term_boosts=tuple(
             (st(t), b) for t, b in node.term_boosts))
+    if isinstance(node, TermAutomaton):
+        from dataclasses import replace
+
+        return replace(node, transitions=tuple(
+            (f, to, st(t)) for f, to, t in node.transitions))
     if isinstance(node, Covering):
         return Covering(tuple(apply_stemmer(c, stem) for c in node.clauses),
                         node.min_match_field, node.boost)
@@ -775,6 +799,8 @@ def query_terms(node) -> list[str]:
                        for t in n.terms)
         elif isinstance(n, BlendedTerm):
             out.extend(t for t, _ in n.term_boosts)
+        elif isinstance(n, TermAutomaton):
+            out.extend(n.terms())
         elif isinstance(n, ConstantScore):
             walk(n.query)
         elif isinstance(n, (DisMax, Covering)):

@@ -574,9 +574,21 @@ class DistributedSearcher:
                     CombinedField,
                     Covering,
                     FunctionScore,
+                    TermAutomaton,
                 )
                 if isinstance(n, FunctionScore):
                     walk(n.query)
+                elif isinstance(n, TermAutomaton):
+                    from .executor import _ta_key
+
+                    key = _ta_key(n)
+                    if key not in weights:
+                        st = [(df[t], ttf[t]) for t in n.terms()
+                              if df[t] > 0]
+                        weights[key] = sim.multi_weight(
+                            [s[0] for s in st], [s[1] for s in st],
+                            self.doc_count, self.sum_ttf, n.boost,
+                            self.dtype)
                 elif isinstance(n, Covering):
                     for c in n.clauses:
                         walk(c)
