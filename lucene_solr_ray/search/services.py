@@ -355,6 +355,52 @@ class CompletionSuggester:
         return [(str(t[i]), int(w[i])) for i in order]
 
 
+class BlendedInfixSuggester:
+    """BlendedInfixSuggester (suggest/analyzing/
+    BlendedInfixSuggester.java:50): infix lookup over weighted suggestion
+    phrases where the score blends the stored weight with the POSITION of
+    the first matched token:
+
+        POSITION_LINEAR                  weight * (1 - 0.10 * position)
+        POSITION_RECIPROCAL              weight / (1 + position)
+        POSITION_EXPONENTIAL_RECIPROCAL  weight / (1 + position)**exponent
+
+    (coefficient rules :88-93, LINEAR_COEF :62). Matching is
+    analyzed-token prefix-of-any-token (the reference's infix search over
+    the suggestion sidecar index); the sidecar is replaced by the resident
+    tokenized entry table — build once, ray.put for map_batches use."""
+
+    def __init__(self, entries: list[tuple[str, int]],
+                 blender: str = "linear", exponent: float = 2.0):
+        self._texts = [str(t) for t, _ in entries]
+        self._weights = [int(w) for _, w in entries]
+        self._toks = [_analyze_key(t or "") for t, _ in entries]
+        self.blender = blender
+        self.exponent = float(exponent)
+
+    def _coef(self, position: int) -> float:
+        if self.blender == "linear":
+            return max(0.0, 1.0 - 0.10 * position)
+        if self.blender == "reciprocal":
+            return 1.0 / (1.0 + position)
+        return 1.0 / (1.0 + position) ** self.exponent
+
+    def suggest(self, fragment: str, k: int = 5) -> list[tuple[str, float]]:
+        frags = _analyze_key(fragment or "")
+        if not frags:
+            return []
+        frag = frags[-1]  # the token being typed
+        out = []
+        for text, w, toks in zip(self._texts, self._weights, self._toks):
+            pos = next((i for i, t in enumerate(toks)
+                        if t.startswith(frag)), None)
+            if pos is None:
+                continue
+            out.append((w * self._coef(pos), text))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return [(t, s) for s, t in out[:k]]
+
+
 def spell_correct(searcher: IndexSearcher, word: str, max_edits: int = 2,
                   k: int = 3) -> list[tuple[str, int]]:
     """DirectSpellChecker role: dictionary terms within edit distance,

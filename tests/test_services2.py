@@ -304,3 +304,27 @@ def test_search_sorted_by_fields(tmp_path_factory, ray_session):
                            out["lang"].to_pylist(),
                            out["n_chars"].to_pylist()):
         assert (lg, nc) == (meta[doc][0], float(meta[doc][1]))
+
+
+def test_blended_infix_suggester(ray_session):
+    from lucene_solr_ray.search.services import BlendedInfixSuggester
+
+    entries = [("star wars", 10), ("wars of stars", 10),
+               ("star trek", 8), ("wario land", 6)]
+    s = BlendedInfixSuggester(entries)
+    got = s.suggest("war")
+    # linear: "star wars" 10*(1-0.1*1)=9.0; "wars of stars" 10*1=10;
+    # "wario land" 6*1=6
+    assert got[0] == ("wars of stars", 10.0)
+    assert got[1] == ("star wars", 9.0)
+    assert got[2] == ("wario land", 6.0)
+    # reciprocal blender changes the mix
+    r = BlendedInfixSuggester(entries, blender="reciprocal")
+    got_r = dict(r.suggest("war"))
+    assert got_r["star wars"] == 5.0  # 10 / (1+1)
+    assert got_r["wars of stars"] == 10.0
+    # exponential reciprocal
+    e = BlendedInfixSuggester(entries, blender="exp", exponent=2.0)
+    assert dict(e.suggest("war"))["star wars"] == 2.5  # 10 / 2^2
+    # no match
+    assert s.suggest("zzz") == []
