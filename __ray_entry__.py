@@ -274,6 +274,15 @@ def q_interval_facet(sf_dir):
         ["[*,150)", "[150,200)", "[150,200]", "(150,*]", "[*,*]"])
 
 
+def q_ft_word_break(sf_dir):
+    """WordBreakSpellChecker (suggest/spell/WordBreakSpellChecker.java:92):
+    split 'fastquery' into dictionary words, max-freq ranked."""
+    from lucene_solr_ray.search.services import word_break_suggest
+
+    s = _searcher64(sf_dir)
+    return word_break_suggest(s, "fastquery")
+
+
 def q_ft_term_automaton(sf_dir):
     """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:71):
     'fast <ANY> query' — exactly one arbitrary token between."""
@@ -2380,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_collate": q_ft_collate,
         "ft_expr_sort": q_ft_expr_sort,
         "ft_term_automaton": q_ft_term_automaton,
+        "ft_word_break": q_ft_word_break,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2828,6 +2838,16 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "ft_word_break": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT 'fast query' AS suggestion, CAST(1 AS BIGINT) AS breaks,
+                   CAST(greatest(
+                     (SELECT df FROM df WHERE term = 'fast'),
+                     (SELECT df FROM df WHERE term = 'query')) AS BIGINT)
+                     AS freq""",
         "ft_term_automaton": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term,

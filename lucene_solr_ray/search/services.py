@@ -422,6 +422,78 @@ def spell_correct(searcher: IndexSearcher, word: str, max_edits: int = 2,
     return [(t, -negdf) for d, negdf, t in ranked[:k]]
 
 
+def word_break_suggest(searcher: IndexSearcher, word: str,
+                       max_changes: int = 1, min_freq: int = 1,
+                       min_break_len: int = 1,
+                       max_suggestions: int = 5,
+                       sort: str = "max") -> pa.Table:
+    """WordBreakSpellChecker.suggestWordBreaks (suggest/spell/
+    WordBreakSpellChecker.java:92,258): split a run-together word into
+    dictionary words — each split point's left side must be a dictionary
+    term with freq >= min_freq and length >= min_break_len; up to
+    max_changes breaks, recursing into the remainder. Ranked by
+    (fewer breaks, then max — or 'sum' — part frequency desc,
+    BreakSuggestionSortMethod :65-72).
+
+    Returns (suggestion, breaks, freq)."""
+    w = word.lower()
+    df_of = lambda t: searcher.reader.term_stats(t)[0]  # noqa: E731
+    results: list[tuple[list[str], int]] = []
+
+    def rec(rest: str, parts: list[str]):
+        breaks = len(parts)
+        if breaks >= 1 and len(rest) >= min_break_len:
+            f = df_of(rest)
+            if f >= min_freq:
+                results.append((parts + [rest], breaks))
+        if breaks >= max_changes:
+            return
+        for i in range(min_break_len, len(rest) - min_break_len + 1):
+            left = rest[:i]
+            if df_of(left) >= min_freq:
+                rec(rest[i:], parts + [left])
+
+    rec(w, [])
+    agg = max if sort == "max" else sum
+    scored = [(" ".join(parts), breaks,
+               int(agg(df_of(p) for p in parts)))
+              for parts, breaks in results]
+    scored.sort(key=lambda x: (x[1], -x[2], x[0]))
+    scored = scored[:max_suggestions]
+    return pa.table({
+        "suggestion": pa.array([s for s, _, _ in scored], pa.string()),
+        "breaks": pa.array([b for _, b, _ in scored], pa.int64()),
+        "freq": pa.array([f for _, _, f in scored], pa.int64()),
+    })
+
+
+def word_combine_suggest(searcher: IndexSearcher, terms: list[str],
+                         max_changes: int = 1, min_freq: int = 1,
+                         max_suggestions: int = 5) -> pa.Table:
+    """WordBreakSpellChecker.suggestWordCombinations (:197-221): join runs
+    of adjacent query terms (up to max_changes joins) whose concatenation
+    is a dictionary word with freq >= min_freq.
+
+    Returns (combined, start, end, freq) ranked by freq desc."""
+    df_of = lambda t: searcher.reader.term_stats(t)[0]  # noqa: E731
+    out = []
+    for i in range(len(terms)):
+        comb = terms[i].lower()
+        for j in range(i + 1, min(len(terms), i + 1 + max_changes)):
+            comb = comb + terms[j].lower()
+            f = df_of(comb)
+            if f >= min_freq:
+                out.append((comb, i, j, int(f)))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    out = out[:max_suggestions]
+    return pa.table({
+        "combined": pa.array([c for c, *_ in out], pa.string()),
+        "start": pa.array([s for _, s, _, _ in out], pa.int64()),
+        "end": pa.array([e for _, _, e, _ in out], pa.int64()),
+        "freq": pa.array([f for *_, f in out], pa.int64()),
+    })
+
+
 def spell_collate(searcher: IndexSearcher, query: str,
                   max_collations: int = 3, max_tries: int = 10,
                   max_edits: int = 2) -> pa.Table:

@@ -71,3 +71,61 @@ def test_expression_sort_uses_score(idx):
     a = search_sorted_by_expression(s, "dup", "score", k=10)
     b = s.search("dup", k=10)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+
+def test_word_break_suggest(idx, raw):
+    from lucene_solr_ray.search.services import word_break_suggest
+
+    s = IndexSearcher(idx, dtype=np.float64)
+    got = word_break_suggest(s, "fastquery")
+    assert got["suggestion"].to_pylist() == ["fast query"]
+    assert got["breaks"].to_pylist() == [1]
+    from collections import Counter
+
+    dfc = Counter()
+    for _, toks in raw:
+        dfc.update(set(toks))
+    assert got["freq"].to_pylist() == [max(dfc["fast"], dfc["query"])]
+    # unknown word: no suggestions
+    assert word_break_suggest(s, "zzzzyy").num_rows == 0
+
+
+def test_word_break_two_changes(tmp_path, ray_session):
+    import pyarrow as pa
+    from lucene_solr_ray.search.services import word_break_suggest
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], "int64"),
+        "text": pa.array(["air port note", "book note air"]),
+    }), p)
+    d = str(tmp_path / "idx")
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    build_index(p, d, cfg=IndexBuildConfig(num_shards=1, num_buckets=2))
+    s = IndexSearcher(d)
+    got = word_break_suggest(s, "airportnote", max_changes=2)
+    assert "air port note" in got["suggestion"].to_pylist()
+    # one change is not enough for a 3-word split
+    got1 = word_break_suggest(s, "airportnote", max_changes=1)
+    assert got1.num_rows == 0
+
+
+def test_word_combine_suggest(tmp_path, ray_session):
+    import pyarrow as pa
+    from lucene_solr_ray.search.services import word_combine_suggest
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], "int64"),
+        "text": pa.array(["airport is big", "airport gate"]),
+    }), p)
+    d = str(tmp_path / "idx")
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+
+    build_index(p, d, cfg=IndexBuildConfig(num_shards=1, num_buckets=2))
+    s = IndexSearcher(d)
+    got = word_combine_suggest(s, ["air", "port", "gate"])
+    assert got["combined"].to_pylist() == ["airport"]
+    assert got["start"].to_pylist() == [0] and got["end"].to_pylist() == [1]
+    assert got["freq"].to_pylist() == [2]
