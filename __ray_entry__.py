@@ -274,6 +274,25 @@ def q_interval_facet(sf_dir):
         ["[*,150)", "[150,200)", "[150,200]", "(150,*]", "[*,*]"])
 
 
+def q_ft_rtg(sf_dir):
+    """RealTimeGetComponent (solr/.../RealTimeGetComponent.java:88): fetch
+    by key, routed shard files only (O(keys), id-filter pushdown)."""
+    from lucene_solr_ray.index.maintenance import real_time_get
+
+    return real_time_get(_index_for(sf_dir), [1, 5, 42, 123, 999999999])
+
+
+def q_ft_simple_query(sf_dir):
+    """SimpleQueryParser (queryparser/simple/SimpleQueryParser.java:99):
+    'fast | query + dup' parses left-accumulative to
+    (fast OR query) AND dup."""
+    from lucene_solr_ray.search.simple_parser import simple_parse
+
+    s = _searcher64(sf_dir)
+    return _round_col(s.match_all(simple_parse("fast | query + dup")),
+                      "score")
+
+
 def q_ft_word_break(sf_dir):
     """WordBreakSpellChecker (suggest/spell/WordBreakSpellChecker.java:92):
     split 'fastquery' into dictionary words, max-freq ranked."""
@@ -2390,6 +2409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_expr_sort": q_ft_expr_sort,
         "ft_term_automaton": q_ft_term_automaton,
         "ft_word_break": q_ft_word_break,
+        "ft_rtg": q_ft_rtg,
+        "ft_simple_query": q_ft_simple_query,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2838,6 +2859,14 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "ft_rtg": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS doclen,
+                   CAST(doc_id % 4 AS INT) AS shard
+            FROM documents WHERE doc_id IN (1, 5, 42, 123, 999999999)
+            ORDER BY doc_id""",
+        "ft_simple_query": osql.sql_must_with_should_group(
+            must_term="dup", should_terms=["fast", "query"]),
         "ft_word_break": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),

@@ -484,6 +484,67 @@ def _dead_mask(flat_docs: np.ndarray, shard_rep: np.ndarray, gens) -> np.ndarray
     return dead
 
 
+def real_time_get(index_dir: str, keys) -> "pa.Table":
+    """RealTimeGetComponent role (solr/core/.../handler/component/
+    RealTimeGetComponent.java:88): fetch docs by unique key against the
+    NEWEST committed state — update-by-key appends a fresh generation and
+    tombstones the pre-update shards, so the newest generation's copy wins
+    and tombstoned keys return nothing.
+
+    The read is O(keys), never a scan: each key routes to shard
+    (key % K) + generation offset, and only those shard files are read,
+    with a parquet id filter pushed down. Returns (doc_id, doclen, shard)
+    sorted by doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .build import IndexBuildConfig, load_manifest
+
+    manifest = load_manifest(index_dir)
+    if not manifest or not manifest.get("committed"):
+        raise ValueError("real_time_get requires a committed index")
+    K = IndexBuildConfig(**manifest["config"]).num_shards
+    offsets = _gen_offsets(manifest, K)
+    gens = _tombstone_gens(index_dir, manifest) if manifest.get("deletes") \
+        else []
+    keys = np.unique(np.asarray(list(keys), dtype=np.int64))
+    found: dict = {}
+    # newest generation first: its copy wins
+    for off in sorted(offsets, reverse=True):
+        rest = np.asarray([k for k in keys if k not in found],
+                          dtype=np.int64)
+        if not len(rest):
+            break
+        for sub in np.unique(rest % K):
+            shard = int(off + sub)
+            d = os.path.join(index_dir, "docs", f"shard={shard}")
+            if not os.path.isdir(d):
+                continue
+            ks = rest[rest % K == sub]
+            t = pq.read_table(d, columns=["doc_id", "doclen"],
+                              filters=[("doc_id", "in", ks.tolist())])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if not len(ids):
+                continue
+            dead = _dead_mask(ids, np.full(len(ids), shard), gens) \
+                if gens else np.zeros(len(ids), dtype=bool)
+            dls = t["doclen"].to_numpy(zero_copy_only=False)
+            for i in range(len(ids)):
+                k = int(ids[i])
+                if k not in found:
+                    # dead here = masked copy OR deleted key; either way
+                    # this (newest) generation decides: masked-dead means
+                    # the key was deleted after this generation wrote it
+                    found[k] = None if dead[i] else (int(dls[i]), shard)
+    rows = sorted((k, v[0], v[1]) for k, v in found.items()
+                  if v is not None)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "doclen": pa.array([r[1] for r in rows], pa.int32()),
+        "shard": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Encoded-segments merge. The reference merges codec-level structures, not
 # raw tokens (index/SegmentMerger.java:97-162): here the committed postings

@@ -410,6 +410,29 @@ SELECT doc_id, round(max(sc) + {tie} * (sum(sc) - max(sc)), {ROUND}) AS score
 FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
 
+def sql_must_with_should_group(must_term: str,
+                               should_terms: list[str]) -> str:
+    """Bool(must=[Bool(should=should_terms), must_term]) mirror — the
+    SimpleQueryParser's left-accumulative '(a | b) + c' shape: docs must
+    contain must_term AND at least one should term; score = BM25 sum over
+    every matching query term."""
+    quoted = ", ".join(f"'{t}'" for t in should_terms + [must_term])
+    should_q = ", ".join(f"'{t}'" for t in should_terms)
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(sum({bm25_term_score_sql("t.term")}), {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term IN ({quoted})
+GROUP BY t.doc_id
+HAVING max(CASE WHEN t.term = '{must_term}' THEN 1 ELSE 0 END) = 1
+   AND max(CASE WHEN t.term IN ({should_q}) THEN 1 ELSE 0 END) = 1
+ORDER BY doc_id"""
+
+
 def sql_phrase_prefix_docs(lead: str, prefix: str) -> str:
     """PhraseWildcardQuery mirror: token i == lead, token i+1 starts with
     prefix (single-spaced corpus text; the trailing %% spans the rest of
