@@ -274,6 +274,38 @@ def q_interval_facet(sf_dir):
         ["[*,150)", "[150,200)", "[150,200]", "(150,*]", "[*,*]"])
 
 
+def q_gopher_quality(sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 App. A): per-doc
+    metrics + pass flag, fully vectorized, one pass."""
+    import ray.data
+
+    from lucene_solr_ray.textstats.ops import gopher_filters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = gopher_filters(ds, "doc_id", "text", min_words=25)
+    t = out.to_pandas()
+    import pandas as pd
+
+    for c in ("mean_word_len", "symbol_ratio", "alpha_word_frac"):
+        t[c] = _round_half_away(t[c].to_numpy())
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_dedup_paragraphs(sf_dir):
+    """Paragraph-level exact dedup (CCNet §3.2 / RefinedWeb §3.3): fixed
+    5-token chunks on the single-line corpus; first occurrence wins."""
+    import ray.data
+
+    from lucene_solr_ray.dedup.ops import dedup_paragraphs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = dedup_paragraphs(ds, "doc_id", "text", chunk_tokens=5)
+    t = out.to_pandas().sort_values(["doc_id", "para_idx"])
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_ft_rtg(sf_dir):
     """RealTimeGetComponent (solr/.../RealTimeGetComponent.java:88): fetch
     by key, routed shard files only (O(keys), id-filter pushdown)."""
@@ -2411,6 +2443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_word_break": q_ft_word_break,
         "ft_rtg": q_ft_rtg,
         "ft_simple_query": q_ft_simple_query,
+        "gopher_quality": q_gopher_quality,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2859,6 +2893,55 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "gopher_quality": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            per AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  * 1.0 / len(toks) AS mean_word_len,
+                len(list_filter(toks, x -> contains(x, '#')
+                                        OR contains(x, '...')))
+                  * 1.0 / len(toks) AS symbol_ratio,
+                len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  * 1.0 / len(toks) AS alpha_word_frac,
+                CAST(list_contains(toks, 'the') AS INT)
+                  + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT)
+                  + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT)
+                  + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT)
+                  + CAST(list_contains(toks, 'with') AS INT) AS stop_hits
+              FROM base
+            )
+            SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(alpha_word_frac, 6) AS alpha_word_frac,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   (n_words >= 25 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                    AND stop_hits >= 2) AS passes
+            FROM per ORDER BY doc_id""",
+        "dedup_paragraphs": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            chunks AS (
+              SELECT doc_id, i AS para_idx,
+                     array_to_string(toks[(i*5 + 1):(i*5 + 5)], ' ') AS para
+              FROM base,
+                   unnest(generate_series(
+                     0, CAST(ceil(len(toks) / 5.0) AS INT) - 1)) AS u(i)
+            )
+            SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx FROM (
+              SELECT doc_id, para_idx, row_number() OVER (
+                PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+              FROM chunks) WHERE rn = 1
+            ORDER BY doc_id, para_idx""",
         "ft_rtg": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INT) AS doclen,

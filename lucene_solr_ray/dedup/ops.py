@@ -559,3 +559,57 @@ def embedding_dup_pairs(
         "right_id": pa.array([], pa.int64()),
         "cosine": pa.array([], pa.float64()),
     }))
+
+
+def dedup_paragraphs(ds: Dataset, key_col: str, text_col: str,
+                     chunk_tokens: int = 5) -> Dataset:
+    """Paragraph-level exact dedup (the CCNet / RefinedWeb paragraph-hash
+    pass: Wenzek et al. 2020 "CCNet" §3.2, Penedo et al. 2023
+    "RefinedWeb" §3.3): documents explode into paragraphs, each paragraph
+    hashes once, and only the FIRST occurrence corpus-wide survives
+    (lowest (doc, position)). Newline-delimited text splits on '\\n';
+    single-line corpora fall back to fixed `chunk_tokens`-token chunks so
+    the pass stays meaningful on any input.
+
+    Scale shape: the shuffle moves one (hash, packed doc<<20|idx) row per
+    paragraph; winners resolve with a Min reduction — no group is ever
+    materialized and text never shuffles (same design as dedup_exact).
+
+    Returns (key_col, para_idx) of the surviving paragraphs."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys_out, idx_out, paras = [], [], []
+        keys = t[key_col].to_pylist()
+        for k, s in zip(keys, t[text_col].to_pylist()):
+            s = s or ""
+            if "\n" in s:
+                parts = [p for p in s.split("\n")]
+            else:
+                toks = s.split(" ")
+                parts = [" ".join(toks[i:i + chunk_tokens])
+                         for i in range(0, len(toks), chunk_tokens)]
+            for i, p in enumerate(parts):
+                keys_out.append(k)
+                idx_out.append(i)
+                paras.append(p)
+        # int64 bit-view: grouping needs equality only, and Ray's shuffle
+        # boundary computation overflows on uint64 keys above 2^63
+        h = poly_hash_strings(paras).view(np.int64)
+        packed = (np.asarray(keys_out, dtype=np.int64) << 20) \
+            | np.asarray(idx_out, dtype=np.int64)
+        return pa.table({
+            "sig": pa.array(h, pa.int64()),
+            "packed": pa.array(packed, pa.int64()),
+        })
+
+    sigs = ds.map_batches(explode, batch_format="pyarrow")
+    winners = sigs.groupby("sig").aggregate(Min("packed", alias_name="packed"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(p >> 20, pa.int64()),
+            "para_idx": pa.array(p & ((1 << 20) - 1), pa.int64()),
+        })
+
+    return winners.map_batches(unpack, batch_format="pyarrow")

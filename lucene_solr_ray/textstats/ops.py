@@ -166,3 +166,72 @@ def doc_fingerprint(ds: Dataset, key_col: str, text_col: str, window: int = 16) 
         return pa.table({key_col: t[key_col], "fingerprint": pa.array(fp, pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(ds: Dataset, key_col: str, text_col: str,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> Dataset:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", App. A):
+    per-doc metrics + a pass flag for the standard web-corpus filters —
+    word count bounds, mean word length bounds, symbol-to-word ratio
+    (# and ...), alphabetic-word fraction, and a minimum count of distinct
+    Gopher stop words. Fully vectorized; one pass, no shuffle.
+
+    Returns (key, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    stop_hits, passes)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        toks = pc.split_pattern(texts, " ")
+        n_words = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        offsets = np.concatenate([[0], np.cumsum(n_words)])
+        nz = np.maximum(n_words, 1).astype(np.float64)
+
+        def seg_sum(vals: np.ndarray) -> np.ndarray:
+            c = np.concatenate([[0.0], np.cumsum(vals)])
+            return c[offsets[1:]] - c[offsets[:-1]]
+
+        tok_lens = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mean_len = seg_sum(tok_lens) / nz
+        # symbol words: '#' anywhere or an ellipsis
+        sym = pc.or_(
+            pc.match_substring(flat, "#"),
+            pc.match_substring(flat, "..."),
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        symbol_ratio = seg_sum(sym) / nz
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        alpha_frac = seg_sum(alpha) / nz
+        # distinct Gopher stop words present
+        hits = np.zeros(len(n_words), dtype=np.int64)
+        for w in _GOPHER_STOPS:
+            m = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            hits += (seg_sum(m.astype(np.float64)) > 0).astype(np.int64)
+        passes = ((n_words >= min_words) & (n_words <= max_words)
+                  & (mean_len >= min_mean_word_len)
+                  & (mean_len <= max_mean_word_len)
+                  & (symbol_ratio <= max_symbol_ratio)
+                  & (alpha_frac >= min_alpha_word_frac)
+                  & (hits >= min_stop_hits))
+        return pa.table({
+            key_col: t[key_col],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+            "alpha_word_frac": pa.array(alpha_frac, pa.float64()),
+            "stop_hits": pa.array(hits, pa.int64()),
+            "passes": pa.array(passes.astype(bool), pa.bool_()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

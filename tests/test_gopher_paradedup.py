@@ -1,0 +1,71 @@
+"""Gopher quality filters and paragraph-level exact dedup tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from lucene_solr_ray.dedup.ops import dedup_paragraphs
+from lucene_solr_ray.textstats.ops import gopher_filters
+
+
+def test_gopher_filters_metrics(ray_session):
+    texts = [
+        " ".join(["the", "be", "to"] + ["word"] * 60),        # passes
+        "short doc",                                          # too few words
+        " ".join(["the", "of"] + ["x#y"] * 58),               # symbol ratio
+        " ".join(["the", "of"] + ["aa"] * 58),                # mean len < 3
+        " ".join(["word"] * 60),                              # no stop words
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = gopher_filters(ray.data.from_arrow(t), "doc_id", "text") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.passes.tolist() == [True, False, False, False, False]
+    assert out.n_words[0] == 63
+    assert out.stop_hits[0] == 3 and out.stop_hits[4] == 0
+    assert out.symbol_ratio[2] == pytest.approx(58 / 60)
+    toks0 = texts[0].split(" ")
+    assert out.mean_word_len[0] == pytest.approx(
+        sum(len(w) for w in toks0) / len(toks0))
+    assert out.alpha_word_frac[0] == 1.0
+
+
+def test_dedup_paragraphs_newline(ray_session):
+    texts = [
+        "alpha beta\ncommon para\ngamma",
+        "common para\ndelta",        # 'common para' already seen in doc 0
+        "unique here",
+    ]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts)})
+    out = dedup_paragraphs(ray.data.from_arrow(t), "doc_id", "text") \
+        .to_pandas()
+    got = set(zip(out.doc_id, out.para_idx))
+    assert (0, 0) in got and (0, 1) in got and (0, 2) in got
+    assert (1, 0) not in got          # duplicate paragraph dropped
+    assert (1, 1) in got and (2, 0) in got
+
+
+def test_dedup_paragraphs_chunk_fallback(ray_session):
+    # single-line corpus: fixed-token chunks; the duplicate chunk loses
+    texts = [
+        "a b c d e f g h i j",            # chunks: 'a b c d e', 'f g h i j'
+        "a b c d e x y z w v",            # first chunk duplicates doc 0's
+    ]
+    t = pa.table({"doc_id": pa.array(range(2), pa.int64()),
+                  "text": pa.array(texts)})
+    out = dedup_paragraphs(ray.data.from_arrow(t), "doc_id", "text",
+                           chunk_tokens=5).to_pandas()
+    got = set(zip(out.doc_id, out.para_idx))
+    assert got == {(0, 0), (0, 1), (1, 1)}
+
+
+def test_dedup_paragraphs_winner_is_lowest(ray_session):
+    # same paragraph in three docs: lowest (doc, idx) survives
+    texts = ["dup dup dup dup dup"] * 3
+    t = pa.table({"doc_id": pa.array([5, 2, 9], pa.int64()),
+                  "text": pa.array(texts)})
+    out = dedup_paragraphs(ray.data.from_arrow(t), "doc_id", "text") \
+        .to_pandas()
+    assert list(zip(out.doc_id, out.para_idx)) == [(2, 0)]
