@@ -306,6 +306,21 @@ def q_dedup_paragraphs(sf_dir):
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher repetition rules: duplicate-line fraction and top-bigram
+    share per doc (token-count share; see repetition_filters)."""
+    import ray.data
+
+    from lucene_solr_ray.textstats.ops import repetition_filters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = repetition_filters(ds, "doc_id", "text", top_ns=(2,), dup_ns=())
+    t = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    t["top2_frac"] = _round_half_away(t["top2_frac"].to_numpy())
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_ft_rtg(sf_dir):
     """RealTimeGetComponent (solr/.../RealTimeGetComponent.java:88): fetch
     by key, routed shard files only (O(keys), id-filter pushdown)."""
@@ -2445,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_simple_query": q_ft_simple_query,
         "gopher_quality": q_gopher_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "repetition_stats": q_repetition_stats,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2942,6 +2958,22 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY para ORDER BY doc_id, para_idx) AS rn
               FROM chunks) WHERE rn = 1
             ORDER BY doc_id, para_idx""",
+        "repetition_stats": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+              FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            ),
+            cnt AS (SELECT doc_id, g, count(*) AS c FROM grams
+                    GROUP BY doc_id, g),
+            top AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id, 0.0 AS dup_line_frac,
+                   round(coalesce(t.mc * 2.0 / len(b.toks), 0.0), 6)
+                     AS top2_frac
+            FROM base b LEFT JOIN top t USING (doc_id)
+            ORDER BY b.doc_id""",
         "ft_rtg": """
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS INT) AS doclen,

@@ -235,3 +235,77 @@ def gopher_filters(ds: Dataset, key_col: str, text_col: str,
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def repetition_filters(ds: Dataset, key_col: str, text_col: str,
+                       top_ns: tuple = (2, 3, 4),
+                       dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> Dataset:
+    """Gopher repetition rules (Rae et al. 2021 App. A, "repetitious
+    documents"): per doc,
+
+    - dup_line_frac: fraction of lines that are exact duplicates of an
+      earlier line ('\\n'-split; single-line docs report 0);
+    - top{n}_frac for n in top_ns: the share of the doc taken by the most
+      frequent word n-gram (token-count share count*n/n_words — the paper
+      uses the character share; the token share is tie-free and
+      order-equivalent on same-n grams);
+    - dup{n}_frac for n in dup_ns: share of tokens covered by n-grams that
+      occur more than once.
+
+    One pass, vectorized n-gram hashing per doc (no Python string joins in
+    the hot loop)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        n_docs = len(texts)
+        out = {
+            key_col: t[key_col],
+            "dup_line_frac": np.zeros(n_docs, dtype=np.float64),
+        }
+        for n in top_ns:
+            out[f"top{n}_frac"] = np.zeros(n_docs, dtype=np.float64)
+        for n in dup_ns:
+            out[f"dup{n}_frac"] = np.zeros(n_docs, dtype=np.float64)
+        for i, s in enumerate(texts):
+            s = s or ""
+            lines = s.split("\n")
+            if len(lines) > 1:
+                seen: set = set()
+                dups = 0
+                for ln in lines:
+                    if ln in seen:
+                        dups += 1
+                    seen.add(ln)
+                out["dup_line_frac"][i] = dups / len(lines)
+            toks = s.split(" ") if s else []
+            nw = len(toks)
+            if not nw:
+                continue
+            # token ids once, then vectorized rolling-hash n-grams
+            uniq = {w: j for j, w in enumerate(dict.fromkeys(toks))}
+            ids = np.asarray([uniq[w] for w in toks], dtype=np.int64)
+            for n in tuple(top_ns) + tuple(dup_ns):
+                if nw < n:
+                    continue
+                base = np.int64(len(uniq) + 1)
+                keys = np.zeros(nw - n + 1, dtype=np.int64)
+                for j in range(n):
+                    keys = keys * base + ids[j:nw - n + 1 + j]
+                _, inv, counts = np.unique(keys, return_inverse=True,
+                                           return_counts=True)
+                if n in top_ns:
+                    out[f"top{n}_frac"][i] = counts.max() * n / nw
+                if n in dup_ns:
+                    # tokens covered by any repeated n-gram occurrence
+                    rep = counts[inv] > 1
+                    covered = np.zeros(nw, dtype=bool)
+                    for j in np.flatnonzero(rep):
+                        covered[j:j + n] = True
+                    out[f"dup{n}_frac"][i] = covered.mean()
+        cols = {key_col: out[key_col]}
+        for k, v in out.items():
+            if k != key_col:
+                cols[k] = pa.array(v, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

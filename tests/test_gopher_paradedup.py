@@ -69,3 +69,28 @@ def test_dedup_paragraphs_winner_is_lowest(ray_session):
     out = dedup_paragraphs(ray.data.from_arrow(t), "doc_id", "text") \
         .to_pandas()
     assert list(zip(out.doc_id, out.para_idx)) == [(2, 0)]
+
+
+def test_repetition_filters(ray_session):
+    from lucene_solr_ray.textstats.ops import repetition_filters
+
+    texts = [
+        "a b a b a b a b",                 # top2 'a b' 4x of 7 bigrams
+        "x\ny\nx\nz\nx",                   # dup lines: 2 of 5
+        "all words here are unique now",   # no repetition
+    ]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts)})
+    out = repetition_filters(ray.data.from_arrow(t), "doc_id", "text",
+                             top_ns=(2,), dup_ns=(3,)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc0: bigrams of 8 tokens: 'a b' occurs 4 times -> 4*2/8 = 1.0
+    assert out.top2_frac[0] == pytest.approx(1.0)
+    # doc0 trigram 'a b a'/'b a b' repeat -> all tokens covered
+    assert out.dup3_frac[0] == pytest.approx(1.0)
+    assert out.dup_line_frac[0] == 0.0
+    # doc1: lines x y x z x -> 2 duplicate lines of 5
+    assert out.dup_line_frac[1] == pytest.approx(2 / 5)
+    # doc2: unique text
+    assert out.top2_frac[2] == pytest.approx(2 / 6)  # every bigram once
+    assert out.dup3_frac[2] == 0.0
