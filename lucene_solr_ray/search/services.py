@@ -982,28 +982,25 @@ def terms_enum(index_dir: str, field: str | None = None, prefix: str = "",
                                columns=["term", "df"])
 
     def part(t: pa.Table) -> pa.Table:
-        terms = t["term"].to_pylist()
-        dfs = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_t, out_d = [], []
-        for i, x in enumerate(terms):
-            if ns:
-                if not x.startswith(ns):
-                    continue
-                x = x[len(ns):]
-            elif ":" in x:
-                continue  # keyword / analyzed-field namespace
-            if prefix and not x.startswith(prefix):
-                continue
-            if lower is not None and x < lower:
-                continue
-            if upper is not None and x > upper:
-                continue
-            if rx is not None and rx.fullmatch(x) is None:
-                continue
-            out_t.append(x)
-            out_d.append(dfs[i])
-        return pa.table({"term": pa.array(out_t, pa.string()),
-                         "df": pa.array(out_d, pa.int64())})
+        import pyarrow.compute as pc
+
+        col = pc.cast(t["term"], pa.string())
+        if ns:
+            m = pc.starts_with(col, ns)
+            col = pc.utf8_slice_codeunits(col, len(ns))
+        else:
+            m = pc.invert(pc.match_substring(col, ":"))
+        if prefix:
+            m = pc.and_(m, pc.starts_with(col, prefix))
+        if lower is not None:
+            m = pc.and_(m, pc.greater_equal(col, lower))
+        if upper is not None:
+            m = pc.and_(m, pc.less_equal(col, upper))
+        if rx is not None:
+            m = pc.and_(m, pc.match_substring_regex(
+                col, f"^(?:{regex})$"))
+        out = pa.table({"term": col, "df": pc.cast(t["df"], pa.int64())})
+        return out.filter(m)
 
     agg = ds.map_batches(part, batch_format="pyarrow").groupby("term") \
         .aggregate(Sum("df", alias_name="df"))
