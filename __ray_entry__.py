@@ -283,7 +283,8 @@ def q_gopher_quality(sf_dir):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    out = gopher_filters(ds, "doc_id", "text", min_words=25)
+    out = gopher_filters(ds, "doc_id", "text", min_words=25,
+                         min_stop_hits=1)
     t = out.to_pandas()
     import pandas as pd
 
@@ -304,6 +305,23 @@ def q_dedup_paragraphs(sf_dir):
     out = dedup_paragraphs(ds, "doc_id", "text", chunk_tokens=5)
     t = out.to_pandas().sort_values(["doc_id", "para_idx"])
     return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_curation_pipeline(sf_dir):
+    """End-to-end curation (C4/Gopher/RefinedWeb recipe): Gopher quality
+    pass + exact-dedup winners, joined hash-partitioned — the composed
+    training-data pipeline over already-verified components."""
+    import ray.data
+
+    from lucene_solr_ray.pipelines.curation import curate_corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    out = curate_corpus(ds, min_words=25, min_stop_hits=1,
+                        num_partitions=4)
+    t = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t[["doc_id", "n_words", "lang"]],
+                                preserve_index=False)
 
 
 def q_repetition_stats(sf_dir):
@@ -2461,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
         "repetition_stats": q_repetition_stats,
+        "curation_pipeline": q_curation_pipeline,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -2940,7 +2959,7 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 25 AND n_words <= 100000
                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
                     AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
-                    AND stop_hits >= 2) AS passes
+                    AND stop_hits >= 1) AS passes
             FROM per ORDER BY doc_id""",
         "dedup_paragraphs": """
             WITH base AS (
@@ -2958,6 +2977,42 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY para ORDER BY doc_id, para_idx) AS rn
               FROM chunks) WHERE rn = 1
             ORDER BY doc_id, para_idx""",
+        "curation_pipeline": """
+            WITH base AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS toks, text
+              FROM documents
+            ),
+            per AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  * 1.0 / len(toks) AS mwl,
+                len(list_filter(toks, x -> contains(x, '#')
+                                        OR contains(x, '...')))
+                  * 1.0 / len(toks) AS sym,
+                len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  * 1.0 / len(toks) AS alpha,
+                CAST(list_contains(toks, 'the') AS INT)
+                  + CAST(list_contains(toks, 'be') AS INT)
+                  + CAST(list_contains(toks, 'to') AS INT)
+                  + CAST(list_contains(toks, 'of') AS INT)
+                  + CAST(list_contains(toks, 'and') AS INT)
+                  + CAST(list_contains(toks, 'that') AS INT)
+                  + CAST(list_contains(toks, 'have') AS INT)
+                  + CAST(list_contains(toks, 'with') AS INT) AS stops
+              FROM base
+            ),
+            pass AS (
+              SELECT doc_id, n_words FROM per
+              WHERE n_words >= 25 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+                AND alpha >= 0.8 AND stops >= 1
+            ),
+            win AS (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY text)
+            SELECT b.doc_id, p.n_words, b.lang
+            FROM base b JOIN pass p USING (doc_id) JOIN win USING (doc_id)
+            ORDER BY b.doc_id""",
         "repetition_stats": """
             WITH base AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents

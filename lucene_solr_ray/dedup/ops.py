@@ -58,9 +58,12 @@ def dedup_exact(ds: Dataset, key_col: str, text_col: str) -> Dataset:
     map_groups first() so no group is ever materialized."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = poly_hash_strings(t[text_col].to_pylist())
+        # int64 bit-view: sig is an equality-only group key, and uint64
+        # values above 2^63 push Ray's hash shuffle into a pickled-object
+        # fallback that breaks downstream joins
+        h = poly_hash_strings(t[text_col].to_pylist()).view(np.int64)
         return pa.table(
-            {"sig": pa.array(h, pa.uint64()), key_col: t[key_col]}
+            {"sig": pa.array(h, pa.int64()), key_col: t[key_col]}
         )
 
     sigs = ds.map_batches(add_hash, batch_format="pyarrow")

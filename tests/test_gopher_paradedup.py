@@ -94,3 +94,39 @@ def test_repetition_filters(ray_session):
     # doc2: unique text
     assert out.top2_frac[2] == pytest.approx(2 / 6)  # every bigram once
     assert out.dup3_frac[2] == 0.0
+
+
+def test_curate_corpus_composition(ray_session):
+    from lucene_solr_ray.pipelines.curation import curate_corpus
+
+    texts = [
+        " ".join(["the"] + ["word"] * 30),      # passes, unique
+        " ".join(["the"] + ["word"] * 30),      # exact dup of doc 0: loses
+        "short the doc",                        # fails min_words
+        " ".join(["the"] + ["other"] * 30),     # passes, unique
+        " ".join(["nostop"] * 40),              # fails stop-word rule
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en", "de", "fr", "en"]),
+    })
+    out = curate_corpus(ray.data.from_arrow(t), min_words=25,
+                        min_stop_hits=1, num_partitions=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == [0, 3]
+    assert out.n_words.tolist() == [31, 31]
+    assert out.lang.tolist() == ["en", "fr"]
+
+
+def test_curate_corpus_empty_survivors(ray_session):
+    from lucene_solr_ray.pipelines.curation import curate_corpus
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["tiny", "also tiny"]),
+        "lang": pa.array(["en", "en"]),
+    })
+    out = curate_corpus(ray.data.from_arrow(t), min_words=25,
+                        num_partitions=2).to_pandas()
+    assert len(out) == 0
