@@ -189,7 +189,8 @@ def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
             "rollup_q1", "join_large", "sort_topk", "dedup_exact",
             "minhash_pairs", "ann_topk", "quality_score", "window_sliding",
             "simhash_sigs", "significant_terms", "embedding_dups",
-            "ft_after_delete",
+            "ft_after_delete", "gopher_quality", "dedup_paragraphs",
+            "curation_pipeline", "ann_ivf",
         ]:
             best = float("inf")
             for _ in range(2):
