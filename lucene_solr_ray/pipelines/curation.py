@@ -35,33 +35,34 @@ def curate_corpus(ds: Dataset, key_col: str = "doc_id",
     """Returns the curated survivors as a lazy Dataset of
     (key_col, n_words, *keep_cols): docs that pass the Gopher rules AND
     win exact dedup (lowest id per identical text)."""
+    # keep_cols ride through the metrics pass, so ONE join closes the
+    # pipeline (dedup semantics stay dedup-over-all-docs: a duplicate
+    # whose winner failed quality is still dropped, as in the reference
+    # recipes where dedup keys on raw content)
     metrics = gopher_filters(ds, key_col, text_col, min_words=min_words,
-                             min_stop_hits=min_stop_hits)
+                             min_stop_hits=min_stop_hits,
+                             carry_cols=keep_cols)
 
     def keep(t: pa.Table) -> pa.Table:
-        return t.filter(t["passes"]).select([key_col, "n_words"])
+        return t.filter(t["passes"]).select(
+            [key_col, "n_words", *keep_cols])
 
     from ..dedup.ops import _ensure_schema
     from ..relational.ops import bucketed_join
 
     passing = metrics.map_batches(keep, batch_format="pyarrow")
     # a fully-filtered Dataset loses its schema; bucketed_join (not
-    # Dataset.join) is used throughout because Ray 2.49's hash-shuffle
-    # join crashes on empty partitions (schema-less left tables)
-    passing = _ensure_schema(passing, pa.table({
-        key_col: pa.array([], pa.int64()),
-        "n_words": pa.array([], pa.int64()),
-    }))
+    # Dataset.join) is used because Ray 2.49's hash-shuffle join crashes
+    # on empty partitions (schema-less left tables)
+    schema_cols = {key_col: pa.array([], pa.int64()),
+                   "n_words": pa.array([], pa.int64())}
+    for c in keep_cols:
+        schema_cols[c] = pa.array([], pa.string())
+    passing = _ensure_schema(passing, pa.table(schema_cols))
     winners = dedup_exact(ds, key_col, text_col)
     kept = bucketed_join(passing, winners, on=key_col,
                          num_buckets=num_partitions)
-    kept = kept.select_columns([key_col, "n_words"])
-    if keep_cols:
-        side = ds.select_columns([key_col, *keep_cols])
-        kept = bucketed_join(kept, side, on=key_col,
-                             num_buckets=num_partitions)
-        kept = kept.select_columns([key_col, "n_words", *keep_cols])
-    return kept
+    return kept.select_columns([key_col, "n_words", *keep_cols])
 
 
 def curate_to_parquet(ds: Dataset, out_dir: str,

@@ -177,7 +177,8 @@ def gopher_filters(ds: Dataset, key_col: str, text_col: str,
                    max_mean_word_len: float = 10.0,
                    max_symbol_ratio: float = 0.1,
                    min_alpha_word_frac: float = 0.8,
-                   min_stop_hits: int = 2) -> Dataset:
+                   min_stop_hits: int = 2,
+                   carry_cols: tuple = ()) -> Dataset:
     """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
     Models: Methods, Analysis & Insights from Training Gopher", App. A):
     per-doc metrics + a pass flag for the standard web-corpus filters —
@@ -224,7 +225,7 @@ def gopher_filters(ds: Dataset, key_col: str, text_col: str,
                   & (symbol_ratio <= max_symbol_ratio)
                   & (alpha_frac >= min_alpha_word_frac)
                   & (hits >= min_stop_hits))
-        return pa.table({
+        cols = {
             key_col: t[key_col],
             "n_words": pa.array(n_words),
             "mean_word_len": pa.array(mean_len, pa.float64()),
@@ -232,7 +233,10 @@ def gopher_filters(ds: Dataset, key_col: str, text_col: str,
             "alpha_word_frac": pa.array(alpha_frac, pa.float64()),
             "stop_hits": pa.array(hits, pa.int64()),
             "passes": pa.array(passes.astype(bool), pa.bool_()),
-        })
+        }
+        for c in carry_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
