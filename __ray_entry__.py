@@ -339,6 +339,18 @@ def q_repetition_stats(sf_dir):
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_ft_cluster(sf_dir):
+    """Search-result clustering (solr/contrib/clustering
+    ClusteringComponent.java:63): deterministic TF-IDF k-means over the
+    top hits (no SQL oracle — iterative clustering; pytest pins the
+    semantics on planted topic groups)."""
+    from lucene_solr_ray.search.services import cluster_results
+
+    s = _searcher64(sf_dir)
+    return cluster_results(s, "fast", f"{sf_dir}/documents.parquet",
+                           k=20, n_clusters=3)
+
+
 def q_ft_rtg(sf_dir):
     """RealTimeGetComponent (solr/.../RealTimeGetComponent.java:88): fetch
     by key, routed shard files only (O(keys), id-filter pushdown)."""
@@ -2480,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "repetition_stats": q_repetition_stats,
         "curation_pipeline": q_curation_pipeline,
+        "ft_cluster": q_ft_cluster,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,

@@ -950,6 +950,78 @@ def facet_keyword_field(index_dir: str, field: str, query=None,
     })
 
 
+def cluster_results(searcher: IndexSearcher, query, corpus_path: str,
+                    key_col: str = "doc_id", text_col: str = "text",
+                    k: int = 20, n_clusters: int = 3, iters: int = 10,
+                    top_terms: int = 64, seed: int = 42) -> pa.Table:
+    """Search-result clustering (solr/contrib/clustering
+    ClusteringComponent.java:63 / SearchClusteringEngine role — the
+    Carrot2 engine is an external library, so the clustering algorithm
+    here is deterministic spherical k-means over TF-IDF snippets, the
+    standard substitution).
+
+    Top-k hits' texts are fetched with an id-filter pushdown (two-phase
+    fetch — never a corpus scan), vectorized into L2-normalized TF-IDF
+    over the result set's `top_terms` df-ranked terms, and k-means++-free
+    seeded k-means labels each hit. Returns (doc_id, rank, cluster,
+    cluster_label) where the label is the cluster's highest-TF-IDF term."""
+    import pyarrow.dataset as pds
+
+    hits = searcher.search(query, k=k)
+    ids = hits["doc_id"].to_pylist()
+    if not ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "cluster": pa.array([], pa.int32()),
+                         "cluster_label": pa.array([], pa.string())})
+    dset = pds.dataset(corpus_path)
+    t = dset.to_table(columns=[key_col, text_col],
+                      filter=pds.field(key_col).isin(ids))
+    texts = dict(zip(t[key_col].to_pylist(), t[text_col].to_pylist()))
+    docs_toks = [(texts.get(d) or "").split(" ") for d in ids]
+    from collections import Counter
+
+    df_c: Counter = Counter()
+    for toks in docs_toks:
+        df_c.update(set(toks))
+    vocab = [w for w, _ in sorted(df_c.items(),
+                                  key=lambda x: (-x[1], x[0]))[:top_terms]]
+    vid = {w: i for i, w in enumerate(vocab)}
+    n, m = len(ids), len(vocab)
+    tfm = np.zeros((n, m), dtype=np.float64)
+    for i, toks in enumerate(docs_toks):
+        for w in toks:
+            j = vid.get(w)
+            if j is not None:
+                tfm[i, j] += 1.0
+    idf = np.log(1.0 + n / np.maximum(
+        np.asarray([df_c[w] for w in vocab], dtype=np.float64), 1.0))
+    x = tfm * idf[None, :]
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    kk = min(n_clusters, n)
+    cents = x[rng.choice(n, size=kk, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(kk):
+            mem = x[assign == c]
+            if len(mem):
+                v = mem.sum(axis=0)
+                cents[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    assign = np.argmax(x @ cents.T, axis=1)
+    labels = []
+    for c in range(kk):
+        mem = x[assign == c]
+        labels.append(vocab[int(np.argmax(mem.sum(axis=0)))] if len(mem)
+                      else "")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "rank": hits["rank"],
+        "cluster": pa.array(assign.astype(np.int32), pa.int32()),
+        "cluster_label": pa.array([labels[c] for c in assign], pa.string()),
+    })
+
+
 def terms_enum(index_dir: str, field: str | None = None, prefix: str = "",
                regex: str | None = None, lower: str | None = None,
                upper: str | None = None, mincount: int = 1,

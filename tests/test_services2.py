@@ -328,3 +328,39 @@ def test_blended_infix_suggester(ray_session):
     assert dict(e.suggest("war"))["star wars"] == 2.5  # 10 / 2^2
     # no match
     assert s.suggest("zzz") == []
+
+
+def test_cluster_results(tmp_path, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import cluster_results
+
+    # two obvious topical groups sharing the query term
+    texts = (["shared cat cat cat feline whiskers"] * 5
+             + ["shared dog dog dog canine bark"] * 5)
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(texts),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    s = IndexSearcher(idx, dtype=np.float64)
+    out = cluster_results(s, "shared", p, k=10, n_clusters=2)
+    assert out.num_rows == 10
+    byid = dict(zip(out["doc_id"].to_pylist(), out["cluster"].to_pylist()))
+    cats = {byid[d] for d in range(5)}
+    dogs = {byid[d] for d in range(5, 10)}
+    assert len(cats) == 1 and len(dogs) == 1 and cats != dogs
+    labels = dict(zip(out["doc_id"].to_pylist(),
+                      out["cluster_label"].to_pylist()))
+    # cluster labels surface the defining term of each group
+    assert labels[0] in ("cat", "feline", "whiskers")
+    assert labels[9] in ("dog", "canine", "bark")
+    # deterministic across runs
+    out2 = cluster_results(s, "shared", p, k=10, n_clusters=2)
+    assert out["cluster"].to_pylist() == out2["cluster"].to_pylist()
