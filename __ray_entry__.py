@@ -339,6 +339,15 @@ def q_repetition_stats(sf_dir):
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_ft_surround(sf_dir):
+    """Surround parser (queryparser/surround/parser/QueryParser.jj):
+    '3w(fast, query)' -> SpanNear(slop=2, ordered)."""
+    from lucene_solr_ray.search.surround_parser import surround_parse
+
+    s = _searcher64(sf_dir)
+    return s.match_all(surround_parse("3w(fast, query)")).select(["doc_id"])
+
+
 def q_ft_cluster(sf_dir):
     """Search-result clustering (solr/contrib/clustering
     ClusteringComponent.java:63): deterministic TF-IDF k-means over the
@@ -2493,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "curation_pipeline": q_curation_pipeline,
         "ft_cluster": q_ft_cluster,
+        "ft_surround": q_ft_surround,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -3050,6 +3060,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""",
         "ft_simple_query": osql.sql_must_with_should_group(
             must_term="dup", should_terms=["fast", "query"]),
+        "ft_surround": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+            SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+            WHERE a.term = 'fast' AND b.term = 'query'
+              AND b.pos > a.pos AND b.pos - a.pos <= 3
+            ORDER BY a.doc_id""",
         "ft_word_break": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),

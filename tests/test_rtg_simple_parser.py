@@ -115,3 +115,58 @@ def test_simple_parse_behavior_matches_classic(tmp_path, ray_session):
     a = s.match_all(simple_parse("green|yellow"))
     b = s.match_all("green OR yellow")
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# surround parser
+# ---------------------------------------------------------------------------
+
+def test_surround_parse_shapes():
+    from lucene_solr_ray.search.query import SpanNear, SpanOrQ, SpanTerm
+    from lucene_solr_ray.search.surround_parser import surround_parse
+
+    n = surround_parse("3w(fast, query)")
+    assert isinstance(n, SpanNear) and n.slop == 2 and n.in_order
+    assert [c.text for c in n.clauses] == ["fast", "query"]
+    n = surround_parse("5N(a, b, c)")
+    assert isinstance(n, SpanNear) and n.slop == 4 and not n.in_order
+    # bare W = distance 1 (getOpDistance :124-130)
+    n = surround_parse("w(a, b)")
+    assert n.slop == 0 and n.in_order
+    # infix form
+    n = surround_parse("fast 3w query")
+    assert isinstance(n, SpanNear) and n.slop == 2 and n.in_order
+    # OR inside a distance op -> SpanOr clause
+    n = surround_parse("2w(or(a, b), c)")
+    assert isinstance(n.clauses[0], SpanOrQ)
+    # boolean combinations
+    n = surround_parse("a AND b")
+    assert isinstance(n, Bool) and len(n.must) == 2
+    n = surround_parse("a NOT b")
+    assert n.must and n.must_not
+    for bad in ["", "3w(", "a AND", "3w(a,)", ")", "w(a AND b, c)"]:
+        with pytest.raises(ValueError):
+            surround_parse(bad)
+
+
+def test_surround_matches_positions(tmp_path, ray_session):
+    from lucene_solr_ray.search.surround_parser import surround_parse
+
+    p = str(tmp_path / "c.parquet")
+    texts = [
+        "alpha beta gamma",       # alpha..gamma at distance 2
+        "alpha x x gamma",        # distance 3
+        "gamma beta alpha",       # reversed
+        "alpha gamma",            # adjacent
+    ]
+    _corpus(p, np.arange(4, dtype=np.int64), texts)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    s = IndexSearcher(idx, dtype=np.float64)
+    got = s.match_all(surround_parse("2w(alpha, gamma)"))
+    assert sorted(got["doc_id"].to_pylist()) == [0, 3]
+    got = s.match_all(surround_parse("3w(alpha, gamma)"))
+    assert sorted(got["doc_id"].to_pylist()) == [0, 1, 3]
+    # unordered catches the reversed doc
+    got = s.match_all(surround_parse("2n(alpha, gamma)"))
+    assert sorted(got["doc_id"].to_pylist()) == [0, 2, 3]
