@@ -364,3 +364,38 @@ def test_cluster_results(tmp_path, ray_session):
     # deterministic across runs
     out2 = cluster_results(s, "shared", p, k=10, n_clusters=2)
     assert out["cluster"].to_pylist() == out2["cluster"].to_pylist()
+
+
+def test_explain_equals_score(tmp_path, ray_session):
+    """The explain-equals-score invariant (TestExplanations role): the
+    explanation's value must equal the search score exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.explain import explain
+
+    texts = [f"red green blue doc{i}" if i % 2 else f"red yellow doc{i}"
+             for i in range(40)]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts)}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    s = IndexSearcher(idx, dtype=np.float64)
+    for q in ["red", "red AND green", "red OR yellow",
+              '"red green"', "red AND NOT yellow"]:
+        hits = s.search(q, k=5)
+        for d, sc in zip(hits["doc_id"].to_pylist(),
+                         hits["score"].to_pylist()):
+            e = explain(s, q, d)
+            assert e.is_match, (q, d)
+            assert e.value == pytest.approx(sc, rel=1e-12), (q, d)
+            assert "=" in str(e)
+            assert e.to_dict()["value"] == e.value
+    # non-matching doc explains as no-match
+    miss = explain(s, "green", 0)  # doc 0 has yellow, not green
+    assert not miss.is_match and miss.value == 0.0
