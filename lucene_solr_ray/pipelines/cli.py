@@ -118,6 +118,13 @@ def main(argv=None):
     c.add_argument("--index-dir", required=True)
     c.add_argument("--sample-terms", type=int, default=None)
 
+    e = sub.add_parser("explain")
+    e.add_argument("--index-dir", required=True)
+    e.add_argument("--query", required=True)
+    e.add_argument("--doc", type=int, required=True)
+    e.add_argument("--json", action="store_true",
+                   help="emit the Explanation tree as JSON")
+
     d = sub.add_parser("delete")
     d.add_argument("--index-dir", required=True)
     g = d.add_mutually_exclusive_group(required=True)
@@ -180,6 +187,12 @@ def main(argv=None):
         from ..index.maintenance import check_index
 
         print(json.dumps(check_index(args.index_dir, args.sample_terms)))
+    elif args.cmd == "explain":
+        from ..search import IndexSearcher
+        from ..search.explain import explain
+
+        ex = explain(IndexSearcher(args.index_dir), args.query, args.doc)
+        print(json.dumps(ex.to_dict()) if args.json else str(ex))
     elif args.cmd == "delete":
         from ..index.maintenance import (
             delete_by_ids,
