@@ -339,6 +339,17 @@ def q_repetition_stats(sf_dir):
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_ft_sweetspot(sf_dir):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:23): TF-IDF with
+    a lengthNorm plateau and a baseline tf floor."""
+    from lucene_solr_ray.search import IndexSearcher, SweetSpotSimilarity
+
+    sim = SweetSpotSimilarity(ln_min=5, ln_max=8, steepness=0.5,
+                              tf_base=1.5, tf_min=2)
+    s = IndexSearcher(_index_for(sf_dir), params=sim, dtype=np.float64)
+    return _round_col(s.match_all("fast"), "score")
+
+
 def q_ft_surround(sf_dir):
     """Surround parser (queryparser/surround/parser/QueryParser.jj):
     '3w(fast, query)' -> SpanNear(slop=2, ordered)."""
@@ -2503,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "ft_cluster": q_ft_cluster,
         "ft_surround": q_ft_surround,
+        "ft_sweetspot": q_ft_sweetspot,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -3060,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""",
         "ft_simple_query": osql.sql_must_with_should_group(
             must_term="dup", should_terms=["fast", "query"]),
+        "ft_sweetspot": osql.sql_sweetspot_term("fast"),
         "ft_surround": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term,

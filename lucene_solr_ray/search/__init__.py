@@ -14,4 +14,5 @@ from .similarity import (  # noqa: F401
     LMDirichletSimilarity,
     LMJelinekMercerSimilarity,
     Similarity,
+    SweetSpotSimilarity,
 )

@@ -152,6 +152,30 @@ GROUP BY t.doc_id
 ORDER BY t.doc_id"""
 
 
+def sql_sweetspot_term(term: str, ln_min: int = 5, ln_max: int = 8,
+                       steep: float = 0.5, tf_base: float = 1.5,
+                       tf_min: float = 2.0) -> str:
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:117-165):
+    classic idf * baselineTf(freq) * plateau lengthNorm(qlen)."""
+    return f"""
+WITH {bm25_cte()}
+SELECT t.doc_id AS doc_id,
+       round(
+         (ln((s.n + 1.0) / (d.df + 1.0)) + 1)
+         * (CASE WHEN t.freq <= {tf_min} THEN {tf_base}
+                 ELSE sqrt(t.freq + {tf_base * tf_base} - {tf_min}) END)
+         * (1.0 / sqrt({steep} * (abs(q.qlen - {ln_min})
+                                  + abs(q.qlen - {ln_max})
+                                  - {ln_max - ln_min}) + 1.0)),
+         {ROUND}) AS score
+FROM tf t
+JOIN df d ON d.term = t.term
+JOIN qdl q ON q.doc_id = t.doc_id
+CROSS JOIN stats s
+WHERE t.term = '{term}'
+ORDER BY doc_id"""
+
+
 def sql_lm_dirichlet_term(term: str, mu: float = 2000.0) -> str:
     """LMDirichletSimilarity: score = max(0, ln(1 + freq/(mu*p))
     + ln(mu/(qlen+mu))) with p = (ttf+1)/(sum_ttf+1)

@@ -131,6 +131,65 @@ class ClassicSimilarity(Similarity):
                              max_score=math.inf)
 
 
+@dataclass
+class SweetSpotWeight(TermWeight):
+    """score = weight * baselineTf(freq) * lengthNorm(dl)
+    (lucene/misc/.../SweetSpotSimilarity.java:117-133 lengthNorm plateau,
+    :158-165 baselineTf); ``cache`` holds the plateau lengthNorm table."""
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+
+    def score(self, freqs, norms, dtype=np.float32):
+        inv = self.cache[norms.astype(np.int64)]
+        f = freqs.astype(np.float64)
+        tf = np.where(
+            f <= 0.0, 0.0,
+            np.where(f <= self.tf_min, self.tf_base,
+                     np.sqrt(f + self.tf_base * self.tf_base
+                             - self.tf_min)))
+        out = float(self.weight) * tf * inv.astype(np.float64)
+        return out.astype(np.float32) if dtype == np.float32 else out
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """SweetSpotSimilarity (lucene/misc/.../SweetSpotSimilarity.java:23):
+    TF-IDF with a lengthNorm PLATEAU — 1.0 for doc lengths in
+    [ln_min, ln_max], degrading as
+    1/sqrt(steepness*(|dl-min| + |dl-max| - (max-min)) + 1) outside —
+    and a baseline tf floor: tf(f) = tf_base for 0 < f <= tf_min, else
+    sqrt(f + tf_base^2 - tf_min). Defaults degrade to ClassicSimilarity."""
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0):
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+
+    def _table(self, dtype) -> np.ndarray:
+        dl = LENGTH_TABLE.astype(np.float64)
+        tab = 1.0 / np.sqrt(
+            self.steepness * (np.abs(dl - self.ln_min)
+                              + np.abs(dl - self.ln_max)
+                              - (self.ln_max - self.ln_min)) + 1.0)
+        return tab.astype(np.float32) if dtype == np.float32 else tab
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, dtype):
+        w = boost * self._idf(df, doc_count, dtype)
+        return SweetSpotWeight(weight=w, cache=self._table(dtype), df=df,
+                               max_score=math.inf, tf_base=self.tf_base,
+                               tf_min=self.tf_min)
+
+    def multi_weight(self, dfs, ttfs, doc_count, sum_ttf, boost, dtype):
+        idf = sum(self._idf(d, doc_count, dtype) for d in dfs)
+        return SweetSpotWeight(weight=boost * idf, cache=self._table(dtype),
+                               df=min(dfs) if len(dfs) else 0,
+                               max_score=math.inf, tf_base=self.tf_base,
+                               tf_min=self.tf_min)
+
+
 class LMDirichletSimilarity(Similarity):
     def __init__(self, mu: float = 2000.0):
         self.mu = float(mu)

@@ -294,3 +294,46 @@ def test_per_field_similarity_routes(tmp_path_factory, ray_session):
     # text term scores = BM25 (matches a pure-BM25 searcher)
     bm = IndexSearcher(d, params=BM25Similarity(), dtype=np.float64)
     assert s.match_all("fast").equals(bm.match_all("fast"))
+
+
+def test_sweetspot_hand_formula(idx):
+    import math
+
+    from lucene_solr_ray.search import SweetSpotSimilarity
+
+    d, texts = idx
+    sim = SweetSpotSimilarity(ln_min=5, ln_max=8, steepness=0.5,
+                              tf_base=1.5, tf_min=2)
+    s = IndexSearcher(d, params=sim, dtype=np.float64)
+    got_t = s.match_all("fast")
+    got = dict(zip(got_t["doc_id"].to_pylist(), got_t["score"].to_pylist()))
+    toks = [t.split() for t in texts]
+    n = len(toks)
+    df = sum(1 for tk in toks if "fast" in tk)
+    idf = math.log((n + 1) / (df + 1)) + 1.0
+    exp = {}
+    for i, tk in enumerate(toks):
+        f = tk.count("fast")
+        if not f:
+            continue
+        dl = _qlen(len(tk))
+        norm = 1.0 / math.sqrt(
+            0.5 * (abs(dl - 5) + abs(dl - 8) - 3) + 1.0)
+        tf = 1.5 if f <= 2 else math.sqrt(f + 2.25 - 2)
+        exp[i] = idf * tf * norm
+    assert sorted(got) == sorted(exp)
+    for i in exp:
+        assert got[i] == pytest.approx(exp[i], rel=1e-12), i
+
+
+def test_sweetspot_defaults_degrade_to_classic(idx):
+    from lucene_solr_ray.search import SweetSpotSimilarity
+
+    d, _ = idx
+    a = IndexSearcher(d, params=SweetSpotSimilarity(),
+                      dtype=np.float64).match_all("fast")
+    b = IndexSearcher(d, params=ClassicSimilarity(),
+                      dtype=np.float64).match_all("fast")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    np.testing.assert_allclose(a["score"].to_pylist(),
+                               b["score"].to_pylist(), rtol=1e-12)
