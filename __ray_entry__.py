@@ -1347,6 +1347,17 @@ def _geo_index(sf_dir: str) -> str:
     return index_dir
 
 
+def q_geo_heatmap(sf_dir):
+    """facet.heatmap (solr/.../facet/FacetHeatmap.java:65): 2-D grid counts
+    of the docs matching 'fast' over an 8x8 world grid."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.geo import geo_heatmap
+
+    s = IndexSearcher(_geo_index(sf_dir), dtype=np.float64)
+    return geo_heatmap(s, "fast", "lat", "lon", -90.0, 90.0, -180.0, 180.0,
+                       rows=8, cols=8)
+
+
 def q_geo_box(sf_dir):
     """LatLonPoint.newBoxQuery over the points index (search/geo.py):
     two leaf-pruned 1-D range reads + sorted intersection."""
@@ -2515,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_cluster": q_ft_cluster,
         "ft_surround": q_ft_surround,
         "ft_sweetspot": q_ft_sweetspot,
+        "geo_heatmap": q_geo_heatmap,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -3186,6 +3198,22 @@ def oracle_sql() -> dict[str, str]:
         "ft_points_range": """
             SELECT doc_id FROM documents
             WHERE n_chars BETWEEN 500 AND 600 ORDER BY doc_id""",
+        "geo_heatmap": """
+            WITH g AS (SELECT doc_id,
+                       ((doc_id * 7919) % 18001) / 100.0 - 90.0 AS lat,
+                       ((doc_id * 104729) % 36001) / 100.0 - 180.0 AS lon,
+                       text
+                       FROM documents),
+            hits AS (
+              SELECT doc_id, lat, lon FROM g
+              WHERE (' ' || text || ' ') LIKE '% fast %'
+            )
+            SELECT CAST(least(CAST(floor((lat + 90.0) / 22.5) AS BIGINT), 7)
+                     AS BIGINT) AS row,
+                   CAST(least(CAST(floor((lon + 180.0) / 45.0) AS BIGINT), 7)
+                     AS BIGINT) AS col,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM hits GROUP BY 1, 2 ORDER BY 1, 2""",
         "geo_box": """
             WITH g AS (SELECT doc_id,
                        ((doc_id * 7919) % 18001) / 100.0 - 90.0 AS lat,

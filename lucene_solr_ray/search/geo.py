@@ -182,3 +182,49 @@ def distances_for(shard, doc_ids: np.ndarray, lat_field: str, lon_field: str,
     idx = np.searchsorted(shard.doc_ids, doc_ids)
     return haversine_km(lat, lon, shard.docvalues[lat_field][idx],
                         shard.docvalues[lon_field][idx])
+
+
+def geo_heatmap(searcher, query, lat_field: str, lon_field: str,
+                min_lat: float, max_lat: float,
+                min_lon: float, max_lon: float,
+                rows: int = 8, cols: int = 8):
+    """facet.heatmap (solr/core/.../search/facet/FacetHeatmap.java:65):
+    2-D grid counts of the matching docs inside a bounding box — the
+    PNG/ints-2D heatmap payload's counts, computed over the lat/lon
+    NUMERIC docvalues. Per shard, matched docs' coordinates bucket into
+    row = floor((lat-min)/cell_h), col = floor((lon-min)/cell_w)
+    (top-edge values clamp into the last cell); shard partials sum.
+
+    Returns (row, col, cnt) for the non-empty cells, ordered."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .executor import eval_node, resolve_weights
+    from .query import MatchAll
+
+    node = searcher._node(query) if query is not None else MatchAll()
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+    cell_h = (max_lat - min_lat) / rows
+    cell_w = (max_lon - min_lon) / cols
+    grid = np.zeros((rows, cols), dtype=np.int64)
+    for s in searcher.reader.shards:
+        docs, _ = eval_node(s, node, weights, searcher.dtype)
+        if not len(docs):
+            continue
+        idx = np.searchsorted(s.doc_ids, docs)
+        lat = s.docvalues[lat_field][idx]
+        lon = s.docvalues[lon_field][idx]
+        inside = ((lat >= min_lat) & (lat <= max_lat)
+                  & (lon >= min_lon) & (lon <= max_lon))
+        r = np.minimum(((lat[inside] - min_lat) / cell_h).astype(np.int64),
+                       rows - 1)
+        c = np.minimum(((lon[inside] - min_lon) / cell_w).astype(np.int64),
+                       cols - 1)
+        np.add.at(grid, (r, c), 1)
+    rr, cc = np.nonzero(grid)
+    return pa.table({
+        "row": pa.array(rr.astype(np.int64), pa.int64()),
+        "col": pa.array(cc.astype(np.int64), pa.int64()),
+        "cnt": pa.array(grid[rr, cc], pa.int64()),
+    })

@@ -155,3 +155,23 @@ def test_point_in_polygon_winding_independent():
     b = point_in_polygon(py, px, vlats[::-1], vlons[::-1])
     assert np.array_equal(a, b)
     assert np.array_equal(a, (py > 0) & (py < 4) & (px > 0) & (px < 4))
+
+
+def test_geo_heatmap(geo_index):
+    from lucene_solr_ray.search.geo import geo_heatmap
+
+    d, lats, lons = geo_index
+    s = IndexSearcher(d, dtype=np.float64)
+    rows = cols = 4
+    t = geo_heatmap(s, None, "lat", "lon", -90.0, 90.0, -180.0, 180.0,
+                    rows=rows, cols=cols)
+    got = {(r, c): n for r, c, n in zip(t["row"].to_pylist(),
+                                        t["col"].to_pylist(),
+                                        t["cnt"].to_pylist())}
+    exp: dict = {}
+    for la, lo in zip(lats, lons):
+        r = min(int((la + 90.0) / (180.0 / rows)), rows - 1)
+        c = min(int((lo + 180.0) / (360.0 / cols)), cols - 1)
+        exp[(r, c)] = exp.get((r, c), 0) + 1
+    assert got == exp
+    assert sum(got.values()) == len(lats)
