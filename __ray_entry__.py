@@ -339,6 +339,18 @@ def q_repetition_stats(sf_dir):
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_ft_frange(sf_dir):
+    """FunctionRangeQuery / {!frange} (queries/function/
+    FunctionRangeQuery.java:41): docs whose computed expression value lies
+    in a range, composed as a FILTER under a scoring clause."""
+    from lucene_solr_ray.search.query import Bool, FunctionRange, Term
+
+    s = _searcher64(sf_dir)
+    fr = FunctionRange("doclen * 2 + 1", lower=41.0, upper=81.0)
+    return _round_col(s.match_all(Bool(must=[Term("fast")], filter=[fr])),
+                      "score")
+
+
 def q_ft_sweetspot(sf_dir):
     """SweetSpotSimilarity (misc/SweetSpotSimilarity.java:23): TF-IDF with
     a lengthNorm plateau and a baseline tf floor."""
@@ -2527,6 +2539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_surround": q_ft_surround,
         "ft_sweetspot": q_ft_sweetspot,
         "geo_heatmap": q_geo_heatmap,
+        "ft_frange": q_ft_frange,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -3085,6 +3098,19 @@ def oracle_sql() -> dict[str, str]:
         "ft_simple_query": osql.sql_must_with_should_group(
             must_term="dup", should_terms=["fast", "query"]),
         "ft_sweetspot": osql.sql_sweetspot_term("fast"),
+        "ft_frange": """
+            WITH """ + osql.bm25_cte() + """
+            SELECT t.doc_id AS doc_id,
+                   round(sum(""" + osql.bm25_term_score_sql("t.term") + """), 6) AS score
+            FROM tf t
+            JOIN df d ON d.term = t.term
+            JOIN qdl q ON q.doc_id = t.doc_id
+            JOIN dl ON dl.doc_id = t.doc_id
+            CROSS JOIN stats s
+            WHERE t.term = 'fast'
+              AND dl.dl * 2 + 1 >= 41.0 AND dl.dl * 2 + 1 <= 81.0
+            GROUP BY t.doc_id
+            ORDER BY doc_id""",
         "ft_surround": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term,

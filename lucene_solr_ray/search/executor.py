@@ -797,8 +797,35 @@ def eval_node(shard: ShardReader, node, weights, dtype):
         return docs, (node.boost * fn(env)).astype(dtype)
     from .query import BlendedTerm as _BlendedTerm
     from .query import CombinedField as _CombinedField
+    from .query import FunctionRange as _FunctionRange
     from .query import TermAutomaton as _TermAutomaton
 
+    if isinstance(node, _FunctionRange):
+        # FunctionRangeQuery: vectorized expression scan over the shard's
+        # live docs; constant score (ValueSourceScorer matches-only role)
+        from .expressions import compile_expression
+
+        fn = compile_expression(node.expr)
+        docs = shard.doc_ids
+        if shard._live_mask is not None:
+            docs = docs[shard._live_mask]
+        if not len(docs):
+            return np.zeros(0, np.int64), np.zeros(0, dtype)
+        idx = np.searchsorted(shard.doc_ids, docs)
+        env = {"doclen": shard.doclens[idx].astype(np.float64),
+               "doc_id": docs.astype(np.float64),
+               "score": np.zeros(len(docs), dtype=np.float64)}
+        for name, vals in shard.docvalues.items():
+            if name in fn.variables:
+                env[name] = vals[idx]
+        v = np.asarray(fn(env), dtype=np.float64)
+        m = ~np.isnan(v)
+        if node.lower is not None:
+            m &= (v >= node.lower) if node.include_lower else (v > node.lower)
+        if node.upper is not None:
+            m &= (v <= node.upper) if node.include_upper else (v < node.upper)
+        out = docs[m]
+        return out, np.full(len(out), node.boost, dtype=dtype)
     if isinstance(node, _TermAutomaton):
         return _score_term_automaton(shard, node, weights, dtype)
     if isinstance(node, _BlendedTerm):

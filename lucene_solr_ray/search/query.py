@@ -315,6 +315,22 @@ class Covering:
 
 
 @dataclass(frozen=True)
+class FunctionRange:
+    """FunctionRangeQuery (lucene/queries/.../function/
+    FunctionRangeQuery.java:41 / Solr {!frange}): matches docs whose
+    compiled expression value over docvalues/doclen lies in
+    [lower, upper] (inclusive flags per the reference), constant-scored.
+    The ValueSource is the expressions-compiler closure — a vectorized
+    per-shard column scan, no postings involved."""
+    expr: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermAutomaton:
     """TermAutomatonQuery (lucene/sandbox/.../search/
     TermAutomatonQuery.java:71): proximity matching against an automaton

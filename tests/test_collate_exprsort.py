@@ -129,3 +129,27 @@ def test_word_combine_suggest(tmp_path, ray_session):
     assert got["combined"].to_pylist() == ["airport"]
     assert got["start"].to_pylist() == [0] and got["end"].to_pylist() == [1]
     assert got["freq"].to_pylist() == [2]
+
+
+def test_function_range(idx, raw):
+    from lucene_solr_ray.search.query import Bool, FunctionRange, Term
+
+    s = IndexSearcher(idx, dtype=np.float64)
+    fr = FunctionRange("doclen * 2 + 1", lower=41.0, upper=61.0)
+    got = s.match_all(fr)
+    exp = sorted(d for d, toks in raw
+                 if 41.0 <= len(toks) * 2 + 1 <= 61.0)
+    assert got["doc_id"].to_pylist() == exp
+    assert set(got["score"].to_pylist()) == {1.0}
+    # exclusive bounds
+    fr2 = FunctionRange("doclen * 2 + 1", lower=41.0, upper=61.0,
+                        include_lower=False, include_upper=False)
+    got2 = s.match_all(fr2)
+    exp2 = sorted(d for d, toks in raw
+                  if 41.0 < len(toks) * 2 + 1 < 61.0)
+    assert got2["doc_id"].to_pylist() == exp2
+    # composes as a FILTER clause
+    both = s.match_all(Bool(must=[Term("fast")], filter=[fr]))
+    expb = sorted(d for d, toks in raw
+                  if "fast" in toks and 41.0 <= len(toks) * 2 + 1 <= 61.0)
+    assert both["doc_id"].to_pylist() == expb
