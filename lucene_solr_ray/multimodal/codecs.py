@@ -1,11 +1,12 @@
-"""Real pure-numpy image codecs for UNCOMPRESSED formats.
+"""Real pure-numpy image codecs.
 
-This container has no image libraries, so compressed formats (JPEG/PNG)
-stay behind the honest NotImplementedError stub in ops.py — but binary
-PPM (P6) and 24-bit uncompressed BMP need nothing beyond numpy, and a
-100 TB curation pipeline meets both (raw crawl assets, thumbnails,
-intermediate artifacts). encode_* exist so tests and synthetic corpora
-can round-trip deterministically.
+This container has no image libraries; everything that stdlib + numpy can
+decode, decodes for real: binary PPM (P6), 24-bit uncompressed BMP, and
+non-interlaced 8-bit gray/RGB/RGBA PNG (zlib inflate + RFC 2083 row
+unfiltering). Only JPEG — whose entropy/DCT decode genuinely needs a codec
+library — stays behind the honest NotImplementedError stub in ops.py.
+encode_* exist so tests and synthetic corpora can round-trip
+deterministically.
 
 All decoders return (h, w, 3) uint8 RGB arrays; all kernels are
 vectorized numpy (one reshape/stride pass per image, no per-pixel
@@ -102,17 +103,21 @@ def decode_bmp(blob: bytes) -> np.ndarray:
 
 
 def sniff_and_decode(blob: bytes) -> np.ndarray:
-    """Magic-byte dispatch. Compressed formats raise NotImplementedError
-    (the honest stub boundary); unknown bytes raise ValueError."""
+    """Magic-byte dispatch. PPM/BMP/PNG decode natively (PNG via stdlib
+    zlib); JPEG raises NotImplementedError (the one remaining honest stub
+    — DCT entropy decode needs a codec library this container lacks);
+    unknown bytes raise ValueError."""
     b = blob or b""
     if b.startswith(_PPM_MAGIC):
         return decode_ppm(b)
     if b.startswith(_BMP_MAGIC):
         return decode_bmp(b)
-    if b.startswith(_JPEG_MAGIC) or b.startswith(_PNG_MAGIC):
+    if b.startswith(_PNG_MAGIC):
+        return decode_png(b)
+    if b.startswith(_JPEG_MAGIC):
         raise NotImplementedError(
-            "JPEG/PNG decoding requires an image library not present in "
-            "this container; uncompressed PPM/BMP decode natively")
+            "JPEG decoding requires an image library not present in "
+            "this container; PPM/BMP/PNG decode natively")
     raise ValueError("unrecognized image format")
 
 
@@ -142,3 +147,117 @@ def image_stats(img: np.ndarray, with_hist: bool = True) -> dict:
         npx = img.shape[0] * img.shape[1]
         out["lum_hist"] = (hist / max(npx, 1)).astype(np.float32)
     return out
+
+
+# --- PNG (stdlib zlib — no external image library needed) ------------------
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal non-interlaced 8-bit PNG encoder (filter 0 rows): gray (2-D),
+    RGB (H,W,3) or RGBA (H,W,4)."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, channels = 0, 1
+    elif img.shape[2] == 3:
+        color, channels = 2, 3
+    elif img.shape[2] == 4:
+        color, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count: {img.shape}")
+    h, w = img.shape[0], img.shape[1]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _unfilter_png(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the per-row PNG filters (None/Sub/Up/Average/Paeth;
+    RFC 2083 §6). Row-vectorized where the filter allows (Up is one numpy
+    add; Sub/Average/Paeth carry a running left dependency)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = int(raw[pos])
+        pos += 1
+        row = raw[pos:pos + stride].astype(np.int32)
+        pos += stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode: non-interlaced, 8-bit gray / RGB / RGBA
+    (the common web cases). Interlaced or palette PNGs raise
+    NotImplementedError (the remaining honest boundary)."""
+    import struct
+    import zlib
+
+    b = bytes(blob)
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = []
+    w = h = bitdepth = color = interlace = None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        payload = b[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if bitdepth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            "only non-interlaced 8-bit gray/RGB/RGBA PNGs decode here "
+            f"(bitdepth={bitdepth}, color={color}, interlace={interlace})")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (w * ch + 1):
+        raise ValueError("PNG payload length mismatch")
+    flat = _unfilter_png(raw, h, w, ch)
+    img = flat.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img

@@ -53,9 +53,9 @@ def test_sniff_dispatch_and_stub_boundary():
     np.testing.assert_array_equal(sniff_and_decode(encode_ppm(img)), img)
     np.testing.assert_array_equal(sniff_and_decode(encode_bmp(img)), img)
     with pytest.raises(NotImplementedError):
-        sniff_and_decode(b"\xff\xd8\xff\xe0JFIF")
-    with pytest.raises(NotImplementedError):
-        sniff_and_decode(b"\x89PNG\r\n")
+        sniff_and_decode(b"\xff\xd8\xff\xe0JFIF")  # JPEG: the one stub left
+    with pytest.raises(ValueError):
+        sniff_and_decode(b"\x89PNG\r\n")  # PNG decodes now; truncated = bad
     with pytest.raises(ValueError):
         sniff_and_decode(b"garbage")
 
@@ -138,3 +138,74 @@ def test_audio_features_closed_form():
     assert f["zcr"] == pytest.approx(1.0)           # alternating signs
     assert f["rms"] == pytest.approx(0.5, abs=1e-4)
     assert f["duration_s"] == pytest.approx(n / 8000)
+
+
+def test_png_round_trip_all_filters():
+    """encode (filter 0) -> decode round-trips exactly; decode also
+    handles Sub/Up/Average/Paeth-filtered rows via a hand-built PNG."""
+    import struct
+    import zlib
+
+    from lucene_solr_ray.multimodal.codecs import (
+        decode_png,
+        encode_png,
+        sniff_and_decode,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in ((5, 7), (6, 4, 3), (3, 5, 4)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        blob = encode_png(img)
+        out = sniff_and_decode(blob)
+        np.testing.assert_array_equal(out, img)
+
+    # hand-build a PNG exercising every filter type on an RGB image
+    img = rng.integers(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    stride = 6 * 3
+
+    def px(r, c, ch):
+        return int(img[r, c, ch])
+
+    rows = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for r, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[r].reshape(-1).astype(np.int32)
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+            enc[i] = (cur[i] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(blob), img)
+
+    # unsupported shapes stay honest
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        decode_png(blob[:8]
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+                   + chunk(b"IEND", b""))
