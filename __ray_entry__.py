@@ -339,6 +339,17 @@ def q_repetition_stats(sf_dir):
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_ft_syn_graph(sf_dir):
+    """Query-time multi-word synonyms compiled to a TermAutomaton
+    (sandbox/search/TokenStreamToTermAutomatonQuery.java:35): the span
+    'fast query' also accepts the single token 'dup'."""
+    from lucene_solr_ray.search.query_synonyms import synonym_phrase_query
+
+    s = _searcher64(sf_dir)
+    q = synonym_phrase_query("fast query", {("fast", "query"): [("dup",)]})
+    return s.match_all(q).select(["doc_id"])
+
+
 def q_ft_frange(sf_dir):
     """FunctionRangeQuery / {!frange} (queries/function/
     FunctionRangeQuery.java:41): docs whose computed expression value lies
@@ -2540,6 +2551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sweetspot": q_ft_sweetspot,
         "geo_heatmap": q_geo_heatmap,
         "ft_frange": q_ft_frange,
+        "ft_syn_graph": q_ft_syn_graph,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -3110,6 +3122,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE t.term = 'fast'
               AND dl.dl * 2 + 1 >= 41.0 AND dl.dl * 2 + 1 <= 81.0
             GROUP BY t.doc_id
+            ORDER BY doc_id""",
+        "ft_syn_graph": """
+            SELECT doc_id FROM documents
+            WHERE (' ' || text || ' ') LIKE '% fast query %'
+               OR (' ' || text || ' ') LIKE '% dup %'
             ORDER BY doc_id""",
         "ft_surround": """
             WITH tok AS (

@@ -156,3 +156,34 @@ def test_term_automaton_distributed_parity(idx, raw):
     assert local["doc_id"].to_pylist() == dist["doc_id"].to_pylist()
     np.testing.assert_allclose(local["score"].to_pylist(),
                                dist["score"].to_pylist())
+
+
+def test_synonym_graph_query(tmp_path, ray_session):
+    """Query-time multi-word synonyms (TokenStreamToTermAutomatonQuery.java
+    role): 'ny pizza' with ny<->new york matches both spellings."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.search.query_synonyms import synonym_phrase_query
+
+    texts = [
+        "best new york pizza here",    # multi-word spelling
+        "great ny pizza spot",         # single-token spelling
+        "new pizza york style",        # scrambled: no match
+        "pizza new york",              # wrong order: no match
+        "ny bagels only",              # no 'pizza' after the span
+    ]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    s = IndexSearcher(idx, dtype=np.float64)
+    rules = {("ny",): [("new", "york")], ("new", "york"): [("ny",)]}
+    q = synonym_phrase_query("ny pizza", rules)
+    got = s.match_all(q)
+    assert sorted(got["doc_id"].to_pylist()) == [0, 1]
+    # the reverse spelling matches the same docs (graph is symmetric)
+    q2 = synonym_phrase_query("new york pizza", rules)
+    got2 = s.match_all(q2)
+    assert sorted(got2["doc_id"].to_pylist()) == [0, 1]
