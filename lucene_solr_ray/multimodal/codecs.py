@@ -1,10 +1,12 @@
 """Real pure-numpy image codecs.
 
 This container has no image libraries; everything that stdlib + numpy can
-decode, decodes for real: binary PPM (P6), 24-bit uncompressed BMP, and
+decode, decodes for real: binary PPM (P6), 24-bit uncompressed BMP,
 non-interlaced 8-bit gray/RGB/RGBA PNG (zlib inflate + RFC 2083 row
-unfiltering). Only JPEG — whose entropy/DCT decode genuinely needs a codec
-library — stays behind the honest NotImplementedError stub in ops.py.
+unfiltering), and GIF87a/89a first frames (pure-Python LZW, interlace,
+local/global palettes). Only JPEG — whose entropy/DCT decode genuinely
+needs a codec library — stays behind the honest NotImplementedError stub
+in ops.py.
 encode_* exist so tests and synthetic corpora can round-trip
 deterministically.
 
@@ -22,6 +24,7 @@ _PPM_MAGIC = b"P6"
 _BMP_MAGIC = b"BM"
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_MAGIC = b"\x89PNG"
+_GIF_MAGIC = b"GIF8"
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -114,6 +117,8 @@ def sniff_and_decode(blob: bytes) -> np.ndarray:
         return decode_bmp(b)
     if b.startswith(_PNG_MAGIC):
         return decode_png(b)
+    if b.startswith(_GIF_MAGIC):
+        return decode_gif(b)
     if b.startswith(_JPEG_MAGIC):
         raise NotImplementedError(
             "JPEG decoding requires an image library not present in "
@@ -159,11 +164,11 @@ def encode_png(img: np.ndarray) -> bytes:
 
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
-        color, channels = 0, 1
+        color = 0
     elif img.shape[2] == 3:
-        color, channels = 2, 3
+        color = 2
     elif img.shape[2] == 4:
-        color, channels = 6, 4
+        color = 6
     else:
         raise ValueError(f"unsupported channel count: {img.shape}")
     h, w = img.shape[0], img.shape[1]
@@ -261,3 +266,115 @@ def decode_png(blob: bytes) -> np.ndarray:
     flat = _unfilter_png(raw, h, w, ch)
     img = flat.reshape(h, w, ch)
     return img[:, :, 0] if ch == 1 else img
+
+
+# --- GIF (pure-Python LZW; GIF87a/89a, first frame) -------------------------
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (h, w, 3) uint8 RGB:
+    LZW decompression, global/local color tables, 4-pass interlace.
+    Animation frames beyond the first, and disposal/transparency
+    compositing, are out of scope (the first-frame thumbnail is what a
+    curation pipeline featurizes)."""
+    b = bytes(blob)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8) \
+            .reshape(n, 3).copy()
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = b[pos + 5] | (b[pos + 6] << 8)
+            h = b[pos + 7] | (b[pos + 8] << 8)
+            iflags = b[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8) \
+                    .reshape(n, 3).copy()
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            img = table[np.asarray(idx, dtype=np.int64)].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2)])
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image frame")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list:
+    """GIF-variant LZW (LSB-first bitstream, CLEAR/EOI codes, code width
+    grows after the table fills, 12-bit cap)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list = []
+    table: list = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code + 1
+    buf = 0
+    nbits = 0
+    prev = None
+    i = 0
+    while i < len(data) or nbits >= width:
+        while nbits < width and i < len(data):
+            buf |= data[i] << nbits
+            nbits += 8
+            i += 1
+        if nbits < width:
+            break
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = [(j,) for j in range(clear)] + [(), ()]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_pixels:
+            break
+    return out[:n_pixels]

@@ -209,3 +209,56 @@ def test_png_round_trip_all_filters():
         decode_png(blob[:8]
                    + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
                    + chunk(b"IEND", b""))
+
+
+def test_gif_known_vector_and_independent_encoder():
+    import base64
+
+    from lucene_solr_ray.multimodal.codecs import decode_gif, \
+        sniff_and_decode
+
+    # the canonical 1x1 transparent GIF (public known vector)
+    one = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    img = sniff_and_decode(one)
+    assert img.shape == (1, 1, 3)
+    assert img[0, 0].tolist() == [0, 0, 0]
+
+    # independent mini LZW encoder (root codes + frequent CLEARs) built in
+    # the test: 4-color 4x3 image, min_code=2 -> clear=4, width starts 3
+    rng = np.random.default_rng(9)
+    idxs = rng.integers(0, 4, size=12).tolist()
+    palette = bytes([0, 0, 0,  255, 0, 0,  0, 255, 0,  0, 0, 255])
+
+    codes = []
+    for i, v in enumerate(idxs):
+        if i % 2 == 0:
+            codes.append(4)  # CLEAR: keep the table tiny, width fixed at 3
+        codes.append(v)
+    codes.append(5)  # EOI
+
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(buf & 0xFF)
+
+    gif = (b"GIF89a"
+           + bytes([4, 0, 3, 0])          # screen 4x3
+           + bytes([0x91, 0, 0])          # GCT flag, 4 colors (2<<1)
+           + palette
+           + b"\x2c" + bytes([0, 0, 0, 0, 4, 0, 3, 0, 0])  # descriptor
+           + bytes([2])                   # LZW min code size
+           + bytes([len(out)]) + bytes(out) + b"\x00"
+           + b"\x3b")
+    img = decode_gif(gif)
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(4, 3)
+    exp = pal[np.asarray(idxs)].reshape(3, 4, 3)
+    np.testing.assert_array_equal(img, exp)
