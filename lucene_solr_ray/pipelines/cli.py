@@ -113,6 +113,11 @@ def main(argv=None):
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--distributed", action="store_true")
+    s.add_argument("--parser", choices=["classic", "simple", "surround"],
+                   default="classic",
+                   help="query syntax: classic (Lucene QueryParser subset), "
+                        "simple (lenient SimpleQueryParser), surround "
+                        "(nW/nN span operators)")
 
     c = sub.add_parser("check")
     c.add_argument("--index-dir", required=True)
@@ -174,14 +179,27 @@ def main(argv=None):
                          _load_corpus(args, args.index_dir + ".staged_append"))
         print(json.dumps({"num_shards": m["num_shards"], "stats": m["stats"]}))
     elif args.cmd == "search":
+        q = args.query
+        if args.parser == "simple":
+            from ..search.simple_parser import simple_parse
+
+            q = simple_parse(q)
+        elif args.parser == "surround":
+            from ..search.surround_parser import surround_parse
+
+            try:
+                q = surround_parse(q)
+            except ValueError:
+                print(json.dumps([]))
+                return
         if args.distributed:
             from ..search import DistributedSearcher
 
-            res = DistributedSearcher(args.index_dir).search(args.query, k=args.k)
+            res = DistributedSearcher(args.index_dir).search(q, k=args.k)
         else:
             from ..search import IndexSearcher
 
-            res = IndexSearcher(args.index_dir).search(args.query, k=args.k)
+            res = IndexSearcher(args.index_dir).search(q, k=args.k)
         print(json.dumps(res.to_pylist()))
     elif args.cmd == "check":
         from ..index.maintenance import check_index
