@@ -25,6 +25,7 @@ _BMP_MAGIC = b"BM"
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_MAGIC = b"\x89PNG"
 _GIF_MAGIC = b"GIF8"
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -119,6 +120,8 @@ def sniff_and_decode(blob: bytes) -> np.ndarray:
         return decode_png(b)
     if b.startswith(_GIF_MAGIC):
         return decode_gif(b)
+    if b[:4] in _TIFF_MAGICS:
+        return decode_tiff(b)
     if b.startswith(_JPEG_MAGIC):
         raise NotImplementedError(
             "JPEG decoding requires an image library not present in "
@@ -378,3 +381,99 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list:
         if len(out) >= n_pixels:
             break
     return out[:n_pixels]
+
+
+# --- TIFF (uncompressed strips) ---------------------------------------------
+
+def decode_tiff(blob: bytes) -> np.ndarray:
+    """Uncompressed baseline TIFF -> (h, w, 3) or (h, w) uint8: both byte
+    orders, 8-bit gray/RGB, strip layout (compression 1 only — LZW/JPEG
+    TIFFs raise NotImplementedError)."""
+    b = bytes(blob)
+    if b[:4] == b"II*\x00":
+        end = "<"
+    elif b[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack_from(end + "I", b, 4)
+    (n_tags,) = struct.unpack_from(end + "H", b, ifd_off)
+    tags: dict = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(end + "HHI", b, off)
+        if typ == 3 and cnt == 1:
+            (v,) = struct.unpack_from(end + "H", b, off + 8)
+            vals = [v]
+        elif typ == 4 and cnt == 1:
+            (v,) = struct.unpack_from(end + "I", b, off + 8)
+            vals = [v]
+        else:
+            sz = {1: 1, 3: 2, 4: 4}.get(typ)
+            if sz is None:
+                continue
+            total = sz * cnt
+            voff = off + 8 if total <= 4 else struct.unpack_from(
+                end + "I", b, off + 8)[0]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            vals = list(struct.unpack_from(end + str(cnt) + fmt, b, voff))
+        tags[tag] = vals
+    w = tags.get(256, [None])[0]
+    h = tags.get(257, [None])[0]
+    if w is None or h is None:
+        raise ValueError("TIFF without dimensions")
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise NotImplementedError(
+            f"only uncompressed TIFF decodes here (compression={compression})")
+    bits = tags.get(258, [8])
+    if any(x != 8 for x in bits):
+        raise NotImplementedError("only 8-bit TIFF samples decode here")
+    spp = tags.get(277, [len(bits)])[0]
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        raise ValueError("TIFF without strip offsets")
+    if counts is None:
+        counts = [len(b) - offsets[0]]
+    raw = b"".join(b[o:o + c] for o, c in zip(offsets, counts))
+    need = h * w * spp
+    arr = np.frombuffer(raw, dtype=np.uint8, count=need)
+    img = arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+    return img[:, :, :3] if spp >= 3 else img
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """Minimal little-endian uncompressed TIFF (one strip)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
+    spp = 1 if gray else img.shape[2]
+    body = img.tobytes()
+    # layout: header(8) + body + IFD
+    data_off = 8
+    ifd_off = data_off + len(body)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h),
+        (258, 3, 1, 8) if spp == 1 else None,
+        (259, 3, 1, 1),
+        (262, 3, 1, 1 if gray else 2),
+        (273, 4, 1, data_off), (277, 3, 1, spp),
+        (279, 4, 1, len(body)),
+    ]
+    tags = [t for t in tags if t is not None]
+    if spp == 3:  # BitsPerSample array lives after the IFD
+        bps_off = ifd_off + 2 + (len(tags) + 1) * 12 + 4
+        tags.append((258, 3, 3, bps_off))
+    tags.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += body
+    out += struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<I", val) if typ == 4 else \
+            struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    if spp == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    return bytes(out)

@@ -262,3 +262,58 @@ def test_gif_known_vector_and_independent_encoder():
     pal = np.frombuffer(palette, dtype=np.uint8).reshape(4, 3)
     exp = pal[np.asarray(idxs)].reshape(3, 4, 3)
     np.testing.assert_array_equal(img, exp)
+
+
+def test_tiff_round_trip_and_dispatch():
+    from lucene_solr_ray.multimodal.codecs import (
+        decode_tiff,
+        encode_tiff,
+        sniff_and_decode,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in ((5, 7, 3), (4, 6)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        out = sniff_and_decode(encode_tiff(img))
+        np.testing.assert_array_equal(out, img)
+    # compressed TIFFs stay honest
+    blob = bytearray(encode_tiff(rng.integers(0, 256, size=(2, 2, 3))
+                                 .astype(np.uint8)))
+    i = blob.find(bytes([3, 1]) + b"\x03\x00\x01\x00\x00\x00\x01\x00")
+    assert i > 0  # the compression tag (259 little-endian = 0x0103)
+    blob[i + 8] = 5  # compression = LZW
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        decode_tiff(bytes(blob))
+
+
+def test_codec_truncation_fuzz_never_hangs():
+    """Random truncations/corruptions of valid blobs raise cleanly
+    (ValueError / NotImplementedError / struct.error / zlib.error /
+    Index...) — never hang or return garbage silently."""
+    import struct
+    import zlib
+
+    from lucene_solr_ray.multimodal.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_tiff,
+        sniff_and_decode,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    blobs = [encode_ppm(img), encode_bmp(img), encode_png(img),
+             encode_tiff(img)]
+    ok_errors = (ValueError, NotImplementedError, struct.error,
+                 zlib.error, IndexError)
+    for blob in blobs:
+        for _ in range(25):
+            cut = int(rng.integers(1, len(blob)))
+            try:
+                out = sniff_and_decode(blob[:cut])
+                assert out.shape[-1] in (3,) or out.ndim == 2
+            except ok_errors:
+                pass
