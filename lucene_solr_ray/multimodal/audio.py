@@ -65,10 +65,12 @@ def sniff_and_decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     b = blob or b""
     if b.startswith(_RIFF):
         return decode_wav(b)
+    if b[:4] == b"FORM" and b[8:12] == b"AIFF":
+        return decode_aiff(b)
     if b.startswith(_MP3_MAGICS) or b.startswith(_OGG) or b.startswith(_FLAC):
         raise NotImplementedError(
             "compressed audio requires a codec library not present in this "
-            "container; uncompressed PCM WAV decodes natively")
+            "container; uncompressed PCM WAV and AIFF decode natively")
     raise ValueError("unrecognized audio format")
 
 
@@ -87,3 +89,58 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> dict:
         "peak": float(np.abs(mono).max()) if n else 0.0,
         "zcr": zc / max(n - 1, 1),
     }
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, ch) float32 [-1,1] -> 16-bit PCM AIFF (big-endian samples,
+    80-bit extended sample rate per the AIFF-C spec)."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float32)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.rint(s * 32767.0), -32768, 32767).astype(">i2")
+    n, ch = pcm.shape
+    body = pcm.tobytes()
+    # 80-bit extended float for the rate: exponent 16382 + #bits, mantissa
+    # = rate << (63 - #bits)
+    r = int(sample_rate)
+    nbits = r.bit_length()
+    ext = struct.pack(">HQ", 16382 + nbits, r << (64 - nbits))
+    comm = struct.pack(">hIh", ch, n, 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + body
+    chunks = (b"COMM" + struct.pack(">I", len(comm)) + comm
+              + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return (b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF"
+            + chunks)
+
+
+def decode_aiff(blob: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM AIFF -> ((n, ch) float32 in [-1, 1], sample_rate)."""
+    import struct
+
+    b = bytes(blob)
+    if b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        raise ValueError("not an AIFF")
+    pos = 12
+    ch = bits = rate = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos:pos + 4]
+        (ln,) = struct.unpack(">I", b[pos + 4:pos + 8])
+        payload = b[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks pad to even
+        if tag == b"COMM":
+            ch, _nframes, bits = struct.unpack(">hIh", payload[:8])
+            exp, mant = struct.unpack(">HQ", payload[8:18])
+            rate = int(mant >> (16383 + 63 - exp)) if mant else 0
+        elif tag == b"SSND":
+            (off, _blk) = struct.unpack(">II", payload[:8])
+            data = payload[8 + off:]
+    if ch is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    if bits != 16:
+        raise ValueError(f"unsupported AIFF bits={bits}")
+    pcm = np.frombuffer(data, dtype=">i2")
+    out = np.maximum(pcm.astype(np.float32) / 32767.0, -1.0)
+    return out.reshape(-1, ch), rate

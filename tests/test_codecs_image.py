@@ -317,3 +317,16 @@ def test_codec_truncation_fuzz_never_hangs():
                 assert out.shape[-1] in (3,) or out.ndim == 2
             except ok_errors:
                 pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 2000), st.integers(1, 2), st.integers(0, 2**32 - 1),
+       st.sampled_from([8000, 16000, 44100, 48000]))
+def test_aiff_roundtrip(n, ch, seed, rate):
+    from lucene_solr_ray.multimodal.audio import decode_aiff, encode_aiff
+
+    rng = np.random.default_rng(seed)
+    sig = (rng.random((n, ch), dtype=np.float64) * 2 - 1).astype(np.float32)
+    back, r = decode_aiff(encode_aiff(sig, rate))
+    assert r == rate and back.shape == (n, ch)
+    assert np.abs(back - sig).max() <= 1.0 / 32767 + 1e-6
