@@ -177,13 +177,14 @@ def parse_facet_interval(spec: str):
             esc = False
         elif ch == "\\":
             esc = True
-        elif ch == "," and not parts:
+        elif ch == ",":
             parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
-    if not parts:
-        raise ValueError(f"invalid interval (no comma): {spec!r}")
+    if len(parts) != 1:
+        # exactly one unescaped comma, as the reference's parser enforces
+        raise ValueError(f"invalid interval (need one comma): {spec!r}")
     parts.append("".join(cur))
     lo_s, hi_s = parts[0].strip(), parts[1].strip()
     lo = None if lo_s == "*" else lo_s
@@ -204,7 +205,10 @@ def interval_facets(ds: Dataset, field: str, intervals: list[str],
     groupby(interval) sum: the shuffle is bounded by len(intervals)."""
     from ray.data.aggregate import Sum
 
-    specs = [parse_facet_interval(s) for s in intervals]
+    all_specs = [parse_facet_interval(s) for s in intervals]
+    # aggregate over UNIQUE interval keys (a spec listed twice must not
+    # groupby-sum into a doubled count), then answer per original order
+    specs = list({s[0]: s for s in all_specs}.values())
 
     def part(t: pa.Table) -> pa.Table:
         col = t[field]
@@ -237,8 +241,8 @@ def interval_facets(ds: Dataset, field: str, intervals: list[str],
     ).groupby("interval").aggregate(Sum(count_name, alias_name=count_name))
     got = {r["interval"]: r[count_name] for r in agg.take_all()}
     return pa.table({
-        "interval": pa.array([s[0] for s in specs], pa.string()),
-        count_name: pa.array([int(got.get(s[0], 0)) for s in specs],
+        "interval": pa.array([s[0] for s in all_specs], pa.string()),
+        count_name: pa.array([int(got.get(s[0], 0)) for s in all_specs],
                              pa.int64()),
     })
 
@@ -258,12 +262,18 @@ def pivot_facets(ds: Dataset, fields: list[str], count_name: str = "cnt",
     leaf = rollup(ds, list(fields), [("count", None, count_name)]).to_pandas()
     import pandas as pd
 
+    # null facet values keep their own bucket at EVERY level (pandas
+    # groupby drops NaN keys by default, which would make level counts
+    # disagree with the grand total) and render as a distinct label
+    for f in fields:
+        leaf[f] = leaf[f].astype(object).where(leaf[f].notna(), "(null)")
     parts = [leaf]
     for k in range(len(fields) - 1, -1, -1):
         if k == 0:
             lvl = pd.DataFrame({count_name: [int(leaf[count_name].sum())]})
         else:
-            lvl = (leaf.groupby(list(fields[:k]), as_index=False)
+            lvl = (leaf.groupby(list(fields[:k]), as_index=False,
+                                dropna=False)
                    [count_name].sum())
         for f in fields[k:]:
             lvl[f] = all_label

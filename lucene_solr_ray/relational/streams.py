@@ -736,7 +736,11 @@ def _is_stream_node(v) -> bool:
     if not isinstance(v, SExpr) or v.name not in _STREAM_NAMES:
         return False
     if v.name in _EVALUATORS:
-        return bool(v.args) and isinstance(v.args[0], SExpr)
+        # the stream form's first arg is itself a STREAM expression;
+        # rank(array(...)) is the evaluator, rank(search(...), ...) the
+        # stream — testing for "any SExpr" would misroute nested
+        # evaluator calls into build_stream (recurse for rank(rank(...)))
+        return bool(v.args) and _is_stream_node(v.args[0])
     return True
 
 

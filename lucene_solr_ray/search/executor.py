@@ -188,7 +188,7 @@ def resolve_weights(reader: IndexReader, node, params, dtype) -> dict:
                 bdf = max((s[0] for s in stats), default=0)
                 bttf = sum(s[1] for s in stats)
                 for t, b in n.term_boosts:
-                    key = ("\x1fBT\x1f" + t, b * n.boost)
+                    key = _bt_key(n, t, b * n.boost)
                     if key not in weights:
                         fN, fttf, fld = _ctx(t)
                         w = sim.weight(bdf, max(1, bttf), fN, fttf,
@@ -230,6 +230,14 @@ def _cf_key(n) -> tuple:
     return ("\x1fCF\x1f"
             + "|".join(f"{f}^{w}" for f, w in n.field_weights)
             + "\x1f" + "|".join(n.terms), n.boost)
+
+
+def _bt_key(n, term: str, boost: float) -> tuple:
+    """Member-weight key scoped to the WHOLE BlendedTerm node: two nodes
+    sharing a member term blend DIFFERENT df/ttf stats, so (term, boost)
+    alone would collide."""
+    ident = "|".join(f"{t}^{b}" for t, b in n.term_boosts)
+    return ("\x1fBT\x1f" + ident + "\x1f" + term, boost)
 
 
 def _ta_key(n) -> tuple:
@@ -835,7 +843,7 @@ def eval_node(shard: ShardReader, node, weights, dtype):
             d, fr = shard.postings(t)
             if not len(d):
                 continue
-            tw = weights[("\x1fBT\x1f" + t, b * node.boost)]
+            tw = weights[_bt_key(node, t, b * node.boost)]
             norms = shard.norms_for(d, tw.norm_field)
             res.append((d, score_postings(tw, fr, norms, dtype)))
         if not res:

@@ -593,10 +593,12 @@ class DistributedSearcher:
                     for c in n.clauses:
                         walk(c)
                 elif isinstance(n, BlendedTerm):
+                    from .executor import _bt_key
+
                     bdf = max((df[t] for t, _ in n.term_boosts), default=0)
                     bttf = sum(ttf[t] for t, _ in n.term_boosts)
                     for t, b in n.term_boosts:
-                        key = ("\x1fBT\x1f" + t, b * n.boost)
+                        key = _bt_key(n, t, b * n.boost)
                         if key not in weights:
                             fN, fttf_, fld = _ctx(t)
                             w = sim.weight(bdf, max(1, bttf), fN, fttf_,

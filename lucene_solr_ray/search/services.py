@@ -389,14 +389,26 @@ class BlendedInfixSuggester:
         frags = _analyze_key(fragment or "")
         if not frags:
             return []
-        frag = frags[-1]  # the token being typed
+        # every token but the last must match EXACTLY; the last (being
+        # typed) is a prefix — the reference ANDs all query terms
+        # (AnalyzingInfixSuggester.finishQuery)
+        exact, last = frags[:-1], frags[-1]
         out = []
         for text, w, toks in zip(self._texts, self._weights, self._toks):
+            tokset = set(toks)
+            if any(e not in tokset for e in exact):
+                continue
             pos = next((i for i, t in enumerate(toks)
-                        if t.startswith(frag)), None)
+                        if t.startswith(last)), None)
             if pos is None:
                 continue
-            out.append((w * self._coef(pos), text))
+            # coefficient from the FIRST matched query token's position
+            # (BlendedInfixSuggester.createCoefficient scans for the first
+            # matching term, :201-230)
+            first_pos = pos
+            for e in exact:
+                first_pos = min(first_pos, toks.index(e))
+            out.append((w * self._coef(first_pos), text))
         out.sort(key=lambda x: (-x[0], x[1]))
         return [(t, s) for s, t in out[:k]]
 

@@ -190,7 +190,10 @@ def gopher_filters(ds: Dataset, key_col: str, text_col: str,
     stop_hits, passes)."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t[text_col]
+        # null text must not reach list_value_length: a null list length
+        # becomes INT64_MIN through astype and corrupts the segment
+        # offsets for the whole batch
+        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
         toks = pc.split_pattern(texts, " ")
         n_words = pc.list_value_length(toks).to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -291,11 +294,12 @@ def repetition_filters(ds: Dataset, key_col: str, text_col: str,
             for n in tuple(top_ns) + tuple(dup_ns):
                 if nw < n:
                     continue
-                base = np.int64(len(uniq) + 1)
-                keys = np.zeros(nw - n + 1, dtype=np.int64)
-                for j in range(n):
-                    keys = keys * base + ids[j:nw - n + 1 + j]
-                _, inv, counts = np.unique(keys, return_inverse=True,
+                # exact n-gram identity via row-unique over the sliding
+                # window matrix (a positional base encoding overflows
+                # int64 for large vocabularies and can collide)
+                win = np.lib.stride_tricks.sliding_window_view(ids, n)
+                _, inv, counts = np.unique(win, axis=0,
+                                           return_inverse=True,
                                            return_counts=True)
                 if n in top_ns:
                     out[f"top{n}_frac"][i] = counts.max() * n / nw

@@ -206,3 +206,101 @@ def test_ivf_fuzz_full_probe_parity(tmp_path, ray_session, seed):
     assert got["key"].to_pylist() == exact["key"].to_pylist()
     np.testing.assert_allclose(got["cosine"].to_pylist(),
                                exact["cosine"].to_pylist(), rtol=1e-9)
+
+
+# --- review-fix regressions -------------------------------------------------
+
+def test_rank_over_nested_evaluator(ray_session):
+    from lucene_solr_ray.relational.streams import StreamContext, \
+        run_expression
+
+    row = run_expression("let(a=rank(array(3,1,2)), b=tuple(r=a), get(b))",
+                         StreamContext()).to_pandas().to_dict("records")
+    assert list(row[0]["r"]) == [3.0, 1.0, 2.0]
+
+
+def test_gopher_null_text(ray_session):
+    from lucene_solr_ray.textstats.ops import gopher_filters
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["the word here", None, "more text"],
+                                   pa.string())})
+    out = gopher_filters(ray.data.from_arrow(t), "doc_id", "text") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.n_words.tolist() == [3, 1, 2]  # null -> "" -> one empty token
+    assert not out.passes.any()
+    assert (out.mean_word_len >= 0).all()
+
+
+def test_pivot_facets_null_keys(ray_session):
+    from lucene_solr_ray.relational.ops import pivot_facets
+
+    t = pa.table({"a": pa.array(["x", "x", None], pa.string()),
+                  "b": pa.array(["p", None, "q"], pa.string())})
+    out = pivot_facets(ray.data.from_arrow(t), ["a", "b"]).to_pandas()
+    total = out[(out.a == "(all)") & (out.b == "(all)")].cnt.iloc[0]
+    lvl1 = out[(out.a != "(all)") & (out.b == "(all)")].cnt.sum()
+    leaf = out[(out.a != "(all)") & (out.b != "(all)")].cnt.sum()
+    assert total == lvl1 == leaf == 3  # null keys kept at every level
+    assert "(null)" in set(out.a) and "(null)" in set(out.b)
+
+
+def test_blended_term_no_key_collision(tmp_path, ray_session):
+    from lucene_solr_ray.search.query import BlendedTerm, Bool
+
+    rng = np.random.default_rng(31)
+    texts = (["aa rare1"] * 2 + ["aa common"] * 40
+             + ["filler words only"] * 10)
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}), p)
+    idx = str(tmp_path / "idx")
+    build_index(p, idx, cfg=IndexBuildConfig(num_shards=2, num_buckets=4))
+    s = IndexSearcher(idx, dtype=np.float64)
+    b1 = BlendedTerm((("aa", 1.0), ("rare1", 1.0)))
+    b2 = BlendedTerm((("aa", 1.0), ("common", 1.0)))
+    both = s.match_all(Bool(should=[b1, b2]))
+    # per-node evaluation must equal the sum (no shared-member stat reuse)
+    s1 = dict(zip(s.match_all(b1)["doc_id"].to_pylist(),
+                  s.match_all(b1)["score"].to_pylist()))
+    s2 = dict(zip(s.match_all(b2)["doc_id"].to_pylist(),
+                  s.match_all(b2)["score"].to_pylist()))
+    got = dict(zip(both["doc_id"].to_pylist(), both["score"].to_pylist()))
+    for d, v in got.items():
+        assert v == pytest.approx(s1.get(d, 0.0) + s2.get(d, 0.0)), d
+
+
+def test_blended_infix_requires_all_tokens(ray_session):
+    from lucene_solr_ray.search.services import BlendedInfixSuggester
+
+    sug = BlendedInfixSuggester([("mobile phone", 10), ("home phone", 10)])
+    got = [t for t, _ in sug.suggest("mobile ph")]
+    assert got == ["mobile phone"]
+
+
+def test_interval_facets_bad_specs_and_duplicates(ray_session):
+    from lucene_solr_ray.relational.ops import interval_facets, \
+        parse_facet_interval
+
+    with pytest.raises(ValueError):
+        parse_facet_interval("[1,2,3]")  # more than one unescaped comma
+    t = pa.table({"v": pa.array([1, 2, 3, 4], pa.int64())})
+    out = interval_facets(ray.data.from_arrow(t), "v",
+                          ["[1,3]", "[1,3]"])
+    assert out["cnt"].to_pylist() == [3, 3]  # not doubled
+
+
+def test_repetition_large_vocab_no_collision(ray_session):
+    from lucene_solr_ray.textstats.ops import repetition_filters
+
+    # 1500 unique tokens then one repeated trigram: exact counting must
+    # survive vocab sizes whose base-encoding would overflow int64
+    toks = [f"w{i}" for i in range(1500)] + ["a", "b", "c", "a", "b", "c"]
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array([" ".join(toks)])})
+    out = repetition_filters(ray.data.from_arrow(t), "doc_id", "text",
+                             top_ns=(3,), dup_ns=(3,)).to_pandas()
+    n = len(toks)
+    assert out.top3_frac[0] == pytest.approx(2 * 3 / n)
+    assert out.dup3_frac[0] == pytest.approx(6 / n)
