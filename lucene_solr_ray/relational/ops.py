@@ -248,7 +248,8 @@ def interval_facets(ds: Dataset, field: str, intervals: list[str],
 
 
 def pivot_facets(ds: Dataset, fields: list[str], count_name: str = "cnt",
-                 all_label: str = "(all)") -> pa.Table:
+                 all_label: str = "(all)",
+                 null_label: str = "(null)") -> pa.Table:
     """facet.pivot (solr/core/.../component/PivotFacetProcessor.java):
     hierarchical counts over a field list, emitted as the full ROLLUP
     lattice — one row per (f1, ..., fk) leaf plus every rolled-up level
@@ -264,16 +265,17 @@ def pivot_facets(ds: Dataset, fields: list[str], count_name: str = "cnt",
 
     # null facet values keep their own bucket at EVERY level (pandas
     # groupby drops NaN keys by default, which would make level counts
-    # disagree with the grand total) and render as a distinct label
+    # disagree with the grand total); the relabel below is the single
+    # mechanism guarding that — pick null_label to avoid colliding with a
+    # genuine string value
     for f in fields:
-        leaf[f] = leaf[f].astype(object).where(leaf[f].notna(), "(null)")
+        leaf[f] = leaf[f].astype(object).where(leaf[f].notna(), null_label)
     parts = [leaf]
     for k in range(len(fields) - 1, -1, -1):
         if k == 0:
             lvl = pd.DataFrame({count_name: [int(leaf[count_name].sum())]})
         else:
-            lvl = (leaf.groupby(list(fields[:k]), as_index=False,
-                                dropna=False)
+            lvl = (leaf.groupby(list(fields[:k]), as_index=False)
                    [count_name].sum())
         for f in fields[k:]:
             lvl[f] = all_label

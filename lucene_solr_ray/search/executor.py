@@ -232,12 +232,16 @@ def _cf_key(n) -> tuple:
             + "\x1f" + "|".join(n.terms), n.boost)
 
 
-def _bt_key(n, term: str, boost: float) -> tuple:
-    """Member-weight key scoped to the WHOLE BlendedTerm node: two nodes
-    sharing a member term blend DIFFERENT df/ttf stats, so (term, boost)
-    alone would collide."""
-    ident = "|".join(f"{t}^{b}" for t, b in n.term_boosts)
-    return ("\x1fBT\x1f" + ident + "\x1f" + term, boost)
+def _bt_ident(n) -> str:
+    """Node-identity prefix scoping member-weight keys to the WHOLE
+    BlendedTerm: two nodes sharing a member term blend DIFFERENT df/ttf
+    stats, so (term, boost) alone would collide."""
+    return "\x1fBT\x1f" + "|".join(f"{t}^{b}" for t, b in n.term_boosts) \
+        + "\x1f"
+
+
+def _bt_key(n, term: str, boost: float, ident: str | None = None) -> tuple:
+    return ((ident if ident is not None else _bt_ident(n)) + term, boost)
 
 
 def _ta_key(n) -> tuple:
@@ -839,11 +843,12 @@ def eval_node(shard: ShardReader, node, weights, dtype):
     if isinstance(node, _BlendedTerm):
         # member scores under blended stats, combined per rewrite method
         res = []
+        ident = _bt_ident(node)  # hoisted: O(members) string join, once
         for t, b in node.term_boosts:
             d, fr = shard.postings(t)
             if not len(d):
                 continue
-            tw = weights[_bt_key(node, t, b * node.boost)]
+            tw = weights[_bt_key(node, t, b * node.boost, ident)]
             norms = shard.norms_for(d, tw.norm_field)
             res.append((d, score_postings(tw, fr, norms, dtype)))
         if not res:

@@ -375,6 +375,12 @@ class BlendedInfixSuggester:
         self._texts = [str(t) for t, _ in entries]
         self._weights = [int(w) for _, w in entries]
         self._toks = [_analyze_key(t or "") for t, _ in entries]
+        # build-once lookup state (suggest runs per keystroke): first
+        # occurrence position per token, per entry
+        self._first_pos = [
+            {t: i for i, t in reversed(list(enumerate(toks)))}
+            for toks in self._toks
+        ]
         self.blender = blender
         self.exponent = float(exponent)
 
@@ -394,9 +400,9 @@ class BlendedInfixSuggester:
         # (AnalyzingInfixSuggester.finishQuery)
         exact, last = frags[:-1], frags[-1]
         out = []
-        for text, w, toks in zip(self._texts, self._weights, self._toks):
-            tokset = set(toks)
-            if any(e not in tokset for e in exact):
+        for text, w, toks, fp in zip(self._texts, self._weights,
+                                     self._toks, self._first_pos):
+            if any(e not in fp for e in exact):
                 continue
             pos = next((i for i, t in enumerate(toks)
                         if t.startswith(last)), None)
@@ -405,9 +411,7 @@ class BlendedInfixSuggester:
             # coefficient from the FIRST matched query token's position
             # (BlendedInfixSuggester.createCoefficient scans for the first
             # matching term, :201-230)
-            first_pos = pos
-            for e in exact:
-                first_pos = min(first_pos, toks.index(e))
+            first_pos = min([pos] + [fp[e] for e in exact])
             out.append((w * self._coef(first_pos), text))
         out.sort(key=lambda x: (-x[0], x[1]))
         return [(t, s) for s, t in out[:k]]

@@ -193,7 +193,11 @@ def gopher_filters(ds: Dataset, key_col: str, text_col: str,
         # null text must not reach list_value_length: a null list length
         # becomes INT64_MIN through astype and corrupts the segment
         # offsets for the whole batch
-        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        raw_col = pc.cast(t[text_col], pa.string())
+        empty = pc.or_kleene(
+            pc.is_null(raw_col), pc.equal(raw_col, "")).to_numpy(
+            zero_copy_only=False).astype(bool)
+        texts = pc.fill_null(raw_col, "")
         toks = pc.split_pattern(texts, " ")
         n_words = pc.list_value_length(toks).to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -222,6 +226,14 @@ def gopher_filters(ds: Dataset, key_col: str, text_col: str,
         for w in _GOPHER_STOPS:
             m = pc.equal(flat, w).to_numpy(zero_copy_only=False)
             hits += (seg_sum(m.astype(np.float64)) > 0).astype(np.int64)
+        # null/empty docs report 0 words (the split's single empty token
+        # only served the segment-offset arithmetic) and never pass
+        if empty.any():
+            n_words = np.where(empty, 0, n_words)
+            mean_len = np.where(empty, 0.0, mean_len)
+            symbol_ratio = np.where(empty, 0.0, symbol_ratio)
+            alpha_frac = np.where(empty, 0.0, alpha_frac)
+            hits = np.where(empty, 0, hits)
         passes = ((n_words >= min_words) & (n_words <= max_words)
                   & (mean_len >= min_mean_word_len)
                   & (mean_len <= max_mean_word_len)
@@ -259,8 +271,9 @@ def repetition_filters(ds: Dataset, key_col: str, text_col: str,
     - dup{n}_frac for n in dup_ns: share of tokens covered by n-grams that
       occur more than once.
 
-    One pass, vectorized n-gram hashing per doc (no Python string joins in
-    the hot loop)."""
+    One pass; per doc the n-gram identity resolves by iterative pair
+    densification over dense token ids (exact — no hashing, no overflow;
+    no Python string joins in the hot loop)."""
 
     def f(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
@@ -288,18 +301,21 @@ def repetition_filters(ds: Dataset, key_col: str, text_col: str,
             nw = len(toks)
             if not nw:
                 continue
-            # token ids once, then vectorized rolling-hash n-grams
+            # token ids once; n-gram identity by ITERATIVE pair
+            # densification — each round pairs the current dense gram id
+            # with the next token id (key = g*(nw+1)+id stays < (nw+1)^2,
+            # overflow-free) and re-densifies with a 1-D np.unique, so no
+            # (nw, n) row-sort matrix and no hash collisions
             uniq = {w: j for j, w in enumerate(dict.fromkeys(toks))}
             ids = np.asarray([uniq[w] for w in toks], dtype=np.int64)
             for n in tuple(top_ns) + tuple(dup_ns):
                 if nw < n:
                     continue
-                # exact n-gram identity via row-unique over the sliding
-                # window matrix (a positional base encoding overflows
-                # int64 for large vocabularies and can collide)
-                win = np.lib.stride_tricks.sliding_window_view(ids, n)
-                _, inv, counts = np.unique(win, axis=0,
-                                           return_inverse=True,
+                g = ids[: nw - n + 1].copy()
+                for j in range(1, n):
+                    key = g * np.int64(nw + 1) + ids[j: nw - n + 1 + j]
+                    _, g = np.unique(key, return_inverse=True)
+                _, inv, counts = np.unique(g, return_inverse=True,
                                            return_counts=True)
                 if n in top_ns:
                     out[f"top{n}_frac"][i] = counts.max() * n / nw

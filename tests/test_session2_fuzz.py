@@ -227,7 +227,7 @@ def test_gopher_null_text(ray_session):
                                    pa.string())})
     out = gopher_filters(ray.data.from_arrow(t), "doc_id", "text") \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert out.n_words.tolist() == [3, 1, 2]  # null -> "" -> one empty token
+    assert out.n_words.tolist() == [3, 0, 2]  # null/empty doc -> 0 words
     assert not out.passes.any()
     assert (out.mean_word_len >= 0).all()
 
