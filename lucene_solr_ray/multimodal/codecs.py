@@ -3,10 +3,10 @@
 This container has no image libraries; everything that stdlib + numpy can
 decode, decodes for real: binary PPM (P6), 24-bit uncompressed BMP,
 non-interlaced 8-bit gray/RGB/RGBA PNG (zlib inflate + RFC 2083 row
-unfiltering), and GIF87a/89a first frames (pure-Python LZW, interlace,
-local/global palettes). Only JPEG — whose entropy/DCT decode genuinely
-needs a codec library — stays behind the honest NotImplementedError stub
-in ops.py.
+unfiltering), GIF87a/89a first frames (pure-Python LZW, interlace,
+local/global palettes), uncompressed baseline TIFF, and baseline
+sequential JPEG (pure-numpy T.81 Huffman + IDCT in jpeg.py — no codec
+stubs remain for the web formats).
 encode_* exist so tests and synthetic corpora can round-trip
 deterministically.
 
@@ -107,10 +107,11 @@ def decode_bmp(blob: bytes) -> np.ndarray:
 
 
 def sniff_and_decode(blob: bytes) -> np.ndarray:
-    """Magic-byte dispatch. PPM/BMP/PNG decode natively (PNG via stdlib
-    zlib); JPEG raises NotImplementedError (the one remaining honest stub
-    — DCT entropy decode needs a codec library this container lacks);
-    unknown bytes raise ValueError."""
+    """Magic-byte dispatch. PPM/BMP/PNG/GIF/TIFF/baseline-JPEG all decode
+    natively (PNG via stdlib zlib, GIF via pure-Python LZW, JPEG via the
+    pure-numpy T.81 baseline decoder in jpeg.py); unknown bytes raise
+    ValueError, unsupported sub-formats (progressive JPEG, LZW TIFF, ...)
+    raise NotImplementedError."""
     b = blob or b""
     if b.startswith(_PPM_MAGIC):
         return decode_ppm(b)
@@ -123,9 +124,11 @@ def sniff_and_decode(blob: bytes) -> np.ndarray:
     if b[:4] in _TIFF_MAGICS:
         return decode_tiff(b)
     if b.startswith(_JPEG_MAGIC):
-        raise NotImplementedError(
-            "JPEG decoding requires an image library not present in "
-            "this container; PPM/BMP/PNG decode natively")
+        from lucene_solr_ray.multimodal.jpeg import decode_jpeg
+        img = decode_jpeg(b)
+        if img.ndim == 2:  # grayscale JPEG -> RGB for a uniform contract
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     raise ValueError("unrecognized image format")
 
 

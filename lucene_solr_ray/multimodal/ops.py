@@ -1,13 +1,14 @@
 """Multimodal column plumbing (image/audio/video as opaque binary columns).
 
-Uncompressed image formats decode FOR REAL: codecs.py implements PPM (P6)
-and 24-bit BMP in pure numpy, and decode_images_real runs them through the
-actor-pool stage with value-level oracles. Compressed formats (JPEG/PNG)
-and audio/video stay STUBBED (no codec libraries in this container): those
-stages' Ray-side plumbing — schema, actor-pool signature, batch sizing for
-wide binary rows, output layout — is real and tested with a deterministic
-fake decoder; swapping in PIL/ffmpeg is a one-function change inside the
-actor's __init__/__call__.
+Every common web image format decodes FOR REAL in pure numpy/stdlib:
+PPM (P6), 24-bit BMP, PNG (zlib), GIF (LZW), uncompressed TIFF, and
+baseline JPEG (T.81 Huffman + IDCT, jpeg.py); PCM WAV/AIFF audio decode
+in audio.py. decode_images_real runs them through the actor-pool stage
+with value-level oracles. Only video frame extraction stays STUBBED (no
+container/codec library here): that stage's Ray-side plumbing — schema,
+actor-pool signature, batch sizing for wide binary rows, output layout —
+is real and tested with a deterministic fake decoder; swapping in ffmpeg
+is a one-function change inside the actor's __init__/__call__.
 
 Batch-size guidance: binary payloads of ~100KB-10MB mean batches must be
 small (tens of rows) and blocks should not be split absurdly small — raise

@@ -52,12 +52,112 @@ def test_sniff_dispatch_and_stub_boundary():
     img = _img(4, 5, 1)
     np.testing.assert_array_equal(sniff_and_decode(encode_ppm(img)), img)
     np.testing.assert_array_equal(sniff_and_decode(encode_bmp(img)), img)
-    with pytest.raises(NotImplementedError):
-        sniff_and_decode(b"\xff\xd8\xff\xe0JFIF")  # JPEG: the one stub left
+    with pytest.raises(ValueError):
+        sniff_and_decode(b"\xff\xd8\xff\xe0JFIF")  # truncated JPEG = bad
     with pytest.raises(ValueError):
         sniff_and_decode(b"\x89PNG\r\n")  # PNG decodes now; truncated = bad
     with pytest.raises(ValueError):
         sniff_and_decode(b"garbage")
+
+
+# --- JPEG (pure-numpy T.81 baseline; jpeg.py) --------------------------------
+
+def _smooth(h, w, seed):
+    """Band-limited test image (JPEG is lossy; smooth content bounds the
+    round-trip error tightly)."""
+    rng = np.random.default_rng(seed)
+    a, b, c = rng.uniform(0.05, 0.3, 3)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = [128 + 100 * np.sin(a * yy + p) * np.cos(b * xx + p)
+             + 20 * np.sin(c * (yy + xx)) for p in (0.0, 1.0, 2.0)]
+    return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("dims", [(8, 8), (16, 24), (37, 53), (41, 30)])
+def test_jpeg_roundtrip_rgb(dims, subsample):
+    from lucene_solr_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(*dims, seed=dims[0] * 100 + dims[1])
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=subsample))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # 4:2:0 genuinely discards high-frequency chroma (2x2-mean), so its
+    # bound is a subsampling-loss bound, not a codec-accuracy bound
+    assert err.max() <= (24 if subsample else 6)
+    assert err.mean() < 4.0
+
+
+def test_jpeg_flat_image_exact():
+    from lucene_solr_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((24, 16, 3), 113, np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=90)), flat)
+
+
+def test_jpeg_grayscale_and_sniff():
+    from lucene_solr_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    g = _smooth(19, 26, 5)[:, :, 0]
+    blob = encode_jpeg(g, quality=95)
+    out = decode_jpeg(blob)
+    assert out.shape == g.shape  # decode_jpeg keeps gray 2-D
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 6
+    via_sniff = sniff_and_decode(blob)  # sniff promotes gray -> RGB
+    assert via_sniff.shape == (19, 26, 3)
+    np.testing.assert_array_equal(via_sniff[:, :, 0], out)
+
+
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_jpeg_restart_markers(interval):
+    from lucene_solr_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth(41, 67, 9)
+    blob = encode_jpeg(img, quality=92, subsample=True,
+                       restart_interval=interval)
+    assert b"\xff\xdd" in blob  # DRI present
+    out = decode_jpeg(blob)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 24
+    # restarts change the framing, not the content: identical to no-DRI
+    no_dri = decode_jpeg(encode_jpeg(img, quality=92, subsample=True))
+    np.testing.assert_array_equal(out, no_dri)
+
+
+def test_jpeg_progressive_raises():
+    from lucene_solr_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(_smooth(8, 8, 1), quality=90))
+    i = blob.find(b"\xff\xc0")
+    assert i > 0
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_truncation_fuzz():
+    import struct
+
+    from lucene_solr_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    blob = encode_jpeg(_smooth(16, 16, 3), quality=85)
+    ok_errors = (ValueError, NotImplementedError, struct.error, IndexError)
+    for _ in range(40):
+        cut = int(rng.integers(2, len(blob)))
+        try:
+            out = decode_jpeg(blob[:cut])
+            assert out.shape[-1] == 3 or out.ndim == 2
+        except ok_errors:
+            pass
+    # single-byte corruptions
+    for _ in range(40):
+        mut = bytearray(blob)
+        mut[int(rng.integers(2, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(mut))
+        except ok_errors:
+            pass
 
 
 def test_resize_nearest_and_stats():
