@@ -1842,6 +1842,36 @@ def q_dedup_exact(sf_dir):
     return dedup_exact(_docs(sf_dir).select_columns(["doc_id", "text"]), "doc_id", "text")
 
 
+def q_dedup_clusters(sf_dir):
+    """Duplicate clustering (dedup/components.py): connected components
+    over the union of two duplicate rules — exact text match and
+    (lang, n_chars) — with one canonical doc per cluster. doc_id < 4096
+    keeps the oracle's recursive reachability CTE tractable; group
+    identity matches SQL's GROUP BY through the poly hash (same
+    collision-free-at-this-scale premise as dedup_exact)."""
+    from lucene_solr_ray.dedup import dedup_clusters
+    from lucene_solr_ray.util.polyhash import poly_hash_strings
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text", "lang", "n_chars"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 4096))
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        nch = t["n_chars"].to_pylist()
+        k1 = poly_hash_strings(texts).view(np.int64)
+        k2 = poly_hash_strings(
+            [f"{la}|{nc}" for la, nc in zip(langs, nch)]).view(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+        })
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow")
+    return dedup_clusters(keyed, "doc_id", ["k1", "k2"], num_partitions=8)
+
+
 def q_explode_tokens(sf_dir):
     from lucene_solr_ray.relational import explode_tokens
 
@@ -2472,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- dedup / curation (never driver-checked before round 3) ---
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "simhash_sigs": q_simhash,
         "doc_fingerprint": q_fingerprint,
@@ -2490,8 +2521,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- model training / scoring (TextLogitStream) ---
         "logit_train": q_logit_train,
         "features_select": q_features_select,
-        # --- multimodal plumbing (stubbed decode) ---
-        "mm_decode": q_mm_decode,
+        # mm_decode (stub-decoder plumbing) rotated to tail: mm_decode_real
+        # + mm_decode_jpeg are strictly stronger evidence for this family,
+        # and dedup_clusters takes the window slot
         "ft_grouping": q_ft_grouping,
         # --- sketches ---
         "tdigest_quantiles": q_tdigest_quantiles,
@@ -2548,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ft_tfidf rotated to tail (similarities keep ft_lm_jm in-window);
         # the BINARY docvalues entry takes the slot
         "ft_binary_dv": q_ft_binary_dv,
+        "mm_decode": q_mm_decode,
         "ft_lm_jm": q_ft_lm_jm,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_dfr": q_ft_dfr,
@@ -3439,6 +3472,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "dedup_clusters": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, text, lang, n_chars FROM documents
+                  WHERE doc_id < 4096),
+            e1 AS (SELECT min(doc_id) OVER (PARTITION BY text) AS src,
+                          doc_id AS dst FROM d),
+            e2 AS (SELECT min(doc_id) OVER (PARTITION BY lang, n_chars)
+                          AS src, doc_id AS dst FROM d),
+            edges AS (
+                SELECT src, dst FROM e1 WHERE src <> dst
+                UNION SELECT dst, src FROM e1 WHERE src <> dst
+                UNION SELECT src, dst FROM e2 WHERE src <> dst
+                UNION SELECT dst, src FROM e2 WHERE src <> dst),
+            reach(node, l) AS (
+                SELECT doc_id, doc_id FROM d
+                UNION
+                SELECT e.dst, r.l FROM edges e JOIN reach r
+                ON r.node = e.src)
+            SELECT node AS doc_id, min(l) AS cluster_id,
+                   node = min(l) AS is_canonical
+            FROM reach GROUP BY node ORDER BY doc_id""",
         "stats_metrics": """
             SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
                    min(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS min_cents,

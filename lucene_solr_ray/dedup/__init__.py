@@ -1,3 +1,8 @@
+from .components import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+    star_edges,
+)
 from .ops import (  # noqa: F401
     dedup_exact,
     dedup_minhash_lsh,
