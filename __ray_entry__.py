@@ -274,6 +274,26 @@ def q_interval_facet(sf_dir):
         ["[*,150)", "[150,200)", "[150,200]", "(150,*]", "[*,*]"])
 
 
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination (textstats/decontam.py): docs sharing a
+    verbatim word 8-gram with the 'benchmark' slice (doc_id % 17 == 0)
+    are flagged; the benchmark gram set broadcasts via ray.put (the
+    small side never shuffles)."""
+    from lucene_solr_ray.textstats.decontam import decontaminate
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def split(keep_bench):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 17 == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+        return f
+
+    corpus = ds.map_batches(split(False), batch_format="pyarrow")
+    bench = ds.map_batches(split(True), batch_format="pyarrow")
+    return decontaminate(corpus, bench, "doc_id", "text", n=8)
+
+
 def q_gopher_quality(sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 App. A): per-doc
     metrics + pass flag, fully vectorized, one pass."""
@@ -2534,8 +2554,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_q1": q_rollup_q1,
         "join_large": q_join_large,
         "stats_metrics": q_stats_metrics,
-        # --- flagship ---
-        "flagship_corpus": q_flagship_corpus,
+        # flagship_corpus rotated to tail: it is rows-only (no oracle) and
+        # entry() smoke-checks the same pipeline; decontamination takes
+        # the window slot
+        "decontaminate": q_decontaminate,
         # --- fulltext core (entries whose code paths round 3 touches stay
         # in-window: delete+merge, facets, percolator, numeric planner) ---
         "ft_elevate": q_ft_elevate,
@@ -2580,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ft_tfidf rotated to tail (similarities keep ft_lm_jm in-window);
         # the BINARY docvalues entry takes the slot
         "ft_binary_dv": q_ft_binary_dv,
+        "flagship_corpus": q_flagship_corpus,
         "mm_decode": q_mm_decode,
         "ft_lm_jm": q_ft_lm_jm,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -3083,6 +3106,25 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "decontaminate": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id % 17 <> 0),
+                 b AS (SELECT string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id % 17 = 0),
+                 bg AS (SELECT DISTINCT array_to_string(
+                            list_slice(toks, i, i + 7), ' ') AS gram
+                        FROM b, unnest(generate_series(
+                            1, greatest(len(toks) - 7, 0))) AS t(i)),
+                 dg AS (SELECT doc_id, array_to_string(
+                            list_slice(toks, i, i + 7), ' ') AS gram
+                        FROM d, unnest(generate_series(
+                            1, greatest(len(toks) - 7, 0))) AS t(i)),
+                 hits AS (SELECT doc_id, count(DISTINCT dg.gram) AS c
+                          FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+                   coalesce(h.c, 0) >= 1 AS is_contaminated
+            FROM d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
         "gopher_quality": """
             WITH base AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents
