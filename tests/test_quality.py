@@ -121,3 +121,31 @@ def test_mrr_max_rank_quirk(index_dir):
     loose = quality_benchmark(index_dir, [("q", "fast")], j, k=10).to_pandas()
     assert strict.iloc[0]["mrr"] == 0.0
     assert loose.iloc[0]["mrr"] == pytest.approx(1 / 7)
+
+
+def test_c4_filters_rules(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from lucene_solr_ray.textstats.ops import c4_filters
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            # 3 lines; 2 kept (end punct + >=5 words); 2 sentences
+            "This is a real sentence here.\nshort line\n"
+            "Another full sentence with words!",
+            "lorem ipsum dolor sit amet. Yes. Sure.",   # placeholder page
+            "code { return 1; }. More. Text.",          # brace page
+            None,                                        # null text
+            "One good sentence right here. Two now done. And three more.",
+        ])}))
+    out = c4_filters(docs, "doc_id", "text").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_lines"]) == [3, 1, 1, 1, 1]
+    assert list(out["n_kept_lines"]) == [2, 1, 1, 0, 1]
+    assert list(out["n_sentences"]) == [2, 3, 3, 0, 3]
+    assert list(out["has_lorem_ipsum"]) == [False, True, False, False, False]
+    assert list(out["has_brace"]) == [False, False, True, False, False]
+    # only doc 4 survives: >=3 sentences, no placeholder, no brace
+    assert list(out["passes"]) == [False, False, False, False, True]
