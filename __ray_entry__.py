@@ -634,6 +634,18 @@ def q_ft_sort_by_field(sf_dir):
     return search_sorted_by_field(s, "fast", "doclen", k=10, descending=True)
 
 
+
+def q_ft_sort_early(sf_dir):
+    """EarlyTerminatingSortingCollector: same sort as ft_sort_by_field but
+    each shard walks its cached index-sort permutation and stops after k
+    matches — result must be identical to the exhaustive collector."""
+    from lucene_solr_ray.search.services import search_sorted_by_field
+
+    s = _searcher64(sf_dir)
+    return search_sorted_by_field(s, "fast", "doclen", k=10,
+                                  descending=True, early_terminate=True)
+
+
 def q_ft_percolate(sf_dir):
     """Reverse search (Monitor/percolator role): registered queries stream
     over the corpus as an actor-pool stage; output is (doc_id, query_id)
@@ -2715,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase": q_ft_phrase,
         "ft_bm25_term": q_ft_bm25_term,
         "ft_term_df": q_ft_term_df,
+        "ft_sort_early": q_ft_sort_early,
     }
 
 
@@ -3095,6 +3108,14 @@ def oracle_sql() -> dict[str, str]:
             FROM matched m JOIN mins USING (doc_id)
             ORDER BY price_min ASC, doc_id ASC LIMIT 20""",
         "ft_sort_by_field": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen
+                   FROM tok GROUP BY doc_id),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast')
+            SELECT h.doc_id, dl.doclen FROM hits h JOIN dl USING (doc_id)
+            ORDER BY dl.doclen DESC, h.doc_id ASC LIMIT 10""",
+        "ft_sort_early": """
             WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                          FROM documents),
             dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen

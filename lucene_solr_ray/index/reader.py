@@ -100,6 +100,9 @@ class ShardReader:
         self.docvalues: dict[str, np.ndarray] = {}
         # per-analyzed-field norm bytes, derived lazily from fdl_<field>
         self._field_norms: dict[str, np.ndarray] = {}
+        # index-sort permutations (IndexWriterConfig.setIndexSort role),
+        # keyed (field, descending); computed once per loaded shard
+        self._sort_perms: dict[tuple, np.ndarray] = {}
         # SORTED string docvalues: per-field (sorted unique values, ordinal
         # per doc) — the Lucene80DocValuesFormat SORTED layout (value dict +
         # ord column); comparisons/sorts run on int ordinals, strings are
@@ -509,6 +512,30 @@ class ShardReader:
         vals = self.binary_dv[field]
         idx = np.searchsorted(self.doc_ids, docs)
         return vals[idx]
+
+    # --- index sort (IndexWriterConfig.setIndexSort role) -------------------
+    def sort_perm(self, field: str, descending: bool = False) -> np.ndarray:
+        """Slot permutation ordering this shard by a NUMERIC docvalues
+        field (or doclen / doc_id), ties broken by doc order ASCENDING in
+        both directions — the global (value, doc_id) sort order, so a
+        per-shard prefix of the permutation is a valid top-k candidate
+        set. The reference bakes this order into segment doc ids at flush
+        (IndexWriterConfig.setIndexSort, Sorter.java:49); here it is
+        recovered once per loaded shard and cached, leaving the doc-id
+        layout untouched."""
+        key = (field, bool(descending))
+        perm = self._sort_perms.get(key)
+        if perm is None:
+            if field == "doclen":
+                vals = self.doclens.astype(np.int64)
+            elif field == "doc_id":
+                vals = self.doc_ids
+            else:
+                vals = self.docvalues[field]
+            slots = np.arange(len(vals), dtype=np.int64)
+            perm = np.lexsort((slots, -vals if descending else vals))
+            self._sort_perms[key] = perm
+        return perm
 
 
 class IndexReader:

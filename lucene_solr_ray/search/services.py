@@ -599,7 +599,9 @@ def search_sorted_by_expression(searcher: IndexSearcher, query, expr: str,
 
 def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
                            k: int = 10, descending: bool = True,
-                           selector: str = "min") -> "pa.Table":
+                           selector: str = "min",
+                           early_terminate: bool = False,
+                           stats: dict | None = None) -> "pa.Table":
     """TopFieldCollector role: top-k matching docs ordered by a docvalues
     column instead of score. Supported per-shard fields: doclen, doc_id,
     NUMERIC docvalues, SORTED string docvalues (TopFieldCollector.java:42
@@ -615,6 +617,9 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
     is_sndv = not is_string and any(
         field in getattr(s, "sorted_numeric_dv", {})
         for s in searcher.reader.shards)
+    if early_terminate and not is_string and not is_sndv:
+        return _early_terminated_sorted_search(
+            searcher, node, weights, field, k, descending, stats)
     all_docs, all_vals = [], []
     for s in searcher.reader.shards:
         docs, _ = eval_node(s, node, weights, searcher.dtype)
@@ -663,6 +668,68 @@ def search_sorted_by_field(searcher: IndexSearcher, query: str, field: str,
         return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
                          field: pa.array(vals[order], pa.float64())})
     vals = np.concatenate(all_vals).astype(np.int64)
+    order = np.lexsort((docs, -vals if descending else vals))[:k]
+    return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
+                     field: pa.array(vals[order], pa.int64())})
+
+
+def _early_terminated_sorted_search(searcher: IndexSearcher, node, weights,
+                                    field: str, k: int, descending: bool,
+                                    stats: dict | None = None,
+                                    chunk: int = 4096) -> "pa.Table":
+    """EarlyTerminatingSortingCollector role (misc/
+    EarlyTerminatingSortingCollector.java + TopFieldCollector's
+    canEarlyTerminate when Sort == IndexWriterConfig.setIndexSort): hits
+    consumed in index-sort order let each segment stop after its first k
+    matches. The reference bakes the sort into segment doc ids at flush
+    (index/Sorter.java:49); here each shard walks its cached sort
+    permutation (ShardReader.sort_perm) in chunks and stops the moment k
+    matching slots are seen — on high-match-rate queries that touches a
+    ~k-sized prefix instead of ranking every hit. Results are identical
+    to the exhaustive path (same (value, doc_id) order and dtype).
+    ``stats``, when given, receives {"scanned": slots visited,
+    "total": slots in all shards} as the early-termination evidence."""
+    from .executor import eval_node
+
+    scanned = total = 0
+    top_docs, top_vals = [], []
+    for s in searcher.reader.shards:
+        total += len(s.doc_ids)
+        docs, _ = eval_node(s, node, weights, searcher.dtype)
+        if not len(docs):
+            continue
+        match = np.zeros(len(s.doc_ids), dtype=bool)
+        match[np.searchsorted(s.doc_ids, docs)] = True
+        perm = s.sort_perm(field, descending)
+        got, n_got = [], 0
+        for lo in range(0, len(perm), chunk):
+            sl = perm[lo:lo + chunk]
+            scanned += len(sl)
+            hit = sl[match[sl]]
+            if len(hit):
+                got.append(hit)
+                n_got += len(hit)
+            if n_got >= k:
+                break
+        if got:
+            # concatenation preserves perm (index-sort) order; the first
+            # k entries are this shard's true top-k for (value, doc_id)
+            slots = np.concatenate(got)[:k]
+            top_docs.append(s.doc_ids[slots])
+            if field == "doclen":
+                top_vals.append(s.doclens[slots].astype(np.int64))
+            elif field == "doc_id":
+                top_vals.append(s.doc_ids[slots])
+            else:
+                top_vals.append(s.docvalues[field][slots].astype(np.int64))
+    if stats is not None:
+        stats["scanned"] = int(scanned)
+        stats["total"] = int(total)
+    if not top_docs:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         field: pa.array([], pa.int64())})
+    docs = np.concatenate(top_docs)
+    vals = np.concatenate(top_vals)
     order = np.lexsort((docs, -vals if descending else vals))[:k]
     return pa.table({"doc_id": pa.array(docs[order], pa.int64()),
                      field: pa.array(vals[order], pa.int64())})

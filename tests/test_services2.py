@@ -50,6 +50,38 @@ def test_sort_by_field(idx):
         assert "fast" in texts[d].split(" ")
 
 
+def test_sort_by_field_early_terminated(idx):
+    """EarlyTerminatingSortingCollector parity: walking the cached
+    index-sort permutation per shard must give exactly the exhaustive
+    TopFieldCollector result while visiting only a prefix of each shard."""
+    s = IndexSearcher(idx)
+    for q in ("fast", "fast OR slow", "the"):
+        for desc in (True, False):
+            for k in (5, 10, 50):
+                exact = search_sorted_by_field(s, q, "doclen", k=k,
+                                               descending=desc)
+                st = {}
+                et = search_sorted_by_field(s, q, "doclen", k=k,
+                                            descending=desc,
+                                            early_terminate=True, stats=st)
+                assert et.equals(exact)
+                assert 0 < st["scanned"] <= st["total"]
+    # a high-match-rate query with small k must terminate early (small
+    # chunk so the prefix walk is observable on the tiny test corpus)
+    from lucene_solr_ray.search.executor import resolve_weights
+    from lucene_solr_ray.search.services import _early_terminated_sorted_search
+
+    node = s._node("fast OR slow OR query OR table")
+    weights = resolve_weights(s.reader, node, s.params, s.dtype)
+    st = {}
+    et = _early_terminated_sorted_search(s, node, weights, "doclen", 5,
+                                         True, stats=st, chunk=32)
+    exact = search_sorted_by_field(s, "fast OR slow OR query OR table",
+                                   "doclen", k=5, descending=True)
+    assert et.equals(exact)
+    assert st["scanned"] < st["total"]
+
+
 def test_rescore(idx):
     s = IndexSearcher(idx)
     out = rescore(s, "fast", "query", first_pass_n=30, weight=2.0, k=10)
