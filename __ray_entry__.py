@@ -1156,6 +1156,32 @@ def q_ft_block_join(sf_dir):
     return _round_col(out, "score_max")
 
 
+def q_ft_join(sf_dir):
+    """JoinUtil.createJoinQuery score modes (join/JoinUtil.java:90,
+    TermsWithScoreCollector + GlobalOrdinalsWithScoreQuery roles): docs
+    matching 'dup' aggregate their BM25 score per lang (SORTED docvalues)
+    with Max / Total / Avg; every doc carrying a collected lang joins back
+    scored by the aggregate. Per-doc scores round at 6dp before
+    aggregation (round_from) so the SQL mirror composes identically; avg
+    divides the rounded total on both sides."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import join_query
+
+    s = IndexSearcher(_sdv_index(sf_dir), dtype=np.float64)
+    mx = join_query(s, "dup", "lang", score_mode="max", round_from=RND)
+    tot = join_query(s, "dup", "lang", score_mode="total", round_from=RND)
+    av = join_query(s, "dup", "lang", score_mode="avg", round_from=RND)
+    return pa.table({
+        "doc_id": mx["doc_id"],
+        "score_max": pa.array(_round_half_away(mx["score"].to_numpy()),
+                              pa.float64()),
+        "score_total": pa.array(_round_half_away(tot["score"].to_numpy()),
+                                pa.float64()),
+        "score_avg": pa.array(_round_half_away(av["score"].to_numpy()),
+                              pa.float64()),
+    })
+
+
 def q_ft_axiomatic(sf_dir):
     """AxiomaticF2EXP similarity term scoring (AxiomaticF2EXP.java:33)."""
     from lucene_solr_ray.search import AxiomaticF2EXP, IndexSearcher
@@ -2593,7 +2619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_expr_score": q_ft_expr_score,
         "ft_distance_feature": q_ft_distance_feature,
         "geo_box": q_geo_box,
-        "geo_knn": q_geo_knn,
+        # geo_knn rotated to tail (geo keeps geo_box + geo_polygon
+        # in-window); the JoinUtil scored join takes the slot
+        "ft_join": q_ft_join,
         "geo_polygon": q_geo_polygon,
         # geo_distance rotated to tail (geo family keeps 3 window slots);
         # the graph-traversal family takes the slot
@@ -2642,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_multi": q_ft_sort_multi,
         "ft_exists": q_ft_exists,
         "geo_distance": q_geo_distance,
+        "geo_knn": q_geo_knn,
         "ft_field_bm25": q_ft_field_bm25,
         # --- relational / streaming-expression layer ---
         "facet_refined": q_facet_refined,
@@ -2909,6 +2938,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_lm_dirichlet": osql.sql_lm_dirichlet_term("query"),
         "ft_lm_jm": osql.sql_lm_jelinek_mercer_term("fast"),
         "ft_block_join": osql.sql_block_join("fast", span=16),
+        "ft_join": osql.sql_join_query("dup", "lang"),
         "ft_payload": osql.sql_payload_score("fast"),
         "ft_freetext": osql.sql_freetext("fast", "", k=10),
         "ft_grouping": osql.sql_grouping("fast", "lang", 3, 2),

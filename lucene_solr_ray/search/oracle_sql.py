@@ -846,3 +846,35 @@ ranked AS (
   FROM cand)
 SELECT key, term, df FROM ranked WHERE rn <= {k}
 ORDER BY key, df DESC, term"""
+
+
+def sql_join_query(term: str, field: str = "lang") -> str:
+    """JoinUtil.createJoinQuery mirror (join/JoinUtil.java:90): per-doc
+    BM25 score of `term` rounded per doc (as the engine's round_from
+    does), aggregated per from-side `field` value with Max / Total / Avg
+    score modes, then every doc with that `field` value joined back with
+    the aggregate; avg divides the rounded total so both sides divide
+    bit-identical inputs."""
+    return f"""
+WITH {bm25_cte()},
+sc AS (
+  SELECT t.doc_id AS doc_id,
+         round({bm25_term_score_sql(term)}, {ROUND}) AS score
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = '{term}'),
+fr AS (
+  SELECT doc.{field} AS v,
+         round(max(sc.score), {ROUND}) AS s_max,
+         round(sum(sc.score), {ROUND}) AS s_total,
+         CAST(count(*) AS BIGINT) AS n_from
+  FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
+  GROUP BY doc.{field})
+SELECT d.doc_id,
+       f.s_max AS score_max,
+       f.s_total AS score_total,
+       round(f.s_total / f.n_from, {ROUND}) AS score_avg
+FROM documents d JOIN fr f ON d.{field} = f.v
+ORDER BY d.doc_id"""

@@ -1673,3 +1673,140 @@ def search_sorted_by_fields(searcher: IndexSearcher, query,
         else:
             cols[f] = pa.array(v.astype(np.float64), pa.float64())
     return pa.table(cols)
+
+
+def _round_half_away_arr(v: np.ndarray, nd: int) -> np.ndarray:
+    """Round-half-away-from-zero (Java Math.round family / DuckDB round)."""
+    p10 = 10.0 ** nd
+    ax = np.abs(v) * p10
+    fl = np.floor(ax)
+    return np.sign(v) * (fl + (ax - fl >= 0.5)) / p10
+
+
+def join_query(searcher: IndexSearcher, from_query, from_field: str,
+               to_field: str | None = None, score_mode: str = "max",
+               k: int | None = None,
+               round_from: int | None = None) -> pa.Table:
+    """JoinUtil.createJoinQuery (join/JoinUtil.java:90): query-time value
+    join. Phase 1 (TermsWithScoreCollector role): docs matching from_query
+    contribute their from_field docvalue, scores aggregated per value with
+    ScoreMode (join/ScoreMode.java Max / Total / Avg / Min / None). Phase 2
+    (GlobalOrdinalsWithScoreQuery role): every doc whose to_field carries a
+    collected value matches, scored with that value's aggregate — ordinals
+    stay shard-local (the SORTED dv dict); the join key crosses shards as
+    the value itself, the reference's OrdinalMap substitute.
+
+    Scale shape: phase 1 emits O(distinct values) partials per shard and
+    the driver merges only those (the from-side doc stream never leaves
+    the shards); phase 2 is a per-shard docvalues membership scan against
+    the broadcast value->score map. k=None returns ALL joined docs sorted
+    by doc_id (oracle mode); otherwise top-k by (score desc, doc_id asc).
+    round_from rounds each from-doc score before aggregation so a SQL
+    mirror that rounds per doc composes identically; "avg" divides the
+    ALREADY-ROUNDED total by the count for the same reason.
+    """
+    from .executor import eval_node, resolve_weights
+
+    to_field = to_field or from_field
+    node = searcher._node(from_query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+
+    def value_of(s, docs):
+        if from_field in s.sorted_dv:
+            return s.strings_for(from_field, docs)
+        if from_field in s.docvalues:
+            return s.docvalues[from_field][np.searchsorted(s.doc_ids, docs)]
+        raise ValueError(f"{from_field!r} is not a docvalues field")
+
+    def partial(s):
+        docs, scores = eval_node(s, node, weights, searcher.dtype)
+        if not len(docs):
+            return None
+        sc = scores.astype(np.float64)
+        if round_from is not None:
+            sc = _round_half_away_arr(sc, round_from)
+        vals = value_of(s, docs)
+        if vals.dtype.kind in ("U", "O"):
+            keep = np.asarray([v != "" for v in vals], bool)  # missing joins nothing
+            vals, sc = vals[keep], sc[keep]
+        if not len(vals):
+            return None
+        u, inv = np.unique(vals, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        iv, v = inv[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, iv[1:] != iv[:-1]])
+        return (u[iv[starts]],
+                np.add.reduceat(v, starts),
+                np.maximum.reduceat(v, starts),
+                np.minimum.reduceat(v, starts),
+                np.diff(np.r_[starts, len(iv)]).astype(np.int64))
+
+    parts = [p for p in searcher._map_shards(
+        partial, parallel=searcher._big_query(weights)) if p is not None]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not parts:
+        return empty
+    vals = np.concatenate([p[0] for p in parts])
+    tot = np.concatenate([p[1] for p in parts])
+    mx = np.concatenate([p[2] for p in parts])
+    mn = np.concatenate([p[3] for p in parts])
+    cnt = np.concatenate([p[4] for p in parts])
+    order = np.argsort(vals, kind="stable")
+    vals, tot, mx, mn, cnt = (vals[order], tot[order], mx[order],
+                              mn[order], cnt[order])
+    starts = np.flatnonzero(
+        np.r_[True, vals[1:] != vals[:-1]])
+    vkeys = vals[starts]
+    g_tot = np.add.reduceat(tot, starts)
+    g_cnt = np.add.reduceat(cnt, starts)
+    if score_mode == "max":
+        vscore = np.maximum.reduceat(mx, starts)
+    elif score_mode == "min":
+        vscore = np.minimum.reduceat(mn, starts)
+    elif score_mode == "total":
+        vscore = g_tot
+    elif score_mode == "avg":
+        if round_from is not None:
+            g_tot = _round_half_away_arr(g_tot, round_from)
+        vscore = g_tot / g_cnt
+    elif score_mode == "none":
+        vscore = np.zeros(len(vkeys), np.float64)
+    else:
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+
+    is_string = vkeys.dtype.kind in ("U", "O")
+
+    def scan(s):
+        if is_string and to_field in s.sorted_dv:
+            u2, inv2 = s.sorted_dv[to_field]
+            pos = np.searchsorted(vkeys, u2)
+            pos_c = np.clip(pos, 0, max(len(vkeys) - 1, 0))
+            ok = vkeys[pos_c] == u2
+            dict_score = np.where(ok, vscore[pos_c], np.nan)
+            sdoc = dict_score[inv2]
+        elif not is_string and to_field in s.docvalues:
+            dv = s.docvalues[to_field]
+            pos = np.searchsorted(vkeys, dv)
+            pos_c = np.clip(pos, 0, max(len(vkeys) - 1, 0))
+            ok = vkeys[pos_c] == dv
+            sdoc = np.where(ok, vscore[pos_c], np.nan)
+        else:
+            raise ValueError(f"{to_field!r} is not a docvalues field")
+        m = ~np.isnan(sdoc)
+        return s.doc_ids[m], sdoc[m]
+
+    parts2 = searcher._map_shards(scan, parallel=searcher._big_query(weights))
+    docs = np.concatenate([p[0] for p in parts2]) if parts2 else np.zeros(0, np.int64)
+    if not len(docs):
+        return empty
+    sc = np.concatenate([p[1] for p in parts2])
+    if k is None:
+        order = np.argsort(docs, kind="stable")
+    else:
+        order = np.lexsort((docs, -sc))[:k]
+    return pa.table({
+        "doc_id": pa.array(docs[order], pa.int64()),
+        "score": pa.array(sc[order], pa.float64()),
+    })
