@@ -874,6 +874,19 @@ def q_ft_grouping(sf_dir):
                            round_nd=RND)
 
 
+def q_ft_collapse(sf_dir):
+    """Solr field collapse + expand (CollapsingQParserPlugin.java:61,
+    ExpandComponent.java:104): docs matching 'fast' collapsed to one head
+    per lang by best score, heads ranked (score desc, doc asc) top 5, each
+    with its top-2 expand companions; per-shard per-group partials only."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import collapse_expand
+
+    s = IndexSearcher(_sdv_index(sf_dir), dtype=np.float64)
+    return collapse_expand(s, "fast", "lang", k=5, expand_rows=2,
+                           round_nd=RND)
+
+
 def q_ft_term_vectors(sf_dir):
     """Term-vector sidecar (Lucene50TermVectorsFormat.java:31 role): per-doc
     term -> freq forward index, built in one shuffle-free distributed pass
@@ -2592,6 +2605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + mm_decode_jpeg are strictly stronger evidence for this family,
         # and dedup_clusters takes the window slot
         "ft_grouping": q_ft_grouping,
+        "ft_collapse": q_ft_collapse,
         # --- sketches ---
         "tdigest_quantiles": q_tdigest_quantiles,
         # --- new in round 3: relevance eval + streaming-expression e2e ---
@@ -2942,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_payload": osql.sql_payload_score("fast"),
         "ft_freetext": osql.sql_freetext("fast", "", k=10),
         "ft_grouping": osql.sql_grouping("fast", "lang", 3, 2),
+        "ft_collapse": osql.sql_collapse_expand("fast", "lang", 5, 2),
         "ft_axiomatic": osql.sql_axiomatic_f2exp_term("fast"),
         "ft_dfi": osql.sql_dfi_term("query"),
         "ft_ib": osql.sql_ib_ll_term("merge"),

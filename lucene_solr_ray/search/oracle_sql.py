@@ -878,3 +878,46 @@ SELECT d.doc_id,
        round(f.s_total / f.n_from, {ROUND}) AS score_avg
 FROM documents d JOIN fr f ON d.{field} = f.v
 ORDER BY d.doc_id"""
+
+
+def sql_collapse_expand(term: str, field: str = "lang", k: int = 5,
+                        expand_rows: int = 2) -> str:
+    """CollapsingQParserPlugin + ExpandComponent mirror (score collapse):
+    one head per group by (score desc, doc asc), heads ranked the same way
+    top-k, plus each head's top expand_rows companions."""
+    return f"""
+WITH {bm25_cte()},
+scored AS (
+  SELECT t.doc_id AS doc_id, doc.{field} AS grp,
+         round({bm25_term_score_sql(term)}, {ROUND}) AS score
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  JOIN documents doc ON doc.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = '{term}'),
+heads AS (
+  SELECT grp, doc_id, score,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored),
+hsel AS (
+  SELECT grp, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS head_rank
+  FROM heads WHERE rn = 1),
+htop AS (SELECT * FROM hsel WHERE head_rank <= {k}),
+comp AS (
+  SELECT sc.grp, sc.doc_id, sc.score, h.head_rank,
+         row_number() OVER (PARTITION BY sc.grp
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS exp_rank
+  FROM scored sc JOIN htop h ON h.grp = sc.grp AND h.doc_id <> sc.doc_id)
+SELECT grp, doc_id, score, role,
+       CAST(head_rank AS BIGINT) AS head_rank,
+       CAST(exp_rank AS BIGINT) AS exp_rank
+FROM (
+  SELECT grp, doc_id, score, 'head' AS role, head_rank, 0 AS exp_rank
+  FROM htop
+  UNION ALL
+  SELECT grp, doc_id, score, 'expand', head_rank, exp_rank
+  FROM comp WHERE exp_rank <= {expand_rows})
+ORDER BY head_rank, exp_rank"""

@@ -1810,3 +1810,162 @@ def join_query(searcher: IndexSearcher, from_query, from_field: str,
         "doc_id": pa.array(docs[order], pa.int64()),
         "score": pa.array(sc[order], pa.float64()),
     })
+
+
+def collapse_expand(searcher: IndexSearcher, query, field: str,
+                    k: int = 10, expand_rows: int = 2,
+                    head_by: str | tuple[str, str] = "score",
+                    null_policy: str = "ignore",
+                    round_nd: int | None = None) -> pa.Table:
+    """Solr field collapse + expand (search/CollapsingQParserPlugin.java:61,
+    handler/component/ExpandComponent.java:104): the result set keeps one
+    head doc per group (the collapse field's SORTED docvalue), ranked as
+    usual by (score desc, doc_id asc); the expand pass returns the top
+    expand_rows companion docs of each returned head's group, head
+    excluded, ranked the same way.
+
+    head_by picks the group head: "score" (the default, Solr's score
+    collapse) or ("min"|"max", <NUMERIC dv field>) (Solr's min=/max=
+    local params); head ties break to the lower doc_id. The main result
+    ranking stays score-based either way, as the plugin only filters docs.
+
+    null_policy mirrors nullPolicy= (missing SORTED value == ''):
+    "ignore" drops null-group docs, "expand" keeps each null doc as its
+    own one-doc group, "collapse" makes all nulls one group.
+
+    Scale shape: each shard ships per group only its top expand_rows+1
+    docs by (score, doc) plus (min/max modes) its head-field argbest —
+    supersets of any global head/companion — so driver traffic is
+    O(groups * expand_rows), never the match stream. Scores round
+    (half-away) before ranking when round_nd is set so a SQL
+    window-function mirror ranks identically.
+    """
+    from .executor import eval_node, resolve_weights
+
+    if null_policy not in ("ignore", "expand", "collapse"):
+        raise ValueError(f"unknown nullPolicy {null_policy!r}")
+    hmode, hfield = (("score", None) if head_by == "score"
+                     else (head_by[0], head_by[1]))
+    if hmode not in ("score", "min", "max"):
+        raise ValueError(f"unknown head_by {head_by!r}")
+    node = searcher._node(query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+    keep_n = expand_rows + 1
+
+    def partial(shard):
+        z = (np.zeros(0, object), np.zeros(0, np.int64),
+             np.zeros(0, np.float64), np.zeros(0, np.float64))
+        docs, scores = eval_node(shard, node, weights, searcher.dtype)
+        if not len(docs):
+            return z
+        s = scores.astype(np.float64)
+        if round_nd is not None:
+            s = _round_half_away_arr(s, round_nd)
+        grp = np.asarray(shard.strings_for(field, docs), dtype=object)
+        isnull = grp == ""
+        if null_policy == "ignore" and isnull.any():
+            m = ~isnull
+            docs, s, grp, isnull = docs[m], s[m], grp[m], isnull[m]
+            if not len(docs):
+                return z
+        elif null_policy == "expand" and isnull.any():
+            # singleton groups: a key no real value collides with
+            grp = grp.copy()
+            grp[isnull] = np.array(
+                ["\x00%d" % d for d in docs[isnull]], dtype=object)
+        if hmode == "score":
+            hval = s
+        else:
+            idx = np.searchsorted(shard.doc_ids, docs)
+            hval = shard.docvalues[hfield].astype(np.float64)[idx]
+        # per-group per-shard top keep_n by (score desc, doc asc)
+        order = np.lexsort((docs, -s, grp))
+        g, run_new = grp[order], np.empty(len(order), dtype=bool)
+        run_new[0] = True
+        run_new[1:] = g[1:] != g[:-1]
+        run_pos = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(run_new, np.arange(len(g)), 0))
+        keep = np.zeros(len(docs), dtype=bool)
+        keep[order] = run_pos < keep_n
+        if hmode != "score":
+            # also keep the shard's head-field argbest per group
+            key = hval if hmode == "min" else -hval
+            horder = np.lexsort((docs, key, grp))
+            hg = grp[horder]
+            hnew = np.empty(len(horder), dtype=bool)
+            hnew[0] = True
+            hnew[1:] = hg[1:] != hg[:-1]
+            keep[horder[hnew]] = True
+        return grp[keep], docs[keep], s[keep], hval[keep]
+
+    parts = searcher._map_shards(partial,
+                                 parallel=searcher._big_query(weights))
+    grp = np.concatenate([p[0] for p in parts])
+    empty = pa.table({
+        "grp": pa.array([], pa.large_string()),
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+        "role": pa.array([], pa.large_string()),
+        "head_rank": pa.array([], pa.int64()),
+        "exp_rank": pa.array([], pa.int64()),
+    })
+    if not len(grp):
+        return empty
+    docs = np.concatenate([p[1] for p in parts])
+    scores = np.concatenate([p[2] for p in parts])
+    hvals = np.concatenate([p[3] for p in parts])
+    # group heads
+    if hmode == "score":
+        horder = np.lexsort((docs, -scores, grp))
+    else:
+        key = hvals if hmode == "min" else -hvals
+        horder = np.lexsort((docs, key, grp))
+    hg = grp[horder]
+    hnew = np.empty(len(horder), dtype=bool)
+    hnew[0] = True
+    hnew[1:] = hg[1:] != hg[:-1]
+    head_idx = horder[hnew]  # one per group
+    # rank heads by (score desc, doc asc), top k
+    hs, hd = scores[head_idx], docs[head_idx]
+    hr = np.lexsort((hd, -hs))[:k]
+    head_idx = head_idx[hr]
+    head_rank_of = {grp[i]: r + 1 for r, i in enumerate(head_idx)}
+    head_doc_of = {grp[i]: docs[i] for i in head_idx}
+    # expand companions for the selected groups
+    sel = np.array([g in head_rank_of for g in grp], dtype=bool)
+    is_head = np.zeros(len(grp), dtype=bool)
+    is_head[head_idx] = True
+    cand = sel & ~is_head
+    # drop duplicate head doc rows kept by both keep-sets
+    cand &= np.array(
+        [head_doc_of.get(g, -1) != d for g, d in zip(grp, docs)], dtype=bool)
+    out_g, out_d, out_s, out_role, out_hr, out_er = [], [], [], [], [], []
+    for r, i in enumerate(head_idx):
+        g = grp[i]
+        shown = "" if g.startswith("\x00") else g
+        out_g.append(shown)
+        out_d.append(docs[i])
+        out_s.append(scores[i])
+        out_role.append("head")
+        out_hr.append(r + 1)
+        out_er.append(0)
+        m = cand & (grp == g)
+        if expand_rows and m.any():
+            cd, cs = docs[m], scores[m]
+            co = np.lexsort((cd, -cs))[:expand_rows]
+            for e, j in enumerate(co):
+                out_g.append(shown)
+                out_d.append(cd[j])
+                out_s.append(cs[j])
+                out_role.append("expand")
+                out_hr.append(r + 1)
+                out_er.append(e + 1)
+    return pa.table({
+        "grp": pa.array(out_g, pa.large_string()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+        "role": pa.array(out_role, pa.large_string()),
+        "head_rank": pa.array(out_hr, pa.int64()),
+        "exp_rank": pa.array(out_er, pa.int64()),
+    })
