@@ -1136,6 +1136,21 @@ def q_ft_span_near(sf_dir):
     return pa.table({"doc_id": ids})
 
 
+def q_ft_complex_phrase(sf_dir):
+    """ComplexPhraseQueryParser (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:70): '"fa* query"' — a wildcard INSIDE a
+    phrase, rewritten to SpanNear(SpanOr(fa-prefix terms), query); the
+    match set mirrors as a positions self-join with a LIKE prefix."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.complex_phrase import parse_complex_phrase
+
+    s = IndexSearcher(_index_for(sf_dir))
+    res = s.match_all(parse_complex_phrase('"fa* query"'))
+    import pyarrow.compute as pc
+    ids = res["doc_id"].take(pc.sort_indices(res["doc_id"]))
+    return pa.table({"doc_id": ids})
+
+
 def q_ft_block_join(sf_dir):
     """ToParentBlockJoinQuery score modes (join/ToParentBlockJoinQuery.
     java:63, ScoreMode Max/Total/Avg): children matching 'fast' roll up to
@@ -2623,6 +2638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window: delete+merge, facets, percolator, numeric planner) ---
         "ft_elevate": q_ft_elevate,
         "ft_span_near": q_ft_span_near,
+        "ft_complex_phrase": q_ft_complex_phrase,
         # ft_completion rotated to tail (the suggester family already has
         # r2-driver-verified ft_suggest); the C4 rules take the slot
         "c4_filters": q_c4_filters,
@@ -3084,6 +3100,17 @@ def oracle_sql() -> dict[str, str]:
               ON t2.doc_id = t1.doc_id AND t2.pos > t1.pos
              AND t2.pos <= t1.pos + 3
             WHERE t1.term = 'fast' AND t2.term = 'query'
+            ORDER BY doc_id""",
+        "ft_complex_phrase": """
+            WITH tokpos AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)
+            SELECT DISTINCT t1.doc_id AS doc_id
+            FROM tokpos t1 JOIN tokpos t2
+              ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+            WHERE t1.term LIKE 'fa%' AND t2.term = 'query'
             ORDER BY doc_id""",
         "ft_dfr": osql.sql_dfr_term("slow"),
         "ft_intervals": """

@@ -174,6 +174,55 @@ def rewrite(node, expander):
 
         return IntervalQuery(expand_multiterm(node.source, expander),
                              node.boost)
+    from .query import SpanFirst, SpanNear, SpanNot, SpanOrQ, SpanTerm
+
+    if isinstance(node, (SpanNear, SpanNot, SpanFirst, SpanOrQ)):
+        # ComplexPhraseQuery.rewrite (queryparser/complexPhrase/
+        # ComplexPhraseQueryParser.java:263-335): embedded multi-terms
+        # expand against the term dictionary into SpanOr unions; a clause
+        # with no matching term kills the whole span query.
+        def span_clause(c):
+            if isinstance(c, SpanTerm):
+                return [c]
+            if isinstance(c, SpanOrQ):
+                flat: list = []
+                for m in c.clauses:
+                    got = span_clause(m)
+                    if got is None:
+                        return None
+                    flat.extend(got)
+                return flat
+            if isinstance(c, (Fuzzy,) + MULTI_TERM_TYPES):
+                terms = expander(c)
+                return [SpanTerm(t) for t in terms] if terms else None
+            return [c]
+
+        def one(c):
+            got = span_clause(c)
+            if got is None or not got:
+                return None
+            return got[0] if len(got) == 1 else SpanOrQ(tuple(got))
+
+        if isinstance(node, SpanOrQ):
+            return one(node) or Bool()
+        if isinstance(node, SpanNear):
+            new = [one(c) for c in node.clauses]
+            if any(c is None for c in new):
+                return Bool()
+            return SpanNear(tuple(new), node.slop, node.in_order,
+                            node.boost)
+        if isinstance(node, SpanNot):
+            inc, exc = one(node.include), one(node.exclude)
+            if inc is None:
+                return Bool()
+            if exc is None:  # nothing to exclude: include spans stand
+                return SpanNot(inc, SpanTerm("\x00none"), node.pre,
+                               node.post, node.boost)
+            return SpanNot(inc, exc, node.pre, node.post, node.boost)
+        inc = one(node.clause)
+        if inc is None:
+            return Bool()
+        return SpanFirst(inc, node.end, node.boost)
     if isinstance(node, ConstantScore):
         return ConstantScore(rewrite(node.query, expander), node.boost)
     if isinstance(node, DisMax):
