@@ -861,6 +861,24 @@ def q_ft_payload(sf_dir):
     return _round_col(out, "pay_avg")
 
 
+def q_nb_classify(sf_dir):
+    """SimpleNaiveBayesClassifier (classification/SimpleNaiveBayes
+    Classifier.java:48): train per-lang word doc-count stats in one
+    distributed tokenize pass (the CachingNaiveBayesClassifier precompute),
+    then score the fixed input 'fast query fast merge' — per class
+    ln-prior + add-1-smoothed ln-likelihoods."""
+    import ray.data
+
+    from lucene_solr_ray.relational.ml import (naive_bayes_log_scores,
+                                               train_naive_bayes)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang"])
+    model = train_naive_bayes(ds, "text", "lang")
+    out = naive_bayes_log_scores(model, "fast query fast merge")
+    return _round_col(out, "log_score")
+
+
 def q_ft_grouping(sf_dir):
     """Query-time two-pass grouping (grouping/GroupingSearch.java:51): top
     3 lang groups of docs matching 'fast' by best BM25 score, top 2 docs
@@ -2621,6 +2639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and dedup_clusters takes the window slot
         "ft_grouping": q_ft_grouping,
         "ft_collapse": q_ft_collapse,
+        "nb_classify": q_nb_classify,
         # --- sketches ---
         "tdigest_quantiles": q_tdigest_quantiles,
         # --- new in round 3: relevance eval + streaming-expression e2e ---
@@ -2973,6 +2992,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_freetext": osql.sql_freetext("fast", "", k=10),
         "ft_grouping": osql.sql_grouping("fast", "lang", 3, 2),
         "ft_collapse": osql.sql_collapse_expand("fast", "lang", 5, 2),
+        "nb_classify": oracles.sql_naive_bayes(
+            ["fast", "query", "fast", "merge"], round_nd=RND),
         "ft_axiomatic": osql.sql_axiomatic_f2exp_term("fast"),
         "ft_dfi": osql.sql_dfi_term("query"),
         "ft_ib": osql.sql_ib_ll_term("merge"),

@@ -157,3 +157,36 @@ def sql_mm_decode() -> str:
       CAST(16 + octet_length(encode(text)) % 240 AS INTEGER) AS height,
       CAST(16 + (octet_length(encode(text)) // 240) % 240 AS INTEGER) AS width
     FROM documents ORDER BY doc_id"""
+
+
+def sql_naive_bayes(words: list[str], round_nd: int = 6) -> str:
+    """SimpleNaiveBayesClassifier mirror: per class c,
+    ln(df_c) - ln(N) + sum_w ln((hits(w,c)+1)/(avgU*df_c + N)) where
+    hits(w,c) = class-c docs CONTAINING w (a doc count), avgU =
+    distinct (doc,term) pairs / docs-with-text, N = docs with a class."""
+    vals = ", ".join(f"('{w}')" for w in words)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+cls AS (SELECT lang AS c, count(*) AS dfc FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang),
+n AS (SELECT sum(dfc) AS n FROM cls),
+avgu AS (SELECT count(*) * 1.0
+                / (SELECT count(DISTINCT doc_id) FROM pairs) AS au
+         FROM pairs),
+words(w) AS (VALUES {vals}),
+hits AS (SELECT d.lang AS c, p.term AS w, count(*) AS h
+         FROM pairs p JOIN documents d USING (doc_id)
+         WHERE d.lang IS NOT NULL GROUP BY 1, 2),
+ll AS (
+  SELECT c.c AS cls,
+         sum(ln((coalesce(h.h, 0) + 1) / (a.au * c.dfc + n.n))) AS s
+  FROM words w
+  CROSS JOIN cls c CROSS JOIN avgu a CROSS JOIN n
+  LEFT JOIN hits h ON h.c = c.c AND h.w = w.w
+  GROUP BY c.c)
+SELECT ll.cls AS cls,
+       round(ln(c.dfc) - ln(n.n) + ll.s, {round_nd}) AS log_score
+FROM ll JOIN cls c ON c.c = ll.cls CROSS JOIN n
+ORDER BY cls"""
