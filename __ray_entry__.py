@@ -861,6 +861,80 @@ def q_ft_payload(sf_dir):
     return _round_col(out, "pay_avg")
 
 
+def _ltr_searcher(sf_dir):
+    """float64 searcher over the lang+n_chars docvalues index (cache key
+    shared with ft_sort_multi's helper — identical config)."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|msort").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=4, num_buckets=8,
+                                     string_docvalues_fields=("lang",),
+                                     docvalues_fields=("n_chars",)),
+                resume=True)
+    return IndexSearcher(index_dir, dtype=np.float64)
+
+
+_LTR_TREES = {
+    "class": "org.apache.solr.ltr.model.MultipleAdditiveTreesModel",
+    "features": [{"name": "nch"}, {"name": "flen"}],
+    "params": {"trees": [
+        {"weight": 1.0, "root": {
+            "feature": "nch", "threshold": "500.5",
+            "left": {"feature": "flen", "threshold": "30.5",
+                     "left": {"value": "1"}, "right": {"value": "2"}},
+            "right": {"value": "4"}}},
+        {"weight": 0.5, "root": {
+            "feature": "flen", "threshold": "60.5",
+            "left": {"value": "0"}, "right": {"value": "3"}}},
+    ]},
+}
+
+
+def q_ft_ltr_linear(sf_dir):
+    """LTR LinearModel rerank (contrib/ltr LinearModel.java:117,
+    LTRQParserPlugin.java:62): candidates = all docs matching 'fast';
+    features originalScore / MinMax-normalized n_chars docvalue
+    (FieldValueFeature + MinMaxNormalizer) / norm-decoded field length
+    (FieldLengthFeature.java:84 — the SmallFloat-QUANTIZED doc length,
+    which the SQL mirror reproduces via the same LENGTH_TABLE lut);
+    ltr = 0.6*orig + 0.3*nchNorm + 0.1*flen, top 10."""
+    from lucene_solr_ray.search.ltr import (FieldLengthFeature,
+                                            FieldValueFeature, LinearModel,
+                                            MinMaxNormalizer,
+                                            OriginalScoreFeature,
+                                            ltr_rescore)
+
+    s = _ltr_searcher(sf_dir)
+    feats = [OriginalScoreFeature(), FieldValueFeature("nch", "n_chars"),
+             FieldLengthFeature("flen")]
+    model = LinearModel((("originalScore", 0.6), ("nch", 0.3),
+                         ("flen", 0.1)))
+    out = ltr_rescore(s, "fast", model, feats, rerank_docs=10_000_000,
+                      k=10, normalizers={"nch": MinMaxNormalizer(0, 1000)},
+                      round_nd=RND)
+    return _round_col(out, "orig_score")
+
+
+def q_ft_ltr_trees(sf_dir):
+    """LTR MultipleAdditiveTreesModel rerank (MultipleAdditiveTrees
+    Model.java:31): the Solr managed-store JSON above loads unchanged;
+    both trees route on n_chars / quantized field length with .5-offset
+    thresholds so the SQL CASE mirror routes identically."""
+    from lucene_solr_ray.search.ltr import (FieldLengthFeature,
+                                            FieldValueFeature, load_model,
+                                            ltr_rescore)
+
+    s = _ltr_searcher(sf_dir)
+    feats = [FieldValueFeature("nch", "n_chars"), FieldLengthFeature("flen")]
+    out = ltr_rescore(s, "fast", load_model(_LTR_TREES), feats,
+                      rerank_docs=10_000_000, k=10, round_nd=RND)
+    return _round_col(out, "orig_score")
+
+
 def q_nb_classify(sf_dir):
     """SimpleNaiveBayesClassifier (classification/SimpleNaiveBayes
     Classifier.java:48): train per-lang word doc-count stats in one
@@ -2640,6 +2714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_grouping": q_ft_grouping,
         "ft_collapse": q_ft_collapse,
         "nb_classify": q_nb_classify,
+        "ft_ltr_linear": q_ft_ltr_linear,
+        "ft_ltr_trees": q_ft_ltr_trees,
         # --- sketches ---
         "tdigest_quantiles": q_tdigest_quantiles,
         # --- new in round 3: relevance eval + streaming-expression e2e ---
@@ -2994,6 +3070,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_collapse": osql.sql_collapse_expand("fast", "lang", 5, 2),
         "nb_classify": oracles.sql_naive_bayes(
             ["fast", "query", "fast", "merge"], round_nd=RND),
+        "ft_ltr_linear": osql.sql_ltr_linear("fast", 0.6, 0.3, 0.1,
+                                             0, 1000, k=10),
+        "ft_ltr_trees": osql.sql_ltr_trees("fast", _LTR_TREES, k=10),
         "ft_axiomatic": osql.sql_axiomatic_f2exp_term("fast"),
         "ft_dfi": osql.sql_dfi_term("query"),
         "ft_ib": osql.sql_ib_ll_term("merge"),

@@ -921,3 +921,66 @@ FROM (
   SELECT grp, doc_id, score, 'expand', head_rank, exp_rank
   FROM comp WHERE exp_rank <= {expand_rows})
 ORDER BY head_rank, exp_rank"""
+
+
+def sql_ltr_linear(term: str, w_orig: float, w_nch: float, w_flen: float,
+                   nmin: float, nmax: float, k: int = 10) -> str:
+    """LTR LinearModel mirror: candidates = docs matching `term`;
+    ltr = w_orig*bm25 + w_nch*(n_chars-min)/(max-min) + w_flen*qlen where
+    qlen is the SmallFloat-quantized doc length (FieldLengthFeature
+    decodes the norm byte, = the bm25_cte's qdl.qlen)."""
+    return f"""
+WITH {bm25_cte()},
+scored AS (
+  SELECT t.doc_id AS doc_id,
+         ({bm25_term_score_sql(term)}) AS orig,
+         q.qlen AS flen
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = '{term}')
+SELECT s2.doc_id AS doc_id,
+       round(s2.orig, {ROUND}) AS orig_score,
+       round({w_orig} * s2.orig
+             + {w_nch} * ((doc.n_chars - {nmin}) / ({nmax} - {nmin}))
+             + {w_flen} * s2.flen, {ROUND}) AS ltr_score
+FROM scored s2 JOIN documents doc USING (doc_id)
+ORDER BY ltr_score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+def sql_ltr_trees(term: str, spec: dict, k: int = 10) -> str:
+    """LTR MultipleAdditiveTreesModel mirror: nested CASE per tree,
+    generated from the SAME managed-store JSON the engine loads, with the
+    identically slack-bumped float32 thresholds."""
+    from .ltr import _load_tree
+
+    exprs = {"nch": "doc.n_chars", "flen": "s2.flen"}
+
+    def case(n) -> str:
+        if n.feature is None:
+            return repr(n.value)
+        return (f"(CASE WHEN {exprs[n.feature]} <= {n.threshold!r} "
+                f"THEN {case(n.left)} ELSE {case(n.right)} END)")
+
+    score = " + ".join(
+        f"{float(t['weight'])!r} * {case(_load_tree(t['root']))}"
+        for t in spec["params"]["trees"])
+    return f"""
+WITH {bm25_cte()},
+scored AS (
+  SELECT t.doc_id AS doc_id,
+         ({bm25_term_score_sql(term)}) AS orig,
+         q.qlen AS flen
+  FROM tf t
+  JOIN df d ON d.term = t.term
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s
+  WHERE t.term = '{term}')
+SELECT s2.doc_id AS doc_id,
+       round(s2.orig, {ROUND}) AS orig_score,
+       round({score}, {ROUND}) AS ltr_score
+FROM scored s2 JOIN documents doc USING (doc_id)
+ORDER BY ltr_score DESC, doc_id ASC
+LIMIT {k}"""
