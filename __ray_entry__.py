@@ -861,6 +861,35 @@ def q_ft_payload(sf_dir):
     return _round_col(out, "pay_avg")
 
 
+def q_ft_xml_query(sf_dir):
+    """XML query parser (queryparser/xml/CoreParser.java:40): a
+    BooleanQuery document with must/mustNot/should clauses parses to the
+    same AST the classic parser would build and scores through the
+    production kernels."""
+    from lucene_solr_ray.search.xml_parser import parse_xml_query
+
+    s = _searcher64(sf_dir)
+    node = parse_xml_query("""<BooleanQuery>
+      <Clause occurs="must"><TermQuery>fast</TermQuery></Clause>
+      <Clause occurs="mustNot"><TermQuery>slow</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>query</TermQuery></Clause>
+    </BooleanQuery>""")
+    return _round_col(s.match_all(node), "score")
+
+
+def q_ft_diversified(sf_dir):
+    """DiversifiedTopDocsCollector (lucene/misc/.../search/
+    DiversifiedTopDocsCollector.java:51): top 10 docs matching 'fast', at
+    most 2 per lang (SORTED docvalues key), admitted in (score desc, doc
+    asc) order; per-shard per-key partials only."""
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import diversified_top_k
+
+    s = IndexSearcher(_sdv_index(sf_dir), dtype=np.float64)
+    return diversified_top_k(s, "fast", "lang", k=10, max_hits_per_key=2,
+                             round_nd=RND)
+
+
 def _ltr_searcher(sf_dir):
     """float64 searcher over the lang+n_chars docvalues index (cache key
     shared with ft_sort_multi's helper — identical config)."""
@@ -2716,6 +2745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": q_nb_classify,
         "ft_ltr_linear": q_ft_ltr_linear,
         "ft_ltr_trees": q_ft_ltr_trees,
+        "ft_xml_query": q_ft_xml_query,
+        "ft_diversified": q_ft_diversified,
         # --- sketches ---
         "tdigest_quantiles": q_tdigest_quantiles,
         # --- new in round 3: relevance eval + streaming-expression e2e ---
@@ -3073,6 +3104,43 @@ def oracle_sql() -> dict[str, str]:
         "ft_ltr_linear": osql.sql_ltr_linear("fast", 0.6, 0.3, 0.1,
                                              0, 1000, k=10),
         "ft_ltr_trees": osql.sql_ltr_trees("fast", _LTR_TREES, k=10),
+        "ft_xml_query": f"""
+            WITH {osql.bm25_cte()}
+            SELECT t.doc_id AS doc_id,
+                   round(sum({osql.bm25_term_score_sql("t.term")}),
+                         {RND}) AS score
+            FROM tf t
+            JOIN df d ON d.term = t.term
+            JOIN qdl q ON q.doc_id = t.doc_id
+            CROSS JOIN stats s
+            WHERE t.term IN ('fast', 'query')
+              AND t.doc_id IN (SELECT doc_id FROM tf WHERE term = 'fast')
+              AND t.doc_id NOT IN (SELECT doc_id FROM tf
+                                   WHERE term = 'slow')
+            GROUP BY t.doc_id
+            ORDER BY doc_id""",
+        "ft_diversified": f"""
+            WITH {osql.bm25_cte()},
+            scored AS (
+              SELECT t.doc_id AS doc_id, doc.lang AS key,
+                     round({osql.bm25_term_score_sql("fast")},
+                           {RND}) AS score
+              FROM tf t
+              JOIN df d ON d.term = t.term
+              JOIN qdl q ON q.doc_id = t.doc_id
+              JOIN documents doc ON doc.doc_id = t.doc_id
+              CROSS JOIN stats s
+              WHERE t.term = 'fast'),
+            ranked AS (
+              SELECT doc_id, key, score,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY score DESC, doc_id ASC)
+                     AS rn
+              FROM scored)
+            SELECT doc_id, key, score FROM ranked
+            WHERE rn <= 2
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10""",
         "ft_axiomatic": osql.sql_axiomatic_f2exp_term("fast"),
         "ft_dfi": osql.sql_dfi_term("query"),
         "ft_ib": osql.sql_ib_ll_term("merge"),

@@ -1969,3 +1969,69 @@ def collapse_expand(searcher: IndexSearcher, query, field: str,
         "head_rank": pa.array(out_hr, pa.int64()),
         "exp_rank": pa.array(out_er, pa.int64()),
     })
+
+
+def diversified_top_k(searcher: IndexSearcher, query, field: str,
+                      k: int = 10, max_hits_per_key: int = 1,
+                      round_nd: int | None = None) -> pa.Table:
+    """DiversifiedTopDocsCollector (lucene/misc/.../search/
+    DiversifiedTopDocsCollector.java:51): top-k by score where each key
+    (a SORTED docvalues value) contributes at most max_hits_per_key docs —
+    equivalently, docs are admitted in (score desc, doc asc) order while
+    their key's quota is open.
+
+    Scale shape: a shard's per-key (score, doc) top max_hits_per_key is a
+    superset of any doc admitted globally, so each shard ships at most
+    groups x max_hits_per_key candidate rows.
+    """
+    from .executor import eval_node, resolve_weights
+
+    node = searcher._node(query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+
+    def partial(shard):
+        docs, scores = eval_node(shard, node, weights, searcher.dtype)
+        if not len(docs):
+            return (np.zeros(0, object), np.zeros(0, np.int64),
+                    np.zeros(0, np.float64))
+        s = scores.astype(np.float64)
+        if round_nd is not None:
+            s = _round_half_away_arr(s, round_nd)
+        key = np.asarray(shard.strings_for(field, docs), dtype=object)
+        order = np.lexsort((docs, -s, key))
+        g = key[order]
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        run_pos = np.arange(len(g)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(g)), 0))
+        keep = order[run_pos < max_hits_per_key]
+        return key[keep], docs[keep], s[keep]
+
+    parts = searcher._map_shards(partial,
+                                 parallel=searcher._big_query(weights))
+    key = np.concatenate([p[0] for p in parts])
+    if not len(key):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "key": pa.array([], pa.large_string()),
+                         "score": pa.array([], pa.float64())})
+    docs = np.concatenate([p[1] for p in parts])
+    scores = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((docs, -scores))
+    quota: dict = {}
+    out_i: list[int] = []
+    for i in order:
+        g = key[i]
+        used = quota.get(g, 0)
+        if used < max_hits_per_key:
+            quota[g] = used + 1
+            out_i.append(i)
+            if len(out_i) >= k:
+                break
+    idx = np.asarray(out_i, dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(docs[idx], pa.int64()),
+        "key": pa.array(key[idx], pa.large_string()),
+        "score": pa.array(scores[idx], pa.float64()),
+    })
