@@ -169,3 +169,27 @@ def test_urp_custom_processor(ray_session):
     out = apply_chain(ray.data.from_arrow(t),
                       [("shout", {"field": "s"})]).to_pandas()
     assert sorted(out.s) == ["a!", "b!"]
+
+
+def test_urp_langid(ray_session):
+    """langid processor (solr/contrib/langid role): trigram profiles
+    detect the language; empty/profile-less text falls back."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_solr_ray.pipelines.urp import apply_chain
+
+    t = pa.table({
+        "id": [0, 1, 2, 3],
+        "body": [
+            "the quick brown fox jumped over the lazy dog and the cat",
+            "der hund und die katze sind schnell und ich singe",
+            "los gatos que corren de la casa del pueblo",
+            "zzz qqq xxx",
+        ],
+    })
+    out = apply_chain(
+        ray.data.from_arrow(t),
+        [("langid", {"field": "body", "dest": "lang_detected"})],
+    ).to_pandas().sort_values("id")
+    assert list(out["lang_detected"]) == ["en", "de", "es", "und"]
