@@ -861,6 +861,39 @@ def q_ft_payload(sf_dir):
     return _round_col(out, "pay_avg")
 
 
+def q_perplexity(sf_dir):
+    """CCNet-style LM perplexity bucketing (Wenzek et al. 2020 role): a
+    word-bigram add-one LM built distributed from the corpus itself (the
+    FreeTextSuggester count build is reused), scored via two bucketed hash
+    joins — no broadcast, no driver dict. Buckets derive from the ROUNDED
+    perplexity so the SQL mirror's CASE can't straddle a half-boundary."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from lucene_solr_ray.search.freetext import build_freetext
+    from lucene_solr_ray.textstats.perplexity import perplexity_scores
+
+    key = hashlib.md5((sf_dir + "|freetext").encode()).hexdigest()[:10]
+    lm = os.path.join(_CACHE_ROOT, f"ft_lm_{key}")
+    if not os.path.exists(lm):
+        build_freetext(f"{sf_dir}/documents.parquet", lm, n=2)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = perplexity_scores(ds, "doc_id", "text", lm).to_arrow_refs()
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in out])
+    t = t.take(pc.sort_indices(t["doc_id"]))
+    ppr = _round_half_away(t["perplexity"].to_numpy(), 4)
+    bucket = np.where(ppr < 30.0, "head",
+                      np.where(ppr < 31.0, "middle", "tail"))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "perplexity": pa.array(ppr, pa.float64()),
+        "bucket": pa.array(bucket.astype(object), pa.large_string()),
+    })
+
+
 def q_ft_xml_query(sf_dir):
     """XML query parser (queryparser/xml/CoreParser.java:40): a
     BooleanQuery document with must/mustNot/should clauses parses to the
@@ -2835,6 +2868,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out by continuation session 3 for the collapse / naive-
         # bayes / LTR / XML-parser / diversified entries — each carries
         # local check_oracle evidence at sf0.01 AND sf0.1 from this session
+        # perplexity_buckets lands in the tail directly (the curation
+        # family already holds 8 window slots); local check_oracle
+        # evidence at sf0.01 AND sf0.1 from this session
+        "perplexity_buckets": q_perplexity,
         "ft_infix": q_ft_infix,
         "geo_polygon": q_geo_polygon,
         "ft_covering": q_ft_covering,
@@ -3109,6 +3146,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_collapse": osql.sql_collapse_expand("fast", "lang", 5, 2),
         "nb_classify": oracles.sql_naive_bayes(
             ["fast", "query", "fast", "merge"], round_nd=RND),
+        "perplexity_buckets": oracles.sql_perplexity(30.0, 31.0,
+                                                     round_nd=4),
         "ft_ltr_linear": osql.sql_ltr_linear("fast", 0.6, 0.3, 0.1,
                                              0, 1000, k=10),
         "ft_ltr_trees": osql.sql_ltr_trees("fast", _LTR_TREES, k=10),

@@ -190,3 +190,47 @@ SELECT ll.cls AS cls,
        round(ln(c.dfc) - ln(n.n) + ll.s, {round_nd}) AS log_score
 FROM ll JOIN cls c ON c.c = ll.cls CROSS JOIN n
 ORDER BY cls"""
+
+
+def sql_perplexity(lo: float = 30.0, hi: float = 31.0,
+                   round_nd: int = 4) -> str:
+    """Word-bigram add-one-smoothing perplexity mirror:
+    P(w_i|w_{i-1}) = (c(bigram)+1)/(c(w_{i-1})+V), first token
+    (c(w)+1)/(T+V); PP = exp(-avg ln P); bucket from the ROUNDED value."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+uni AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT count(*) AS t FROM tok),
+vv AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT a.term AS ctx, b.term AS w, count(*) AS cnt
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+seq AS (
+  SELECT doc_id, term AS w,
+         coalesce(lag(term) OVER (PARTITION BY doc_id ORDER BY pos), '')
+         AS ctx
+  FROM tok),
+lnp AS (
+  SELECT s.doc_id,
+         ln(((CASE WHEN s.ctx = '' THEN coalesce(u2.cnt, 0)
+                   ELSE coalesce(b.cnt, 0) END) + 1.0)
+            / ((CASE WHEN s.ctx = '' THEN tot.t
+                     ELSE coalesce(u.cnt, 0) END) + vv.v)) AS l
+  FROM seq s
+  LEFT JOIN big b ON b.ctx = s.ctx AND b.w = s.w
+  LEFT JOIN uni u ON u.term = s.ctx
+  LEFT JOIN uni u2 ON u2.term = s.w
+  CROSS JOIN tot CROSS JOIN vv),
+pp AS (
+  SELECT doc_id, round(exp(-avg(l)), {round_nd}) AS perplexity
+  FROM lnp GROUP BY doc_id)
+SELECT doc_id, perplexity,
+       CASE WHEN perplexity < {lo} THEN 'head'
+            WHEN perplexity < {hi} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM pp
+ORDER BY doc_id"""

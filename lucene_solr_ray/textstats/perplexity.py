@@ -1,0 +1,160 @@
+"""Language-model perplexity scoring for corpus curation (the CCNet
+quality-bucketing step: Wenzek et al. 2020 score web pages with an LM and
+keep head/middle/tail perplexity buckets; the reference's analogous signal
+is the update-chain quality hooks, update/processor/ — the LM here is
+built from the corpus itself, no external model).
+
+Word-bigram LM with add-one smoothing over the corpus vocabulary:
+  P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+  P(w_1)           = (c(w_1) + 1) / (T + V)
+  PP(doc) = exp(-(1/N) * sum ln P)
+Counts come from the FreeTextSuggester gram index (search/freetext.py
+build_freetext, n=2) — one distributed count build serves both the
+suggester and the scorer.
+
+Scale shape: scoring joins the (doc, gram) stream against the counts
+table with TWO bucketed hash joins (gram keys are int64 polynomial
+hashes), so neither the corpus text nor the LM table is ever broadcast or
+driver-materialized; per-doc reduction is a groupby sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data import Dataset
+
+from ..search.freetext import _SEP
+from ..util.polyhash import poly_hash_strings
+
+
+def _h53(h: "np.ndarray") -> "np.ndarray":
+    """Mask polynomial hashes to 53 bits: bucketed_join's pandas leg turns
+    nullable int64 into float64, which is exact only below 2**53."""
+    return (h.view("int64") & np.int64((1 << 53) - 1))
+
+
+def _lm_tables(lm_dir: str):
+    """(unigram Dataset keyed k1, bigram Dataset keyed k2, V, T)."""
+    lm = ray.data.read_parquet(lm_dir)
+
+    def key_uni(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.or_(pc.equal(t["ord"], 1), pc.equal(t["ord"], 0))
+        t = t.filter(m)
+        # ord=0 meta row (word='') carries T: it becomes the denominator
+        # row first tokens (ctx='') join against
+        k = _h53(poly_hash_strings(t["word"].to_pylist()))
+        return pa.table({"k1": pa.array(k, pa.int64()),
+                         "cu": t["cnt"]})
+
+    def key_big(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # ord=2 bigrams AND ord=1 unigrams (context=''): a doc's first
+        # token scores P(w1) = (c(w1)+1)/(T+V) through the same join
+        m = pc.or_(pc.equal(t["ord"], 2), pc.equal(t["ord"], 1))
+        t = t.filter(m)
+        keys = [c + _SEP + w for c, w in
+                zip(t["context"].to_pylist(), t["word"].to_pylist())]
+        k = _h53(poly_hash_strings(keys))
+        return pa.table({"k2": pa.array(k, pa.int64()),
+                         "cb": t["cnt"]})
+
+    uni = lm.map_batches(key_uni, batch_format="pyarrow")
+    big = lm.map_batches(key_big, batch_format="pyarrow")
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # V and T are two scalars: read only the needed columns, pruned
+    meta = pq.read_table(lm_dir, columns=["ord", "cnt"])
+    v = int(pc.sum(pc.cast(pc.equal(meta["ord"], 1), pa.int64())).as_py())
+    t_row = meta.filter(pc.equal(meta["ord"], 0))
+    total = int(t_row["cnt"][0].as_py()) if t_row.num_rows else 0
+    return uni, big, v, total
+
+
+def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
+                      lm_dir: str, bucket_bounds: tuple[float, float]
+                      = (100.0, 1000.0), num_buckets: int = 16) -> Dataset:
+    """Per-doc perplexity + CCNet-style bucket ('head' < bounds[0] <=
+    'middle' < bounds[1] <= 'tail'; empty docs -> 'tail' with PP inf
+    encoded as -1)."""
+    from ..relational.ops import bucketed_join
+
+    uni, big, v_size, _total = _lm_tables(lm_dir)
+
+    def grams(t: pa.Table) -> pa.Table:
+        from ..analysis.analyzers import analyze_fast, standard_analyzer
+
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        toks: list[str] = []
+        lens = np.zeros(len(keys), dtype=np.int64)
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            terms = analyze_fast(txt or "")
+            if terms is None:
+                terms, _ = standard_analyzer(txt or "")
+            toks.extend(terms)
+            lens[i] = len(terms)
+        arr = np.asarray(toks, dtype=object)
+        doc_of = np.repeat(keys, lens)
+        # vectorized contexts: previous token, '' at doc starts
+        ctx = np.empty(len(arr), dtype=object)
+        if len(arr):
+            ctx[1:] = arr[:-1]
+            ctx[0] = ""
+            starts = np.zeros(len(arr), dtype=bool)
+            starts[np.cumsum(lens)[:-1]] = True
+            starts[0] = True
+            ctx[starts] = ""
+        gram = np.char.add(np.char.add(ctx.astype(str), _SEP),
+                           arr.astype(str)) if len(arr) else arr
+        k1 = _h53(poly_hash_strings(ctx.tolist()))
+        k2 = _h53(poly_hash_strings(list(gram)))
+        return pa.table({
+            key_col: pa.array(doc_of, t[key_col].type),
+            "k1": pa.array(k1, pa.int64()),
+            "k2": pa.array(k2, pa.int64()),
+        })
+
+    pairs = ds.select_columns([key_col, text_col]).map_batches(
+        grams, batch_format="pyarrow")
+    j1 = bucketed_join(pairs, big, on="k2", how="left",
+                       num_buckets=num_buckets)
+    j2 = bucketed_join(j1, uni, on="k1", how="left",
+                       num_buckets=num_buckets)
+
+    def lnp(df):
+        cb = df["cb"].fillna(0).to_numpy(dtype=np.float64)
+        cu = df["cu"].fillna(0).to_numpy(dtype=np.float64)
+        ln = np.log((cb + 1.0) / (cu + float(v_size)))
+        return pa.table({key_col: pa.array(df[key_col].to_numpy()),
+                         "lnp": pa.array(ln, pa.float64()),
+                         "n": pa.array(np.ones(len(df), np.int64))})
+
+    from ray.data.aggregate import Count, Sum
+
+    per_doc = (
+        j2.map_batches(lnp, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(Sum("lnp", alias_name="sum_lnp"),
+                   Count(alias_name="n_tokens"))
+    )
+    lo, hi = bucket_bounds
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_lnp"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pp = np.exp(-s / np.maximum(n, 1.0))
+        bucket = np.where(pp < lo, "head",
+                          np.where(pp < hi, "middle", "tail"))
+        return pa.table({
+            key_col: t[key_col],
+            "perplexity": pa.array(pp, pa.float64()),
+            "bucket": pa.array(bucket.astype(object), pa.large_string()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

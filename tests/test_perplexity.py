@@ -1,0 +1,89 @@
+"""CCNet-style LM perplexity scoring (textstats/perplexity.py) — exact
+parity with an in-memory bigram model, bucket edges, join-based scale
+path."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+
+from lucene_solr_ray.search.freetext import build_freetext
+from lucene_solr_ray.textstats.perplexity import perplexity_scores
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def lm_dir(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("pp_lm") / "lm")
+    build_freetext(DOCS, d, n=2)
+    return d
+
+
+@pytest.fixture(scope="module")
+def hand_model():
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    uni, big, total = Counter(), Counter(), 0
+    for s in texts.values():
+        ws = s.split(" ")
+        total += len(ws)
+        uni.update(ws)
+        big.update(zip(ws[:-1], ws[1:]))
+    return texts, uni, big, total, len(uni)
+
+
+def hand_pp(s, uni, big, total, v):
+    ws = s.split(" ")
+    ln = 0.0
+    for i, w in enumerate(ws):
+        if i == 0:
+            ln += math.log((uni[w] + 1) / (total + v))
+        else:
+            ln += math.log((big.get((ws[i - 1], w), 0) + 1)
+                           / (uni[ws[i - 1]] + v))
+    return math.exp(-ln / len(ws))
+
+
+def test_exact_parity(lm_dir, hand_model, ray_session):
+    texts, uni, big, total, v = hand_model
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    out = perplexity_scores(ds, "doc_id", "text", lm_dir).to_pandas()
+    out = out.set_index("doc_id")["perplexity"]
+    assert len(out) == len(texts)
+    for d in list(texts)[::97]:
+        assert out[d] == pytest.approx(
+            hand_pp(texts[d], uni, big, total, v), rel=1e-9)
+
+
+def test_buckets(lm_dir, hand_model, ray_session):
+    texts, uni, big, total, v = hand_model
+    pps = sorted(hand_pp(s, uni, big, total, v) for s in texts.values())
+    lo, hi = pps[len(pps) // 3], pps[2 * len(pps) // 3]
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    out = perplexity_scores(ds, "doc_id", "text", lm_dir,
+                            bucket_bounds=(lo, hi)).to_pandas()
+    counts = out["bucket"].value_counts().to_dict()
+    assert set(counts) == {"head", "middle", "tail"}
+    # terciles: each bucket holds roughly a third
+    for n in counts.values():
+        assert abs(n - len(texts) / 3) <= len(texts) / 10
+    # bucket assignment consistent with the score column
+    for ppv, b in zip(out["perplexity"], out["bucket"]):
+        want = "head" if ppv < lo else ("middle" if ppv < hi else "tail")
+        assert b == want
+
+
+def test_unseen_text_scores_worse(lm_dir, hand_model, ray_session):
+    """Out-of-distribution gibberish must land at higher perplexity than
+    every in-corpus doc — the signal the CCNet filter relies on."""
+    texts, uni, big, total, v = hand_model
+    max_pp = max(hand_pp(s, uni, big, total, v) for s in texts.values())
+    t = pa.table({"doc_id": [0], "text": ["zq zzx vbn qqq mmm zq zzx"]})
+    out = perplexity_scores(ray.data.from_arrow(t), "doc_id", "text",
+                            lm_dir).to_pandas()
+    assert float(out["perplexity"].iloc[0]) > max_pp
