@@ -894,6 +894,76 @@ def q_perplexity(sf_dir):
     })
 
 
+def q_pii_scrub(sf_dir):
+    """PII redaction op: deterministic pii suffix appended per doc (the
+    corpus has none), then email/phone/IPv4 scrub — one vectorized RE2
+    pass per batch; the oracle applies identical patterns via DuckDB's
+    RE2 regexp_replace/extract_all."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from lucene_solr_ray.textstats.ops import pii_scrub
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = np.array(
+            [f" contact u{d}@ex-mail.org or +44 7911 123456 at "
+             f"10.0.{(d // 250) % 250}.{d % 250}" for d in ids],
+            dtype=object)
+        body = pc.binary_join_element_wise(
+            pc.cast(t["text"], pa.large_string()),
+            pa.array(suffix, pa.large_string()),
+            pa.scalar("", pa.large_string()))
+        return pa.table({"doc_id": t["doc_id"], "body": body})
+
+    out_refs = pii_scrub(ds.map_batches(synth, batch_format="pyarrow"),
+                         "body").to_arrow_refs()
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in out_refs])
+    t = t.take(pc.sort_indices(t["doc_id"]))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_email": t["n_email"],
+        "n_phone": t["n_phone"],
+        "n_ip": t["n_ip"],
+        "scrubbed_len": pc.cast(pc.utf8_length(t["body_scrubbed"]),
+                                pa.int64()),
+    })
+
+
+def q_url_hosts(sf_dir):
+    """URL host extraction + per-host counts (the blocklist filter's
+    grouping half): urls synthesized deterministically from (source,
+    doc_id) since the table carries none; map-side value_counts partials
+    then a small groupby-sum."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from lucene_solr_ray.textstats.ops import url_hosts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    tlds = np.array(["com", "org", "net"], dtype=object)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        urls = np.array(
+            [f"https://{s}.example.{tlds[d % 3]}/page/{d}"
+             for d, s in zip(ids, src)], dtype=object)
+        return pa.table({"url": pa.array(urls, pa.large_string())})
+
+    out = url_hosts(ds.map_batches(synth, batch_format="pyarrow"), "url")
+    import ray as _ray
+
+    t = pa.concat_tables([_ray.get(r) for r in out.to_arrow_refs()])
+    return t.take(pc.sort_indices(t["host"]))
+
+
 def q_ft_xml_query(sf_dir):
     """XML query parser (queryparser/xml/CoreParser.java:40): a
     BooleanQuery document with must/mustNot/should clauses parses to the
@@ -2872,6 +2942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family already holds 8 window slots); local check_oracle
         # evidence at sf0.01 AND sf0.1 from this session
         "perplexity_buckets": q_perplexity,
+        "pii_scrub": q_pii_scrub,
+        "url_hosts": q_url_hosts,
         "ft_infix": q_ft_infix,
         "geo_polygon": q_geo_polygon,
         "ft_covering": q_ft_covering,
@@ -3148,6 +3220,51 @@ def oracle_sql() -> dict[str, str]:
             ["fast", "query", "fast", "merge"], round_nd=RND),
         "perplexity_buckets": oracles.sql_perplexity(30.0, 31.0,
                                                      round_nd=4),
+        "pii_scrub": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id
+                          || '@ex-mail.org or +44 7911 123456 at 10.0.'
+                          || ((doc_id // 250) % 250) || '.'
+                          || (doc_id % 250) AS body
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(body,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(body,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS b
+              FROM synth),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(b,
+                       '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phone,
+                     regexp_replace(b, '\+?\d[\d\- ]{7,}\d', '[PHONE]',
+                                    'g') AS b
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_email, n_phone,
+                     CAST(len(regexp_extract_all(b,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ip,
+                     regexp_replace(b,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]',
+                       'g') AS b
+              FROM s2)
+            SELECT doc_id, n_email, n_phone, n_ip,
+                   CAST(length(b) AS BIGINT) AS scrubbed_len
+            FROM s3 ORDER BY doc_id""",
+        "url_hosts": """
+            WITH u AS (
+              SELECT 'https://' || source || '.example.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                          ELSE 'net' END || '/page/' || doc_id AS url
+              FROM documents)
+            SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM u GROUP BY 1 ORDER BY host""",
         "ft_ltr_linear": osql.sql_ltr_linear("fast", 0.6, 0.3, 0.1,
                                              0, 1000, k=10),
         "ft_ltr_trees": osql.sql_ltr_trees("fast", _LTR_TREES, k=10),

@@ -177,8 +177,24 @@ def _proc_langid(t: pa.Table, p: dict) -> pa.Table:
                            pa.array(langs, pa.string()))
 
 
+def _proc_pii_scrub(t: pa.Table, p: dict) -> pa.Table:
+    """PII redaction processor: email/phone/IPv4 -> placeholder tokens
+    (the ingest-time scrub a web pipeline registers in the chain);
+    in-place on `field` unless `dest` is given."""
+    from ..textstats.ops import PII_PATTERNS
+
+    cur = pc.coalesce(t[p["field"]], pa.scalar("", t[p["field"]].type))
+    for _, pat, repl in PII_PATTERNS:
+        cur = pc.replace_substring_regex(cur, pat, repl)
+    dest = p.get("dest", p["field"])
+    if dest in t.column_names:
+        return t.set_column(t.column_names.index(dest), dest, cur)
+    return t.append_column(dest, cur)
+
+
 PROCESSORS = {
     "langid": _proc_langid,
+    "pii_scrub": _proc_pii_scrub,
     "clone": _proc_clone,
     "regex_replace": _proc_regex_replace,
     "trim": _proc_trim,

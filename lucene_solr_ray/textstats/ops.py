@@ -380,3 +380,88 @@ def c4_filters(ds: Dataset, key_col: str, text_col: str,
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- PII scrubbing + URL filtering (web-pipeline curation ops; the
+# reference's hook point is the UpdateRequestProcessor chain — these are
+# the processors a Common-Crawl ingest registers there) -------------------
+
+# RE2 patterns shared verbatim with the DuckDB oracle (both engines are
+# RE2-based, so replacement semantics match byte for byte)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_scrub(ds: Dataset, text_col: str, out_col: str | None = None,
+              patterns=PII_PATTERNS) -> Dataset:
+    """Redact emails / phone numbers / IPv4s, appending per-type match
+    counts (n_email, n_phone, n_ip) and the scrubbed text. Patterns apply
+    in order, each over the previous replacement's output (so a phone
+    inside an already-redacted email is not double counted). One
+    vectorized Arrow pass per batch; nulls pass through as empty."""
+    import pyarrow.compute as pc
+
+    dest = out_col or (text_col + "_scrubbed")
+
+    def scrub(t: pa.Table) -> pa.Table:
+        cur = pc.coalesce(t[text_col], pa.scalar("", t[text_col].type))
+        for name, pat, repl in patterns:
+            n = pc.count_substring_regex(cur, pat)
+            t = t.append_column(f"n_{name}", pc.cast(n, pa.int64()))
+            cur = pc.replace_substring_regex(cur, pat, repl)
+        return t.append_column(dest, cur)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def url_hosts(ds: Dataset, url_col: str) -> Dataset:
+    """Host extraction + per-host doc counts (the URL-blocklist filter's
+    grouping half): host = authority of http(s) URLs, '' when unparsable.
+    Map-side value_counts partials, then a small groupby-sum."""
+    import pyarrow.compute as pc
+
+    def hosts(t: pa.Table) -> pa.Table:
+        u = pc.coalesce(t[url_col], pa.scalar("", t[url_col].type))
+        ex = pc.extract_regex(u, r"^https?://(?P<host>[^/]+)")
+        host = pc.coalesce(pc.struct_field(ex, "host"),
+                           pa.scalar("", pa.string()))
+        vc = pc.value_counts(host)
+        return pa.table({
+            "host": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.select_columns([url_col])
+            .map_batches(hosts, batch_format="pyarrow")
+            .groupby("host").aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def url_filter(ds: Dataset, url_col: str, blocked_hosts=(),
+               blocked_tlds=()) -> Dataset:
+    """Drop docs whose URL host is blocklisted (exact host or TLD suffix)
+    — the UT1/blocklist curation step. The blocklist broadcasts once via
+    ray.put and is read per actor, never re-shipped per batch."""
+    import ray as _ray
+
+    ref = _ray.put((frozenset(blocked_hosts), tuple(blocked_tlds)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hosts_set, tlds = _ray.get(ref)
+        u = pc.coalesce(t[url_col], pa.scalar("", t[url_col].type))
+        ex = pc.extract_regex(u, r"^https?://(?P<host>[^/]+)")
+        host = pc.coalesce(pc.struct_field(ex, "host"),
+                           pa.scalar("", pa.string()))
+        hv = host.to_numpy(zero_copy_only=False)
+        bad = np.array([h in hosts_set or any(h.endswith("." + d) or h == d
+                                              for d in tlds)
+                        for h in hv], dtype=bool)
+        return t.filter(pa.array(~bad))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
