@@ -894,6 +894,24 @@ def q_perplexity(sf_dir):
     })
 
 
+def q_facet2d(sf_dir):
+    """Facet2DStream (io/stream/Facet2DStream.java:57): nested terms
+    facet via the expression front-end — top 3 langs by count, top 2
+    sources inside each, both metric-desc / value-asc."""
+    from lucene_solr_ray.relational.streams import run_expression
+
+    out = run_expression(
+        'facet2D(table(documents), x="lang", y="source", '
+        'dimensions="3,2", count(*))',
+        tables={"documents": f"{sf_dir}/documents.parquet"})
+    import ray as _ray
+
+    tabs = [_ray.get(r) for r in out.to_arrow_refs()]
+    t = pa.concat_tables([x for x in tabs if x.num_rows])
+    i = t.column_names.index("count(*)")
+    return t.set_column(i, "cnt", pc.cast(t["count(*)"], pa.int64()))
+
+
 def q_pii_scrub(sf_dir):
     """PII redaction op: deterministic pii suffix appended per doc (the
     corpus has none), then email/phone/IPv4 scrub — one vectorized RE2
@@ -2944,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": q_perplexity,
         "pii_scrub": q_pii_scrub,
         "url_hosts": q_url_hosts,
+        "facet2d": q_facet2d,
         "ft_infix": q_ft_infix,
         "geo_polygon": q_geo_polygon,
         "ft_covering": q_ft_covering,
@@ -3256,6 +3275,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_phone, n_ip,
                    CAST(length(b) AS BIGINT) AS scrubbed_len
             FROM s3 ORDER BY doc_id""",
+        "facet2d": """
+            WITH cells AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY 1, 2),
+            xt AS (
+              SELECT lang, sum(cnt) AS t FROM cells GROUP BY lang
+              ORDER BY t DESC, lang ASC LIMIT 3),
+            r AS (
+              SELECT c.lang, c.source, c.cnt, xt.t,
+                     row_number() OVER (PARTITION BY c.lang
+                                        ORDER BY c.cnt DESC, c.source ASC)
+                     AS rn
+              FROM cells c JOIN xt USING (lang))
+            SELECT lang, source, cnt FROM r WHERE rn <= 2
+            ORDER BY t DESC, lang ASC, cnt DESC, source ASC""",
         "url_hosts": """
             WITH u AS (
               SELECT 'https://' || source || '.example.' ||

@@ -540,6 +540,46 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
         lim = named.get("bucketSizeLimit")
         return out.limit(int(_coerce(lim))) if lim else out
 
+    if name == "facet2D":
+        # Facet2DStream (io/stream/Facet2DStream.java:57): nested terms
+        # facet — top dimX x-buckets by the metric, top dimY y-buckets
+        # within each, both metric-desc with value-asc ties (the json.facet
+        # the reference pushes down, appendJson:352-384). The x-level
+        # metric aggregates the raw stream (exact for every metric kind,
+        # where a sum-of-partials would break avg/min/max).
+        xf, yf = str(named["x"]), str(named["y"])
+        dims = str(_coerce(named.get("dimensions", "10,10")))
+        parts = dims.split(",")
+        dx, dy = int(parts[0]), int(parts[1] if len(parts) > 1 else parts[0])
+        mets = (_metrics(args[1:]) if len(args) > 1
+                else [("count", None, "count(*)")])
+        kind, col, label = mets[0]
+        src = sub()
+        cells = ops.rollup(src, [xf, yf], [mets[0]])
+        xtop = ops.sort_limit(
+            ops.rollup(src, [xf], [(kind, col, "__xt")]),
+            [("__xt", True), (xf, False)], k=dx)
+        xt_rows = {r[xf]: r["__xt"] for r in xtop.take(dx)}
+
+        def in_top(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+
+            return t.filter(pc2.is_in(t[xf], pa.array(list(xt_rows))))
+
+        kept = ops.group_top_k(cells.map_batches(in_top,
+                                                 batch_format="pyarrow"),
+                               xf, label, dy, tiebreak_cols=[yf])
+
+        def attach(t: pa.Table) -> pa.Table:
+            xv = t[xf].to_numpy(zero_copy_only=False)
+            return t.append_column("__xt", pa.array(
+                [xt_rows[v] for v in xv], pa.float64()))
+
+        out = ops.sort_limit(
+            kept.map_batches(attach, batch_format="pyarrow"),
+            [("__xt", True), (xf, False), (label, True), (yf, False)])
+        return out.drop_columns(["__xt"])
+
     if name == "timeseries":
         # TimeSeriesStream (io/stream/TimeSeriesStream.java:63): date_trunc
         # bucketing + metrics; gap filling is not applicable (buckets come
@@ -754,7 +794,7 @@ def _as_cell(v):
 
 _STREAM_NAMES = frozenset({
     "table", "jdbc", "sql", "search", "select", "having", "sort", "top",
-    "rank", "rollup", "hashRollup", "facet", "timeseries", "stats", "unique", "innerJoin",
+    "rank", "rollup", "hashRollup", "facet", "facet2D", "timeseries", "stats", "unique", "innerJoin",
     "hashJoin", "leftOuterJoin", "outerHashJoin", "intersect", "complement",
     "fetch", "cartesianProduct", "merge", "list", "plist", "random",
     "nodes", "shortestPath",

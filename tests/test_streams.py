@@ -344,3 +344,33 @@ def test_nodes_and_shortest_path_verbs(ray_session, tmp_path):
         'shortestPath(edges, edge="src->dst", from=0, to=4, maxDepth=4)',
         tables=tbls).to_pandas()
     assert sp["node"].tolist() == [0, 1, 3, 4] or sp["node"].tolist() == [0, 2, 3, 4]
+
+
+def test_facet2d_matches_pandas(ray_session):
+    """facet2D (Facet2DStream.java:57): top-x by metric then top-y within
+    each — parity with a pandas nested top-k."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.relational.streams import run_expression
+
+    got = run_expression(
+        'facet2D(table(documents), x="lang", y="source", '
+        'dimensions="3,2", count(*))',
+        tables={"documents": "/root/testdata/sf0.001/documents.parquet"},
+    ).to_pandas()
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["lang", "source"]).to_pandas()
+    cells = (df.groupby(["lang", "source"]).size()
+             .rename("count(*)").reset_index())
+    xt = (cells.groupby("lang")["count(*)"].sum()
+          .sort_values(ascending=False))
+    top_x = sorted(xt.index[:3], key=lambda v: (-xt[v], v))
+    want = []
+    for xv in top_x:
+        sub = cells[cells["lang"] == xv].sort_values(
+            ["count(*)", "source"], ascending=[False, True]).head(2)
+        want += [(xv, r["source"], r["count(*)"]) for _, r in
+                 sub.iterrows()]
+    assert list(map(tuple, got[["lang", "source", "count(*)"]]
+                    .itertuples(index=False))) == want
