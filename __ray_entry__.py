@@ -894,6 +894,31 @@ def q_perplexity(sf_dir):
     })
 
 
+def q_text_tagger(sf_dir):
+    """SolrTextTagger (handler/tagger/Tagger.java:40): tag the corpus
+    against a phrase dictionary ('fast', 'query', 'fast query',
+    'slow merge') with the NO_SUB overlap policy — single-token matches
+    contained in a phrase match are dropped; docs 0..499 for bounded
+    output."""
+    import ray.data
+
+    from lucene_solr_ray.search.tagger import tag_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    ds = ds.filter(expr="doc_id < 500")
+    out = tag_documents(ds, "doc_id", "text",
+                        ["fast", "query", "fast query", "slow merge"],
+                        overlaps="NO_SUB")
+    import ray as _ray
+
+    tabs = [_ray.get(r) for r in out.to_arrow_refs()]
+    t = pa.concat_tables([x for x in tabs if x.num_rows])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("doc_id", "ascending"), ("start_pos", "ascending"),
+                      ("end_pos", "ascending"), ("tag", "ascending")]))
+
+
 def q_facet2d(sf_dir):
     """Facet2DStream (io/stream/Facet2DStream.java:57): nested terms
     facet via the expression front-end — top 3 langs by count, top 2
@@ -2963,6 +2988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "url_hosts": q_url_hosts,
         "facet2d": q_facet2d,
+        "text_tagger": q_text_tagger,
         "ft_infix": q_ft_infix,
         "geo_polygon": q_geo_polygon,
         "ft_covering": q_ft_covering,
@@ -3275,6 +3301,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_phone, n_ip,
                    CAST(length(b) AS BIGINT) AS scrubbed_len
             FROM s3 ORDER BY doc_id""",
+        "text_tagger": """
+            WITH tokpos AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents WHERE doc_id < 500),
+            m2 AS (
+              SELECT t1.doc_id, t1.pos - 1 AS s, t1.pos + 1 AS e,
+                     'fast query' AS tag
+              FROM tokpos t1 JOIN tokpos t2
+                ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+              WHERE t1.term = 'fast' AND t2.term = 'query'
+              UNION ALL
+              SELECT t1.doc_id, t1.pos - 1, t1.pos + 1, 'slow merge'
+              FROM tokpos t1 JOIN tokpos t2
+                ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+              WHERE t1.term = 'slow' AND t2.term = 'merge'),
+            m1 AS (
+              SELECT doc_id, pos - 1 AS s, pos AS e, term AS tag
+              FROM tokpos WHERE term IN ('fast', 'query')),
+            keep1 AS (
+              SELECT m1.* FROM m1
+              WHERE NOT EXISTS (
+                SELECT 1 FROM m2
+                WHERE m2.doc_id = m1.doc_id
+                  AND m2.s <= m1.s AND m2.e >= m1.e))
+            SELECT doc_id,
+                   CAST(s AS BIGINT) AS start_pos,
+                   CAST(e AS BIGINT) AS end_pos, tag
+            FROM (SELECT * FROM m2 UNION ALL SELECT * FROM keep1)
+            ORDER BY doc_id, start_pos, end_pos, tag""",
         "facet2d": """
             WITH cells AS (
               SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
