@@ -894,6 +894,16 @@ def q_perplexity(sf_dir):
     })
 
 
+def q_dv_stats(sf_dir):
+    """DocValuesStats (lucene/misc/.../search/DocValuesStats.java:28):
+    count/min/max/mean/sample-variance of the n_chars NUMERIC docvalues
+    over docs matching 'fast'; per-shard five-scalar moment partials."""
+    from lucene_solr_ray.search.services import docvalues_stats
+
+    s = _ltr_searcher(sf_dir)
+    return docvalues_stats(s, "fast", "n_chars", round_nd=RND)
+
+
 def q_text_tagger(sf_dir):
     """SolrTextTagger (handler/tagger/Tagger.java:40): tag the corpus
     against a phrase dictionary ('fast', 'query', 'fast query',
@@ -2989,6 +2999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_hosts": q_url_hosts,
         "facet2d": q_facet2d,
         "text_tagger": q_text_tagger,
+        "dv_stats": q_dv_stats,
         "ft_infix": q_ft_infix,
         "geo_polygon": q_geo_polygon,
         "ft_covering": q_ft_covering,
@@ -3301,6 +3312,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_phone, n_ip,
                    CAST(length(b) AS BIGINT) AS scrubbed_len
             FROM s3 ORDER BY doc_id""",
+        "dv_stats": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast'),
+            v AS (SELECT d.n_chars * 1.0 AS x
+                  FROM hits h JOIN documents d USING (doc_id))
+            SELECT CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(0 AS BIGINT) AS missing,
+                   round(min(x), {RND}) AS vmin,
+                   round(max(x), {RND}) AS vmax,
+                   round(sum(x) / count(*), {RND}) AS mean,
+                   round((sum(x * x) - count(*) *
+                          pow(sum(x) / count(*), 2)) / (count(*) - 1),
+                         {RND}) AS variance
+            FROM v""",
         "text_tagger": """
             WITH tokpos AS (
               SELECT doc_id,

@@ -2035,3 +2035,59 @@ def diversified_top_k(searcher: IndexSearcher, query, field: str,
         "key": pa.array(key[idx], pa.large_string()),
         "score": pa.array(scores[idx], pa.float64()),
     })
+
+
+def docvalues_stats(searcher: IndexSearcher, query, field: str,
+                    round_nd: int | None = None) -> pa.Table:
+    """DocValuesStats collector (lucene/misc/.../search/DocValuesStats
+    .java:28, DocValuesStatsCollector role): over the docs matching
+    `query`, the NUMERIC docvalues field's count / missing / min / max /
+    mean / sample variance. Per-shard partials ship five scalars each
+    (count, sum, sumsq, min, max); the driver merges moments — the
+    match set never leaves the shards."""
+    from .executor import eval_node, resolve_weights
+
+    node = searcher._node(query)
+    weights = resolve_weights(searcher.reader, node, searcher.params,
+                              searcher.dtype)
+
+    def partial(shard):
+        docs, _ = eval_node(shard, node, weights, searcher.dtype)
+        vals = shard.docvalues.get(field)
+        if not len(docs) or vals is None:
+            return (0, 0, 0.0, 0.0, np.inf, -np.inf)
+        idx = np.searchsorted(shard.doc_ids, docs)
+        v = vals.astype(np.float64)[idx]
+        # the engine's NUMERIC dv columns are dense; a missing doc would
+        # be an absent docvalues column (all-missing), handled above
+        return (len(v), 0, float(v.sum()), float((v * v).sum()),
+                float(v.min()), float(v.max()))
+
+    parts = searcher._map_shards(partial,
+                                 parallel=searcher._big_query(weights))
+    n = sum(p[0] for p in parts)
+    missing = sum(p[1] for p in parts)
+    if not n:
+        return pa.table({"cnt": pa.array([0], pa.int64()),
+                         "missing": pa.array([0], pa.int64()),
+                         "vmin": pa.array([None], pa.float64()),
+                         "vmax": pa.array([None], pa.float64()),
+                         "mean": pa.array([None], pa.float64()),
+                         "variance": pa.array([None], pa.float64())})
+    s = sum(p[2] for p in parts)
+    sq = sum(p[3] for p in parts)
+    vmin = min(p[4] for p in parts)
+    vmax = max(p[5] for p in parts)
+    mean = s / n
+    # sample variance, the reference's (sumsq - n*mean^2) / (n - 1) form
+    variance = (sq - n * mean * mean) / (n - 1) if n > 1 else 0.0
+    rnd = (lambda x: float(_round_half_away_arr(np.array([x]), round_nd)[0])
+           ) if round_nd is not None else (lambda x: x)
+    return pa.table({
+        "cnt": pa.array([n], pa.int64()),
+        "missing": pa.array([missing], pa.int64()),
+        "vmin": pa.array([rnd(vmin)], pa.float64()),
+        "vmax": pa.array([rnd(vmax)], pa.float64()),
+        "mean": pa.array([rnd(mean)], pa.float64()),
+        "variance": pa.array([rnd(variance)], pa.float64()),
+    })

@@ -431,3 +431,34 @@ def test_explain_equals_score(tmp_path, ray_session):
     # non-matching doc explains as no-match
     miss = explain(s, "green", 0)  # doc 0 has yellow, not green
     assert not miss.is_match and miss.value == 0.0
+
+
+def test_docvalues_stats(ray_session, tmp_path):
+    """DocValuesStats (lucene/misc): moments over the match set's NUMERIC
+    docvalues — numpy brute parity."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import docvalues_stats
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    d = str(tmp_path / "dvs_idx")
+    build_index(docs, d, key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=3, num_buckets=4,
+                                     docvalues_fields=("n_chars",)))
+    s = IndexSearcher(d, dtype=np.float64)
+    got = docvalues_stats(s, "fast", "n_chars").to_pandas().iloc[0]
+    hits = set(s.match_all("fast")["doc_id"].to_pylist())
+    meta = pq.read_table(docs, columns=["doc_id", "n_chars"])
+    v = np.array([c for i, c in zip(meta["doc_id"].to_pylist(),
+                                    meta["n_chars"].to_pylist())
+                  if i in hits], dtype=np.float64)
+    assert got["cnt"] == len(v)
+    assert got["vmin"] == v.min() and got["vmax"] == v.max()
+    assert got["mean"] == pytest.approx(v.mean())
+    assert got["variance"] == pytest.approx(v.var(ddof=1))
+    empty = docvalues_stats(s, "zzzznotaterm", "n_chars").to_pandas().iloc[0]
+    assert empty["cnt"] == 0 and empty["mean"] is None or np.isnan(
+        empty["mean"])
