@@ -132,3 +132,26 @@ def test_boost_applies(searcher):
     assert set(d1) == set(d2)
     for k in d1:
         assert d2[k] == pytest.approx(2 * d1[k])
+
+
+def test_span_rewrite_multiterm_not_first(searcher, toks):
+    """multiterm.rewrite span support beyond SpanNear: SpanNot with a
+    multi-term exclude (incl. one matching NOTHING) and SpanFirst with a
+    prefix clause."""
+    from lucene_solr_ray.search.query import (Prefix, SpanFirst, SpanNot,
+                                              SpanTerm)
+
+    # exclude expands to nothing -> include spans stand
+    t1 = searcher.match_all(SpanNot(SpanTerm("fast"), Prefix("zzzqx")))
+    t2 = searcher.match_all("fast")
+    assert t1["doc_id"].to_pylist() == t2["doc_id"].to_pylist()
+    # exclude expands to a real prefix: docs where every 'fast' occurrence
+    # sits adjacent to a 'quer*' token are excluded
+    t3 = searcher.match_all(SpanNot(SpanTerm("fast"), Prefix("quer"),
+                                    pre=1, post=1))
+    assert set(t3["doc_id"].to_pylist()) <= set(t2["doc_id"].to_pylist())
+    # SpanFirst with a prefix clause: a 'fa*' token wholly before pos 3
+    t4 = searcher.match_all(SpanFirst(Prefix("fa"), end=3))
+    want = {d for d, ts in toks.items()
+            if any(w.startswith("fa") for w in ts[:3])}
+    assert set(t4["doc_id"].to_pylist()) == want
