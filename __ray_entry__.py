@@ -1046,11 +1046,10 @@ def q_ft_diversified(sf_dir):
                              round_nd=RND)
 
 
-def _ltr_searcher(sf_dir):
-    """float64 searcher over the lang+n_chars docvalues index (cache key
-    shared with ft_sort_multi's helper — identical config)."""
+def _msort_index(sf_dir) -> str:
+    """The lang+n_chars docvalues index (ONE build shared by
+    ft_sort_multi, the LTR entries and dv_stats)."""
     from lucene_solr_ray.index import IndexBuildConfig, build_index
-    from lucene_solr_ray.search import IndexSearcher
 
     key = hashlib.md5((sf_dir + "|msort").encode()).hexdigest()[:10]
     index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
@@ -1060,7 +1059,13 @@ def _ltr_searcher(sf_dir):
                                      string_docvalues_fields=("lang",),
                                      docvalues_fields=("n_chars",)),
                 resume=True)
-    return IndexSearcher(index_dir, dtype=np.float64)
+    return index_dir
+
+
+def _ltr_searcher(sf_dir):
+    from lucene_solr_ray.search import IndexSearcher
+
+    return IndexSearcher(_msort_index(sf_dir), dtype=np.float64)
 
 
 _LTR_TREES = {
@@ -1780,19 +1785,10 @@ def q_ft_sort_multi(sf_dir):
     """Compound Sort (Sort.java multi-SortField): docs matching 'fast'
     ordered by (lang asc, n_chars desc, doc_id asc), top 25; key values
     returned for hashing."""
-    from lucene_solr_ray.index import IndexBuildConfig, build_index
     from lucene_solr_ray.search import IndexSearcher
     from lucene_solr_ray.search.services import search_sorted_by_fields
 
-    key = hashlib.md5((sf_dir + "|msort").encode()).hexdigest()[:10]
-    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
-    build_index(f"{sf_dir}/documents.parquet", index_dir,
-                key_col="doc_id", text_col="text",
-                cfg=IndexBuildConfig(num_shards=4, num_buckets=8,
-                                     string_docvalues_fields=("lang",),
-                                     docvalues_fields=("n_chars",)),
-                resume=True)
-    s = IndexSearcher(index_dir)
+    s = IndexSearcher(_msort_index(sf_dir))
     out = search_sorted_by_fields(
         s, "fast", [("lang", False), ("n_chars", True)], k=25)
     # int-typed n_chars for the oracle hash

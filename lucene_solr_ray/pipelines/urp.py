@@ -159,20 +159,12 @@ def _proc_langid(t: pa.Table, p: dict) -> pa.Table:
     LanguageIdentifierUpdateProcessor.java:63 role): detect the language
     of `field`, write the code to `dest` (langField); detections scoring
     below `threshold` profile hits fall back to `fallback`."""
-    from ..textstats.ops import _LANG_PROFILES, _count_occurrences
+    from ..textstats.ops import detect_lang
 
-    profiles = sorted(_LANG_PROFILES.items())
     threshold = int(p.get("threshold", 1))
     fallback = p.get("fallback", "und")
-    langs = []
-    for s in t[p["field"]].to_pylist():
-        s = (s or "").lower()
-        best, best_score = fallback, threshold - 1
-        for lang, tris in profiles:
-            sc = sum(_count_occurrences(s, tri) for tri in tris)
-            if sc > best_score:
-                best, best_score = lang, sc
-        langs.append(best)
+    langs = [detect_lang(s, threshold, fallback)[0]
+             for s in t[p["field"]].to_pylist()]
     return t.append_column(p.get("dest", "language"),
                            pa.array(langs, pa.string()))
 

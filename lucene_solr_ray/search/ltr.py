@@ -110,8 +110,16 @@ class SolrFeature:
 
     def extract(self, ctx) -> np.ndarray:
         t = ctx["searcher"].match_all(self.q)
-        sc = dict(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
-        return np.array([sc.get(int(d), 0.0) for d in ctx["docs"]])
+        md = t["doc_id"].to_numpy().astype(np.int64)
+        ms = t["score"].to_numpy().astype(np.float64)
+        out = np.zeros(len(ctx["docs"]), dtype=np.float64)
+        if len(md):
+            # match_all returns doc-ordered rows: searchsorted membership
+            idx = np.searchsorted(md, ctx["docs"])
+            idx_c = np.minimum(idx, len(md) - 1)
+            hit = md[idx_c] == ctx["docs"]
+            out[hit] = ms[idx_c[hit]]
+        return out
 
 
 # --------------------------------------------------------------------------

@@ -192,7 +192,7 @@ def rewrite(node, expander):
                         return None
                     flat.extend(got)
                 return flat
-            if isinstance(c, (Fuzzy,) + MULTI_TERM_TYPES):
+            if isinstance(c, MULTI_TERM_TYPES):  # Fuzzy is a member
                 terms = expander(c)
                 return [SpanTerm(t) for t in terms] if terms else None
             return [c]

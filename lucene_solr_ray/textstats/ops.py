@@ -47,26 +47,34 @@ def _count_occurrences(s: str, sub: str) -> int:
     return s.count(sub)
 
 
+def detect_lang(s: str, threshold: int = 1,
+                fallback: str = "und") -> tuple[str, int]:
+    """One string -> (language, profile-hit score): the winning profile's
+    total trigram occurrences; ties break to the lexicographically
+    smallest code; below `threshold` hits -> (fallback, 0-ish score)."""
+    s = (s or "").lower()
+    best, best_score = fallback, threshold - 1
+    for lang, tris in sorted(_LANG_PROFILES.items()):
+        sc = sum(_count_occurrences(s, tri) for tri in tris)
+        if sc > best_score:
+            best, best_score = lang, sc
+    return best, max(best_score, 0)
+
+
 def language_id(ds: Dataset, key_col: str, text_col: str) -> Dataset:
     """Heuristic n-gram language ID -> (key, lang_guess, score).
 
     score = total occurrences of the winning language's profile trigrams;
     ties break to the lexicographically smallest language code; a text
     matching no profile is 'und' with score 0."""
-    profiles = sorted(_LANG_PROFILES.items())
 
     class LangId:
         def __call__(self, t: pa.Table) -> pa.Table:
             langs, scores = [], []
             for s in t[text_col].to_pylist():
-                s = (s or "").lower()
-                best, best_score = "und", 0
-                for lang, tris in profiles:
-                    sc = sum(_count_occurrences(s, tri) for tri in tris)
-                    if sc > best_score:
-                        best, best_score = lang, sc
-                langs.append(best)
-                scores.append(best_score)
+                lang, sc = detect_lang(s)
+                langs.append(lang)
+                scores.append(sc)
             return pa.table(
                 {key_col: t[key_col], "lang_guess": pa.array(langs, pa.string()),
                  "score": pa.array(scores, pa.int64())}

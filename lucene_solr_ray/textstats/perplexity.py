@@ -107,17 +107,26 @@ def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
             ctx[1:] = arr[:-1]
             ctx[0] = ""
             starts = np.zeros(len(arr), dtype=bool)
-            starts[np.cumsum(lens)[:-1]] = True
+            # zero-token docs make cumsum positions repeat or hit
+            # len(arr); clamp to real start positions only
+            sp = np.cumsum(lens)[:-1]
+            starts[sp[sp < len(arr)]] = True
             starts[0] = True
             ctx[starts] = ""
         gram = np.char.add(np.char.add(ctx.astype(str), _SEP),
                            arr.astype(str)) if len(arr) else arr
         k1 = _h53(poly_hash_strings(ctx.tolist()))
         k2 = _h53(poly_hash_strings(list(gram)))
+        # token-less docs ride as (-1, -1) sentinel rows so they surface
+        # as bucket 'tail' / perplexity -1 instead of vanishing
+        empty = lens == 0
         return pa.table({
-            key_col: pa.array(doc_of, t[key_col].type),
-            "k1": pa.array(k1, pa.int64()),
-            "k2": pa.array(k2, pa.int64()),
+            key_col: pa.array(np.concatenate([doc_of, keys[empty]]),
+                              t[key_col].type),
+            "k1": pa.array(np.concatenate(
+                [k1, np.full(int(empty.sum()), -1, np.int64)]), pa.int64()),
+            "k2": pa.array(np.concatenate(
+                [k2, np.full(int(empty.sum()), -1, np.int64)]), pa.int64()),
         })
 
     pairs = ds.select_columns([key_col, text_col]).map_batches(
@@ -131,17 +140,21 @@ def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
         cb = df["cb"].fillna(0).to_numpy(dtype=np.float64)
         cu = df["cu"].fillna(0).to_numpy(dtype=np.float64)
         ln = np.log((cb + 1.0) / (cu + float(v_size)))
+        # sentinel rows (token-less docs): zero contribution, zero tokens
+        # -> the doc groups to n_tokens == 0 and surfaces as 'tail'/-1
+        sent = df["k2"].to_numpy(dtype=np.int64) == -1
+        ln = np.where(sent, 0.0, ln)
         return pa.table({key_col: pa.array(df[key_col].to_numpy()),
                          "lnp": pa.array(ln, pa.float64()),
-                         "n": pa.array(np.ones(len(df), np.int64))})
+                         "n": pa.array((~sent).astype(np.int64))})
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     per_doc = (
         j2.map_batches(lnp, batch_format="pandas")
         .groupby(key_col)
         .aggregate(Sum("lnp", alias_name="sum_lnp"),
-                   Count(alias_name="n_tokens"))
+                   Sum("n", alias_name="n_tokens"))
     )
     lo, hi = bucket_bounds
 
@@ -149,8 +162,11 @@ def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
         s = t["sum_lnp"].to_numpy(zero_copy_only=False)
         n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
         pp = np.exp(-s / np.maximum(n, 1.0))
-        bucket = np.where(pp < lo, "head",
-                          np.where(pp < hi, "middle", "tail"))
+        # token-less docs (n == 0): PP undefined -> -1, bucket 'tail'
+        pp = np.where(n == 0, -1.0, pp)
+        bucket = np.where(n == 0, "tail",
+                          np.where(pp < lo, "head",
+                                   np.where(pp < hi, "middle", "tail")))
         return pa.table({
             key_col: t[key_col],
             "perplexity": pa.array(pp, pa.float64()),

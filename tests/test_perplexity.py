@@ -87,3 +87,17 @@ def test_unseen_text_scores_worse(lm_dir, hand_model, ray_session):
     out = perplexity_scores(ray.data.from_arrow(t), "doc_id", "text",
                             lm_dir).to_pandas()
     assert float(out["perplexity"].iloc[0]) > max_pp
+
+
+def test_empty_docs_surface_as_tail(lm_dir, ray_session):
+    """Token-less docs (incl. a trailing one in the batch) must not crash
+    and must surface with perplexity -1 / bucket 'tail'."""
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["fast query merge", "", "slow scan", None]})
+    out = perplexity_scores(ray.data.from_arrow(t), "doc_id", "text",
+                            lm_dir).to_pandas().set_index("doc_id")
+    assert len(out) == 4
+    for d in (1, 3):
+        assert out.loc[d, "perplexity"] == -1.0
+        assert out.loc[d, "bucket"] == "tail"
+    assert out.loc[0, "perplexity"] > 0

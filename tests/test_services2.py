@@ -460,5 +460,5 @@ def test_docvalues_stats(ray_session, tmp_path):
     assert got["mean"] == pytest.approx(v.mean())
     assert got["variance"] == pytest.approx(v.var(ddof=1))
     empty = docvalues_stats(s, "zzzznotaterm", "n_chars").to_pandas().iloc[0]
-    assert empty["cnt"] == 0 and empty["mean"] is None or np.isnan(
-        empty["mean"])
+    assert empty["cnt"] == 0
+    assert empty["mean"] is None or np.isnan(empty["mean"])

@@ -139,3 +139,46 @@ def test_errors():
     with pytest.raises(XMLParseError):
         parse_xml_query('<SpanPositionRange start="2" end="5">'
                         "<SpanTerm>a</SpanTerm></SpanPositionRange>")
+
+
+def test_review_fixes(searcher):
+    """Regression pins for the session-3 review findings."""
+    import numpy as np
+
+    # nested span composition is rejected at PARSE time, not query time
+    with pytest.raises(XMLParseError):
+        parse_xml_query('<SpanNear slop="0"><SpanNear slop="1">'
+                        "<SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm>"
+                        "</SpanNear><SpanTerm>c</SpanTerm></SpanNear>")
+    with pytest.raises(XMLParseError):
+        parse_xml_query('<SpanOr><SpanNear slop="1"><SpanTerm>a</SpanTerm>'
+                        "<SpanTerm>b</SpanTerm></SpanNear></SpanOr>")
+    # open-ended keyword range stays inside the field namespace
+    node = parse_xml_query('<RangeQuery fieldName="lang" lowerTerm="en"/>')
+    assert node.lower == "lang:en" and node.upper.startswith("lang:")
+    hits = searcher.match_all(node)
+    # every match has SOME lang keyword >= en; none are plain text terms
+    all_lang = searcher.match_all(parse_xml_query(
+        '<RangeQuery fieldName="lang"/>'))
+    assert set(hits["doc_id"].to_pylist()) <= set(
+        all_lang["doc_id"].to_pylist())
+    # BooleanQuery boost multiplies clause scores instead of flattening
+    b1 = searcher.match_all(parse_xml_query(
+        "<BooleanQuery><Clause occurs=\"should\"><TermQuery>fast"
+        "</TermQuery></Clause></BooleanQuery>"))
+    b2 = searcher.match_all(parse_xml_query(
+        "<BooleanQuery boost=\"2\"><Clause occurs=\"should\">"
+        "<TermQuery>fast</TermQuery></Clause></BooleanQuery>"))
+    s1 = dict(zip(b1["doc_id"].to_pylist(), b1["score"].to_pylist()))
+    s2 = dict(zip(b2["doc_id"].to_pylist(), b2["score"].to_pylist()))
+    assert set(s1) == set(s2) and len(set(s2.values())) > 1
+    for k in s1:
+        assert s2[k] == pytest.approx(2 * s1[k])
+    # childless elements raise XMLParseError, not IndexError
+    for bad in ('<BooleanQuery><Clause occurs="must"/></BooleanQuery>',
+                '<ConstantScoreQuery boost="2"/>',
+                '<SpanFirst end="3"/>',
+                "<SpanNot><Include/><Exclude><SpanTerm>a</SpanTerm>"
+                "</Exclude></SpanNot>"):
+        with pytest.raises(XMLParseError):
+            parse_xml_query(bad)
