@@ -947,6 +947,40 @@ def q_facet2d(sf_dir):
     return t.set_column(i, "cnt", pc.cast(t["count(*)"], pa.int64()))
 
 
+def q_mm_video_meta(sf_dir):
+    """Video-container metadata stage (multimodal/video.py): an MP4 blob
+    column synthesized deterministically per doc (real ISO-BMFF bytes),
+    parsed back by the real box-walk — duration/track/dimension metadata
+    round-trips in closed form, which is exactly what the SQL oracle
+    computes. Docs 0..511 (the mm family's bounded window)."""
+    import ray.data
+
+    from lucene_solr_ray.multimodal.video import synth_mp4, video_metadata
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    ds = ds.filter(expr="doc_id < 512")
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = [synth_mp4(duration_s=1.0 + (d % 10),
+                           width=16 * (1 + d % 5), height=16 * (1 + d % 3),
+                           kinds=("vide",) + (("soun",) if d % 2 else ()))
+                 for d in ids]
+        return pa.table({"doc_id": t["doc_id"],
+                         "blob": pa.array(blobs, pa.large_binary())})
+
+    out = video_metadata(ds.map_batches(synth, batch_format="pyarrow"),
+                         "doc_id", "blob")
+    import ray as _ray
+
+    tabs = [_ray.get(r) for r in out.to_arrow_refs()]
+    t = pa.concat_tables([x for x in tabs if x.num_rows])
+    t = t.take(pc.sort_indices(t["doc_id"]))
+    ok_i = pc.cast(t["ok"], pa.int64())
+    return t.drop_columns(["ok", "major_brand"]).append_column("ok_i", ok_i)
+
+
 def q_pii_scrub(sf_dir):
     """PII redaction op: deterministic pii suffix appended per doc (the
     corpus has none), then email/phone/IPv4 scrub — one vectorized RE2
@@ -2996,6 +3030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet2d": q_facet2d,
         "text_tagger": q_text_tagger,
         "dv_stats": q_dv_stats,
+        "mm_video_meta": q_mm_video_meta,
         "ft_infix": q_ft_infix,
         "geo_polygon": q_geo_polygon,
         "ft_covering": q_ft_covering,
@@ -3308,6 +3343,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_email, n_phone, n_ip,
                    CAST(length(b) AS BIGINT) AS scrubbed_len
             FROM s3 ORDER BY doc_id""",
+        "mm_video_meta": """
+            SELECT doc_id,
+                   1.0 + (doc_id % 10) AS duration_s,
+                   CAST(1 + (doc_id % 2) AS BIGINT) AS n_tracks,
+                   CAST(1 AS BIGINT) AS n_video_tracks,
+                   CAST(16 * (1 + doc_id % 5) AS DOUBLE) AS width,
+                   CAST(16 * (1 + doc_id % 3) AS DOUBLE) AS height,
+                   CAST(1 AS BIGINT) AS ok_i
+            FROM documents WHERE doc_id < 512 ORDER BY doc_id""",
         "dv_stats": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS term
