@@ -1132,3 +1132,101 @@ def split_index(index_dir: str, out_dirs: list[str], route) -> list[dict]:
     return out_manifests
 
 
+
+
+def merge_atomic_ops(docs: "pa.Table", ops: dict, key_col: str = "doc_id"):
+    """AtomicUpdateDocumentMerger semantics (solr/core/.../update/processor/
+    AtomicUpdateDocumentMerger.java:59): per key, a dict of field -> op
+    modifiers applied over the CURRENT stored document:
+
+      {"set": v}        replace (set to None deletes the field value)
+      {"inc": n}        numeric increment
+      {"add": v|[v...]} append to a list field (scalar fields promote)
+      {"remove": v|[v]} remove matching values from a list field
+      {"removeregex": pat} remove list values matching the regex
+
+    Returns the merged table, same schema (list columns stay lists).
+    """
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    keys = docs[key_col].to_pylist()
+    cols = {c: docs[c].to_pylist() for c in docs.column_names}
+    for i, k in enumerate(keys):
+        doc_ops = ops.get(k)
+        if not doc_ops:
+            continue
+        for fld, mod in doc_ops.items():
+            if fld not in cols:
+                raise KeyError(f"unknown field {fld!r}")
+            cur = cols[fld][i]
+            if not isinstance(mod, dict):
+                mod = {"set": mod}  # bare value == set (Solr shorthand)
+            for op, v in mod.items():
+                if op == "set":
+                    cur = v
+                elif op == "inc":
+                    cur = (cur or 0) + v
+                elif op == "add":
+                    base = (list(cur) if isinstance(cur, list)
+                            else ([] if cur is None else [cur]))
+                    cur = base + (v if isinstance(v, list) else [v])
+                elif op == "remove":
+                    drop = set(v if isinstance(v, list) else [v])
+                    base = cur if isinstance(cur, list) else [cur]
+                    cur = [x for x in base if x not in drop]
+                elif op == "removeregex":
+                    pat = _re.compile(v)
+                    base = cur if isinstance(cur, list) else [cur]
+                    cur = [x for x in base
+                           if not pat.fullmatch(str(x))]
+                else:
+                    raise ValueError(f"unknown atomic op {op!r}")
+            cols[fld][i] = cur
+    return pa.table({c: pa.array(cols[c], docs.schema.field(c).type)
+                     for c in docs.column_names})
+
+
+def atomic_update(index_dir: str, source_paths, ops: dict,
+                  key_col: str = "doc_id", text_col: str = "text") -> dict:
+    """Atomic (partial) document update: fetch the CURRENT stored docs for
+    the keys in `ops` (id-filter pushdown against source_paths — the
+    stored-fields store; chain updates by passing the previous update's
+    written source), apply the field modifiers, and run the standard
+    update-by-key (tombstone + fresh generation reindex). Keys already
+    deleted from the index are skipped, as Solr's RTG-based merge does.
+
+    Returns {'updated': n, 'skipped_deleted': m, 'source': new_parquet}.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    keys = sorted(ops)
+    live = set(real_time_get(index_dir, keys)[key_col].to_pylist())
+    todo = [k for k in keys if k in live]
+    if not todo:
+        return {"updated": 0, "skipped_deleted": len(keys), "source": None}
+    if isinstance(source_paths, str):
+        source_paths = [source_paths]
+    cur = pds.dataset(source_paths).to_table(
+        filter=pc.field(key_col).isin(todo))
+    if cur.num_rows != len(todo):
+        missing = set(todo) - set(cur[key_col].to_pylist())
+        raise ValueError(f"stored fields missing for keys {sorted(missing)[:5]}")
+    merged = merge_atomic_ops(cur, ops, key_col=key_col)
+    # deterministic per-key-set name so a retried update overwrites its
+    # own source rather than piling up
+    import hashlib as _hl
+
+    tag = _hl.md5(repr(todo).encode()).hexdigest()[:8]
+    out = os.path.join(index_dir, f"atomic_src_{tag}.parquet")
+    pq.write_table(merged, out)
+    update_documents(index_dir, [out], key_col=key_col, text_col=text_col)
+    return {"updated": len(todo), "skipped_deleted": len(keys) - len(todo),
+            "source": out}

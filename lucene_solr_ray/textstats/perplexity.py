@@ -144,7 +144,13 @@ def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
         # -> the doc groups to n_tokens == 0 and surfaces as 'tail'/-1
         sent = df["k2"].to_numpy(dtype=np.int64) == -1
         ln = np.where(sent, 0.0, ln)
-        return pa.table({key_col: pa.array(df[key_col].to_numpy()),
+        # the union blocks feeding bucketed_join carry typed-null doc_id
+        # rows on the counts side, so pandas promotes an integer key
+        # column to float64; pin it back (values are null-free here)
+        keys = df[key_col].to_numpy()
+        if keys.dtype.kind == "f":
+            keys = keys.astype(np.int64)
+        return pa.table({key_col: pa.array(keys),
                          "lnp": pa.array(ln, pa.float64()),
                          "n": pa.array((~sent).astype(np.int64))})
 
