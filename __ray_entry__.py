@@ -947,6 +947,36 @@ def q_facet2d(sf_dir):
     return t.set_column(i, "cnt", pc.cast(t["count(*)"], pa.int64()))
 
 
+def q_ann_pq(sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011; ann/pq.py): train
+    per-subspace codebooks on a bounded sample, encode the embeddings
+    table to uint8 codes (16x smaller), ADC top-10 for 4 query vectors.
+    K-means training is iterative (not SQL-expressible) — rows-gate only,
+    with pytest holding the exactness/recall evidence."""
+    import ray.data
+
+    from lucene_solr_ray.ann.pq import pq_encode, pq_search, train_pq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    books = train_pq(ds, "embedding", m=8, k=64, iters=5,
+                     sample_size=8192)
+    codes = pq_encode(ds, "vec_id", "embedding", books)
+    import pyarrow.parquet as _pq
+
+    q = vec_matrix_rows(
+        _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["embedding"]).slice(0, 4)["embedding"])
+    return pq_search(codes, "vec_id", books, q, k=10, metric="ip")
+
+
+def vec_matrix_rows(col):
+    import numpy as np
+
+    return np.asarray([list(v) for v in col.to_pylist()],
+                      dtype=np.float64)
+
+
 def q_mm_video_meta(sf_dir):
     """Video-container metadata stage (multimodal/video.py): an MP4 blob
     column synthesized deterministically per doc (real ISO-BMFF bytes),
@@ -3031,6 +3061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tagger": q_text_tagger,
         "dv_stats": q_dv_stats,
         "mm_video_meta": q_mm_video_meta,
+        "ann_pq": q_ann_pq,
         "ft_infix": q_ft_infix,
         "geo_polygon": q_geo_polygon,
         "ft_covering": q_ft_covering,

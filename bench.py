@@ -191,6 +191,9 @@ def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
             "simhash_sigs", "significant_terms", "embedding_dups",
             "ft_after_delete", "gopher_quality", "dedup_paragraphs",
             "curation_pipeline", "ann_ivf",
+            # session-3 additions
+            "ft_collapse", "ft_ltr_linear", "nb_classify",
+            "perplexity_buckets", "text_tagger",
         ]:
             best = float("inf")
             for _ in range(2):
