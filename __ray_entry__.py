@@ -879,10 +879,7 @@ def q_perplexity(sf_dir):
         build_freetext(f"{sf_dir}/documents.parquet", lm, n=2)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    out = perplexity_scores(ds, "doc_id", "text", lm).to_arrow_refs()
-    import ray as _ray
-
-    t = pa.concat_tables([_ray.get(r) for r in out])
+    t = _collect_arrow(perplexity_scores(ds, "doc_id", "text", lm))
     t = t.take(pc.sort_indices(t["doc_id"]))
     ppr = _round_half_away(t["perplexity"].to_numpy(), 4)
     bucket = np.where(ppr < 30.0, "head",
@@ -920,10 +917,7 @@ def q_text_tagger(sf_dir):
     out = tag_documents(ds, "doc_id", "text",
                         ["fast", "query", "fast query", "slow merge"],
                         overlaps="NO_SUB")
-    import ray as _ray
-
-    tabs = [_ray.get(r) for r in out.to_arrow_refs()]
-    t = pa.concat_tables([x for x in tabs if x.num_rows])
+    t = _collect_arrow(out)
     return t.take(pc.sort_indices(
         t, sort_keys=[("doc_id", "ascending"), ("start_pos", "ascending"),
                       ("end_pos", "ascending"), ("tag", "ascending")]))
@@ -939,10 +933,7 @@ def q_facet2d(sf_dir):
         'facet2D(table(documents), x="lang", y="source", '
         'dimensions="3,2", count(*))',
         tables={"documents": f"{sf_dir}/documents.parquet"})
-    import ray as _ray
-
-    tabs = [_ray.get(r) for r in out.to_arrow_refs()]
-    t = pa.concat_tables([x for x in tabs if x.num_rows])
+    t = _collect_arrow(out)
     i = t.column_names.index("count(*)")
     return t.set_column(i, "cnt", pc.cast(t["count(*)"], pa.int64()))
 
@@ -1002,10 +993,7 @@ def q_mm_video_meta(sf_dir):
 
     out = video_metadata(ds.map_batches(synth, batch_format="pyarrow"),
                          "doc_id", "blob")
-    import ray as _ray
-
-    tabs = [_ray.get(r) for r in out.to_arrow_refs()]
-    t = pa.concat_tables([x for x in tabs if x.num_rows])
+    t = _collect_arrow(out)
     t = t.take(pc.sort_indices(t["doc_id"]))
     ok_i = pc.cast(t["ok"], pa.int64())
     return t.drop_columns(["ok", "major_brand"]).append_column("ok_i", ok_i)
@@ -1036,11 +1024,8 @@ def q_pii_scrub(sf_dir):
             pa.scalar("", pa.large_string()))
         return pa.table({"doc_id": t["doc_id"], "body": body})
 
-    out_refs = pii_scrub(ds.map_batches(synth, batch_format="pyarrow"),
-                         "body").to_arrow_refs()
-    import ray as _ray
-
-    t = pa.concat_tables([_ray.get(r) for r in out_refs])
+    t = _collect_arrow(pii_scrub(
+        ds.map_batches(synth, batch_format="pyarrow"), "body"))
     t = t.take(pc.sort_indices(t["doc_id"]))
     return pa.table({
         "doc_id": t["doc_id"],
@@ -1074,10 +1059,8 @@ def q_url_hosts(sf_dir):
              for d, s in zip(ids, src)], dtype=object)
         return pa.table({"url": pa.array(urls, pa.large_string())})
 
-    out = url_hosts(ds.map_batches(synth, batch_format="pyarrow"), "url")
-    import ray as _ray
-
-    t = pa.concat_tables([_ray.get(r) for r in out.to_arrow_refs()])
+    t = _collect_arrow(
+        url_hosts(ds.map_batches(synth, batch_format="pyarrow"), "url"))
     return t.take(pc.sort_indices(t["host"]))
 
 
@@ -1108,6 +1091,16 @@ def q_ft_diversified(sf_dir):
     s = IndexSearcher(_sdv_index(sf_dir), dtype=np.float64)
     return diversified_top_k(s, "fast", "lang", k=10, max_hits_per_key=2,
                              round_nd=RND)
+
+
+def _collect_arrow(ds) -> pa.Table:
+    """Materialize a (small, result-sized) Dataset as ONE Arrow table;
+    robust to pandas-block plans where to_arrow_refs yields DataFrames."""
+    parts = [b for b in ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536) if b.num_rows]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts, promote_options="default")
 
 
 def _msort_index(sf_dir) -> str:
