@@ -56,6 +56,17 @@ delete_by_ids(idx, dead)
 out["delete_s"] = round(time.time() - t0, 1)
 
 t0 = time.time()
+from lucene_solr_ray.index.maintenance import atomic_update
+
+alive = [i for i in range(500_000, 502_000) if i not in set(dead)][:1000]
+ops = {i: {"text": {"set": f"zzatomic marker {i % 7}"}} for i in alive}
+res = atomic_update(idx, sorted(
+    os.path.join(corp, f) for f in os.listdir(corp)), ops,
+    text_col="text")
+assert res["updated"] == len(alive)
+out["atomic_update_s"] = round(time.time() - t0, 1)
+
+t0 = time.time()
 force_merge(idx)
 out["force_merge_s"] = round(time.time() - t0, 1)
 
@@ -73,6 +84,10 @@ for q in ("kato AND mito", '"kato mito"', "kato OR mito OR zubo"):
     assert a["score"].to_pylist() == b["score"].to_pylist(), q
 hits = set(s.search("kato", k=2000, use_wand=False)["doc_id"].to_pylist())
 assert not hits & set(dead[:100])
+# atomic updates survived the encoded force_merge: the marker term hits
+# exactly the updated docs, whose old text no longer matches
+amarks = set(s.match_all("zzatomic")["doc_id"].to_pylist())
+assert amarks == set(alive), (len(amarks), len(alive))
 out["doc_count"] = s.reader.doc_count
 print(json.dumps(out))
 ray.shutdown()
