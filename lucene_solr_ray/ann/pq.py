@@ -163,8 +163,11 @@ def pq_search(codes_ds: Dataset, key_col: str, books: np.ndarray,
         out_q.extend([qi] * len(order))
         out_k.extend(ks[mq][order])
         out_s.extend(sc[mq][order])
+    # carry the key column's original Arrow type through (string or other
+    # non-int keys encode fine; hardcoding int64 here would raise)
+    key_type = cat.schema.field(key_col).type
     return pa.table({
         "query_id": pa.array(out_q, pa.int64()),
-        key_col: pa.array(out_k, pa.int64()),
+        key_col: pa.array(out_k, key_type),
         "score": pa.array(out_s, pa.float64()),
     })

@@ -337,6 +337,42 @@ def _shingle_set(s: str | None, k: int) -> set:
     return {" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)}
 
 
+def _seg_unique_counts(h: np.ndarray, seg: np.ndarray, n: int):
+    """Per-segment distinct-value counts from one lexsort pass:
+    (counts[n], distinct hashes, their segment ids)."""
+    order = np.lexsort((h, seg))
+    hs, ss = h[order], seg[order]
+    first = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        first[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    return np.bincount(ss[first], minlength=n), hs[first], ss[first]
+
+
+def _jaccard_hashed(l_texts: list, r_texts: list, k: int) -> np.ndarray:
+    """Exact shingle Jaccard per (left, right) pair with no Python set
+    building: shingles hash to uint64 (the engine-wide poly hash), per-pair
+    distinct counts come from one lexsort pass per side, and
+    |A∩B| = |A|+|B|-|A∪B| from a third pass over the concatenated distinct
+    hashes. O(S log S) numpy over the whole batch, no row loop."""
+    n = len(l_texts)
+    if not n:
+        return np.empty(0, np.float64)
+    la = _shingle_lists(l_texts, k)
+    lb = _shingle_lists(r_texts, k)
+    lens_a = np.fromiter((len(x) for x in la), np.int64, n)
+    lens_b = np.fromiter((len(x) for x in lb), np.int64, n)
+    ha = poly_hash_strings([s for x in la for s in x])
+    hb = poly_hash_strings([s for x in lb for s in x])
+    sa = np.repeat(np.arange(n), lens_a)
+    sb = np.repeat(np.arange(n), lens_b)
+    ca, ua_h, ua_s = _seg_unique_counts(ha, sa, n)
+    cb, ub_h, ub_s = _seg_unique_counts(hb, sb, n)
+    cu, _, _ = _seg_unique_counts(np.concatenate([ua_h, ub_h]),
+                                  np.concatenate([ua_s, ub_s]), n)
+    inter = ca + cb - cu
+    return inter / np.maximum(cu, 1).astype(np.float64)
+
+
 def ngram_jaccard_pairs(
     ds: Dataset, pairs: Dataset, key_col: str, text_col: str,
     shingle_k: int = 3, threshold: float = 0.5,
@@ -388,13 +424,8 @@ def ngram_jaccard_pairs(
     def verify(t: pa.Table) -> pa.Table:
         li = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ri = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lf = t["__l_text"].to_pylist()
-        rf = t["__r_text"].to_pylist()
-        jac = np.empty(len(lf), np.float64)
-        for i in range(len(lf)):
-            a = _shingle_set(lf[i], shingle_k)
-            b = _shingle_set(rf[i], shingle_k)
-            jac[i] = len(a & b) / max(1, len(a | b))
+        jac = _jaccard_hashed(t["__l_text"].to_pylist(),
+                              t["__r_text"].to_pylist(), shingle_k)
         m = jac >= threshold
         return pa.table(
             {"left_id": pa.array(li[m], pa.int64()),

@@ -216,6 +216,25 @@ class IndexBuildConfig:
     # token count; a deliberate, documented divergence).
     stemmer: str | None = None
     synonyms: tuple = ()
+    # Index-time MULTI-WORD synonym graph (SynonymGraphFilter.java:81 +
+    # FlattenGraphFilter.java:32 flatten semantics — an index cannot store
+    # posLength, so graph arcs flatten onto token positions). Rule grammar
+    # is the Solr synonyms.txt format:
+    #   "usa, united states of america"     equivalence group
+    #   "dns, domain name system => dns"    explicit mapping
+    # Members are analyzed with the standard chain (lowercase etc.) before
+    # matching. For each occurrence of an n-token LHS phrase, every k-token
+    # RHS inserts token j at the position of matched token min(j, n-1)
+    # (+j-(n-1) steps past the match when k > n) with posInc-0 stacking —
+    # so a single-token synonym lands on the phrase's first position
+    # (query "dns" matches "domain name system" docs), and a multi-word
+    # expansion overlays the following real positions (phrase query
+    # "domain name system" matches "dns" docs), exactly the flattened
+    # shapes TestSynonymGraphFilter.java exercises. Insertions do NOT
+    # count toward field length/norms (same documented accounting as
+    # `synonyms`), so both surface forms score identically under BM25
+    # when doclens agree.
+    synonym_graph: tuple = ()
     # WordDelimiterGraphFilter subset (see analysis.word_delimiter_parts):
     # mixed-case / alphanumeric tokens additionally index their lowercase
     # parts + catenated form at the same position (posInc-0 insertions, no
@@ -251,7 +270,8 @@ class IndexBuildConfig:
                     "payloads and offsets share the per-occurrence sidecar "
                     "column; an index stores one or the other")
             clash = [f for f in ("word_delimiter", "edge_ngram", "synonyms",
-                                 "stemmer", "token_filters", "html_col")
+                                 "synonym_graph", "stemmer", "token_filters",
+                                 "html_col")
                      if getattr(self, f)]
             if clash:
                 raise ValueError(
@@ -317,6 +337,33 @@ class TokenizeExplode:
                 if others:
                     syn[m] = tuple(sorted(set(syn.get(m, ())) | set(others)))
         self.syn = syn
+        # multi-word synonym graph: compile rules to lhs -> [rhs, ...] in
+        # the SAME normalized token space the stream will be in (rule
+        # tokens run through the configured filter chain + stemmer, as the
+        # reference analyzes rules with the index analyzer,
+        # SolrSynonymParser.java:118)
+        self.syn_graph: dict[tuple, list[tuple]] = {}
+        if cfg.get("synonym_graph"):
+            from ..analysis.synonyms import parse_synonym_rules
+
+            def norm(toks: tuple) -> tuple | None:
+                out = []
+                for t in toks:
+                    if self.tf_chain is not None:
+                        t = self.tf_chain(t)
+                        if t is None:
+                            return None
+                    if self.stem is not None:
+                        t = self.stem(t)
+                    out.append(t)
+                return tuple(out)
+
+            for lhs, rhs in parse_synonym_rules(cfg["synonym_graph"]):
+                lhs_n, rhs_n = norm(lhs), norm(rhs)
+                if lhs_n and rhs_n and lhs_n != rhs_n:
+                    self.syn_graph.setdefault(lhs_n, [])
+                    if rhs_n not in self.syn_graph[lhs_n]:
+                        self.syn_graph[lhs_n].append(rhs_n)
         # per-field analyzer chains:
         # (column, stemmer_fn, stop_frozenset, filter_chain, chain_drops)
         # — entry format (col[, stemmer[, stopwords_csv[, filter_spec]]])
@@ -560,6 +607,72 @@ class TokenizeExplode:
             text_pos[doc_offsets[i]:doc_offsets[i + 1]] = plist
         off_text = np.asarray(flat_offs, dtype=np.int64) if so else None
 
+        # --- multi-word synonym graph (SynonymGraphFilter.java:81 +
+        # FlattenGraphFilter.java:32). Two steps, both vectorized, run
+        # BEFORE the other insertion blocks so every downstream consumer
+        # sees the final (shifted) positions:
+        #   1. match: each n-token LHS occurrence found by a shifted-
+        #      equality scan (doc/pos contiguity checked at the endpoints
+        #      only — positions strictly increase within a doc, so endpoint
+        #      distance n-1 implies every internal gap is 1);
+        #   2. flatten: a k-token RHS with k > n needs k-n extra position
+        #      slots, so every real token AFTER the match site in the same
+        #      doc shifts right by that amount (scatter extras at site
+        #      ends, per-doc cumsum) — exactly the reference's flatten
+        #      renumbering, which is why a phrase of [expansion token,
+        #      following real token] matches while [LHS token, following
+        #      real token] becomes sloppy-only (the known flatten
+        #      "sausage" artifact TestFlattenGraphFilter pins down).
+        #      RHS token j then lands at the (new) position of matched
+        #      token min(j, n-1), continuing +1 per step past the match.
+        # Overlapping matches all fire (the reference consumes greedily
+        # left-to-right; a deliberate, documented divergence — rule sets
+        # with overlapping LHS phrases may stack extra tokens).
+        sg_terms: list = []
+        sg_doc_parts: list = []
+        sg_pos_parts: list = []
+        sg_off_parts: list = []
+        if self.syn_graph and n_text:
+            L = n_text
+            sites: list[tuple] = []   # (hits array, n, rhs_list)
+            bump = np.zeros(L + 1, dtype=np.int64)
+            for lhs, rhs_list in self.syn_graph.items():
+                n = len(lhs)
+                if L < n:
+                    continue
+                m = text_arr[:L - n + 1] == lhs[0]
+                for j in range(1, n):
+                    m &= text_arr[j:L - n + 1 + j] == lhs[j]
+                if n > 1:
+                    m &= doc_idx_text[n - 1:] == doc_idx_text[:L - n + 1]
+                    m &= (text_pos[n - 1:] - text_pos[:L - n + 1]) == (n - 1)
+                hits_sg = np.flatnonzero(m)
+                if not len(hits_sg):
+                    continue
+                sites.append((hits_sg, n, rhs_list))
+                extra = max(max(len(r) for r in rhs_list) - n, 0)
+                if extra:
+                    np.add.at(bump, hits_sg + n, extra)
+            if sites:
+                shift = np.cumsum(bump[:-1])
+                # cumsum crosses doc boundaries; sites only affect later
+                # tokens of their OWN doc, so subtracting each doc's
+                # start value localizes the shift
+                shift -= np.repeat(shift[doc_offsets[:-1]], doclens)
+                text_pos = (text_pos + shift).astype(np.int32)
+                for hits_sg, n, rhs_list in sites:
+                    for rhs in rhs_list:
+                        for j, tok in enumerate(rhs):
+                            srcs = hits_sg + min(j, n - 1)
+                            sg_terms.extend([tok] * len(hits_sg))
+                            sg_doc_parts.append(doc_idx_text[srcs])
+                            sg_pos_parts.append(
+                                (text_pos[srcs] + max(0, j - (n - 1))
+                                 ).astype(np.int32))
+                            if so:
+                                sg_off_parts.append(off_text[srcs])
+        n_sg = len(sg_terms)
+
         # synonym insertions: same doc, same position, zero length
         # contribution (posIncrement-0 stacked tokens)
         syn_terms: list = []
@@ -627,13 +740,15 @@ class TokenizeExplode:
             wd_terms = [self.stem(t) for t in wd_terms]
         n_wd = len(wd_terms)
         n_af = sum(len(p[0]) for p in af_parts)
-        n_tok = n_text + n_syn + n_eg + len(kw_terms) + n_wd + n_af
+        n_tok = n_text + n_syn + n_eg + n_sg + len(kw_terms) + n_wd + n_af
         if n_tok:
             all_parts = [text_arr]
             if n_syn:
                 all_parts.append(np.asarray(syn_terms, dtype=object))
             if n_eg:
                 all_parts.append(np.asarray(eg_terms, dtype=object))
+            if n_sg:
+                all_parts.append(np.asarray(sg_terms, dtype=object))
             if n_wd:
                 all_parts.append(np.asarray(wd_terms, dtype=object))
             if kw_terms:
@@ -644,6 +759,7 @@ class TokenizeExplode:
                 [doc_idx_text]
                 + (syn_doc_parts if n_syn else [])
                 + (eg_doc_parts if n_eg else [])
+                + (sg_doc_parts if n_sg else [])
                 + ([np.asarray(wd_doc, np.int32)] if n_wd else [])
                 + ([np.asarray(kw_doc, np.int32)] if kw_terms else [])
                 + [p[1] for p in af_parts]
@@ -652,6 +768,7 @@ class TokenizeExplode:
                 [text_pos]
                 + (syn_pos_parts if n_syn else [])
                 + (eg_pos_parts if n_eg else [])
+                + (sg_pos_parts if n_sg else [])
                 + ([np.asarray(wd_pos, np.int32)] if n_wd else [])
                 + ([np.zeros(len(kw_terms), np.int32)] if kw_terms else [])
                 + [p[2] for p in af_parts]
@@ -663,6 +780,7 @@ class TokenizeExplode:
                     [off_text]
                     + (syn_off_parts if n_syn else [])
                     + (eg_off_parts if n_eg else [])
+                    + (sg_off_parts if n_sg else [])
                     + ([np.asarray(wd_off, np.int64)] if n_wd else [])
                     + ([np.full(len(kw_terms), -1, np.int64)]
                        if kw_terms else [])
@@ -675,6 +793,7 @@ class TokenizeExplode:
                 [norm_bytes[doc_idx_text]]
                 + ([norm_bytes[np.concatenate(syn_doc_parts)]] if n_syn else [])
                 + ([norm_bytes[np.concatenate(eg_doc_parts)]] if n_eg else [])
+                + ([norm_bytes[np.concatenate(sg_doc_parts)]] if n_sg else [])
                 + ([norm_bytes[np.asarray(wd_doc, np.int64)]] if n_wd else [])
                 + ([norm_bytes[np.asarray(kw_doc, np.int64)]] if kw_terms else [])
                 + [p[3] for p in af_parts]

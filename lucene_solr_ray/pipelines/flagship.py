@@ -28,19 +28,53 @@ DEFAULT_QUERIES = [
 ]
 
 
-def dedup_recrawls(corpus_paths, out_dir: str) -> list[str]:
+def dedup_recrawls(corpus_paths, out_dir: str, id_col: str = "doc_id",
+                   num_partitions: int | None = None) -> list[str]:
     """Update-by-key semantics (SURVEY.md §2.14): among re-crawls of the same
     url keep only the newest warc_ts (version max-wins, the reference's
-    optimistic-concurrency rule). groupby(url) shuffle; output is a parquet
-    dir consumed by build_index."""
+    optimistic-concurrency rule; ties break to the highest id for
+    determinism). Output is a parquet dir consumed by build_index.
+
+    Scale shape: only (url, ts, id) rows enter the exchanges — a Max
+    reduction picks the newest ts per url, an inner join + Max picks the
+    winning id, and a left_semi hash join attaches the winners back to the
+    full pages. The html/text bodies never ride a shuffle, mirroring how
+    the reference routes updates by id, never by document body
+    (DistributedUpdateProcessor.java:75)."""
+    import ray
     import ray.data
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
 
+    from ..relational.ops import scaled_partitions
+
+    if num_partitions is None:
+        # row count from parquet metadata only — no data read
+        n = ray.data.read_parquet(corpus_paths, columns=["url"]).count()
+        num_partitions = scaled_partitions(n)
+
+    def key_cols(t: pa.Table) -> pa.Table:
+        # timestamps reduce as int64 epoch ticks (Max over timestamp
+        # columns is not supported by the arrow aggregate path)
+        return pa.table({
+            "url": t["url"],
+            "__ts": pc.cast(t["warc_ts"], pa.int64()),
+            id_col: t[id_col],
+        })
+
+    ids = ray.data.read_parquet(
+        corpus_paths, columns=["url", "warc_ts", id_col]
+    ).map_batches(key_cols, batch_format="pyarrow")
+    newest = ids.groupby("url").aggregate(Max("__ts", alias_name="__ts"))
+    winners = (
+        ids.join(newest, join_type="inner", on=("url", "__ts"),
+                 num_partitions=num_partitions)
+        .groupby("url").aggregate(Max(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
     ds = ray.data.read_parquet(corpus_paths)
-
-    def newest(df):
-        return df.sort_values("warc_ts", kind="mergesort").tail(1)
-
-    out = ds.groupby("url").map_groups(newest, batch_format="pandas")
+    out = ds.join(winners, join_type="left_semi", on=(id_col,),
+                  num_partitions=num_partitions)
     out.write_parquet(out_dir, mode="overwrite")
     import glob
 

@@ -217,3 +217,159 @@ def read_enwiki(paths, keep_images: bool = False) -> Dataset:
         })
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# --- WARC / TREC record containers ----------------------------------------
+
+def _ts_from_iso(s: str | None) -> "np.datetime64 | None":
+    if not s:
+        return None
+    try:
+        return np.datetime64(s.rstrip("Z"), "us")
+    except ValueError:
+        return None
+
+
+def read_warc(paths, extract_text: bool = True) -> Dataset:
+    """WARC/1.0 container reader (the Common-Crawl envelope; the
+    reference's analogous container feed is TrecContentSource.java:58 over
+    the GOV2 TREC envelope — see read_trec). One read task per .warc(.gz)
+    file, the standard CC processing granularity; records are walked by
+    Content-Length inside the task, so a multi-GB file streams without
+    regex backtracking.
+
+    Emits the north-rule input shape: (doc_id, url, warc_ts, html, text) —
+    doc_id = poly-hash(WARC-Record-ID | url) as int64; only 'response'
+    records are kept; the HTTP header block is stripped from the payload;
+    text is the char-identical html_to_text extraction (htmlstrip.py:115)
+    unless extract_text=False."""
+    import gzip
+
+    from ..analysis.htmlstrip import html_to_text
+    from ..util.polyhash import poly_hash_strings
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids_src, urls, tss, htmls = [], [], [], []
+        for blob, path in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
+            if path.endswith(".gz"):
+                blob = gzip.decompress(blob)
+            pos, n = 0, len(blob)
+            while pos < n:
+                # seek the next record header
+                start = blob.find(b"WARC/", pos)
+                if start < 0:
+                    break
+                hdr_end = blob.find(b"\r\n\r\n", start)
+                if hdr_end < 0:
+                    break
+                headers = {}
+                for line in blob[start:hdr_end].split(b"\r\n")[1:]:
+                    k, _, v = line.partition(b":")
+                    headers[k.strip().lower()] = v.strip()
+                try:
+                    clen = int(headers.get(b"content-length", b"0"))
+                except ValueError:
+                    clen = 0
+                body = blob[hdr_end + 4:hdr_end + 4 + clen]
+                pos = hdr_end + 4 + clen
+                if headers.get(b"warc-type") != b"response":
+                    continue
+                url = headers.get(b"warc-target-uri", b"").decode(
+                    "utf-8", errors="replace")
+                rec_id = headers.get(b"warc-record-id", b"").decode(
+                    "utf-8", errors="replace")
+                # payload = HTTP response: drop its header block
+                he = body.find(b"\r\n\r\n")
+                html = body[he + 4:] if he >= 0 else body
+                ids_src.append(rec_id or url)
+                urls.append(url)
+                tss.append(_ts_from_iso(
+                    headers.get(b"warc-date", b"").decode("ascii",
+                                                          errors="replace")))
+                htmls.append(html)
+        ids = poly_hash_strings(ids_src).view(np.int64)
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.large_binary()),
+        }
+        if extract_text:
+            cols["text"] = pa.array(
+                [html_to_text(h).strip() for h in htmls], pa.large_string())
+        return pa.table(cols)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_trec(paths, extract_text: bool = True) -> Dataset:
+    """TREC GOV2 container reader (TrecContentSource.java:58 +
+    TrecGov2Parser.java:36): records are <DOC>..</DOC> blocks holding
+    <DOCNO>, a <DOCHDR> HTTP envelope (first line = the fetch URL,
+    'Date: ' header = the crawl date), then raw HTML. One read task per
+    file, like the reference's sequential per-file reader.
+
+    Emits (doc_id, url, warc_ts, html, text): doc_id = poly-hash(DOCNO),
+    warc_ts parsed from the RFC-1123 'Date: ' header when present (the
+    first of TrecContentSource.DATE_FORMATS; the rest of that lenient
+    list is legacy-collection noise out of scope for the web corpus)."""
+    import gzip
+    import re
+    from email.utils import parsedate_to_datetime
+
+    from ..analysis.htmlstrip import html_to_text
+    from ..util.polyhash import poly_hash_strings
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    doc_re = re.compile(rb"<DOC>(.*?)</DOC>", re.S)
+    docno_re = re.compile(rb"<DOCNO>\s*(.*?)\s*</DOCNO>", re.S)
+    hdr_re = re.compile(rb"<DOCHDR>\s*(.*?)\s*</DOCHDR>", re.S)
+    date_re = re.compile(rb"^Date:\s*(.+?)\s*$", re.M)
+
+    def parse(t: pa.Table) -> pa.Table:
+        nos, urls, tss, htmls = [], [], [], []
+        for blob, path in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
+            if path.endswith(".gz"):
+                blob = gzip.decompress(blob)
+            for m in doc_re.finditer(blob):
+                rec = m.group(1)
+                nm = docno_re.search(rec)
+                if nm is None:
+                    continue
+                hm = hdr_re.search(rec)
+                url, ts = "", None
+                html = rec
+                if hm is not None:
+                    hdr = hm.group(1)
+                    url = hdr.split(b"\n", 1)[0].strip().decode(
+                        "utf-8", errors="replace")
+                    dm = date_re.search(hdr)
+                    if dm is not None:
+                        try:
+                            dt = parsedate_to_datetime(
+                                dm.group(1).decode("ascii", errors="replace"))
+                            ts = np.datetime64(
+                                int(dt.timestamp() * 1_000_000), "us")
+                        except (ValueError, TypeError):
+                            ts = None
+                    html = rec[hm.end():]
+                nos.append(nm.group(1).decode("utf-8", errors="replace"))
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(html.strip())
+        ids = poly_hash_strings(nos).view(np.int64)
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "docno": pa.array(nos, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.large_binary()),
+        }
+        if extract_text:
+            cols["text"] = pa.array(
+                [html_to_text(h).strip() for h in htmls], pa.large_string())
+        return pa.table(cols)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -635,6 +635,22 @@ def broadcast_semi(big: Dataset, keys: pa.Array | np.ndarray, on: str, anti: boo
     return big.map_batches(sieve, batch_format="pyarrow")
 
 
+def scaled_partitions(n_rows: int, rows_per_partition: int = 2_000_000,
+                      cap: int = 4096) -> int:
+    """Hash-join/shuffle partition count scaled to data volume AND cluster
+    size — never a fixed constant (ParallelStream.java:48 takes worker
+    count as an input for the same reason). Volume dominates at scale
+    (bounded rows per aggregator); the CPU term keeps mid-size inputs
+    parallel; small inputs stay at 2 partitions because each hash-shuffle
+    aggregator is an actor whose spin-up costs real seconds — and asking
+    for more aggregators than the cluster can schedule stalls the join
+    behind min_hash_shuffle_aggregator_wait_time_in_s."""
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    by_volume = n_rows // rows_per_partition + 1
+    by_cpu = min(ncpu, n_rows // 50_000 + 1)
+    return int(min(cap, max(2, by_volume, by_cpu)))
+
+
 def hash_join(
     left: Dataset, right: Dataset, on: str | tuple, how: str = "inner",
     num_partitions: int = 16, right_on: str | tuple | None = None,

@@ -44,6 +44,13 @@ from ray.data import Dataset
 
 from . import ops
 
+# intersect/complement right sides up to this many keys broadcast via
+# ray.put (one copy in the object store, read per task); above it the
+# key column would strain the driver heap, so the plan switches to a
+# distributed left_semi/left_anti hash join (same gate discipline as
+# dedup/ops.py:34 _SIEVE_BROADCAST_GATE)
+_SEMI_BROADCAST_GATE = 5_000_000
+
 __all__ = [
     "SExpr", "parse_expression", "StreamContext", "run_expression",
     "compile_evaluator",
@@ -615,11 +622,24 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
         left, right = sub(0), sub(1)
         l_on, _, r_on = _csv(named["on"])[0].partition("=")
         r_on = r_on or l_on
-        # small right side materialized to a broadcast key set, like the
-        # reference's in-memory hash (io/stream/IntersectStream.java:40)
-        keys = right.select_columns([r_on]).to_pandas()[r_on].to_numpy()
-        return ops.broadcast_semi(left, keys, l_on,
-                                  anti=(name == "complement"))
+        anti = name == "complement"
+        # size-gated: a small right side materializes to a broadcast key
+        # set, like the reference's in-memory hash
+        # (io/stream/IntersectStream.java:40) — but the reference streams
+        # its sorted merge precisely so the right side need not fit in
+        # memory (IntersectStream.java:43); above the gate we do the
+        # distributed equivalent, a hash-partitioned semi/anti join, and
+        # never land the key column on the driver
+        right_keys = right.select_columns([r_on])
+        n_right = right_keys.count()
+        if n_right <= _SEMI_BROADCAST_GATE:
+            keys = right_keys.to_pandas()[r_on].to_numpy()
+            return ops.broadcast_semi(left, keys, l_on, anti=anti)
+        if r_on != l_on:
+            right_keys = right_keys.rename_columns({r_on: l_on})
+        return left.join(
+            right_keys, join_type=("left_anti" if anti else "left_semi"),
+            on=(l_on,), num_partitions=ops.scaled_partitions(n_right))
 
     if name == "fetch":
         import pyarrow.parquet as pq

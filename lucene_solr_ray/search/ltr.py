@@ -138,6 +138,14 @@ class MinMaxNormalizer:
     min: float = 0.0
     max: float = 1.0
 
+    def __post_init__(self):
+        # MinMaxNormalizer.java throws at parse time for min >= max;
+        # dividing by zero here would silently corrupt ranking with inf/nan
+        if not self.max > self.min:
+            raise ValueError(
+                f"MinMaxNormalizer requires max > min, got "
+                f"min={self.min} max={self.max}")
+
     def normalize(self, v: np.ndarray) -> np.ndarray:
         return (v - self.min) / (self.max - self.min)
 

@@ -2054,8 +2054,12 @@ def docvalues_stats(searcher: IndexSearcher, query, field: str,
     def partial(shard):
         docs, _ = eval_node(shard, node, weights, searcher.dtype)
         vals = shard.docvalues.get(field)
-        if not len(docs) or vals is None:
+        if not len(docs):
             return (0, 0, 0.0, 0.0, np.inf, -np.inf)
+        if vals is None:
+            # shard has no dv column: its matching docs count as MISSING
+            # (DocValuesStats.java missing()), not silently dropped
+            return (0, len(docs), 0.0, 0.0, np.inf, -np.inf)
         idx = np.searchsorted(shard.doc_ids, docs)
         v = vals.astype(np.float64)[idx]
         # the engine's NUMERIC dv columns are dense; a missing doc would

@@ -36,7 +36,12 @@ def compile_dictionary(phrases: list[str]) -> dict:
             terms, _ = standard_analyzer(p)
         if not terms:
             continue
-        by_first.setdefault(terms[0], []).append((tuple(terms), p))
+        entry = (tuple(terms), p)
+        # dedupe repeated (token_tuple, phrase) entries: a duplicate would
+        # produce duplicate spans that defeat _reduce_ldr's one-at-a-time
+        # survivor removal
+        if entry not in by_first.setdefault(terms[0], []):
+            by_first[terms[0]].append(entry)
     for v in by_first.values():
         v.sort(key=lambda x: -len(x[0]))
     return by_first
@@ -125,5 +130,19 @@ def tag_documents(ds: Dataset, key_col: str, text_col: str,
             "tag": pa.array(out_t, pa.large_string()),
         })
 
-    return ds.select_columns([key_col, text_col]).map_batches(
+    out = ds.select_columns([key_col, text_col]).map_batches(
         tag, batch_format="pyarrow")
+    # a partition whose every doc tags to zero spans yields empty blocks;
+    # union a typed empty block so the schema survives (same guard as
+    # dedup/ops.py _ensure_schema — avoids the RefBundle schema-drop)
+    s = ds.schema()
+    key_type = dict(zip(s.names, s.types))[key_col]
+    empty = pa.table({
+        key_col: pa.array([], key_type),
+        "start_pos": pa.array([], pa.int64()),
+        "end_pos": pa.array([], pa.int64()),
+        "tag": pa.array([], pa.large_string()),
+    })
+    import ray.data as _rd
+
+    return out.union(_rd.from_arrow(empty))

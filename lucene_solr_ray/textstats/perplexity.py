@@ -13,9 +13,13 @@ build_freetext, n=2) — one distributed count build serves both the
 suggester and the scorer.
 
 Scale shape: scoring joins the (doc, gram) stream against the counts
-table with TWO bucketed hash joins (gram keys are int64 polynomial
-hashes), so neither the corpus text nor the LM table is ever broadcast or
-driver-materialized; per-doc reduction is a groupby sum.
+table with TWO native hash-partitioned Dataset.joins (gram keys are
+full-width int64 polynomial hashes), so neither the corpus text nor the
+LM table is ever broadcast or driver-materialized, and no single task
+ever holds more than one hash partition; per-doc reduction is a groupby
+sum. Partition count scales with the corpus token count T (read from the
+LM meta row), mirroring ParallelStream's worker-count-as-input contract
+(solr/.../io/stream/ParallelStream.java:48) — never a fixed constant.
 """
 
 from __future__ import annotations
@@ -30,10 +34,10 @@ from ..search.freetext import _SEP
 from ..util.polyhash import poly_hash_strings
 
 
-def _h53(h: "np.ndarray") -> "np.ndarray":
-    """Mask polynomial hashes to 53 bits: bucketed_join's pandas leg turns
-    nullable int64 into float64, which is exact only below 2**53."""
-    return (h.view("int64") & np.int64((1 << 53) - 1))
+def _hkey(strs: list[str]) -> "np.ndarray":
+    """Full-width int64 join key from the polynomial hash (uint64 bits
+    reinterpreted; Arrow/Ray hash joins keep int64 exact end-to-end)."""
+    return poly_hash_strings(strs).view("int64")
 
 
 def _lm_tables(lm_dir: str):
@@ -47,7 +51,7 @@ def _lm_tables(lm_dir: str):
         t = t.filter(m)
         # ord=0 meta row (word='') carries T: it becomes the denominator
         # row first tokens (ctx='') join against
-        k = _h53(poly_hash_strings(t["word"].to_pylist()))
+        k = _hkey(t["word"].to_pylist())
         return pa.table({"k1": pa.array(k, pa.int64()),
                          "cu": t["cnt"]})
 
@@ -60,7 +64,7 @@ def _lm_tables(lm_dir: str):
         t = t.filter(m)
         keys = [c + _SEP + w for c, w in
                 zip(t["context"].to_pylist(), t["word"].to_pylist())]
-        k = _h53(poly_hash_strings(keys))
+        k = _hkey(keys)
         return pa.table({"k2": pa.array(k, pa.int64()),
                          "cb": t["cnt"]})
 
@@ -79,13 +83,22 @@ def _lm_tables(lm_dir: str):
 
 def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
                       lm_dir: str, bucket_bounds: tuple[float, float]
-                      = (100.0, 1000.0), num_buckets: int = 16) -> Dataset:
+                      = (100.0, 1000.0),
+                      num_partitions: int | None = None) -> Dataset:
     """Per-doc perplexity + CCNet-style bucket ('head' < bounds[0] <=
     'middle' < bounds[1] <= 'tail'; empty docs -> 'tail' with PP inf
-    encoded as -1)."""
-    from ..relational.ops import bucketed_join
+    encoded as -1).
 
-    uni, big, v_size, _total = _lm_tables(lm_dir)
+    num_partitions defaults to scaled_partitions(T) over the corpus token
+    count T (read from the LM meta row): each partition of the (doc, gram)
+    stream stays a bounded single-aggregator unit regardless of corpus
+    size, and small corpora don't stall waiting on aggregator actors the
+    cluster can't schedule."""
+    from ..relational.ops import scaled_partitions
+
+    uni, big, v_size, total = _lm_tables(lm_dir)
+    if num_partitions is None:
+        num_partitions = scaled_partitions(total)
 
     def grams(t: pa.Table) -> pa.Table:
         from ..analysis.analyzers import analyze_fast, standard_analyzer
@@ -115,8 +128,8 @@ def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
             ctx[starts] = ""
         gram = np.char.add(np.char.add(ctx.astype(str), _SEP),
                            arr.astype(str)) if len(arr) else arr
-        k1 = _h53(poly_hash_strings(ctx.tolist()))
-        k2 = _h53(poly_hash_strings(list(gram)))
+        k1 = _hkey(ctx.tolist())
+        k2 = _hkey(list(gram))
         # token-less docs ride as (-1, -1) sentinel rows so they surface
         # as bucket 'tail' / perplexity -1 instead of vanishing
         empty = lens == 0
@@ -131,33 +144,32 @@ def perplexity_scores(ds: Dataset, key_col: str, text_col: str,
 
     pairs = ds.select_columns([key_col, text_col]).map_batches(
         grams, batch_format="pyarrow")
-    j1 = bucketed_join(pairs, big, on="k2", how="left",
-                       num_buckets=num_buckets)
-    j2 = bucketed_join(j1, uni, on="k1", how="left",
-                       num_buckets=num_buckets)
+    # native hash-partitioned joins: both legs shuffle only (key, int64)
+    # columns; missing grams surface as null counts via left_outer
+    j1 = pairs.join(big, join_type="left_outer", on=("k2",),
+                    num_partitions=num_partitions)
+    j2 = j1.join(uni, join_type="left_outer", on=("k1",),
+                 num_partitions=num_partitions)
 
-    def lnp(df):
-        cb = df["cb"].fillna(0).to_numpy(dtype=np.float64)
-        cu = df["cu"].fillna(0).to_numpy(dtype=np.float64)
-        ln = np.log((cb + 1.0) / (cu + float(v_size)))
+    def lnp(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cb = pc.fill_null(t["cb"], 0).to_numpy(zero_copy_only=False)
+        cu = pc.fill_null(t["cu"], 0).to_numpy(zero_copy_only=False)
+        ln = np.log((cb.astype(np.float64) + 1.0)
+                    / (cu.astype(np.float64) + float(v_size)))
         # sentinel rows (token-less docs): zero contribution, zero tokens
         # -> the doc groups to n_tokens == 0 and surfaces as 'tail'/-1
-        sent = df["k2"].to_numpy(dtype=np.int64) == -1
+        sent = t["k2"].to_numpy(zero_copy_only=False) == -1
         ln = np.where(sent, 0.0, ln)
-        # the union blocks feeding bucketed_join carry typed-null doc_id
-        # rows on the counts side, so pandas promotes an integer key
-        # column to float64; pin it back (values are null-free here)
-        keys = df[key_col].to_numpy()
-        if keys.dtype.kind == "f":
-            keys = keys.astype(np.int64)
-        return pa.table({key_col: pa.array(keys),
+        return pa.table({key_col: t[key_col],
                          "lnp": pa.array(ln, pa.float64()),
                          "n": pa.array((~sent).astype(np.int64))})
 
     from ray.data.aggregate import Sum
 
     per_doc = (
-        j2.map_batches(lnp, batch_format="pandas")
+        j2.map_batches(lnp, batch_format="pyarrow")
         .groupby(key_col)
         .aggregate(Sum("lnp", alias_name="sum_lnp"),
                    Sum("n", alias_name="n_tokens"))

@@ -1,0 +1,120 @@
+"""Index-time multi-word SynonymGraphFilter (SynonymGraphFilter.java:81 +
+FlattenGraphFilter.java:32 flatten semantics; behavior cases modeled on
+TestSynonymGraphFilter.java)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.analysis.synonyms import parse_synonym_rules
+from lucene_solr_ray.index import IndexBuildConfig, build_index
+from lucene_solr_ray.search import IndexSearcher
+
+
+def test_parse_equivalence_and_mapping():
+    # equivalence: every member -> every other
+    pairs = parse_synonym_rules(["usa, united states"])
+    assert (("usa",), ("united", "states")) in pairs
+    assert (("united", "states"), ("usa",)) in pairs
+    assert len(pairs) == 2
+    # explicit mapping: LHS -> RHS only, identity dropped
+    pairs = parse_synonym_rules(["ipod, i pod => ipod"])
+    assert pairs == [(("i", "pod"), ("ipod",))]
+    # members are analyzed (lowercased) before matching
+    pairs = parse_synonym_rules(["DNS, Domain Name System"])
+    assert (("dns",), ("domain", "name", "system")) in pairs
+    # dedup across rules
+    pairs = parse_synonym_rules(["a, b", "a, b"])
+    assert len(pairs) == 2
+
+
+@pytest.fixture(scope="module")
+def syn_index(tmp_path_factory, ray_session):
+    tmp = tmp_path_factory.mktemp("syn_graph")
+    texts = [
+        "the domain name system rocks",   # 0: 5 tokens, phrase form
+        "pure dns magic rocks zz",        # 1: 5 tokens, acronym form
+        "domain experts name things",     # 2: partial words, no phrase
+        "fast queries need indexes",      # 3: unrelated
+        "wifi failed again",              # 4: single-single synonym leg
+        "wireless network failed",        # 5
+    ]
+    p = str(tmp / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }), p)
+    idx = str(tmp / "idx")
+    cfg = IndexBuildConfig(
+        num_shards=2, num_buckets=4,
+        synonym_graph=("dns, domain name system",
+                       "wifi => wireless network"),
+    )
+    build_index(p, idx, cfg=cfg)
+    return IndexSearcher(idx)
+
+
+def test_multiword_phrase_indexes_single_token(syn_index):
+    """'domain name system' occurrence stacks 'dns' at its start position:
+    a plain term query for the acronym matches both surface forms."""
+    assert syn_index.match_all("dns")["doc_id"].to_pylist() == [0, 1]
+
+
+def test_single_token_expands_to_multiword(syn_index):
+    """'dns' occurrence overlays 'domain name system' on the following
+    positions: the multi-word PHRASE matches the acronym doc too."""
+    hits = syn_index.match_all('"domain name system"')["doc_id"].to_pylist()
+    assert hits == [0, 1]
+    # partial-word doc 2 must NOT match (contiguity check)
+    assert 2 not in hits
+
+
+def test_identical_scores_for_both_surface_forms(syn_index):
+    """Docs 0 and 1 have equal doclen and tf(dns)=1 each; with insertions
+    excluded from norms, BM25 must score the two surface forms
+    identically (the SynonymGraphFilter point)."""
+    res = syn_index.search("dns", k=10)
+    scores = dict(zip(res["doc_id"].to_pylist(), res["score"].to_pylist()))
+    assert set(scores) == {0, 1}
+    assert scores[0] == scores[1]
+
+
+def test_mapping_direction_only(syn_index):
+    """'wifi => wireless network' is one-directional: wifi doc gains the
+    phrase, but the phrase doc does NOT gain 'wifi'."""
+    assert syn_index.match_all('"wireless network"')["doc_id"].to_pylist() == [4, 5]
+    assert syn_index.match_all("wifi")["doc_id"].to_pylist() == [4]
+
+
+def test_phrase_across_expansion_boundary(syn_index):
+    """Flattened expansion overlays REAL following positions: doc 4 is
+    'wifi failed again' -> wireless@p0 network@p1 (stacked over 'failed');
+    the reference's flatten produces exactly this overlay, so a phrase of
+    [expansion-token, following-real-token] matches where they collide."""
+    hits = syn_index.match_all('"network failed"')["doc_id"].to_pylist()
+    assert hits == [4, 5]
+
+
+def test_doclen_excludes_graph_insertions(syn_index):
+    sh_dl = sum(int(sh.doclens.sum()) for sh in syn_index.reader.shards)
+    assert sh_dl == 5 + 5 + 4 + 4 + 3 + 3
+
+
+def test_rules_normalized_through_chain(tmp_path, ray_session):
+    """Rule members run through the configured stemmer, so surface forms
+    that only match post-analysis still fire."""
+    texts = ["cats are great", "felines are great"]
+    p = str(tmp_path / "c2.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(2, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx2")
+    cfg = IndexBuildConfig(num_shards=1, num_buckets=2,
+                           stemmer="minimal_english",
+                           synonym_graph=("cats, felines",))
+    build_index(p, idx, cfg=cfg)
+    s = IndexSearcher(idx)
+    assert s.match_all("cat")["doc_id"].to_pylist() == [0, 1]
+    assert s.match_all("feline")["doc_id"].to_pylist() == [0, 1]
