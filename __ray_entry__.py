@@ -882,8 +882,11 @@ def q_perplexity(sf_dir):
     t = _collect_arrow(perplexity_scores(ds, "doc_id", "text", lm))
     t = t.take(pc.sort_indices(t["doc_id"]))
     ppr = _round_half_away(t["perplexity"].to_numpy(), 4)
-    bucket = np.where(ppr < 30.0, "head",
-                      np.where(ppr < 31.0, "middle", "tail"))
+    # -1 is the zero-token sentinel (PP undefined): bucket 'tail', never
+    # 'head' — mirrors perplexity_scores' own bucket column
+    bucket = np.where(ppr == -1.0, "tail",
+                      np.where(ppr < 30.0, "head",
+                               np.where(ppr < 31.0, "middle", "tail")))
     return pa.table({
         "doc_id": t["doc_id"],
         "perplexity": pa.array(ppr, pa.float64()),
@@ -2878,19 +2881,140 @@ def q_mm_audio_real(sf_dir):
 
 
 def q_flagship_corpus(sf_dir):
-    """Flagship: synthetic web corpus -> html extract -> index -> top-k."""
+    """Flagship: synthetic web corpus (with re-crawls) -> max-wins url
+    dedup (id-only shuffle, dedup_recrawls) -> html extract -> index ->
+    top-k. The re-crawl block duplicates the first 200 urls with newer
+    warc_ts and shifted doc_ids; dedup must keep exactly the newer ids,
+    so the index holds 2000 docs again and top-k is deterministic."""
+    import datetime
+
     from lucene_solr_ray.index import IndexBuildConfig
     from lucene_solr_ray.pipelines import synthesize_corpus
-    from lucene_solr_ray.pipelines.flagship import build_corpus_index, run_queries
+    from lucene_solr_ray.pipelines.flagship import (build_corpus_index,
+                                                    dedup_recrawls,
+                                                    run_queries)
 
     os.makedirs(_CACHE_ROOT, exist_ok=True)
     corpus = os.path.join(_CACHE_ROOT, "flagship_corpus.parquet")
     if not os.path.exists(corpus):
         synthesize_corpus(2000, corpus)
+    recrawl = os.path.join(_CACHE_ROOT, "flagship_recrawl.parquet")
+    if not os.path.exists(recrawl):
+        base = pq.read_table(corpus)
+        dup = base.slice(0, 200)
+        dup = dup.set_column(
+            dup.column_names.index("warc_ts"), "warc_ts",
+            pa.array([v.as_py() + datetime.timedelta(days=30)
+                      for v in dup["warc_ts"]], pa.timestamp("us")))
+        dup = dup.set_column(
+            dup.column_names.index("doc_id"), "doc_id",
+            pa.array([v.as_py() + 1_000_000 for v in dup["doc_id"]],
+                     pa.int64()))
+        pq.write_table(pa.concat_tables([base, dup]), recrawl + ".tmp.parquet")
+        os.replace(recrawl + ".tmp.parquet", recrawl)
+    deduped = os.path.join(_CACHE_ROOT, "flagship_deduped")
+    paths = dedup_recrawls([recrawl], deduped)
     idx = os.path.join(_CACHE_ROOT, "flagship_idx")
     cfg = IndexBuildConfig(num_shards=4, num_buckets=8)
-    build_corpus_index(corpus, idx, cfg=cfg, from_html=True)
+    build_corpus_index(paths, idx, cfg=cfg, from_html=True)
     return run_queries(idx, k=10)
+
+
+def q_ft_synonym_index(sf_dir):
+    """Index-time multi-word SynonymGraphFilter (SynonymGraphFilter.java:81
+    + FlattenGraphFilter.java:32): the equivalence rule
+    'fast query, fastquery' stacks the never-written token 'fastquery' at
+    every 'fast query' phrase occurrence; the plain term query for the
+    acronym then scores BM25 with tf = phrase-occurrence count, df = docs
+    with the phrase, and norms from the VISIBLE token count. The SQL
+    oracle recomputes exactly that from the raw corpus (adjacency
+    self-join for phrase freq)."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|syngraph").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8, batch_size=512,
+                           synonym_graph=("fast query, fastquery",))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    return _round_col(s.match_all("fastquery"), "score")
+
+
+def _warc_container(sf_dir: str) -> str:
+    """Deterministic WARC/1.0 container synthesized from the documents
+    table (url derives from doc_id; html wraps text in the corpus
+    templates whose extraction invariant is byte-identity)."""
+    from lucene_solr_ray.pipelines.corpus import _wrap_html, write_warc
+
+    key = hashlib.md5((sf_dir + "|warc").encode()).hexdigest()[:10]
+    warc = os.path.join(_CACHE_ROOT, f"docs_{key}.warc")
+    if not os.path.exists(warc):
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        tbl = pa.table({
+            "url": pa.array([f"https://doc{d}.example/" for d in ids]),
+            "warc_ts": pa.array(
+                [base + np.timedelta64(int(d), "s") for d in ids],
+                pa.timestamp("us")),
+            "html": pa.array([_wrap_html(x, i) for i, x in enumerate(texts)],
+                             pa.large_binary()),
+        })
+        write_warc(tbl, warc + ".tmp")
+        os.replace(warc + ".tmp", warc)
+    return warc
+
+
+def q_warc_extract(sf_dir):
+    """WARC container end-to-end (TrecContentSource.java:58 envelope role,
+    read_warc): documents rows -> real multi-record WARC/1.0 file ->
+    Content-Length record walk -> HTTP header strip -> char-identical
+    HTML extraction (htmlstrip.py:115). Output (url, text) must match the
+    source rows byte-for-byte — the north-rule per-row invariant
+    ('byte-identical extracted text per url')."""
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.pipelines.sources import read_warc
+
+    warc = _warc_container(sf_dir)
+    out = read_warc(warc).select_columns(["url", "text"])
+    t = _collect_arrow(out)
+    return t.take(pc.sort_indices(t["url"]))
+
+
+def q_ft_fvh(sf_dir):
+    """FastVectorHighlighter (vectorhighlight/FastVectorHighlighter.java:45):
+    snippets from the positions+offsets TERM-VECTOR sidecar — no postings
+    read, no re-analysis. Rows-only (best-window passage selection is not
+    SQL-expressible); snippet parity with the offsets-source highlighter
+    is pinned by tests/test_termvectors.py::test_fvh_matches_offsets_highlighter."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.index.termvectors import build_term_vectors
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.services import highlight_results_tv
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idxoff_{key}")
+    build_index(
+        f"{sf_dir}/documents.parquet", index_dir,
+        key_col="doc_id", text_col="text",
+        cfg=IndexBuildConfig(num_shards=4, num_buckets=8, batch_size=512,
+                             store_offsets=True),
+        resume=True,
+    )
+    if not os.path.exists(os.path.join(index_dir, "tv")):
+        build_term_vectors(f"{sf_dir}/documents.parquet", index_dir,
+                           num_shards=4, with_positions_offsets=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    out = highlight_results_tv(
+        s, index_dir, f"{sf_dir}/documents.parquet", "doc_id", "text",
+        "fast query", k=20)
+    return _round_col(out, "score")
 
 
 # ---------------------------------------------------------------------------
@@ -2925,145 +3049,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     driver gate over ALL entries regardless of window position.
     """
     return {
-        # --- dedup / curation (never driver-checked before round 3) ---
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_sigs": q_simhash,
-        "doc_fingerprint": q_fingerprint,
-        "embedding_dups": q_embedding_dups,
-        # --- text stats (token_stats passed r1; rotated to tail to make
-        # window room for payload scoring) ---
-        "ft_payload": q_ft_payload,
-        # quality_score passed r1; rotated to tail for the LM suggester
-        "ft_freetext": q_ft_freetext,
-        # lang_id passed r1; rotated to tail for the term-vector sidecar
-        "ft_term_vectors": q_ft_term_vectors,
-        # --- similarity search (ann_topk passed r1; rotated to tail to
-        # make window room for the block-join score modes) ---
-        "ann_lsh": q_ann_lsh,
-        "ft_block_join": q_ft_block_join,
-        # --- model training / scoring (TextLogitStream) ---
-        "logit_train": q_logit_train,
-        "features_select": q_features_select,
-        # mm_decode (stub-decoder plumbing) rotated to tail: mm_decode_real
-        # + mm_decode_jpeg are strictly stronger evidence for this family,
-        # and dedup_clusters takes the window slot
-        "ft_grouping": q_ft_grouping,
-        "ft_collapse": q_ft_collapse,
-        "nb_classify": q_nb_classify,
-        "ft_ltr_linear": q_ft_ltr_linear,
-        "ft_ltr_trees": q_ft_ltr_trees,
-        "ft_xml_query": q_ft_xml_query,
-        "ft_diversified": q_ft_diversified,
-        # --- sketches ---
-        "tdigest_quantiles": q_tdigest_quantiles,
-        # --- new in round 3: relevance eval + streaming-expression e2e ---
-        "quality_eval": q_quality_eval,
-        "stream_expr": q_stream_expr,
-        # --- oracle typing fixed this round (r2 hash_match fails) ---
-        "rollup_q1": q_rollup_q1,
-        "join_large": q_join_large,
-        "stats_metrics": q_stats_metrics,
-        # flagship_corpus rotated to tail: it is rows-only (no oracle) and
-        # entry() smoke-checks the same pipeline; decontamination takes
-        # the window slot
-        "decontaminate": q_decontaminate,
-        # --- fulltext core (entries whose code paths round 3 touches stay
-        # in-window: delete+merge, facets, percolator, numeric planner) ---
-        "ft_elevate": q_ft_elevate,
-        "ft_span_near": q_ft_span_near,
-        "ft_complex_phrase": q_ft_complex_phrase,
-        # ft_completion rotated to tail (the suggester family already has
-        # r2-driver-verified ft_suggest); the C4 rules take the slot
-        "c4_filters": q_c4_filters,
-        "ft_mlt": q_ft_mlt,
-        "relatedness": q_relatedness,
-        # ft_infix rotated to tail (suggesters keep ft_freetext in-window);
-        # continuation-3 entries take these slots
-        "ft_points_range": q_ft_points_range,
-        "ft_expr_score": q_ft_expr_score,
-        "ft_distance_feature": q_ft_distance_feature,
-        "geo_box": q_geo_box,
-        # geo_knn / geo_distance / geo_polygon rotated to tail (geo keeps
-        # geo_box as the in-window family rep); the JoinUtil scored join
-        # and graph traversal take the slots
-        "ft_join": q_ft_join,
-        "graph_gather": q_graph_gather,
-        # ft_after_delete / ft_field_filter rotated to tail (both passed
-        # rows+schema+hash in round 2); the continuation-session sandbox
-        # queries (CommonTerms / Covering / PhraseWildcard) take the slots,
-        # and ft_span_not rotates out keeping ft_span_near for the family
-        # ft_covering / ft_phrase_wildcard rotated to tail (sandbox module
-        # queries keep ft_common_terms in-window); ft_rescore rotated too
-        # (the LTR entries are the rescoring family's round-3 checks)
-        "ft_common_terms": q_ft_common_terms,
-        "ft_iodv": q_ft_iodv,
-        "facet_taxonomy": q_facet_taxonomy,
-        # mm_decode_jpeg / mm_audio_real rotated to tail (multimodal keeps
-        # mm_decode_real in-window); the docvalues family below regains
-        # its window slots
-        "mm_decode_real": q_mm_decode_real,
-        # --- round-3 additions: SORTED string docvalues, intervals ---
-        "ft_sort_string": q_ft_sort_string,
-        "ft_facet_dv": q_ft_facet_dv,
-        "ft_facet_ssdv": q_ft_facet_ssdv,
-        # ft_ssdv_filter rotated to tail (SORTED_SET keeps the facet slot);
-        # the edismax parser takes the slot
-        "ft_edismax": q_ft_edismax,
-        "ft_sndv_range": q_ft_sndv_range,
-        "ft_intervals": q_ft_intervals,
-        # ft_tfidf rotated to tail (similarities keep ft_lm_jm in-window);
-        # the BINARY docvalues entry takes the slot
-        "ft_binary_dv": q_ft_binary_dv,
-        "flagship_corpus": q_flagship_corpus,
-        "ft_completion": q_ft_completion,
-        "mm_decode": q_mm_decode,
-        "ft_lm_jm": q_ft_lm_jm,
-        "ft_lm_dirichlet": q_ft_lm_dirichlet,
-        "ft_dfr": q_ft_dfr,
-        "ft_axiomatic": q_ft_axiomatic,
-        "ft_dfi": q_ft_dfi,
-        "ft_ib": q_ft_ib,
-        "ft_multi_sim": q_ft_multi_sim,
-        "ft_tfidf": q_ft_tfidf,
-        "ft_ssdv_filter": q_ft_ssdv_filter,
-        "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
-        "ft_iv_before": q_ft_iv_before,
-        "ft_sort_multi": q_ft_sort_multi,
-        "ft_exists": q_ft_exists,
-        "geo_distance": q_geo_distance,
-        "geo_knn": q_geo_knn,
-        "ft_field_bm25": q_ft_field_bm25,
-        # --- relational / streaming-expression layer ---
-        "facet_refined": q_facet_refined,
-        # ================= driver window boundary (50) ==================
-        # Stable tail: every entry below passed rows+schema+hash in BOTH
-        # round 1 and round 2 (hll_distinct/to_child_join in round 2);
-        # code untouched since round 2.
-        # rotated out by continuation session 3 for the collapse / naive-
-        # bayes / LTR / XML-parser / diversified entries — each carries
-        # local check_oracle evidence at sf0.01 AND sf0.1 from this session
-        # perplexity_buckets lands in the tail directly (the curation
-        # family already holds 8 window slots); local check_oracle
-        # evidence at sf0.01 AND sf0.1 from this session
+        # ============== round-4 driver window (first 50) ===============
+        # Leads with everything round 4 changed: the rewritten perplexity
+        # join plumbing; the new SynonymGraphFilter / WARC-container /
+        # FastVectorHighlighter entries; flagship_corpus now running the
+        # id-only dedup_recrawls; minhash_pairs (vectorized Jaccard verify
+        # kernel); text_tagger (schema guard + dict dedupe); dv_stats
+        # (missing-count fix); semi/anti_join (the size-gated
+        # intersect/complement path). Then the longest-unverified tail
+        # entries the round-3 verdict named (ft_covering,
+        # ft_phrase_wildcard, facet2d, mm_audio_real, ann_pq, geo_heatmap)
+        # and the continuation-session entries that have NEVER been in a
+        # driver window (previously local-check_oracle evidence only).
+        # Everything rotated out below the boundary was driver-green in
+        # round 3 (CORRECTNESS_r03) or earlier, code untouched since.
         "perplexity_buckets": q_perplexity,
-        "pii_scrub": q_pii_scrub,
-        "url_hosts": q_url_hosts,
-        "facet2d": q_facet2d,
+        "ft_synonym_index": q_ft_synonym_index,
+        "warc_extract": q_warc_extract,
+        "ft_fvh": q_ft_fvh,
+        "flagship_corpus": q_flagship_corpus,
+        "minhash_pairs": q_minhash_pairs,
         "text_tagger": q_text_tagger,
         "dv_stats": q_dv_stats,
-        "mm_video_meta": q_mm_video_meta,
-        "ann_pq": q_ann_pq,
-        "ft_infix": q_ft_infix,
-        "geo_polygon": q_geo_polygon,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
         "ft_covering": q_ft_covering,
         "ft_phrase_wildcard": q_ft_phrase_wildcard,
+        "facet2d": q_facet2d,
+        "mm_audio_real": q_mm_audio_real,
+        "ann_pq": q_ann_pq,
+        "geo_heatmap": q_geo_heatmap,
+        "pii_scrub": q_pii_scrub,
+        "url_hosts": q_url_hosts,
+        "mm_video_meta": q_mm_video_meta,
+        "ft_infix": q_ft_infix,
+        "geo_polygon": q_geo_polygon,
         "ft_rescore": q_ft_rescore,
         "mm_decode_jpeg": q_mm_decode_jpeg,
-        "mm_audio_real": q_mm_audio_real,
-        # continuation-session additions (local check_oracle evidence at
-        # sf0.01 AND sf0.1; window already holds 50 never-verified entries)
         "ft_terms_enum": q_ft_terms_enum,
         "facet_pivot": q_facet_pivot,
         "urp_chain": q_urp_chain,
@@ -3084,9 +3106,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_cluster": q_ft_cluster,
         "ft_surround": q_ft_surround,
         "ft_sweetspot": q_ft_sweetspot,
-        "geo_heatmap": q_geo_heatmap,
         "ft_frange": q_ft_frange,
         "ft_syn_graph": q_ft_syn_graph,
+        "ft_dfr": q_ft_dfr,
+        "ft_field_bm25": q_ft_field_bm25,
+        "facet_refined": q_facet_refined,
+        "ft_axiomatic": q_ft_axiomatic,
+        "ft_dfi": q_ft_dfi,
+        # ================= driver window boundary (50) ==================
+        # Stable tail: driver-green in an earlier round (r1/r2/r3), or
+        # rows-only entries whose pipeline entry() smoke-checks.
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_sigs": q_simhash,
+        "doc_fingerprint": q_fingerprint,
+        "embedding_dups": q_embedding_dups,
+        "ft_payload": q_ft_payload,
+        "ft_freetext": q_ft_freetext,
+        "ft_term_vectors": q_ft_term_vectors,
+        "ann_lsh": q_ann_lsh,
+        "ft_block_join": q_ft_block_join,
+        "logit_train": q_logit_train,
+        "features_select": q_features_select,
+        "ft_grouping": q_ft_grouping,
+        "ft_collapse": q_ft_collapse,
+        "nb_classify": q_nb_classify,
+        "ft_ltr_linear": q_ft_ltr_linear,
+        "ft_ltr_trees": q_ft_ltr_trees,
+        "ft_xml_query": q_ft_xml_query,
+        "ft_diversified": q_ft_diversified,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "quality_eval": q_quality_eval,
+        "stream_expr": q_stream_expr,
+        "rollup_q1": q_rollup_q1,
+        "join_large": q_join_large,
+        "stats_metrics": q_stats_metrics,
+        "decontaminate": q_decontaminate,
+        "ft_elevate": q_ft_elevate,
+        "ft_span_near": q_ft_span_near,
+        "ft_complex_phrase": q_ft_complex_phrase,
+        "c4_filters": q_c4_filters,
+        "ft_mlt": q_ft_mlt,
+        "relatedness": q_relatedness,
+        "ft_points_range": q_ft_points_range,
+        "ft_expr_score": q_ft_expr_score,
+        "ft_distance_feature": q_ft_distance_feature,
+        "geo_box": q_geo_box,
+        "ft_join": q_ft_join,
+        "graph_gather": q_graph_gather,
+        "ft_common_terms": q_ft_common_terms,
+        "ft_iodv": q_ft_iodv,
+        "facet_taxonomy": q_facet_taxonomy,
+        "mm_decode_real": q_mm_decode_real,
+        "ft_sort_string": q_ft_sort_string,
+        "ft_facet_dv": q_ft_facet_dv,
+        "ft_facet_ssdv": q_ft_facet_ssdv,
+        "ft_edismax": q_ft_edismax,
+        "ft_sndv_range": q_ft_sndv_range,
+        "ft_intervals": q_ft_intervals,
+        "ft_binary_dv": q_ft_binary_dv,
+        "ft_completion": q_ft_completion,
+        "mm_decode": q_mm_decode,
+        "ft_lm_jm": q_ft_lm_jm,
+        "ft_lm_dirichlet": q_ft_lm_dirichlet,
+        "ft_ib": q_ft_ib,
+        "ft_multi_sim": q_ft_multi_sim,
+        "ft_tfidf": q_ft_tfidf,
+        "ft_ssdv_filter": q_ft_ssdv_filter,
+        "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
+        "ft_iv_before": q_ft_iv_before,
+        "ft_sort_multi": q_ft_sort_multi,
+        "ft_exists": q_ft_exists,
+        "geo_distance": q_geo_distance,
+        "geo_knn": q_geo_knn,
         "ann_topk": q_ann_topk,
         "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
@@ -3112,8 +3204,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "select_project": q_select_project,
         "filter_where": q_filter_where,
         "sort_topk": q_sort_topk,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "distinct_vals": q_distinct,
         "facet_lang": q_facet_lang,
         "range_facet": q_range_facet,
@@ -3134,7 +3224,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_index": q_ft_facet_index,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_bm25_or": q_ft_bm25_or,
-        # round-3: offsets-source highlighting (rows-only, pytest-pinned)
         "ft_highlight": q_ft_highlight,
         "ft_bm25_and": q_ft_bm25_and,
         "ft_phrase": q_ft_phrase,
@@ -3156,6 +3245,13 @@ def oracle_sql() -> dict[str, str]:
     from lucene_solr_ray.search import oracle_sql as osql
 
     return {
+        "ft_synonym_index": osql.sql_bm25_phrase_as_term(["fast", "query"]),
+        "warc_extract": """
+            SELECT 'https://doc' || CAST(doc_id AS VARCHAR) || '.example/'
+                     AS url,
+                   text
+            FROM documents
+            ORDER BY url""",
         "simhash_sigs": oracles.sql_simhash(),
         "doc_fingerprint": oracles.sql_fingerprint(),
         "lang_id": oracles.sql_lang_id(),

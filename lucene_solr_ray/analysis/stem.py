@@ -209,3 +209,259 @@ def get_stemmer_cfg(cfg: dict):
     def protected_stem(w: str) -> str:
         return w if w in prot else stem(w)
     return protected_stem
+
+
+# --- Snowball English (Porter2) --------------------------------------------
+# SnowballFilter + EnglishStemmer role (analysis/snowball/SnowballFilter
+# .java:44; the algorithm is the public Snowball "english" spec,
+# snowballstem.org/algorithms/english/stemmer.html). Implemented from the
+# published spec, not the generated Java.
+
+_P2_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_P2_EXC2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed"))
+_P2_VOWELS = frozenset("aeiouy")
+_P2_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P2_LI_END = frozenset("cdeghkmnrt")
+
+_P2_STEP2 = [  # longest-first
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", "og"), ("li", ""),
+]
+_P2_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", ""), ("ical", "ic"),
+    ("ness", ""), ("ful", ""),
+]
+_P2_STEP4 = [
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic",
+]
+
+
+def _p2_is_vowel(c: str) -> bool:
+    return c in _P2_VOWELS   # marked 'Y' is a consonant
+
+
+def _p2_regions(w: str) -> tuple[int, int]:
+    n = len(w)
+    r1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        for i in range(1, n):
+            if not _p2_is_vowel(w[i]) and _p2_is_vowel(w[i - 1]):
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _p2_is_vowel(w[i]) and _p2_is_vowel(w[i - 1]):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _p2_short_syllable_at_end(w: str) -> bool:
+    n = len(w)
+    if n == 2:
+        return _p2_is_vowel(w[0]) and not _p2_is_vowel(w[1])
+    if n >= 3:
+        return (not _p2_is_vowel(w[-3]) and _p2_is_vowel(w[-2])
+                and not _p2_is_vowel(w[-1]) and w[-1] not in "wxY")
+    return False
+
+
+def porter2_stem(w: str) -> str:  # noqa: C901 (the algorithm IS a rule list)
+    if len(w) <= 2:
+        return w
+    if w[0] == "'":
+        w = w[1:]
+    if w in _P2_EXC1:
+        return _P2_EXC1[w]
+    if len(w) <= 2:
+        return w
+    # prelude: mark consonant y as Y
+    chars = list(w)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or _p2_is_vowel(chars[i - 1])):
+            chars[i] = "Y"
+    w = "".join(chars)
+    r1, r2 = _p2_regions(w)
+
+    # step 0
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-2] if len(w) > 4 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if any(_p2_is_vowel(c) for c in w[:-2]):
+            w = w[:-1]
+    if w in _P2_EXC2:
+        return w.replace("Y", "y")
+    # step 1b
+    if w.endswith(("eed", "eedly")):
+        suf = "eedly" if w.endswith("eedly") else "eed"
+        if len(w) - len(suf) >= r1:
+            w = w[: -len(suf)] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(_p2_is_vowel(c) for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_P2_DOUBLES):
+                        w = w[:-1]
+                    elif r1 >= len(w) and _p2_short_syllable_at_end(w):
+                        # short word: null R1 + ends in a short syllable
+                        w += "e"
+                break
+    # step 1c
+    if (len(w) > 2 and w[-1] in "yY"
+            and not _p2_is_vowel(w[-2])):
+        w = w[:-1] + "i"
+    # step 2 (suffix must lie in R1)
+    for suf, rep in _P2_STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if len(w) > 3 and w[-4] == "l":
+                        w = w[:-1]
+                elif suf == "li":
+                    if len(w) > 2 and w[-3] in _P2_LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 3 (in R1; ative needs R2)
+    for suf, rep in _P2_STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= r2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+    # step 4 (in R2)
+    for suf in _P2_STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2:
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (
+                len(w) - 1 >= r1
+                and not _p2_short_syllable_at_end(w[:-1])):
+            w = w[:-1]
+    elif w.endswith("l") and len(w) - 1 >= r2 and len(w) > 1 and w[-2] == "l":
+        w = w[:-1]
+    return w.replace("Y", "y")
+
+
+# --- Savoy light stemmers ---------------------------------------------------
+# Behavior of the reference's CLEF light stemmers (published algorithms,
+# Jacques Savoy; de/GermanLightStemmer.java:64, es/SpanishLightStemmer.java:64,
+# fr/FrenchMinimalStemmer.java:63).
+
+_DE_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+_DE_ST = frozenset("bdfghklmnt")
+
+
+def german_light_stem(w: str) -> str:
+    """GermanLightStemmer.java:64: accent/umlaut fold + two plural/case
+    suffix passes ('ern', 'em/en/er/es', 'e', consonant+'s'; then 'est',
+    'er/en', consonant+'st')."""
+    w = w.translate(_DE_FOLD)
+    n = len(w)
+    if n > 5 and w.endswith("ern"):
+        w, n = w[:-3], n - 3
+    elif n > 4 and w[-2] == "e" and w[-1] in "mnrs":
+        w, n = w[:-2], n - 2
+    elif n > 3 and w[-1] == "e":
+        w, n = w[:-1], n - 1
+    elif n > 3 and w[-1] == "s" and w[-2] in _DE_ST:
+        w, n = w[:-1], n - 1
+    if n > 5 and w.endswith("est"):
+        w = w[:-3]
+    elif n > 4 and (w.endswith("er") or w.endswith("en")):
+        w = w[:-2]
+    elif n > 4 and w.endswith("st") and w[-3] in _DE_ST:
+        w = w[:-2]
+    return w
+
+
+_ES_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+
+
+def spanish_light_stem(w: str) -> str:
+    """SpanishLightStemmer.java:64: accent fold + final vowel / plural
+    strip ('o/a/e', 'os/as/es', 'eses'->'es', 'ces'->'z')."""
+    if len(w) < 5:
+        return w
+    w = w.translate(_ES_FOLD)
+    if w[-1] in "oae":
+        return w[:-1]
+    if w[-1] == "s":
+        if w.endswith("eses"):
+            return w[:-2]
+        if w.endswith("ces"):
+            return w[:-3] + "z"
+        if w[-2] in "oae":
+            return w[:-2]
+    return w
+
+
+def french_minimal_stem(w: str) -> str:
+    """FrenchMinimalStemmer.java:63: plural 'x' ('aux'->'al'), then one
+    each of s/r/e/é, then final doubled letter."""
+    if len(w) < 6:
+        return w
+    if w[-1] == "x":
+        if w[-3] == "a" and w[-2] == "u":
+            return w[:-2] + "l"
+        return w[:-1]
+    if w[-1] == "s":
+        w = w[:-1]
+    if w[-1] == "r":
+        w = w[:-1]
+    if w[-1] == "e":
+        w = w[:-1]
+    if w[-1] == "é":
+        w = w[:-1]
+    if len(w) > 1 and w[-1] == w[-2] and w[-1].isalpha():
+        w = w[:-1]
+    return w
+
+
+STEMMERS["english_snowball"] = porter2_stem
+STEMMERS["german_light"] = german_light_stem
+STEMMERS["spanish_light"] = spanish_light_stem
+STEMMERS["french_minimal"] = french_minimal_stem

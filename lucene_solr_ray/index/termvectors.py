@@ -31,33 +31,51 @@ TV_SCHEMA = pa.schema([
     ("freq", pa.int32()),
 ])
 
+# FieldType.setStoreTermVectorPositions/Offsets (document/FieldType.java:32):
+# per-(doc, term) occurrence positions + packed (start<<32)|end char
+# offsets — the data FastVectorHighlighter reads
+TV_SCHEMA_PO = TV_SCHEMA.append(
+    pa.field("positions", pa.large_list(pa.int32()))
+).append(pa.field("offsets", pa.large_list(pa.int64())))
+
 
 class _TvTokenizer:
-    """map_batches fn: (doc_id, term, freq) rows per batch, shard column
-    for partitioned write."""
+    """map_batches fn: (doc_id, term, freq[, positions, offsets]) rows per
+    batch, shard column for partitioned write."""
 
     def __init__(self, key_col: str, text_col: str, num_shards: int,
-                 stopwords: tuple = ()):
+                 stopwords: tuple = (), with_positions_offsets: bool = False):
         self.key_col = key_col
         self.text_col = text_col
         self.num_shards = num_shards
         self.stop = frozenset(stopwords) if stopwords else None
+        self.po = with_positions_offsets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..analysis.analyzers import analyze_fast, standard_analyzer
+        from ..analysis.analyzers import (analyze_fast, standard_analyzer,
+                                          standard_analyzer_offsets)
 
         keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch[self.text_col].to_pylist()
         toks: list[str] = []
         lens = np.zeros(len(texts), dtype=np.int64)
+        pos_flat: list[int] = []
+        off_flat: list[int] = []
         for i, t in enumerate(texts):
-            terms = analyze_fast(t or "") if self.stop is None else None
-            if terms is None:
-                terms, _ = standard_analyzer(t or "", self.stop)
+            if self.po:
+                terms, poss, ss, ee = standard_analyzer_offsets(
+                    t or "", self.stop)
+                pos_flat.extend(poss)
+                off_flat.extend((s << 32) | e for s, e in zip(ss, ee))
+            else:
+                terms = analyze_fast(t or "") if self.stop is None else None
+                if terms is None:
+                    terms, _ = standard_analyzer(t or "", self.stop)
             toks.extend(terms)
             lens[i] = len(terms)
+        schema = TV_SCHEMA_PO if self.po else TV_SCHEMA
         if not toks:
-            return TV_SCHEMA.empty_table().append_column(
+            return schema.empty_table().append_column(
                 "shard", pa.array([], pa.int32()))
         arr = np.asarray(toks, dtype=object)
         doc_idx = np.repeat(np.arange(len(texts)), lens)
@@ -71,18 +89,33 @@ class _TvTokenizer:
         freq = np.diff(np.append(starts, len(sc))).astype(np.int32)
         d = keys[sd[starts]]
         u = uniques.astype(object)
-        return pa.table({
+        cols = {
             "doc_id": pa.array(d, pa.int64()),
             "term": pa.array(u[sc[starts]], pa.large_string()),
             "freq": pa.array(freq, pa.int32()),
-            "shard": pa.array((d % self.num_shards).astype(np.int32)),
-        })
+        }
+        if self.po:
+            # lexsort is stable: within each (doc, term) run the original
+            # token order survives, so positions/offsets lists stay sorted
+            run_offsets = np.append(starts, len(sc)).astype(np.int64)
+            p_sorted = np.asarray(pos_flat, np.int32)[order]
+            o_sorted = np.asarray(off_flat, np.int64)[order]
+            cols["positions"] = pa.LargeListArray.from_arrays(
+                run_offsets, pa.array(p_sorted, pa.int32()))
+            cols["offsets"] = pa.LargeListArray.from_arrays(
+                run_offsets, pa.array(o_sorted, pa.int64()))
+        cols["shard"] = pa.array((d % self.num_shards).astype(np.int32))
+        return pa.table(cols)
 
 
 def build_term_vectors(corpus_paths, index_dir: str, key_col: str = "doc_id",
                        text_col: str = "text", num_shards: int = 4,
-                       stopwords: tuple = ()) -> str:
-    """One tokenize pass -> tv/shard=N parquet partitions (no shuffle)."""
+                       stopwords: tuple = (),
+                       with_positions_offsets: bool = False) -> str:
+    """One tokenize pass -> tv/shard=N parquet partitions (no shuffle).
+    with_positions_offsets stores per-occurrence positions + char offsets
+    (FieldType.setStoreTermVectorPositionsAndOffsets), enabling the
+    FastVectorHighlighter path."""
     import ray.data
 
     out = os.path.join(index_dir, "tv")
@@ -90,7 +123,8 @@ def build_term_vectors(corpus_paths, index_dir: str, key_col: str = "doc_id",
     shutil.rmtree(tmp, ignore_errors=True)
     ds = ray.data.read_parquet(corpus_paths, columns=[key_col, text_col])
     ds.map_batches(
-        _TvTokenizer(key_col, text_col, num_shards, stopwords),
+        _TvTokenizer(key_col, text_col, num_shards, stopwords,
+                     with_positions_offsets),
         batch_format="pyarrow",
     ).write_parquet(tmp, partition_cols=["shard"])
     shutil.rmtree(out, ignore_errors=True)
@@ -130,6 +164,46 @@ def term_vectors_for(index_dir: str, doc_ids,
     ]
     t = pa.concat_tables(parts)
     return t.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
+
+def term_vectors_po_for(index_dir: str, doc_ids,
+                        num_shards: int | None = None
+                        ) -> dict[int, dict[str, tuple]]:
+    """Positions+offsets term vectors for a set of docs, as
+    {doc -> {term -> (positions int32[], packed offsets int64[])}} — the
+    FieldTermStack.java:49 read path feeding FastVectorHighlighter. One
+    pruned read per touched shard; raises a clear error when the sidecar
+    was built without with_positions_offsets."""
+    ids = sorted(int(d) for d in doc_ids)
+    tv_dir = os.path.join(index_dir, "tv")
+    cols = ["doc_id", "term", "positions", "offsets"]
+    by_shard: dict[int, list[int]] = {}
+    if num_shards is None:
+        by_shard[-1] = ids
+    else:
+        for d in ids:
+            by_shard.setdefault(d % num_shards, []).append(d)
+    parts = []
+    for s, ds_ in sorted(by_shard.items()):
+        path = tv_dir if s < 0 else os.path.join(tv_dir, f"shard={s}")
+        schema_names = pq.read_schema(
+            pq.ParquetDataset(path).files[0]).names
+        if "positions" not in schema_names:
+            raise ValueError(
+                "term-vector sidecar lacks positions/offsets; rebuild with "
+                "build_term_vectors(..., with_positions_offsets=True)")
+        parts.append(pq.read_table(
+            path, filters=pc.field("doc_id").isin(ds_), columns=cols))
+    t = pa.concat_tables(parts)
+    out: dict[int, dict[str, tuple]] = {}
+    docs = t["doc_id"].to_numpy(zero_copy_only=False)
+    terms = t["term"].to_pylist()
+    poss = t["positions"].to_pylist()
+    offs = t["offsets"].to_pylist()
+    for d, term, p, o in zip(docs, terms, poss, offs):
+        out.setdefault(int(d), {})[term] = (
+            np.asarray(p, np.int64), np.asarray(o, np.int64))
+    return out
 
 
 def more_like_this_tv(searcher, index_dir: str, doc_id: int,

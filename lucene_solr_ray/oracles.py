@@ -201,7 +201,8 @@ def sql_perplexity(lo: float = 30.0, hi: float = 31.0,
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term,
          generate_subscripts(string_split(text, ' '), 1) AS pos
-  FROM documents),
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''),
 uni AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
 tot AS (SELECT count(*) AS t FROM tok),
 vv AS (SELECT count(*) AS v FROM uni),
@@ -228,9 +229,11 @@ lnp AS (
 pp AS (
   SELECT doc_id, round(exp(-avg(l)), {round_nd}) AS perplexity
   FROM lnp GROUP BY doc_id)
-SELECT doc_id, perplexity,
-       CASE WHEN perplexity < {lo} THEN 'head'
-            WHEN perplexity < {hi} THEN 'middle'
+SELECT d.doc_id AS doc_id,
+       coalesce(pp.perplexity, -1.0) AS perplexity,
+       CASE WHEN pp.perplexity IS NULL THEN 'tail'
+            WHEN pp.perplexity < {lo} THEN 'head'
+            WHEN pp.perplexity < {hi} THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM pp
-ORDER BY doc_id"""
+FROM documents d LEFT JOIN pp ON pp.doc_id = d.doc_id
+ORDER BY d.doc_id"""

@@ -136,3 +136,37 @@ def synthesize_corpus(n_docs: int, out_path: str, seed: int = 42,
             row_group_size=row_group_size,
         )
     return out_path
+
+
+def write_warc(table: pa.Table, out_path: str, gzip_file: bool = False) -> str:
+    """Serialize (url, warc_ts, html) rows to a real multi-record WARC/1.0
+    file (response records with an HTTP envelope), the inverse of
+    sources.read_warc — test/bench fixture generation only; the reference
+    ships TREC fixtures the same way (trecdocs.zip in benchmark/conf)."""
+    recs = []
+    for i in range(table.num_rows):
+        url = table["url"][i].as_py()
+        ts = table["warc_ts"][i].as_py()
+        html = table["html"][i].as_py() or b""
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+        iso = (ts.strftime("%Y-%m-%dT%H:%M:%S.%f")
+               if ts is not None else "2024-01-01T00:00:00.000000") + "Z"
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {iso}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+        ).encode()
+        # hdr already ends with CRLF; one more CRLF terminates the header
+        # block (WARC/1.0: headers CRLF CRLF block CRLF CRLF)
+        recs.append(hdr + b"\r\n" + http + b"\r\n\r\n")
+    blob = b"".join(recs)
+    if gzip_file:
+        import gzip as _gz
+
+        blob = _gz.compress(blob)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return out_path

@@ -253,7 +253,9 @@ def read_warc(paths, extract_text: bool = True) -> Dataset:
     def parse(t: pa.Table) -> pa.Table:
         ids_src, urls, tss, htmls = [], [], [], []
         for blob, path in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
-            if path.endswith(".gz"):
+            if blob[:2] == b"\x1f\x8b":
+                # magic-gated: ray's read_binary_files already inflates
+                # .gz paths, so only decompress when bytes are really gzip
                 blob = gzip.decompress(blob)
             pos, n = 0, len(blob)
             while pos < n:
@@ -331,7 +333,9 @@ def read_trec(paths, extract_text: bool = True) -> Dataset:
     def parse(t: pa.Table) -> pa.Table:
         nos, urls, tss, htmls = [], [], [], []
         for blob, path in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
-            if path.endswith(".gz"):
+            if blob[:2] == b"\x1f\x8b":
+                # magic-gated: ray's read_binary_files already inflates
+                # .gz paths, so only decompress when bytes are really gzip
                 blob = gzip.decompress(blob)
             for m in doc_re.finditer(blob):
                 rec = m.group(1)

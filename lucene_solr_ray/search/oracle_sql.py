@@ -984,3 +984,45 @@ SELECT s2.doc_id AS doc_id,
 FROM scored s2 JOIN documents doc USING (doc_id)
 ORDER BY ltr_score DESC, doc_id ASC
 LIMIT {k}"""
+
+
+def sql_bm25_phrase_as_term(terms: list[str], table: str = "documents") -> str:
+    """BM25 of an index-time synonym token standing in for an exact
+    phrase (SynonymGraphFilter.java:81 multi-word rule): tf = number of
+    adjacency matches of the phrase, df = docs with >= 1 match, doclen /
+    norms from the VISIBLE token count (graph insertions don't count
+    toward norms — the engine's documented accounting)."""
+    conds = " AND ".join(
+        f"t{j}.term = '{t}'" for j, t in enumerate(terms))
+    joins = " ".join(
+        f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, len(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM {table}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+lut(v) AS (VALUES {_lut_values()}),
+qdl AS (
+  SELECT dl.doc_id, (SELECT max(l.v) FROM lut l WHERE l.v <= dl.dl) AS qlen
+  FROM dl),
+stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+ph AS (
+  SELECT t0.doc_id, count(*) AS freq
+  FROM tok t0 {joins}
+  WHERE {conds}
+  GROUP BY t0.doc_id),
+phdf AS (SELECT count(*) AS df FROM ph)
+SELECT p.doc_id AS doc_id,
+       round(
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         - ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           / (1 + p.freq * (1.0 / ({K1} * ((1 - {B}) + {B} * q.qlen / s.avgdl)))),
+         {ROUND}) AS score
+FROM ph p
+JOIN qdl q ON q.doc_id = p.doc_id
+CROSS JOIN stats s
+CROSS JOIN phdf d
+ORDER BY doc_id"""

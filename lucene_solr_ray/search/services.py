@@ -194,6 +194,99 @@ def collect_phrase_spans(searcher: IndexSearcher, phrase_terms,
     return spans
 
 
+def _query_phrases(node) -> tuple[list[tuple], list[str]]:
+    """(exact phrases, loose terms) of a query tree — shared by the
+    offsets-source and term-vector highlighters so both pick identical
+    span sets for identical queries."""
+    from .query import Bool, ConstantScore, DisMax, Phrase
+    from .query import query_terms as qt
+
+    phrases: list[tuple] = []
+
+    def _walk(n):
+        if isinstance(n, Phrase) and n.slop == 0:
+            phrases.append(tuple(n.terms))
+        elif isinstance(n, ConstantScore):
+            _walk(n.query)
+        elif isinstance(n, DisMax):
+            for c in n.clauses:
+                _walk(c)
+        elif isinstance(n, Bool):
+            for c in n.must + n.should + n.filter:
+                _walk(c)
+    _walk(node)
+    in_phrase = {t for p in phrases for t in p}
+    return phrases, sorted(set(qt(node)) - in_phrase)
+
+
+def highlight_results_tv(searcher: IndexSearcher, index_dir: str,
+                         corpus_paths, key_col: str, text_col: str,
+                         query: str, k: int = 10,
+                         max_chars: int = 160) -> pa.Table:
+    """search -> fetch stored -> snippet from TERM-VECTOR offsets per hit.
+
+    The FastVectorHighlighter path (vectorhighlight/FastVectorHighlighter
+    .java:45): match spans come from the per-doc term-vector sidecar's
+    occurrence positions + char offsets (FieldTermStack.java:49 reads the
+    same data from Lucene's tv files), so neither the postings nor the
+    stored body is re-analyzed — the reference's trade: term vectors cost
+    index space but highlight any query shape without touching the
+    inverted index. Requires build_term_vectors(...,
+    with_positions_offsets=True). Exact phrases highlight position-aware
+    (only participating occurrences), like the FVH's phraseHighlight=true
+    default; passage selection shares passage_from_offsets with the
+    offsets-source highlighter, so identical span sets produce identical
+    snippets (pytest parity)."""
+    from ..index.termvectors import term_vectors_po_for
+
+    node = searcher._node(query)
+    res = searcher.search(node, k=k)
+    ids = res["doc_id"].to_pylist()
+    stored = fetch_stored(corpus_paths, key_col, ids,
+                          columns=[key_col, text_col])
+    lookup = dict(zip(stored[key_col].to_pylist(),
+                      stored[text_col].to_pylist()))
+    phrases, qterms = _query_phrases(node)
+    nshards = getattr(searcher.reader, "num_shards", None)
+    tv = term_vectors_po_for(index_dir, ids, num_shards=nshards)
+    spans: dict[int, list] = {int(d): [] for d in ids}
+    for d, per_term in tv.items():
+        out = spans[d]
+        for t in qterms:
+            if t in per_term:
+                out.extend(int(o) for o in per_term[t][1] if o >= 0)
+        for p in phrases:
+            if any(t not in per_term for t in p):
+                continue
+            p0, o0 = per_term[p[0]]
+            ok = np.ones(len(p0), dtype=bool)
+            sels = []
+            for j in range(1, len(p)):
+                pj, _ = per_term[p[j]]
+                idx = np.searchsorted(pj, p0 + j)
+                idxc = np.minimum(idx, len(pj) - 1)
+                ok &= pj[idxc] == p0 + j
+                sels.append(idxc)
+            if not ok.any():
+                continue
+            out.extend(int(o) for o in o0[ok] if o >= 0)
+            for j, sel in enumerate(sels, start=1):
+                _, oj = per_term[p[j]]
+                out.extend(int(o) for o in oj[sel[ok]] if o >= 0)
+    from .query import query_terms as qt
+
+    snips = []
+    for d in ids:
+        text = lookup.get(d, "")
+        sp = spans.get(int(d)) or []
+        if sp:
+            snips.append(passage_from_offsets(
+                text, np.asarray(sp, np.int64), max_chars))
+        else:
+            snips.append(highlight(text, set(qt(node))))
+    return res.append_column("snippet", pa.array(snips, pa.string()))
+
+
 def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
                               key_col: str, text_col: str, query: str,
                               k: int = 10, max_chars: int = 160) -> pa.Table:
@@ -219,22 +312,7 @@ def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
                       stored[text_col].to_pylist()))
     # exact phrases highlight position-aware (only participating
     # occurrences); everything else falls back to loose term spans
-    phrases: list[tuple] = []
-
-    def _walk(n):
-        if isinstance(n, Phrase) and n.slop == 0:
-            phrases.append(tuple(n.terms))
-        elif isinstance(n, ConstantScore):
-            _walk(n.query)
-        elif isinstance(n, DisMax):
-            for c in n.clauses:
-                _walk(c)
-        elif isinstance(n, Bool):
-            for c in n.must + n.should + n.filter:
-                _walk(c)
-    _walk(node)
-    in_phrase = {t for p in phrases for t in p}
-    qterms = sorted(set(qt(node)) - in_phrase)
+    phrases, qterms = _query_phrases(node)
     spans = collect_offset_spans(searcher, qterms, ids) if qterms \
         else {int(d): [] for d in ids}
     for p in phrases:

@@ -66,3 +66,56 @@ def test_mlt_from_tv_matches_reanalyze(idx):
 def test_missing_doc_empty(idx):
     tv = term_vector(idx, 10_000_000, num_shards=3)
     assert tv.num_rows == 0
+
+
+@pytest.fixture(scope="module")
+def fvh_idx(tmp_path_factory, ray_session):
+    """Index with BOTH offsets-in-postings and positions+offsets term
+    vectors, so the two highlighters can be compared on shared cases."""
+    d = str(tmp_path_factory.mktemp("fvh_idx"))
+    build_index(DOCS, d, key_col="doc_id", text_col="text",
+                cfg=IndexBuildConfig(num_shards=3, num_buckets=4,
+                                     store_offsets=True))
+    build_term_vectors(DOCS, d, num_shards=3, with_positions_offsets=True)
+    return d
+
+
+def test_tv_positions_offsets_roundtrip(fvh_idx):
+    from lucene_solr_ray.index.termvectors import term_vectors_po_for
+
+    texts = pq.read_table(DOCS, columns=["doc_id", "text"])
+    lookup = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    tvs = term_vectors_po_for(fvh_idx, [0, 7], num_shards=3)
+    for doc in (0, 7):
+        toks = lookup[doc].split()
+        per_term = tvs[doc]
+        # every token occurrence accounted for, offsets slice the text back
+        for t, (poss, offs) in per_term.items():
+            want_pos = [i for i, w in enumerate(toks) if w == t]
+            assert poss.tolist() == want_pos, (doc, t)
+            for o in offs.tolist():
+                s, e = o >> 32, o & 0xFFFFFFFF
+                assert lookup[doc][s:e] == t
+
+
+def test_fvh_matches_offsets_highlighter(fvh_idx):
+    """FastVectorHighlighter parity: identical snippets to the
+    postings-offsets source on shared term + phrase cases."""
+    from lucene_solr_ray.search.services import (
+        highlight_results_offsets,
+        highlight_results_tv,
+    )
+
+    s = IndexSearcher(fvh_idx, dtype=np.float64)
+    for q in ("fast", "fast AND query", '"fast query"', "fast OR slow"):
+        a = highlight_results_offsets(s, DOCS, "doc_id", "text", q, k=8)
+        b = highlight_results_tv(s, fvh_idx, DOCS, "doc_id", "text", q, k=8)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["snippet"].to_pylist() == b["snippet"].to_pylist(), q
+
+
+def test_fvh_requires_po_sidecar(idx):
+    from lucene_solr_ray.index.termvectors import term_vectors_po_for
+
+    with pytest.raises(ValueError, match="with_positions_offsets"):
+        term_vectors_po_for(idx, [0], num_shards=3)
