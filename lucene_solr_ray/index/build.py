@@ -240,6 +240,14 @@ class IndexBuildConfig:
     # parts + catenated form at the same position (posInc-0 insertions, no
     # doclen contribution — same accounting as synonym insertions)
     word_delimiter: bool = False
+    # PerFieldPostingsFormat SPI (codecs/perfield/PerFieldPostingsFormat
+    # .java:70): ((field, format), ...) pairs; '' = the main text field.
+    # Formats: 'lucene84' (default FOR/PFor + VInt tail) and 'direct'
+    # (DirectPostingsFormat.java:104 role — long lists encode as
+    # fixed-width plain-FOR blocks; decode is a straight widen at 2-8x
+    # the bytes, for latency-critical hot fields). Same wire format
+    # either way, so search/merge/append paths are format-agnostic.
+    field_postings_formats: tuple = ()
     # per-field analyzed fields (PerFieldAnalyzerWrapper role,
     # analysis/miscellaneous/PerFieldAnalyzerWrapper.java:51 + the
     # reference's multi-field Document): each (column, stemmer, stopwords)
@@ -285,6 +293,11 @@ class IndexBuildConfig:
             lo, hi = self.edge_ngram
             if not (1 <= lo <= hi):
                 raise ValueError("edge_ngram wants 1 <= min_gram <= max_gram")
+        for fld, fmt in (self.field_postings_formats or ()):
+            if fmt not in ("lucene84", "direct"):
+                raise ValueError(
+                    f"unknown postings format {fmt!r} for field {fld!r}; "
+                    "options: lucene84, direct")
         if self.points_fields:
             self.docvalues_fields = tuple(self.docvalues_fields) + tuple(
                 f for f in self.points_fields if f not in self.docvalues_fields
@@ -1026,6 +1039,7 @@ def merge_flat_and_encode(
     flat_pos: np.ndarray | None,  # int32 positions, row-contiguous by freqs
     shard: int,
     flat_off: np.ndarray | None = None,  # int64 packed offsets, same layout
+    field_formats: dict | None = None,   # PerFieldPostingsFormat hook
 ) -> pa.Table:
     """k-way merge + encode flat per-row postings (the shared core of the
     stage-B merge and the encoded-segments merge). Docs of one term across
@@ -1080,10 +1094,12 @@ def merge_flat_and_encode(
         pos_arr,
         shard,
         offs=off_arr,
+        field_formats=field_formats,
     )
 
 
-def encode_merge_group(group: pa.Table) -> pa.Table:
+def encode_merge_group(group: pa.Table,
+                       field_formats: dict | None = None) -> pa.Table:
     """map_groups fn for stage B: k-way merge + encode one (shard, bucket)
     from stage-1 list payloads."""
     if group.num_rows == 0:
@@ -1107,7 +1123,7 @@ def encode_merge_group(group: pa.Table) -> pa.Table:
                 zero_copy_only=False).astype(np.int64)
     return merge_flat_and_encode(
         row_terms, row_lens, flat_docs, flat_freqs, flat_norms, flat_pos,
-        shard, flat_off=flat_off,
+        shard, flat_off=flat_off, field_formats=field_formats,
     )
 
 
@@ -1455,8 +1471,12 @@ def build_index(
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
     np_merge = max(16, 2 * ncpu)
     postings_dir = os.path.join(index_dir, "postings")
+    from functools import partial
+
+    ff = dict(cfg.field_postings_formats or ())
     merged = _stage1_ds(0).groupby(["shard", "bucket", "sub"], num_partitions=np_merge).map_groups(
-        encode_merge_group, batch_format="pyarrow"
+        partial(encode_merge_group, field_formats=ff or None),
+        batch_format="pyarrow"
     )
     merged.write_parquet(postings_dir, partition_cols=["shard"], mode="overwrite")
 

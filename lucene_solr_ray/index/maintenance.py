@@ -555,6 +555,20 @@ def real_time_get(index_dir: str, keys) -> "pa.Table":
 # ---------------------------------------------------------------------------
 
 _NORM_CACHE: dict = {}
+_FMT_CACHE: dict = {}
+
+
+def _shard_formats(index_dir: str) -> dict | None:
+    """field -> postings format map from the index manifest (PerField SPI);
+    cached per worker so re-encoding merges keep the per-field choice."""
+    if index_dir not in _FMT_CACHE:
+        from .build import load_manifest
+
+        m = load_manifest(index_dir) or {}
+        ff = dict(map(tuple, (m.get("config") or {}).get(
+            "field_postings_formats") or ()))
+        _FMT_CACHE[index_dir] = ff or None
+    return _FMT_CACHE[index_dir]
 
 
 def _shard_norms(index_dir: str, shard: int):
@@ -682,7 +696,7 @@ def _merge_encoded_group(group, index_dir: str, gens):
             flat_norms[m] = nm[np.searchsorted(ids, flat_docs[m])]
     return merge_flat_and_encode(
         row_terms, dfs, flat_docs, flat_freqs, flat_norms, flat_pos, gshard,
-        flat_off=flat_off,
+        flat_off=flat_off, field_formats=_shard_formats(index_dir),
     )
 
 
@@ -755,7 +769,9 @@ def _purge_rows(t, index_dir: str, gens, src_shard: int, gshard: int):
         sub_norms = nm[np.searchsorted(ids, sub_docs)]
         out.append(merge_flat_and_encode(
             sub_terms, sub_lens, sub_docs, sub_freqs, sub_norms, sub_pos,
-            gshard, flat_off=sub_off).select(cols).cast(POSTINGS_SCHEMA))
+            gshard, flat_off=sub_off,
+            field_formats=_shard_formats(index_dir),
+        ).select(cols).cast(POSTINGS_SCHEMA))
     if not out:
         return POSTINGS_SCHEMA.empty_table()
     return pa.concat_tables(out) if len(out) > 1 else out[0]

@@ -106,6 +106,14 @@ def impact_frontier(freqs: np.ndarray, norms: np.ndarray) -> tuple[np.ndarray, n
     return f[keep], nm[keep]
 
 
+def term_field(term: str) -> str:
+    """Field of an indexed term: analyzed/keyword fields prefix their terms
+    with 'column:'; the main text field is '' (PerFieldPostingsFormat
+    .java:70 keys its per-field format the same way)."""
+    i = term.find(":")
+    return term[:i] if i > 0 else ""
+
+
 def encode_postings_group(
     terms: np.ndarray,          # object array of term strings, one per run
     run_starts: np.ndarray,     # int64 start index of each term's run
@@ -115,8 +123,15 @@ def encode_postings_group(
     positions: np.ndarray | None,  # int32 flat positions, aligned with freqs
     shard: int,
     offs: np.ndarray | None = None,  # int64 packed offsets, same layout
+    field_formats: dict | None = None,  # field -> 'lucene84' | 'direct'
 ) -> pa.Table:
-    """Encode one merge group (sorted by term, doc) into POSTINGS_SCHEMA rows."""
+    """Encode one merge group (sorted by term, doc) into POSTINGS_SCHEMA rows.
+
+    field_formats is the PerFieldPostingsFormat hook (codecs/perfield/
+    PerFieldPostingsFormat.java:70): fields mapped to 'direct' encode
+    their long lists as fixed-width plain-FOR blocks (DirectPostingsFormat
+    .java:104 trade — decode is a straight widen, 2-8x the space), same
+    wire format so readers and merges are unchanged."""
     n_terms = len(terms)
     n = len(docs)
     run_ends = np.empty(n_terms, dtype=np.int64)
@@ -168,8 +183,10 @@ def encode_postings_group(
         f = freqs[s:e].astype(np.uint32)   # 63-bit doc ids exceed uint32
         d = docs[s:e]
         nm = norms[s:e]
-        docs_bin = encode_blocks(g)
-        freqs_bin = encode_blocks(f)
+        direct = bool(field_formats) and (
+            field_formats.get(term_field(terms[t])) == "direct")
+        docs_bin = encode_blocks(g, force_width=64 if direct else None)
+        freqs_bin = encode_blocks(f, force_width=32 if direct else None)
         nblk = (len(g) + BLOCK_SIZE - 1) // BLOCK_SIZE
         bstarts = np.arange(nblk) * BLOCK_SIZE
         firsts = d[bstarts]

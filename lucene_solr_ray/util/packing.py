@@ -85,7 +85,7 @@ def _pack_rows(rows: np.ndarray, w: int) -> np.ndarray:
     return np.packbits(bits.ravel())
 
 
-def encode_blocks(values: np.ndarray) -> bytes:
+def encode_blocks(values: np.ndarray, force_width: int | None = None) -> bytes:
     """Encode values as a sequence of 128-value FOR/PFor blocks.
 
     Per-block layout:
@@ -97,6 +97,11 @@ def encode_blocks(values: np.ndarray) -> bytes:
     shrinks the block. The width/exception choice AND the low-bit packing
     run vectorized across all full blocks at once (one numpy pass per
     distinct width); only the tiny per-block byte assembly is Python.
+
+    force_width: emit every block as plain FOR at this fixed width — the
+    DirectPostingsFormat trade (codecs/memory/DirectPostingsFormat.java:104):
+    decode becomes a straight widen, space grows. Same wire format, so
+    every decoder/merger works unchanged.
     """
     values = np.asarray(values, dtype=np.uint64)
     n = len(values)
@@ -104,6 +109,23 @@ def encode_blocks(values: np.ndarray) -> bytes:
         return b""
     nfull = n // BLOCK_SIZE
     out = bytearray()
+
+    if force_width is not None:
+        w = int(force_width)
+        if nfull:
+            M = values[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE)
+            buf = _pack_rows(M, w)
+            nb = (BLOCK_SIZE * w) // 8
+            for r in range(nfull):
+                out.append(BLOCK_SIZE)
+                out.append(w)
+                out += buf[r * nb:(r + 1) * nb].tobytes()
+        tail = values[nfull * BLOCK_SIZE:]
+        if len(tail):
+            out.append(len(tail))
+            out.append(w)
+            out += pack_bits(tail, w)
+        return bytes(out)
 
     if nfull:
         M = values[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE)

@@ -107,3 +107,20 @@ def test_cli_analysis_config_flags(tmp_path, ray_session, capsys):
     cli.main(["search", "--index-dir", idx, "--query", "maths", "-k", "3"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_dedup_recrawls_tie_breaks_to_highest_id(tmp_path, ray_session):
+    """Equal warc_ts re-crawls must resolve deterministically (max doc_id),
+    independent of partitioning — the version max-wins tie rule."""
+    base = pq.read_table(synthesize_corpus(50, str(tmp_path / "c2.parquet")))
+    dup = base.slice(0, 10)
+    dup = dup.set_column(
+        dup.column_names.index("doc_id"), "doc_id",
+        pa.array([v.as_py() + 500 for v in dup["doc_id"]], pa.int64()))
+    src = str(tmp_path / "tie.parquet")
+    pq.write_table(pa.concat_tables([base, dup]), src)
+    out = pq.read_table(dedup_recrawls([src], str(tmp_path / "dedup2")))
+    assert out.num_rows == 50
+    kept = dict(zip(out["url"].to_pylist(), out["doc_id"].to_pylist()))
+    for u, d in zip(dup["url"].to_pylist(), dup["doc_id"].to_pylist()):
+        assert kept[u] == d  # higher id wins the tie

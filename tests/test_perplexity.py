@@ -101,3 +101,43 @@ def test_empty_docs_surface_as_tail(lm_dir, ray_session):
         assert out.loc[d, "perplexity"] == -1.0
         assert out.loc[d, "bucket"] == "tail"
     assert out.loc[0, "perplexity"] > 0
+
+
+def test_adversarial_gram_skew(tmp_path, ray_session):
+    """Zipf-extreme skew: one gram dominates the (doc, gram) stream (the
+    head-term shape a web corpus produces). The native hash-join legs must
+    stay correct — every row of the hot key lands in ONE partition, the
+    exact case the old fixed-16-bucket pandas join materialized as a
+    single giant DataFrame."""
+    import ray.data
+
+    # 60 docs of 'the the the ...' + a diverse tail
+    texts = ["the " * 40 + "end"] * 60 + [
+        f"tok{i} alpha beta gamma tok{i}" for i in range(40)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array([s.strip() for s in texts], pa.string()),
+    })
+    src = str(tmp_path / "skew.parquet")
+    pq.write_table(t, src)
+    lm = str(tmp_path / "lm_skew")
+    build_freetext(src, lm, n=2)
+    out = perplexity_scores(
+        ray.data.read_parquet(src), "doc_id", "text", lm
+    ).to_pandas().set_index("doc_id")
+    assert len(out) == len(texts)
+    # hand model parity on both a hot doc and a tail doc
+    tt = pq.read_table(src, columns=["doc_id", "text"])
+    texts_d = dict(zip(tt["doc_id"].to_pylist(), tt["text"].to_pylist()))
+    uni, big, total = Counter(), Counter(), 0
+    for s in texts_d.values():
+        ws = s.split(" ")
+        total += len(ws)
+        uni.update(ws)
+        big.update(zip(ws[:-1], ws[1:]))
+    for d in (0, 59, 70, 99):
+        want = hand_pp(texts_d[d], uni, big, total, len(uni))
+        assert out.loc[d, "perplexity"] == pytest.approx(want, rel=1e-9)
+    # identical hot docs score identically (no partition-dependent drift)
+    hot = out.loc[0:59, "perplexity"]
+    assert hot.nunique() == 1
