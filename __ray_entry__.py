@@ -2343,16 +2343,26 @@ def q_percentile(sf_dir):
 
 
 def q_window_sliding(sf_dir):
+    # per-user sliding mean as ONE segmented cumsum pass per hash
+    # partition (partitioned_window): the shuffle/Python-call unit is the
+    # partition, not the user — 10^9 users still cost P kernel calls
+    from lucene_solr_ray.relational.ops import sliding_mean
+
     ds = _rd().read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
+    out = sliding_mean(ds, "user_id", ["ts", "event_id"], "value",
+                       window=3, keep_cols=["event_id"])
 
-    def roll(df):
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        df["w_avg"] = _round_half_away(df["value"].rolling(3, min_periods=1).mean().to_numpy(), RND)
-        return df[["event_id", "w_avg"]]
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "w_avg": pa.array(_round_half_away(
+                t["w_avg"].to_numpy(zero_copy_only=False), RND),
+                pa.float64()),
+        })
 
-    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_to_parent_join(sf_dir):
@@ -2698,17 +2708,13 @@ def q_sessionize(sf_dir):
     # gap-based sessionization (streaming-shaped workload over the ordered
     # events log: partition by user, order by ts, new session when the gap
     # exceeds 30 minutes)
+    from lucene_solr_ray.relational.ops import sessionize
+
     ds = _rd().read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-
-    def sess(df):
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = df["ts"].diff().dt.total_seconds().fillna(0.0)
-        df["session_id"] = (gap > 1800.0).cumsum().astype("int64")
-        return df[["event_id", "session_id"]]
-
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return sessionize(ds, "user_id", "ts", ["ts", "event_id"], 1800.0,
+                      keep_cols=["event_id"])
 
 
 def q_logit_train(sf_dir):
