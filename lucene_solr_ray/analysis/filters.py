@@ -128,6 +128,84 @@ def soundex_filter(w: str) -> str:
     return (first.lower() + "".join(codes) + "000")[:4]
 
 
+def apostrophe_filter(w: str) -> str:
+    """tr/ApostropheFilter.java:36 — strip everything from the first
+    apostrophe (ASCII or U+2019) on, the apostrophe included (Turkish
+    proper-name suffix separation)."""
+    for i, ch in enumerate(w):
+        if ch in "'\u2019":
+            return w[:i]
+    return w
+
+
+def german_normalization(w: str) -> str:
+    """de/GermanNormalizationFilter.java:41 — the German2-snowball fold:
+    ß→ss; ä/ö/ü→a/o/u; and 'e' deleted after an a/o/u that opened the
+    umlaut state (so 'ae'→'a', 'ue'→'u' unless following a vowel or q),
+    replicated as the same 3-state FSM (N/V/U)."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in w:
+        if c in "ao":
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V
+                continue          # delete the 'e' of the digraph
+            out.append(c)
+            state = V
+        elif c in "iqy":
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+def scandinavian_fold(w: str) -> str:
+    """miscellaneous/ScandinavianFoldingFilter.java:79 — å/ä/æ→a, ö/ø→o,
+    plus single-pass digraph collapse (a[aeo]→a, o[eo]→o), same
+    left-to-right scan-with-delete as the reference (so 'aaa'→'aa')."""
+    buf = list(w)
+    i = 0
+    while i < len(buf):
+        c = buf[i]
+        if c in "åäæ":
+            buf[i] = "a"
+        elif c in "ÅÄÆ":
+            buf[i] = "A"
+        elif c in "öø":
+            buf[i] = "o"
+        elif c in "ÖØ":
+            buf[i] = "O"
+        elif i < len(buf) - 1:
+            nxt = buf[i + 1]
+            if c in "aA" and nxt in "aAeEoO":
+                del buf[i + 1]
+            elif c in "oO" and nxt in "eEoO":
+                del buf[i + 1]
+        i += 1
+    return "".join(buf)
+
+
 def ascii_fold_filter(w: str) -> str:
     """ASCIIFoldingFilter role (delegates to the existing fold)."""
     from .analyzers import ascii_fold
@@ -143,6 +221,9 @@ _PLAIN = {
     "reverse": reverse_filter,
     "ascii_fold": ascii_fold_filter,
     "soundex": soundex_filter,
+    "apostrophe": apostrophe_filter,
+    "german_normalization": german_normalization,
+    "scandinavian_fold": scandinavian_fold,
 }
 _FACTORY = {
     "length": make_length,

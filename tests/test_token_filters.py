@@ -306,3 +306,36 @@ def test_check_index_accepts_edge_ngram(tmp_path_factory, ray_session):
         num_shards=2, num_buckets=4, edge_ngram=(2, 5)))
     rep = check_index(idx)
     assert rep["ok"] and rep["terms_checked"] > 0
+
+
+def test_normalization_filters_reference_semantics():
+    from lucene_solr_ray.analysis.filters import (
+        apostrophe_filter,
+        german_normalization,
+        scandinavian_fold,
+    )
+
+    # tr/ApostropheFilter.java:36
+    assert apostrophe_filter("türkiye'nin") == "türkiye"
+    assert apostrophe_filter("istanbul’da") == "istanbul"
+    assert apostrophe_filter("plain") == "plain"
+    # de/GermanNormalizationFilter.java:41 (3-state FSM)
+    assert german_normalization("straße") == "strasse"
+    assert german_normalization("häuser") == "hauser"
+    assert german_normalization("quelle") == "quelle"   # 'ue' after q kept
+    assert german_normalization("mauer") == "mauer"     # 'ue' after vowel kept
+    assert german_normalization("baer") == "bar"        # ae digraph folds
+    assert german_normalization("boese") == "bose"      # oe digraph folds
+    assert german_normalization("fluesse") == "flusse"  # initial-u umlaut state
+    # miscellaneous/ScandinavianFoldingFilter.java:79
+    assert scandinavian_fold("räksmörgås") == "raksmorgas"
+    assert scandinavian_fold("blåbærsyltetøj") == "blabarsyltetoj"
+    assert scandinavian_fold("raeksmoergaas") == "raksmorgas"
+    assert scandinavian_fold("aaa") == "aa"  # the reference's scan artifact
+
+
+def test_new_filters_in_chain():
+    ch, drops = build_chain(("apostrophe", "german_normalization",
+                             "scandinavian_fold"))
+    assert not drops
+    assert ch("straße'nin") == "strasse"
