@@ -213,6 +213,22 @@ def ascii_fold_filter(w: str) -> str:
     return ascii_fold(w)
 
 
+def unicode_fold(w: str) -> str:
+    """ICUFoldingFilter role (analysis/icu/ICUFoldingFilter.java:51 —
+    that impl applies UTR#30 foldings via an ICU data file; no ICU in
+    this env, so this is the stdlib equivalent of its main foldings):
+    NFKC compatibility decomposition, combining-mark (Mn) removal
+    (accent fold), then full case fold. Covers the diacritic /
+    fullwidth / ligature cases ICU's table covers for the scripts the
+    UAX#29 tokenizer emits; language-specific tailorings are out."""
+    if w.isascii():
+        return w.casefold()
+    decomposed = unicodedata.normalize("NFKD", w)
+    stripped = "".join(
+        c for c in decomposed if unicodedata.category(c) != "Mn")
+    return unicodedata.normalize("NFKC", stripped).casefold()
+
+
 # name -> (factory?, n_args). Plain functions take no config args.
 _PLAIN = {
     "trim": trim_filter,
@@ -224,6 +240,7 @@ _PLAIN = {
     "apostrophe": apostrophe_filter,
     "german_normalization": german_normalization,
     "scandinavian_fold": scandinavian_fold,
+    "unicode_fold": unicode_fold,
 }
 _FACTORY = {
     "length": make_length,

@@ -339,3 +339,22 @@ def test_new_filters_in_chain():
                              "scandinavian_fold"))
     assert not drops
     assert ch("straße'nin") == "strasse"
+
+
+def test_unicode_fold():
+    from lucene_solr_ray.analysis.filters import unicode_fold
+
+    # diacritics strip (NFKD + Mn removal)
+    assert unicode_fold("café") == "cafe"
+    assert unicode_fold("naïve") == "naive"
+    assert unicode_fold("Über") == "uber"
+    # compatibility forms: fullwidth + ligature
+    assert unicode_fold("ＡＢＣ") == "abc"
+    assert unicode_fold("ﬁle") == "file"
+    # case fold beyond lower(): German sharp s
+    assert unicode_fold("STRASSE") == "strasse"
+    assert unicode_fold("straße") == "strasse"
+    # ascii fast path
+    assert unicode_fold("Plain") == "plain"
+    ch, drops = build_chain(("unicode_fold",))
+    assert not drops and ch("Café") == "cafe"
