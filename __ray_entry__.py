@@ -3023,6 +3023,46 @@ def q_ft_fvh(sf_dir):
     return _round_col(out, "score")
 
 
+def q_substr_dedup(sf_dir):
+    """Exact substring-duplication spans (the Lee et al. 2021 ExactSubstr
+    role; dedup/ops.py duplicate_ngram_spans): maximal runs of token
+    positions whose 4-gram occurs >= 2 times anywhere in the corpus.
+    Only (hash, id, pos) rows shuffle; span merging is a segmented pass
+    per hash partition. Oracle: the same spans via a SQL gaps-and-islands
+    window over the duplicated grams."""
+    from lucene_solr_ray.dedup.ops import duplicate_ngram_spans
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = duplicate_ngram_spans(ds, "doc_id", "text", k=4, min_count=2)
+    t = _collect_arrow(out)
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("doc_id", "ascending"),
+                      ("span_start", "ascending")]))
+
+
+_SQL_SUBSTR_DEDUP = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents),
+g AS (
+  SELECT t0.doc_id, t0.pos,
+         t0.term || ' ' || t1.term || ' ' || t2.term || ' ' || t3.term AS gram
+  FROM tok t0
+  JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  JOIN tok t3 ON t3.doc_id = t0.doc_id AND t3.pos = t0.pos + 3),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3118,10 +3158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_field_bm25": q_ft_field_bm25,
         "facet_refined": q_facet_refined,
         "ft_axiomatic": q_ft_axiomatic,
-        "ft_dfi": q_ft_dfi,
+        "substr_dedup": q_substr_dedup,
         # ================= driver window boundary (50) ==================
         # Stable tail: driver-green in an earlier round (r1/r2/r3), or
         # rows-only entries whose pipeline entry() smoke-checks.
+        "ft_dfi": q_ft_dfi,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "simhash_sigs": q_simhash,
@@ -3251,6 +3292,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_solr_ray.search import oracle_sql as osql
 
     return {
+        "substr_dedup": _SQL_SUBSTR_DEDUP,
         "ft_synonym_index": osql.sql_bm25_phrase_as_term(["fast", "query"]),
         "warc_extract": """
             SELECT 'https://doc' || CAST(doc_id AS VARCHAR) || '.example/'

@@ -647,3 +647,96 @@ def dedup_paragraphs(ds: Dataset, key_col: str, text_col: str,
         })
 
     return winners.map_batches(unpack, batch_format="pyarrow")
+
+
+# --- duplicated-substring spans (exact substring dedup) --------------------
+
+def duplicate_ngram_spans(ds: Dataset, key_col: str, text_col: str,
+                          k: int = 5, min_count: int = 2,
+                          num_partitions: int | None = None) -> Dataset:
+    """Exact substring-duplication spans, the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better") ExactSubstr
+    role, over word tokens: every maximal run of token positions whose
+    k-gram occurs >= min_count times ANYWHERE in the corpus becomes one
+    (key, span_start, span_end) row — end exclusive, end = last dup gram
+    start + k. The reference's in-engine analogue is the signature dedup
+    chain (SignatureUpdateProcessorFactory.java:42); this is its
+    finer-grained substring variant.
+
+    Scale shape: the corpus text never rides a shuffle — only
+    (gram_hash, key, pos) int64 rows do. Dup grams come from a count
+    reduction on the hash; marking is a left_semi hash join back; span
+    merging is one segmented numpy pass per hash partition
+    (partitioned_window), so Python call count scales with partitions,
+    not documents. The suffix array of the paper is replaced by the
+    k-gram inverted count — equivalent output for fixed k, and
+    shuffle-friendly."""
+    import ray as _ray
+
+    from ..relational.ops import partitioned_window, scaled_partitions
+
+    def grams(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        toks: list[str] = []
+        lens = np.zeros(len(keys), dtype=np.int64)
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            ws = (txt or "").split(" ")
+            toks.extend(ws)
+            lens[i] = len(ws)
+        n = len(toks)
+        arr = np.asarray(toks, dtype=object)
+        # k-gram start positions: within-doc pos p with p + k <= doclen
+        doc_of = np.repeat(keys, lens)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        doclen_of = np.repeat(lens, lens)
+        valid = pos + k <= doclen_of
+        if not valid.any() or n == 0:
+            return pa.table({key_col: pa.array([], t[key_col].type),
+                             "pos": pa.array([], pa.int64()),
+                             "gh": pa.array([], pa.int64())})
+        # gram string = tokens joined by ' ' (matches the SQL oracle's
+        # || ' ' || concatenation), built vectorized
+        g = arr.astype(str)
+        for j in range(1, k):
+            shifted = np.empty(n, dtype=object)
+            shifted[: n - j] = arr[j:]
+            shifted[n - j:] = ""
+            g = np.char.add(np.char.add(g, " "), shifted.astype(str))
+        vg = g[valid]
+        gh = poly_hash_strings(list(vg)).view(np.int64)
+        return pa.table({key_col: pa.array(doc_of[valid], t[key_col].type),
+                         "pos": pa.array(pos[valid], pa.int64()),
+                         "gh": pa.array(gh, pa.int64())})
+
+    gram_ds = ds.select_columns([key_col, text_col]).map_batches(
+        grams, batch_format="pyarrow")
+    if num_partitions is None:
+        ncpu = int(_ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(ncpu, 64))
+
+    dup = (gram_ds.groupby("gh").aggregate(Count(alias_name="__n"))
+           .filter(expr=f"__n >= {min_count}").select_columns(["gh"]))
+    marked = gram_ds.join(dup, join_type="left_semi", on=("gh",),
+                          num_partitions=num_partitions)
+
+    def merge_spans(t: pa.Table, first: np.ndarray) -> pa.Table:
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        n = len(p)
+        if not n:
+            return pa.table({key_col: pa.array([], t[key_col].type),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_end": pa.array([], pa.int64())})
+        new_span = first.copy()
+        new_span[1:] |= p[1:] != p[:-1] + 1
+        sp_starts = np.flatnonzero(new_span)
+        sp_lens = np.diff(np.append(sp_starts, n))
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(keys[sp_starts], t[key_col].type),
+            "span_start": pa.array(p[sp_starts], pa.int64()),
+            "span_end": pa.array(p[sp_starts + sp_lens - 1] + k, pa.int64()),
+        })
+
+    return partitioned_window(marked, key_col, ["pos"], merge_spans,
+                              num_partitions)

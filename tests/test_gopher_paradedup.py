@@ -130,3 +130,32 @@ def test_curate_corpus_empty_survivors(ray_session):
     out = curate_corpus(ray.data.from_arrow(t), min_words=25,
                         num_partitions=2).to_pandas()
     assert len(out) == 0
+
+
+def test_duplicate_ngram_spans(ray_session):
+    """ExactSubstr spans (Lee et al. 2021 role): k-gram repeated anywhere
+    in the corpus -> maximal position runs, end exclusive."""
+    import ray.data
+
+    from lucene_solr_ray.dedup.ops import duplicate_ngram_spans
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # 0
+        "xx yy the quick brown fox jumps zz qq ww",      # 1: shares 4 grams
+        "totally unrelated words here now",              # 2
+        "aa aa aa aa aa bb cc dd ee ff",                 # 3: self-repeat
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = duplicate_ngram_spans(ray.data.from_arrow(t), "doc_id", "text",
+                                k=3, min_count=2).to_pandas()
+    spans = {(r.doc_id, r.span_start, r.span_end)
+             for r in out.itertuples()}
+    # docs 0/1 share 'the quick brown fox jumps': 3-gram starts 0..2 in
+    # doc 0 (tokens 0-4), starts 2..4 in doc 1 (tokens 2-6)
+    assert (0, 0, 5) in spans
+    assert (1, 2, 7) in spans
+    # doc 3: 'aa aa aa' occurs at starts 0,1,2 -> one span [0, 5)
+    assert (3, 0, 5) in spans
+    # doc 2 has no duplicated grams
+    assert not any(d == 2 for d, _, _ in spans)
