@@ -194,6 +194,8 @@ def run_bench(headline_only: bool = False, build_only: bool = False) -> dict:
             # session-3 additions
             "ft_collapse", "ft_ltr_linear", "nb_classify",
             "perplexity_buckets", "text_tagger",
+            # round-4 additions
+            "substr_dedup",
         ]:
             best = float("inf")
             for _ in range(2):

@@ -670,8 +670,11 @@ class TokenizeExplode:
                 shift = np.cumsum(bump[:-1])
                 # cumsum crosses doc boundaries; sites only affect later
                 # tokens of their OWN doc, so subtracting each doc's
-                # start value localizes the shift
-                shift -= np.repeat(shift[doc_offsets[:-1]], doclens)
+                # start value localizes the shift. Zero-token docs make
+                # their (irrelevant) start offset collide with n_text —
+                # clip: np.repeat drops them via doclens == 0 anyway
+                doc_start = np.minimum(doc_offsets[:-1], L - 1)
+                shift -= np.repeat(shift[doc_start], doclens)
                 text_pos = (text_pos + shift).astype(np.int32)
                 for hits_sg, n, rhs_list in sites:
                     for rhs in rhs_list:

@@ -118,3 +118,22 @@ def test_rules_normalized_through_chain(tmp_path, ray_session):
     s = IndexSearcher(idx)
     assert s.match_all("cat")["doc_id"].to_pylist() == [0, 1]
     assert s.match_all("feline")["doc_id"].to_pylist() == [0, 1]
+
+
+def test_empty_and_trailing_empty_docs(tmp_path, ray_session):
+    """Zero-token docs (incl. the batch's LAST doc) must not break the
+    flatten shift arithmetic."""
+    texts = ["", "wifi down", "", "all good here", ""]
+    p = str(tmp_path / "c3.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array(texts, pa.string())}), p)
+    idx = str(tmp_path / "idx3")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=1, num_buckets=2,
+        synonym_graph=("wifi => wireless network",)))
+    s = IndexSearcher(idx)
+    assert s.match_all('"wireless network"')["doc_id"].to_pylist() == [1]
+    # shifted real token still queryable, positions intact
+    assert s.match_all("down")["doc_id"].to_pylist() == [1]
+    assert s.match_all('"network down"')["doc_id"].to_pylist() == [1]
