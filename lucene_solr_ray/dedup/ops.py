@@ -671,8 +671,6 @@ def duplicate_ngram_spans(ds: Dataset, key_col: str, text_col: str,
     not documents. The suffix array of the paper is replaced by the
     k-gram inverted count — equivalent output for fixed k, and
     shuffle-friendly."""
-    import ray as _ray
-
     from ..relational.ops import partitioned_window, scaled_partitions
 
     def grams(t: pa.Table) -> pa.Table:
@@ -709,14 +707,32 @@ def duplicate_ngram_spans(ds: Dataset, key_col: str, text_col: str,
                          "pos": pa.array(pos[valid], pa.int64()),
                          "gh": pa.array(gh, pa.int64())})
 
+    # materialized once: the gram stream feeds BOTH the count reduction
+    # and the join left side — without this, lineage recompute would
+    # re-tokenize the whole corpus for each consumer
     gram_ds = ds.select_columns([key_col, text_col]).map_batches(
-        grams, batch_format="pyarrow")
+        grams, batch_format="pyarrow").materialize()
     if num_partitions is None:
-        ncpu = int(_ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(ncpu, 64))
+        num_partitions = scaled_partitions(gram_ds.count())
 
+    key_type = None
+    for b in gram_ds.iter_batches(batch_size=1, batch_format="pyarrow"):
+        key_type = b[key_col].type
+        break
+    empty_spans = pa.table({
+        key_col: pa.array([], key_type or pa.int64()),
+        "span_start": pa.array([], pa.int64()),
+        "span_end": pa.array([], pa.int64()),
+    })
     dup = (gram_ds.groupby("gh").aggregate(Count(alias_name="__n"))
-           .filter(expr=f"__n >= {min_count}").select_columns(["gh"]))
+           .filter(expr=f"__n >= {min_count}").select_columns(["gh"])
+           .materialize())
+    if dup.count() == 0:
+        # a corpus with NO duplicated grams: the fully-filtered dataset
+        # is schema-less and would crash the hash join — short-circuit
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty_spans)
     marked = gram_ds.join(dup, join_type="left_semi", on=("gh",),
                           num_partitions=num_partitions)
 

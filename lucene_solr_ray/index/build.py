@@ -293,6 +293,15 @@ class IndexBuildConfig:
             lo, hi = self.edge_ngram
             if not (1 <= lo <= hi):
                 raise ValueError("edge_ngram wants 1 <= min_gram <= max_gram")
+        if self.synonym_graph and self.word_delimiter:
+            # WDGF parts capture their positions BEFORE the graph flatten
+            # renumbers the stream, so they would silently misalign; the
+            # reference likewise documents WordDelimiterGraphFilter as
+            # unsuitable for index-time combination with graph synonym
+            # output (WordDelimiterGraphFilter.java header)
+            raise ValueError(
+                "synonym_graph cannot combine with word_delimiter at "
+                "index time (position-shift misalignment)")
         for fld, fmt in (self.field_postings_formats or ()):
             if fmt not in ("lucene84", "direct"):
                 raise ValueError(

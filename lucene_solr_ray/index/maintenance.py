@@ -354,9 +354,17 @@ def append_index(
                    if os.path.exists(os.path.join(d, "kind=0"))]
     docs_in = [os.path.join(d, "kind=1") for d in new_chunk_dirs
                if os.path.exists(os.path.join(d, "kind=1"))]
+    from functools import partial
+
     merged = ray.data.read_parquet(expand_parquet_dirs(postings_in)).groupby(
         ["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)
-    ).map_groups(encode_merge_group, batch_format="pyarrow")
+    ).map_groups(
+        # appended generations keep the per-field postings formats the
+        # manifest recorded (PerField SPI; same as every other merge path)
+        partial(encode_merge_group,
+                field_formats=dict(map(tuple, getattr(
+                    cfg, "field_postings_formats", ()) or ())) or None),
+        batch_format="pyarrow")
     merged.write_parquet(os.path.join(index_dir, "postings"), partition_cols=["shard"])
     dvf = tuple(cfg.docvalues_fields or ())
     sdvf = tuple(cfg.string_docvalues_fields or ())

@@ -175,6 +175,8 @@ def term_vectors_po_for(index_dir: str, doc_ids,
     pruned read per touched shard; raises a clear error when the sidecar
     was built without with_positions_offsets."""
     ids = sorted(int(d) for d in doc_ids)
+    if not ids:
+        return {}
     tv_dir = os.path.join(index_dir, "tv")
     cols = ["doc_id", "term", "positions", "offsets"]
     by_shard: dict[int, list[int]] = {}

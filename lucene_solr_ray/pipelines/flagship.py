@@ -44,7 +44,7 @@ def dedup_recrawls(corpus_paths, out_dir: str, id_col: str = "doc_id",
     import ray
     import ray.data
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Count, Max
 
     from ..relational.ops import scaled_partitions
 
@@ -55,26 +55,61 @@ def dedup_recrawls(corpus_paths, out_dir: str, id_col: str = "doc_id",
 
     def key_cols(t: pa.Table) -> pa.Table:
         # timestamps reduce as int64 epoch ticks (Max over timestamp
-        # columns is not supported by the arrow aggregate path)
+        # columns is not supported by the arrow aggregate path); null
+        # warc_ts (read_warc emits them for unparseable WARC-Date) sinks
+        # to int64 min so it always loses, and join keys stay non-null
+        ts = pc.fill_null(pc.cast(t["warc_ts"], pa.int64()),
+                          -(2 ** 62))
         return pa.table({
             "url": t["url"],
-            "__ts": pc.cast(t["warc_ts"], pa.int64()),
+            "__ts": ts,
             id_col: t[id_col],
         })
 
     ids = ray.data.read_parquet(
         corpus_paths, columns=["url", "warc_ts", id_col]
-    ).map_batches(key_cols, batch_format="pyarrow")
-    newest = ids.groupby("url").aggregate(Max("__ts", alias_name="__ts"))
+    ).map_batches(key_cols, batch_format="pyarrow").materialize()
+
+    # a join asked for more partitions than the small side has rows can
+    # hand an aggregator a schema-less empty partition (Ray 2.49 hash-join
+    # failure mode) — clamp to the aggregated side's size
+    newest = ids.groupby("url").aggregate(
+        Max("__ts", alias_name="__ts")).materialize()
+    p1 = max(1, min(num_partitions, newest.count()))
     winners = (
         ids.join(newest, join_type="inner", on=("url", "__ts"),
-                 num_partitions=num_partitions)
+                 num_partitions=p1)
         .groupby("url").aggregate(Max(id_col, alias_name=id_col))
         .select_columns([id_col])
-    )
+    ).materialize()
+    p2 = max(1, min(num_partitions, winners.count()))
     ds = ray.data.read_parquet(corpus_paths)
     out = ds.join(winners, join_type="left_semi", on=(id_col,),
-                  num_partitions=num_partitions)
+                  num_partitions=p2)
+    # the same physical row ingested twice (same url/ts/id — a re-read
+    # WARC) survives the semi join in BOTH copies; collapse exact copies
+    # per id. The id-only count finds affected ids cheaply; the full-row
+    # group pass runs ONLY over that (normally empty) subset, so page
+    # bodies still stay out of the shuffle on the clean path
+    dup_ids = (
+        ids.join(winners, join_type="left_semi", on=(id_col,),
+                 num_partitions=p2)
+        .groupby(id_col).aggregate(Count(alias_name="__n"))
+        .filter(expr="__n > 1").select_columns([id_col])).materialize()
+    n_dup = dup_ids.count()
+    if n_dup > 0:
+        p3 = max(1, min(num_partitions, n_dup))
+        dup_rows = out.join(dup_ids, join_type="left_semi", on=(id_col,),
+                            num_partitions=p3)
+        uniq_rows = out.join(dup_ids, join_type="left_anti", on=(id_col,),
+                             num_partitions=p3)
+
+        def first(df):
+            return df.head(1)
+
+        out = uniq_rows.union(
+            dup_rows.groupby(id_col).map_groups(first,
+                                                batch_format="pandas"))
     out.write_parquet(out_dir, mode="overwrite")
     import glob
 

@@ -834,9 +834,14 @@ def sessionize(ds: Dataset, key_col: str, ts_col: str,
                num_partitions: int | None = None) -> Dataset:
     """Gap-based session ids per key (new session when the gap to the
     previous event exceeds gap_seconds), one segmented cumsum pass."""
+    _TICKS = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
     def kernel(t: pa.Table, first: np.ndarray) -> pa.Table:
         import pyarrow.compute as pc_
 
+        # ticks per second follow the column's native unit (a pandas-
+        # written table is timestamp[ns]; parquet defaults to us)
+        unit = getattr(t[ts_col].type, "unit", "us")
         ts = pc_.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
         n = len(ts)
         if not n:
@@ -845,7 +850,7 @@ def sessionize(ds: Dataset, key_col: str, ts_col: str,
         gap = np.empty(n, dtype=np.int64)
         gap[0] = 0
         gap[1:] = ts[1:] - ts[:-1]
-        new_sess = (gap > gap_seconds * 1_000_000) & ~first
+        new_sess = (gap > gap_seconds * _TICKS.get(unit, 1_000_000)) & ~first
         cs = np.cumsum(new_sess.astype(np.int64))
         starts = np.flatnonzero(first)
         seg_lens = np.diff(np.append(starts, n))

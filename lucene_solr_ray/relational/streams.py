@@ -630,7 +630,10 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
         # memory (IntersectStream.java:43); above the gate we do the
         # distributed equivalent, a hash-partitioned semi/anti join, and
         # never land the key column on the driver
-        right_keys = right.select_columns([r_on])
+        # materialize once: the size gate consumes the stream for count()
+        # and the chosen plan consumes it again — without this, an
+        # expensive right-side subtree would execute twice
+        right_keys = right.select_columns([r_on]).materialize()
         n_right = right_keys.count()
         if n_right <= _SEMI_BROADCAST_GATE:
             keys = right_keys.to_pandas()[r_on].to_numpy()

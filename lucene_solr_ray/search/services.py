@@ -15,6 +15,8 @@ significant terms.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -29,6 +31,20 @@ def fetch_stored(corpus_paths, key_col: str, doc_ids: list[int],
     """Fetch stored fields for winning ids only (row-filter pushdown)."""
     import ray.data
 
+    if not list(doc_ids):
+        # typed empty result: callers zip key/text columns — a schema-less
+        # pa.table({}) would KeyError on zero-hit queries
+        cols = columns or [key_col]
+        import pyarrow.parquet as _pq
+
+        first = corpus_paths if isinstance(corpus_paths, str) else corpus_paths[0]
+        if os.path.isdir(first):
+            import glob as _glob
+
+            first = sorted(_glob.glob(os.path.join(first, "*.parquet")))[0]
+        schema = _pq.read_schema(first)
+        return pa.table({c: pa.array([], schema.field(c).type)
+                         for c in cols})
     ds = ray.data.read_parquet(
         corpus_paths, columns=columns,
         filter=pc.field(key_col).isin(list(doc_ids)),
@@ -2150,8 +2166,9 @@ def docvalues_stats(searcher: IndexSearcher, query, field: str,
     n = sum(p[0] for p in parts)
     missing = sum(p[1] for p in parts)
     if not n:
+        # matched docs in dv-less shards still count as missing
         return pa.table({"cnt": pa.array([0], pa.int64()),
-                         "missing": pa.array([0], pa.int64()),
+                         "missing": pa.array([missing], pa.int64()),
                          "vmin": pa.array([None], pa.float64()),
                          "vmax": pa.array([None], pa.float64()),
                          "mean": pa.array([None], pa.float64()),

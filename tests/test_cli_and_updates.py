@@ -124,3 +124,33 @@ def test_dedup_recrawls_tie_breaks_to_highest_id(tmp_path, ray_session):
     kept = dict(zip(out["url"].to_pylist(), out["doc_id"].to_pylist()))
     for u, d in zip(dup["url"].to_pylist(), dup["doc_id"].to_pylist()):
         assert kept[u] == d  # higher id wins the tie
+
+
+def test_dedup_recrawls_double_ingest_and_null_ts(tmp_path, ray_session):
+    """The same WARC ingested twice (identical rows) must collapse to one
+    row per url; null warc_ts rows must lose, not crash the join."""
+    base = pq.read_table(synthesize_corpus(30, str(tmp_path / "c3.parquet")))
+    # identical re-ingest of the whole file + one null-ts re-crawl of url 0
+    null_row = base.slice(0, 1).set_column(
+        base.column_names.index("warc_ts"), "warc_ts",
+        pa.array([None], pa.timestamp("us")))
+    both = pa.concat_tables([base, base, null_row])
+    src = str(tmp_path / "dbl.parquet")
+    pq.write_table(both, src)
+    out = pq.read_table(dedup_recrawls([src], str(tmp_path / "dedup3")))
+    assert out.num_rows == 30
+    assert len(set(out["url"].to_pylist())) == 30
+    # null-ts re-crawl lost to the real timestamp
+    assert out.filter(
+        __import__("pyarrow.compute", fromlist=["equal"]).equal(
+            out["doc_id"], 0))["warc_ts"][0].as_py() is not None
+
+
+def test_dedup_recrawls_single_url(tmp_path, ray_session):
+    """One distinct url (empty hash partitions) must not lose schemas."""
+    base = pq.read_table(synthesize_corpus(5, str(tmp_path / "c4.parquet")))
+    one = base.slice(0, 1)
+    src = str(tmp_path / "one.parquet")
+    pq.write_table(one, src)
+    out = pq.read_table(dedup_recrawls([src], str(tmp_path / "dedup4")))
+    assert out.num_rows == 1

@@ -159,3 +159,19 @@ def test_duplicate_ngram_spans(ray_session):
     assert (3, 0, 5) in spans
     # doc 2 has no duplicated grams
     assert not any(d == 2 for d, _, _ in spans)
+
+
+def test_duplicate_ngram_spans_no_dups(ray_session):
+    """A corpus with no repeated k-gram must return an empty span table,
+    not crash on the schema-less filtered join side."""
+    import ray.data
+
+    from lucene_solr_ray.dedup.ops import duplicate_ngram_spans
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["aa bb cc dd", "ee ff gg hh"],
+                                   pa.string())})
+    out = duplicate_ngram_spans(ray.data.from_arrow(t), "doc_id", "text",
+                                k=3, min_count=2)
+    assert out.count() == 0
+    assert set(out.schema().names) >= {"doc_id", "span_start", "span_end"}

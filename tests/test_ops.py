@@ -328,3 +328,28 @@ def test_relatedness_facet(ray_session):
     assert got == {"a": (2, 3, 0.25), "b": (0, 2, -1.0), "c": (1, 1, 0.5)}
     # sorted by relatedness desc, value asc
     assert out["value"].to_pylist() == ["c", "a", "b"]
+
+
+def test_sessionize_unit_aware(ray_session):
+    """timestamp[ns] and timestamp[s] columns must sessionize identically
+    to timestamp[us] (ticks follow the column unit)."""
+    import ray.data
+
+    from lucene_solr_ray.relational.ops import sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # gaps: 10 min (same session), 40 min (new session)
+    ts_us = pa.array([base, base + np.timedelta64(600, "s"),
+                      base + np.timedelta64(3000, "s")], pa.timestamp("us"))
+    want = [0, 0, 1]
+    for unit in ("s", "ms", "us", "ns"):
+        t = pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": ts_us.cast(pa.timestamp(unit)),
+        })
+        out = sessionize(ray.data.from_arrow(t), "user_id", "ts",
+                         ["ts", "event_id"], 1800.0,
+                         keep_cols=["event_id"]).to_pandas()
+        got = dict(zip(out["event_id"], out["session_id"]))
+        assert [got[1], got[2], got[3]] == want, unit

@@ -137,3 +137,9 @@ def test_empty_and_trailing_empty_docs(tmp_path, ray_session):
     # shifted real token still queryable, positions intact
     assert s.match_all("down")["doc_id"].to_pylist() == [1]
     assert s.match_all('"network down"')["doc_id"].to_pylist() == [1]
+
+
+def test_word_delimiter_combination_rejected():
+    with pytest.raises(ValueError, match="synonym_graph"):
+        IndexBuildConfig(word_delimiter=True,
+                         synonym_graph=("a => b c",))

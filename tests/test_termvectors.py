@@ -119,3 +119,14 @@ def test_fvh_requires_po_sidecar(idx):
 
     with pytest.raises(ValueError, match="with_positions_offsets"):
         term_vectors_po_for(idx, [0], num_shards=3)
+
+
+def test_fvh_zero_hits(fvh_idx):
+    """A query matching nothing must return an empty result, not crash on
+    the empty shard read."""
+    from lucene_solr_ray.search.services import highlight_results_tv
+
+    s = IndexSearcher(fvh_idx, dtype=np.float64)
+    out = highlight_results_tv(s, fvh_idx, DOCS, "doc_id", "text",
+                               "zzzznomatch", k=5)
+    assert out.num_rows == 0
