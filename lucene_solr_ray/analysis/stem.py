@@ -465,3 +465,159 @@ STEMMERS["english_snowball"] = porter2_stem
 STEMMERS["german_light"] = german_light_stem
 STEMMERS["spanish_light"] = spanish_light_stem
 STEMMERS["french_minimal"] = french_minimal_stem
+
+
+_FR_FOLD = {"à": "a", "á": "a", "â": "a", "ô": "o", "è": "e", "é": "e",
+            "ê": "e", "ù": "u", "û": "u", "î": "i", "ç": "c"}
+
+
+def _fr_norm(s: list, L: int) -> str:
+    """FrenchLightStemmer.java:229 norm(): accent fold + consecutive
+    duplicate-letter collapse (len > 4), strip 'ie', then one r / e / e /
+    doubled letter off the end."""
+    if L > 4:
+        for i in range(L):
+            s[i] = _FR_FOLD.get(s[i], s[i])
+        out = [s[0]]
+        for i in range(1, L):
+            if s[i] == out[-1] and s[i].isalpha():
+                continue
+            out.append(s[i])
+        s[:len(out)] = out
+        L = len(out)
+    if L > 4 and s[L - 2:L] == ["i", "e"]:
+        L -= 2
+    if L > 4:
+        if s[L - 1] == "r":
+            L -= 1
+        if s[L - 1] == "e":
+            L -= 1
+        if s[L - 1] == "e":
+            L -= 1
+        if L > 1 and s[L - 1] == s[L - 2] and s[L - 1].isalpha():
+            L -= 1
+    return "".join(s[:L])
+
+
+def french_light_stem(w: str) -> str:  # noqa: C901 (the algorithm IS a rule list)
+    """Full UniNE French light stemmer (fr/FrenchLightStemmer.java:66,
+    Savoy's 'Light Stemming Approaches...'); the shorter
+    french_minimal_stem remains as the minimal variant."""
+    s = list(w)
+    L = len(s)
+
+    def ends(suf: str) -> bool:
+        return L >= len(suf) and s[L - len(suf):L] == list(suf)
+
+    if L > 5 and s[L - 1] == "x":
+        if s[L - 3] == "a" and s[L - 2] == "u" and s[L - 4] != "e":
+            s[L - 2] = "l"
+        L -= 1
+    if L > 3 and s[L - 1] == "x":
+        L -= 1
+    if L > 3 and s[L - 1] == "s":
+        L -= 1
+    if L > 9 and ends("issement"):
+        L -= 6
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 8 and ends("issant"):
+        L -= 4
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 6 and ends("ement"):
+        L -= 4
+        if L > 3 and ends("ive"):
+            L -= 1
+            s[L - 1] = "f"
+        return _fr_norm(s, L)
+    if L > 11 and ends("ficatrice"):
+        L -= 5
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 10 and ends("ficateur"):
+        L -= 4
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 9 and ends("catrice"):
+        L -= 3
+        s[L - 4] = "q"
+        s[L - 3] = "u"
+        s[L - 2] = "e"
+        return _fr_norm(s, L)
+    if L > 8 and ends("cateur"):
+        L -= 2
+        s[L - 4] = "q"
+        s[L - 3] = "u"
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 8 and ends("atrice"):
+        L -= 4
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 7 and ends("ateur"):
+        L -= 3
+        s[L - 2] = "e"
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 6 and ends("trice"):
+        L -= 1
+        s[L - 3] = "e"
+        s[L - 2] = "u"
+        s[L - 1] = "r"
+    if L > 5 and ends("ième"):
+        return _fr_norm(s, L - 4)
+    if L > 7 and ends("teuse"):
+        L -= 2
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 6 and ends("teur"):
+        L -= 1
+        s[L - 1] = "r"
+        return _fr_norm(s, L)
+    if L > 5 and ends("euse"):
+        return _fr_norm(s, L - 2)
+    if L > 8 and ends("ère"):
+        L -= 1
+        s[L - 2] = "e"
+        return _fr_norm(s, L)
+    if L > 7 and ends("ive"):
+        L -= 1
+        s[L - 1] = "f"
+        return _fr_norm(s, L)
+    if L > 4 and (ends("folle") or ends("molle")):
+        L -= 2
+        s[L - 1] = "u"
+        return _fr_norm(s, L)
+    if L > 9 and ends("nnelle"):
+        return _fr_norm(s, L - 5)
+    if L > 9 and ends("nnel"):
+        return _fr_norm(s, L - 3)
+    if L > 4 and ends("ète"):
+        L -= 1
+        s[L - 2] = "e"
+    if L > 8 and ends("ique"):
+        L -= 4
+    if L > 8 and ends("esse"):
+        return _fr_norm(s, L - 3)
+    if L > 7 and ends("inage"):
+        return _fr_norm(s, L - 3)
+    if L > 9 and ends("isation"):
+        L -= 7
+        if L > 5 and ends("ual"):
+            s[L - 2] = "e"
+        return _fr_norm(s, L)
+    if L > 9 and ends("isateur"):
+        return _fr_norm(s, L - 7)
+    if L > 8 and ends("ation"):
+        return _fr_norm(s, L - 5)
+    if L > 8 and ends("ition"):
+        return _fr_norm(s, L - 5)
+    return _fr_norm(s, L)
+
+
+STEMMERS["french_light"] = french_light_stem

@@ -107,3 +107,20 @@ def test_registry_and_index_query_mirror(tmp_path, ray_session):
     assert s.match_all("hopped")["doc_id"].to_pylist() == [0]
     assert s.match_all("adjusting")["doc_id"].to_pylist() == [1]
     assert s.match_all("knight")["doc_id"].to_pylist() == [1]
+
+
+def test_french_light_full():
+    """Full UniNE French light stemmer (fr/FrenchLightStemmer.java:66):
+    inflection pairs converge, accents fold, doubles collapse."""
+    from lucene_solr_ray.analysis.stem import french_light_stem as f
+
+    assert f("chevaux") == "cheval"
+    assert f("nationaux") == "national"
+    # masculine/feminine converge
+    assert f("amoureuse") == f("amoureux") == "amoureu"
+    # eaux keeps the e (no l substitution), doubles collapse in norm
+    assert f("barreaux") == f("barreau") == "bareau"
+    assert f("formation") == "form"
+    assert f("investissement") == "investi"
+    assert f("communication") == "comunic"
+    assert get_stemmer("french_light") is f
