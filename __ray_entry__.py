@@ -3063,6 +3063,52 @@ FROM isl GROUP BY doc_id, grp
 ORDER BY doc_id, span_start"""
 
 
+def q_substr_scrub(sf_dir):
+    """ExactSubstr removal (Lee et al. 2021 curation step): drop every
+    token covered by a duplicated 4-gram span, rejoin with spaces. SQL
+    oracle rebuilds each doc with string_agg over the surviving tokens."""
+    from lucene_solr_ray.dedup.ops import scrub_duplicate_substrings
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = scrub_duplicate_substrings(ds, "doc_id", "text", k=4, min_count=2)
+    t = _collect_arrow(out)
+    return t.take(pc.sort_indices(t["doc_id"]))
+
+
+_SQL_SUBSTR_SCRUB = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents),
+g AS (
+  SELECT t0.doc_id, t0.pos,
+         t0.term || ' ' || t1.term || ' ' || t2.term || ' ' || t3.term AS gram
+  FROM tok t0
+  JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  JOIN tok t3 ON t3.doc_id = t0.doc_id AND t3.pos = t0.pos + 3),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+  FROM isl GROUP BY doc_id, grp),
+keep AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.e))
+SELECT d.doc_id AS doc_id,
+       coalesce(string_agg(k.term, ' ' ORDER BY k.pos), '') AS text
+FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -3157,12 +3203,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dfr": q_ft_dfr,
         "ft_field_bm25": q_ft_field_bm25,
         "facet_refined": q_facet_refined,
-        "ft_axiomatic": q_ft_axiomatic,
+        "substr_scrub": q_substr_scrub,
         "substr_dedup": q_substr_dedup,
         # ================= driver window boundary (50) ==================
         # Stable tail: driver-green in an earlier round (r1/r2/r3), or
         # rows-only entries whose pipeline entry() smoke-checks.
         "ft_dfi": q_ft_dfi,
+        "ft_axiomatic": q_ft_axiomatic,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "simhash_sigs": q_simhash,
@@ -3293,6 +3340,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "substr_dedup": _SQL_SUBSTR_DEDUP,
+        "substr_scrub": _SQL_SUBSTR_SCRUB,
         "ft_synonym_index": osql.sql_bm25_phrase_as_term(["fast", "query"]),
         "warc_extract": """
             SELECT 'https://doc' || CAST(doc_id AS VARCHAR) || '.example/'

@@ -756,3 +756,76 @@ def duplicate_ngram_spans(ds: Dataset, key_col: str, text_col: str,
 
     return partitioned_window(marked, key_col, ["pos"], merge_spans,
                               num_partitions)
+
+
+def scrub_duplicate_substrings(ds: Dataset, key_col: str, text_col: str,
+                               k: int = 4, min_count: int = 2,
+                               num_partitions: int | None = None) -> Dataset:
+    """ExactSubstr REMOVAL (the curation step Lee et al. 2021 apply after
+    finding duplicated substrings): every token covered by a duplicated
+    span (duplicate_ngram_spans) is dropped from every document; the
+    remaining tokens rejoin with single spaces. Returns (key, text) rows
+    for the whole corpus (docs scrubbed to nothing keep an empty string).
+
+    Scale shape: spans pack to per-key lists in one segmented pass per
+    hash partition, then ONE left_outer hash join attaches them to the
+    corpus — the only exchange the text rides, which is unavoidable for a
+    text-rewriting op."""
+    import ray.data as _rd
+
+    from ..relational.ops import partitioned_window, scaled_partitions
+
+    spans = duplicate_ngram_spans(ds, key_col, text_col, k=k,
+                                  min_count=min_count,
+                                  num_partitions=num_partitions).materialize()
+    out_schema_src = ds.select_columns([key_col, text_col])
+    if spans.count() == 0:
+        return out_schema_src
+
+    def pack(t: pa.Table, first: np.ndarray) -> pa.Table:
+        # spans serialize to ONE little-endian int64 [s,e]* binary blob per
+        # key: Arrow's hash join rejects list-typed payload columns
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        s = t["span_start"].to_numpy(zero_copy_only=False)
+        e = t["span_end"].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        inter = np.empty(2 * n, dtype="<i8")
+        inter[0::2] = s
+        inter[1::2] = e
+        raw = inter.tobytes()
+        starts = np.flatnonzero(first)
+        offs = np.append(starts, n).astype(np.int64)
+        blobs = [raw[16 * a:16 * b] for a, b in zip(offs[:-1], offs[1:])]
+        return pa.table({
+            key_col: pa.array(keys[starts], t[key_col].type),
+            "__sp": pa.array(blobs, pa.large_binary()),
+        })
+
+    packed = partitioned_window(spans, key_col, ["span_start"], pack)
+    if num_partitions is None:
+        num_partitions = scaled_partitions(spans.count(),
+                                           rows_per_partition=5_000_000)
+    joined = out_schema_src.join(packed, join_type="left_outer",
+                                 on=(key_col,),
+                                 num_partitions=num_partitions)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        blobs = t["__sp"].to_pylist()
+        out: list[str] = []
+        for txt, blob in zip(texts, blobs):
+            if not blob:
+                out.append(txt or "")
+                continue
+            inter = np.frombuffer(blob, dtype="<i8")
+            ss, ee = inter[0::2], inter[1::2]
+            ws = (txt or "").split(" ")
+            pos = np.arange(len(ws))
+            dead = np.zeros(len(ws), dtype=bool)
+            for a, b in zip(ss, ee):
+                dead |= (pos >= a) & (pos < b)
+            out.append(" ".join(w for w, d in zip(ws, dead) if not d))
+        return pa.table({key_col: t[key_col],
+                         text_col: pa.array(out, pa.large_string())})
+
+    return joined.map_batches(scrub, batch_format="pyarrow")

@@ -175,3 +175,38 @@ def test_duplicate_ngram_spans_no_dups(ray_session):
                                 k=3, min_count=2)
     assert out.count() == 0
     assert set(out.schema().names) >= {"doc_id", "span_start", "span_end"}
+
+
+def test_scrub_duplicate_substrings(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.dedup.ops import scrub_duplicate_substrings
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "xx yy the quick brown fox jumps zz qq ww",
+        "totally unrelated words here now",
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = scrub_duplicate_substrings(
+        ray.data.from_arrow(t), "doc_id", "text", k=3, min_count=2
+    ).to_pandas().set_index("doc_id")["text"].to_dict()
+    # shared 'the quick brown fox jumps' removed from BOTH docs
+    assert out[0] == "over the lazy dog"
+    assert out[1] == "xx yy zz qq ww"
+    assert out[2] == texts[2]  # untouched
+
+
+def test_scrub_no_dups_passthrough(ray_session):
+    import ray.data
+
+    from lucene_solr_ray.dedup.ops import scrub_duplicate_substrings
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["aa bb cc dd", "ee ff gg hh"],
+                                   pa.string())})
+    out = scrub_duplicate_substrings(
+        ray.data.from_arrow(t), "doc_id", "text", k=3
+    ).to_pandas().set_index("doc_id")["text"].to_dict()
+    assert out == {0: "aa bb cc dd", 1: "ee ff gg hh"}
