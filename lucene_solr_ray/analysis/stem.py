@@ -621,3 +621,173 @@ def french_light_stem(w: str) -> str:  # noqa: C901 (the algorithm IS a rule lis
 
 
 STEMMERS["french_light"] = french_light_stem
+
+
+# --- Hungarian / Portuguese light (UniNE, Savoy) ---------------------------
+
+_HU_FOLD = {"á": "a", "ë": "e", "é": "e", "í": "i", "ó": "o", "ő": "o",
+            "õ": "o", "ö": "o", "ú": "u", "ű": "u", "ũ": "u", "û": "u",
+            "ü": "u"}
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def hungarian_light_stem(w: str) -> str:  # noqa: C901 (rule list)
+    """hu/HungarianLightStemmer.java:64 (UniNE): accent fold, then case /
+    possessive / plural suffix removal and a final vowel normalize."""
+    s = [_HU_FOLD.get(c, c) for c in w]
+    L = len(s)
+
+    def ends(suf: str) -> bool:
+        return L >= len(suf) and s[L - len(suf):L] == list(suf)
+
+    def vowel(c: str) -> bool:
+        return c in _HU_VOWELS
+
+    # removeCase
+    if L > 6 and ends("kent"):
+        L -= 4
+    else:
+        done = False
+        if L > 5:
+            for suf in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                        "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+                if ends(suf):
+                    L -= 3
+                    done = True
+                    break
+            if not done and (ends("al") or ends("el")):
+                if not vowel(s[L - 3]) and s[L - 3] == s[L - 4]:
+                    L -= 3
+                    done = True
+        if not done and L > 4:
+            for suf in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                        "be", "ul", "ig"):
+                if ends(suf):
+                    L -= 2
+                    done = True
+                    break
+            if not done and (ends("on") or ends("en")) \
+                    and not vowel(s[L - 3]):
+                L -= 2
+                done = True
+            if not done:
+                c = s[L - 1]
+                if c in "tn":
+                    L -= 1
+                elif c in "ae" and s[L - 2] == s[L - 3] \
+                        and not vowel(s[L - 2]):
+                    L -= 2
+    # removePossessive
+    if L > 6 and not vowel(s[L - 5]) and (
+            ends("atok") or ends("otok") or ends("etek")):
+        L -= 4
+    elif L > 6 and (ends("itek") or ends("itok")):
+        L -= 4
+    elif L > 5 and not vowel(s[L - 4]) and (
+            ends("unk") or ends("tok") or ends("tek")):
+        L -= 3
+    elif L > 5 and vowel(s[L - 4]) and ends("juk"):
+        L -= 3
+    elif L > 5 and ends("ink"):
+        L -= 3
+    elif L > 4 and not vowel(s[L - 3]) and (
+            ends("am") or ends("em") or ends("om") or ends("ad")
+            or ends("ed") or ends("od") or ends("uk")):
+        L -= 2
+    elif L > 4 and vowel(s[L - 3]) and (
+            ends("nk") or ends("ja") or ends("je")):
+        L -= 2
+    elif L > 4 and (ends("im") or ends("id") or ends("ik")):
+        L -= 2
+    elif L > 3:
+        c = s[L - 1]
+        if c in "ae" and not vowel(s[L - 2]):
+            L -= 1
+        elif c in "md" and vowel(s[L - 2]):
+            L -= 1
+        elif c == "i":
+            L -= 1
+    # removePlural ('k' after a/o/e drops two when len > 4, else one)
+    if L > 3 and s[L - 1] == "k":
+        if s[L - 2] in "aoe" and L > 4:
+            L -= 2
+        else:
+            L -= 1
+    # normalize: strip one trailing a/e/i/o
+    if L > 3 and s[L - 1] in "aeio":
+        L -= 1
+    return "".join(s[:L])
+
+
+_PT_FOLD = {"à": "a", "á": "a", "â": "a", "ä": "a", "ã": "a",
+            "ò": "o", "ó": "o", "ô": "o", "ö": "o", "õ": "o",
+            "è": "e", "é": "e", "ê": "e", "ë": "e",
+            "ù": "u", "ú": "u", "û": "u", "ü": "u",
+            "ì": "i", "í": "i", "î": "i", "ï": "i", "ç": "c"}
+
+
+def portuguese_light_stem(w: str) -> str:  # noqa: C901 (rule list)
+    """pt/PortugueseLightStemmer.java:64 (UniNE): plural/adverb suffix
+    removal (with the ns->m / is->il / ões->ão re-writes), feminine ->
+    masculine normalization, final vowel strip, accent fold."""
+    s = list(w)
+    L = len(s)
+    if L < 4:
+        return w
+
+    def ends(suf: str) -> bool:
+        return L >= len(suf) and s[L - len(suf):L] == list(suf)
+
+    # removeSuffix
+    if L > 4 and ends("es") and s[L - 3] in "rslz":
+        L -= 2
+    elif L > 3 and ends("ns"):
+        s[L - 2] = "m"
+        L -= 1
+    elif L > 4 and (ends("eis") or ends("éis")):
+        s[L - 3] = "e"
+        s[L - 2] = "l"
+        L -= 1
+    elif L > 4 and ends("ais"):
+        s[L - 2] = "l"
+        L -= 1
+    elif L > 4 and ends("óis"):
+        s[L - 3] = "o"
+        s[L - 2] = "l"
+        L -= 1
+    elif L > 4 and ends("is"):
+        s[L - 1] = "l"
+    elif L > 3 and (ends("ões") or ends("ães")):
+        L -= 1
+        s[L - 2] = "ã"
+        s[L - 1] = "o"
+    elif L > 6 and ends("mente"):
+        L -= 5
+    elif L > 3 and s[L - 1] == "s":
+        L -= 1
+    # normFeminine
+    if L > 3 and s[L - 1] == "a":
+        if L > 7 and (ends("inha") or ends("iaca") or ends("eira")):
+            s[L - 1] = "o"
+        elif L > 6 and (ends("osa") or ends("ica") or ends("ida")
+                        or ends("ada") or ends("iva") or ends("ama")):
+            s[L - 1] = "o"
+        elif L > 6 and ends("ona"):
+            s[L - 3] = "ã"
+            s[L - 2] = "o"
+            L -= 1
+        elif L > 6 and ends("ora"):
+            L -= 1
+        elif L > 6 and ends("esa"):
+            s[L - 3] = "ê"
+            L -= 1
+        elif L > 6 and ends("na"):
+            s[L - 1] = "o"
+    # final vowel strip + accent fold
+    if L > 4 and s[L - 1] in "eao":
+        L -= 1
+    return "".join(_PT_FOLD.get(c, c) for c in s[:L])
+
+
+STEMMERS["hungarian_light"] = hungarian_light_stem
+STEMMERS["portuguese_light"] = portuguese_light_stem

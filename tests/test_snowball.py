@@ -124,3 +124,28 @@ def test_french_light_full():
     assert f("investissement") == "investi"
     assert f("communication") == "comunic"
     assert get_stemmer("french_light") is f
+
+
+def test_hungarian_portuguese_light():
+    """UniNE Hungarian + Portuguese light stemmers
+    (hu/HungarianLightStemmer.java:64, pt/PortugueseLightStemmer.java:64):
+    inflected forms converge to the same stem as their base."""
+    from lucene_solr_ray.analysis.stem import (
+        hungarian_light_stem as h,
+        portuguese_light_stem as p,
+    )
+
+    # Hungarian: case suffix + plural + final-vowel normalize
+    assert h("babáknak") == "bab"       # dative plural of baba
+    assert h("házakban") == "haz"       # inessive plural of ház
+    assert h("ház") == "haz"            # accent folds, no suffix fires
+    assert h("kertek") == "ker"         # 'tek' possessive strips first (reference rule order)
+    assert h("dobok") == "dob"          # plural 'ok'
+    # Portuguese: plural rewrites + feminine fold + accent fold
+    assert p("meninas") == p("meninos") == "menin"
+    assert p("corações") == p("coração") == "coraca"
+    assert p("animais") == p("animal") == "animal"
+    assert p("felizmente") == "feliz"
+    assert p("casas") == p("casa") == "casa"
+    assert get_stemmer("hungarian_light") is h
+    assert get_stemmer("portuguese_light") is p
