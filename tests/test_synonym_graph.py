@@ -143,3 +143,74 @@ def test_word_delimiter_combination_rejected():
     with pytest.raises(ValueError, match="synonym_graph"):
         IndexBuildConfig(word_delimiter=True,
                          synonym_graph=("a => b c",))
+
+
+def _simulate_flatten(tokens, rules):
+    """Independent per-doc reference simulator of the documented flatten
+    semantics (plain Python loops vs the build's vectorized batch pass):
+    -> multiset of (term, position)."""
+    sites = []
+    for lhs, rhss in rules.items():
+        n = len(lhs)
+        for i in range(len(tokens) - n + 1):
+            if tuple(tokens[i:i + n]) == lhs:
+                sites.append((i, n, rhss))
+    bump = [0] * (len(tokens) + 1)
+    for i, n, rhss in sites:
+        extra = max(max((len(r) for r in rhss), default=0) - n, 0)
+        bump[i + n] += extra
+    pos, acc = [], 0
+    for i in range(len(tokens)):
+        acc += bump[i]
+        pos.append(i + acc)
+    out = [(t, p) for t, p in zip(tokens, pos)]
+    for i, n, rhss in sites:
+        for rhs in rhss:
+            for j, tok in enumerate(rhs):
+                src = i + min(j, n - 1)
+                out.append((tok, pos[src] + max(0, j - (n - 1))))
+    return sorted(out)
+
+
+def test_flatten_property_vs_simulator(tmp_path, ray_session):
+    """Randomized corpora + rules: the index's per-(term, doc) position
+    multisets must equal the reference simulator's."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    rules_spec = ("w0 w1, syn0", "w2 => w0 w1 w2", "w3 w4 w5, s35",
+                  "w6, alpha beta")
+    rules = {
+        ("w0", "w1"): [("syn0",)],
+        ("syn0",): [("w0", "w1")],
+        ("w2",): [("w0", "w1", "w2")],
+        ("w3", "w4", "w5"): [("s35",)],
+        ("s35",): [("w3", "w4", "w5")],
+        ("w6",): [("alpha", "beta")],
+    }
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(3, 30)))
+             for _ in range(40)]
+    p = str(tmp_path / "fz.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string())}), p)
+    idx = str(tmp_path / "fzidx")
+    build_index(p, idx, cfg=IndexBuildConfig(
+        num_shards=2, num_buckets=4, batch_size=7,
+        synonym_graph=rules_spec))
+    s = IndexSearcher(idx)
+    # gather actual (term, pos) per doc off the postings
+    got: dict[int, list] = {i: [] for i in range(len(texts))}
+    all_terms = set(vocab) | {"syn0", "s35", "alpha", "beta"}
+    for sh in s.reader.shards:
+        for t in sorted(all_terms):
+            if not sh.term_rows(t):
+                continue
+            docs, freqs, posf = sh.postings(t, with_positions=True)
+            occ_doc = np.repeat(docs, freqs)
+            for d, pp in zip(occ_doc, posf):
+                got[int(d)].append((t, int(pp)))
+    for i, txt in enumerate(texts):
+        want = _simulate_flatten(txt.split(" "), rules)
+        assert sorted(got[i]) == want, (i, txt)
