@@ -715,12 +715,10 @@ def duplicate_ngram_spans(ds: Dataset, key_col: str, text_col: str,
     if num_partitions is None:
         num_partitions = scaled_partitions(gram_ds.count())
 
-    key_type = None
-    for b in gram_ds.iter_batches(batch_size=1, batch_format="pyarrow"):
-        key_type = b[key_col].type
-        break
+    gs = gram_ds.schema()
+    key_type = dict(zip(gs.names, gs.types))[key_col]
     empty_spans = pa.table({
-        key_col: pa.array([], key_type or pa.int64()),
+        key_col: pa.array([], key_type),
         "span_start": pa.array([], pa.int64()),
         "span_end": pa.array([], pa.int64()),
     })
@@ -803,8 +801,11 @@ def scrub_duplicate_substrings(ds: Dataset, key_col: str, text_col: str,
 
     packed = partitioned_window(spans, key_col, ["span_start"], pack)
     if num_partitions is None:
-        num_partitions = scaled_partitions(spans.count(),
-                                           rows_per_partition=5_000_000)
+        # sized by the BIG side: the whole corpus text rides this join,
+        # so partitioning by the (possibly tiny) span count would funnel
+        # it through a couple of aggregators
+        num_partitions = scaled_partitions(out_schema_src.count(),
+                                           rows_per_partition=500_000)
     joined = out_schema_src.join(packed, join_type="left_outer",
                                  on=(key_col,),
                                  num_partitions=num_partitions)
@@ -826,6 +827,6 @@ def scrub_duplicate_substrings(ds: Dataset, key_col: str, text_col: str,
                 dead |= (pos >= a) & (pos < b)
             out.append(" ".join(w for w, d in zip(ws, dead) if not d))
         return pa.table({key_col: t[key_col],
-                         text_col: pa.array(out, pa.large_string())})
+                         text_col: pa.array(out, t[text_col].type)})
 
     return joined.map_batches(scrub, batch_format="pyarrow")

@@ -360,10 +360,10 @@ def append_index(
         ["shard", "bucket", "sub"], num_partitions=max(16, 2 * ncpu)
     ).map_groups(
         # appended generations keep the per-field postings formats the
-        # manifest recorded (PerField SPI; same as every other merge path)
+        # manifest recorded (PerField SPI; same helper as every other
+        # merge path)
         partial(encode_merge_group,
-                field_formats=dict(map(tuple, getattr(
-                    cfg, "field_postings_formats", ()) or ())) or None),
+                field_formats=_shard_formats(index_dir)),
         batch_format="pyarrow")
     merged.write_parquet(os.path.join(index_dir, "postings"), partition_cols=["shard"])
     dvf = tuple(cfg.docvalues_fields or ())

@@ -104,11 +104,14 @@ def dedup_recrawls(corpus_paths, out_dir: str, id_col: str = "doc_id",
         uniq_rows = out.join(dup_ids, join_type="left_anti", on=(id_col,),
                              num_partitions=p3)
 
-        def first(df):
-            return df.head(1)
+        def newest_row(df):
+            # deterministic winner: max warc_ts (nulls lose), then stable
+            # order — NOT head(1), which could keep a stale same-id row
+            return df.sort_values("warc_ts", na_position="first",
+                                  kind="mergesort").tail(1)
 
         out = uniq_rows.union(
-            dup_rows.groupby(id_col).map_groups(first,
+            dup_rows.groupby(id_col).map_groups(newest_row,
                                                 batch_format="pandas"))
     out.write_parquet(out_dir, mode="overwrite")
     import glob

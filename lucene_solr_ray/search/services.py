@@ -34,15 +34,14 @@ def fetch_stored(corpus_paths, key_col: str, doc_ids: list[int],
     if not list(doc_ids):
         # typed empty result: callers zip key/text columns — a schema-less
         # pa.table({}) would KeyError on zero-hit queries
-        cols = columns or [key_col]
         import pyarrow.parquet as _pq
 
-        first = corpus_paths if isinstance(corpus_paths, str) else corpus_paths[0]
-        if os.path.isdir(first):
-            import glob as _glob
+        from ..index.build import expand_parquet_dirs
 
-            first = sorted(_glob.glob(os.path.join(first, "*.parquet")))[0]
-        schema = _pq.read_schema(first)
+        paths = [corpus_paths] if isinstance(corpus_paths, str) else list(corpus_paths)
+        files = sorted(expand_parquet_dirs(sorted(paths)))
+        schema = _pq.read_schema(files[0])
+        cols = columns or list(schema.names)
         return pa.table({c: pa.array([], schema.field(c).type)
                          for c in cols})
     ds = ray.data.read_parquet(
