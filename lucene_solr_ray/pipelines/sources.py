@@ -314,12 +314,30 @@ def read_trec(paths, extract_text: bool = True) -> Dataset:
     file, like the reference's sequential per-file reader.
 
     Emits (doc_id, url, warc_ts, html, text): doc_id = poly-hash(DOCNO),
-    warc_ts parsed from the RFC-1123 'Date: ' header when present (the
-    first of TrecContentSource.DATE_FORMATS; the rest of that lenient
-    list is legacy-collection noise out of scope for the web corpus)."""
+    warc_ts parsed from the 'Date: ' header when present, trying the
+    lenient format list of TrecContentSource.DATE_FORMATS (RFC-1123
+    first, then the legacy-collection shapes: 'EEE MMM dd HH:mm:ss yyyy',
+    'dd MMM yyyy', 'MMM dd, yyyy', 'yyMMdd')."""
     import gzip
     import re
+    from datetime import datetime, timezone
     from email.utils import parsedate_to_datetime
+
+    # TrecContentSource.java:74 DATE_FORMATS, the strptime-expressible set
+    _fmts = ("%a %b %d %H:%M:%S %Y", "%d %B %Y", "%d %b %Y",
+             "%B %d, %Y", "%b %d, %Y", "%y%m%d")
+
+    def _parse_trec_date(txt: str):
+        try:
+            return parsedate_to_datetime(txt)
+        except (ValueError, TypeError):
+            pass
+        for f in _fmts:
+            try:
+                return datetime.strptime(txt, f).replace(tzinfo=timezone.utc)
+            except ValueError:
+                continue
+        return None
 
     from ..analysis.htmlstrip import html_to_text
     from ..util.polyhash import poly_hash_strings
@@ -351,13 +369,11 @@ def read_trec(paths, extract_text: bool = True) -> Dataset:
                         "utf-8", errors="replace")
                     dm = date_re.search(hdr)
                     if dm is not None:
-                        try:
-                            dt = parsedate_to_datetime(
-                                dm.group(1).decode("ascii", errors="replace"))
+                        dt = _parse_trec_date(
+                            dm.group(1).decode("ascii", errors="replace"))
+                        if dt is not None:
                             ts = np.datetime64(
                                 int(dt.timestamp() * 1_000_000), "us")
-                        except (ValueError, TypeError):
-                            ts = None
                     html = rec[hm.end():]
                 nos.append(nm.group(1).decode("utf-8", errors="replace"))
                 urls.append(url)

@@ -110,3 +110,25 @@ def test_warc_feeds_index_build(tmp_path, warc_corpus, ray_session):
     s = IndexSearcher(idx)
     res = s.search("kato OR mito", k=5)
     assert res.num_rows > 0
+
+
+def test_trec_legacy_date_formats(tmp_path, ray_session):
+    """The reference's lenient DATE_FORMATS list
+    (TrecContentSource.java:74): legacy-collection date shapes parse."""
+    dates = ["Tue, 09 Dec 2003 22:39:08 GMT",   # RFC-1123
+             "Tue Dec 09 16:45:08 2003",        # asctime-like
+             "1 March 1994",
+             "February 3, 1994",
+             "910513"]
+    recs = []
+    for i, d in enumerate(dates):
+        recs.append(
+            f"<DOC>\n<DOCNO>D{i}</DOCNO>\n<DOCHDR>\n"
+            f"http://s{i}.example/\nDate: {d}\n</DOCHDR>\n"
+            f"<html><body>doc {i}</body></html>\n</DOC>\n")
+    p = tmp_path / "legacy.trec"
+    p.write_bytes("".join(recs).encode())
+    out = read_trec(str(p)).to_pandas().sort_values("docno")
+    assert out["warc_ts"].notna().all(), out["warc_ts"].tolist()
+    years = [t.year for t in out["warc_ts"]]
+    assert years == [2003, 2003, 1994, 1994, 1991]
