@@ -209,18 +209,27 @@ def collect_phrase_spans(searcher: IndexSearcher, phrase_terms,
     return spans
 
 
-def _query_phrases(node) -> tuple[list[tuple], list[str]]:
+def _query_phrases(node, searcher: "IndexSearcher | None" = None
+                   ) -> tuple[list[tuple], list[str]]:
     """(exact phrases, loose terms) of a query tree — shared by the
     offsets-source and term-vector highlighters so both pick identical
-    span sets for identical queries."""
-    from .query import Bool, ConstantScore, DisMax, Phrase
+    span sets for identical queries. When a searcher is given, multi-term
+    nodes (prefix/wildcard/regexp/fuzzy/range) expand against the index
+    dictionary, the UnifiedHighlighter's automata extraction
+    (uhighlight/UnifiedHighlighter.java:132 MultiTermHighlighting role) —
+    so 'fa*' highlights every matching surface form."""
+    from .query import (Bool, ConstantScore, DisMax, Fuzzy, Phrase, Prefix,
+                        Regexp, TermRange, Wildcard)
     from .query import query_terms as qt
 
     phrases: list[tuple] = []
+    multiterm: list = []
 
     def _walk(n):
         if isinstance(n, Phrase) and n.slop == 0:
             phrases.append(tuple(n.terms))
+        elif isinstance(n, (Prefix, Wildcard, Regexp, Fuzzy, TermRange)):
+            multiterm.append(n)
         elif isinstance(n, ConstantScore):
             _walk(n.query)
         elif isinstance(n, DisMax):
@@ -230,8 +239,15 @@ def _query_phrases(node) -> tuple[list[tuple], list[str]]:
             for c in n.must + n.should + n.filter:
                 _walk(c)
     _walk(node)
+    loose = set(qt(node))
+    if multiterm and searcher is not None:
+        from .multiterm import expand_terms
+
+        for sh in searcher.reader.shards:
+            for mt in multiterm:
+                loose.update(expand_terms(sh.terms, mt))
     in_phrase = {t for p in phrases for t in p}
-    return phrases, sorted(set(qt(node)) - in_phrase)
+    return phrases, sorted(loose - in_phrase)
 
 
 def highlight_results_tv(searcher: IndexSearcher, index_dir: str,
@@ -261,7 +277,7 @@ def highlight_results_tv(searcher: IndexSearcher, index_dir: str,
                           columns=[key_col, text_col])
     lookup = dict(zip(stored[key_col].to_pylist(),
                       stored[text_col].to_pylist()))
-    phrases, qterms = _query_phrases(node)
+    phrases, qterms = _query_phrases(node, searcher)
     nshards = getattr(searcher.reader, "num_shards", None)
     tv = term_vectors_po_for(index_dir, ids, num_shards=nshards)
     spans: dict[int, list] = {int(d): [] for d in ids}
@@ -327,7 +343,7 @@ def highlight_results_offsets(searcher: IndexSearcher, corpus_paths,
                       stored[text_col].to_pylist()))
     # exact phrases highlight position-aware (only participating
     # occurrences); everything else falls back to loose term spans
-    phrases, qterms = _query_phrases(node)
+    phrases, qterms = _query_phrases(node, searcher)
     spans = collect_offset_spans(searcher, qterms, ids) if qterms \
         else {int(d): [] for d in ids}
     for p in phrases:

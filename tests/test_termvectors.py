@@ -130,3 +130,19 @@ def test_fvh_zero_hits(fvh_idx):
     out = highlight_results_tv(s, fvh_idx, DOCS, "doc_id", "text",
                                "zzzznomatch", k=5)
     assert out.num_rows == 0
+
+
+def test_highlighters_expand_multiterm(fvh_idx):
+    """'fa*' must highlight the matched surface forms (UnifiedHighlighter
+    MultiTermHighlighting role) in BOTH highlighters, with parity."""
+    from lucene_solr_ray.search.services import (
+        highlight_results_offsets,
+        highlight_results_tv,
+    )
+
+    s = IndexSearcher(fvh_idx, dtype=np.float64)
+    a = highlight_results_offsets(s, DOCS, "doc_id", "text", "fa*", k=5)
+    b = highlight_results_tv(s, fvh_idx, DOCS, "doc_id", "text", "fa*", k=5)
+    assert a.num_rows > 0
+    assert all("<b>" in sn for sn in a["snippet"].to_pylist())
+    assert a["snippet"].to_pylist() == b["snippet"].to_pylist()
