@@ -700,11 +700,33 @@ def bucketed_join(
     lt = left.map_batches(tag(0), batch_format="pyarrow")
     rt = right.map_batches(tag(1), batch_format="pyarrow")
 
-    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+    # output column -> the Arrow type it must carry (pandas promotes an
+    # int64 column to float64 when the null-padded union rows pass through
+    # the merge, even though the merge itself drops them; the tuple streams
+    # never widen types across a join — io/stream/HashJoinStream.java:45)
+    out_types: dict[str, pa.DataType] = dict(l_types)
+    for n in r_cols:
+        if n == on:
+            continue
+        out_types[n if n not in l_cols else n + right_suffix] = r_types[n]
+
+    def join_group(df: pd.DataFrame) -> pa.Table:
         lf = df[df["__side"] == 0][[c for c in l_cols if c in df.columns]]
         rf = df[df["__side"] == 1][[c for c in r_cols if c in df.columns]]
         out = lf.merge(rf, how=how, on=on, suffixes=("", right_suffix))
-        return out
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        # restore the recorded Arrow types (casting away any pandas widening)
+        cols = []
+        for c in t.column_names:
+            arr = t[c]
+            typ = out_types.get(c)
+            if typ is not None and arr.type != typ:
+                if pa.types.is_floating(arr.type) and not pa.types.is_floating(typ):
+                    # outer-join padding NaNs become nulls, not cast errors
+                    arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type), arr)
+                arr = arr.cast(typ)
+            cols.append(arr)
+        return pa.table(dict(zip(t.column_names, cols)))
 
     # union the two tagged sides; schemas differ -> align by promoting to a
     # common schema with nulls (pandas concat semantics inside map_groups)

@@ -66,6 +66,40 @@ def test_hash_and_bucketed_join_agree(ray_session, con):
     assert set(b["o_orderkey"]) == set(exp["o_orderkey"])
 
 
+def test_bucketed_join_preserves_int_types(ray_session):
+    """The null-padded tagged union must not leak pandas float64 promotion
+    into the output: int64 columns stay int64 even when the other side
+    lacks them and carries string columns (the curation_pipeline r4 bug)."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.relational import bucketed_join
+
+    left = rd().from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "n_words": pa.array([10, 20, 30], pa.int64()),
+        "lang": pa.array(["en", "de", "fr"]),
+    }))
+    right = rd().from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "tag": pa.array(["x", "y", "z"]),
+    }))
+    out = bucketed_join(left, right, on="k", num_buckets=2)
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["n_words"] == pa.int64(), types
+    assert types["k"] == pa.int64(), types
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(df["k"]) == [2, 3]
+    assert list(df["n_words"]) == [20, 30]
+
+    # left join: padding nulls on the int side become nulls, not NaN floats
+    lo = bucketed_join(right, left, on="k", num_buckets=2, how="left")
+    lt = dict(zip(lo.schema().names, lo.schema().types))
+    assert lt["n_words"] == pa.int64(), lt
+    ldf = lo.to_pandas().sort_values("k").reset_index(drop=True)
+    assert ldf["n_words"].isna().tolist() == [False, False, True]
+
+
 def test_percentile_matches_duckdb(ray_session, con):
     from lucene_solr_ray.relational.ops import percentile_exact
 
