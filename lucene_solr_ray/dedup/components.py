@@ -39,7 +39,15 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
-from ..relational.ops import bucketed_join
+from ..relational.ops import safe_join
+
+
+# static join-side schemas for safe_join (avoids lazy .schema() executions)
+_NODE_NBR = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+_NODE_LBL = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+_NODE_LBL_PREV = pa.schema([("node", pa.int64()), ("lbl", pa.int64()),
+                            ("prev", pa.int64())])
+_LBL_JLBL = pa.schema([("lbl", pa.int64()), ("jlbl", pa.int64())])
 
 
 def _rename(ds: Dataset, mapping: dict) -> Dataset:
@@ -141,11 +149,11 @@ def _distributed_components(
 
     for _ in range(max_iters):
         # propagate: each node offers its label to every neighbor.
-        # bucketed_join throughout: Ray 2.49's Dataset.join crashes on
-        # empty hash partitions, which small iterations always produce.
-        # The previous label rides along as `prev` (sentinel on offered
-        # rows), so convergence falls out of the SAME groupby — no extra
-        # join per round.
+        # safe_join = native hash join + sentinel guard (empty hash
+        # PARTITIONS are fine in Ray 2.49; only a zero-row SIDE crashes,
+        # which the sentinel rows prevent). The previous label rides along
+        # as `prev` (sentinel on offered rows), so convergence falls out
+        # of the SAME groupby — no extra join per round.
         def offer(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             return pa.table({
@@ -155,8 +163,9 @@ def _distributed_components(
                     np.full(len(t), _SENT, np.int64), pa.int64()),
             })
 
-        offered = bucketed_join(
-            sym, labels, on="node", num_buckets=num_partitions
+        offered = safe_join(
+            sym, labels, on="node", num_partitions=num_partitions,
+            l_schema=_NODE_NBR, r_schema=_NODE_LBL,
         ).map_batches(offer, batch_format="pyarrow")
 
         def carry(t: pa.Table) -> pa.Table:
@@ -173,10 +182,11 @@ def _distributed_components(
             Min("prev", alias_name="prev")).materialize()
         # pointer jumping through the FRESH labels (label(v) <- newl's
         # label of label(v)): true distance doubling, O(log diameter)
-        jump = bucketed_join(
+        jump = safe_join(
             newl,
             _rename(newl, {"node": "lbl", "lbl": "jlbl", "prev": None}),
-            on="lbl", how="left", num_buckets=num_partitions)
+            on="lbl", how="left", num_partitions=num_partitions,
+            l_schema=_NODE_LBL_PREV, r_schema=_LBL_JLBL)
 
         def take_min(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -219,8 +229,8 @@ def star_edges(ds: Dataset, id_col: str, key_col: str,
     pairs = ds.select_columns([key_col, id_col])
     mins = pairs.groupby(key_col).aggregate(
         Min(id_col, alias_name="__grp_min"))
-    joined = bucketed_join(pairs, mins, on=key_col,
-                           num_buckets=num_partitions)
+    joined = safe_join(pairs, mins, on=key_col,
+                       num_partitions=num_partitions)
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -253,9 +263,11 @@ def dedup_clusters(
 
     # bring singletons back: left-join all ids against component labels
     all_ids = docs.select_columns([id_col])
-    joined = bucketed_join(
+    joined = safe_join(
         all_ids, _rename(comp, {"node": id_col}),
-        on=id_col, how="left", num_buckets=num_partitions)
+        on=id_col, how="left", num_partitions=num_partitions,
+        r_schema=pa.schema([(id_col, pa.int64()),
+                            ("cluster_id", pa.int64())]))
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -47,21 +47,19 @@ def curate_corpus(ds: Dataset, key_col: str = "doc_id",
         return t.filter(t["passes"]).select(
             [key_col, "n_words", *keep_cols])
 
-    from ..dedup.ops import _ensure_schema
-    from ..relational.ops import bucketed_join
+    from ..relational.ops import safe_join
 
     passing = metrics.map_batches(keep, batch_format="pyarrow")
-    # a fully-filtered Dataset loses its schema; bucketed_join (not
-    # Dataset.join) is used because Ray 2.49's hash-shuffle join crashes
-    # on empty partitions (schema-less left tables)
-    schema_cols = {key_col: pa.array([], pa.int64()),
-                   "n_words": pa.array([], pa.int64())}
-    for c in keep_cols:
-        schema_cols[c] = pa.array([], pa.string())
-    passing = _ensure_schema(passing, pa.table(schema_cols))
+    # native hash join; safe_join's sentinel rows guard the case where
+    # every doc fails quality (a fully-filtered Dataset reaches Ray 2.49's
+    # join aggregator schema-less and crashes finalize)
+    l_schema = pa.schema(
+        [(key_col, pa.int64()), ("n_words", pa.int64())]
+        + [(c, pa.string()) for c in keep_cols])
     winners = dedup_exact(ds, key_col, text_col)
-    kept = bucketed_join(passing, winners, on=key_col,
-                         num_buckets=num_partitions)
+    kept = safe_join(passing, winners, on=key_col,
+                     num_partitions=num_partitions, l_schema=l_schema,
+                     r_schema=pa.schema([(key_col, pa.int64())]))
     return kept.select_columns([key_col, "n_words", *keep_cols])
 
 

@@ -666,6 +666,77 @@ def hash_join(
     )
 
 
+# reserved sentinel key values for safe_join's zero-row-side guard; the
+# two sides use DIFFERENT values so the sentinels can never match each other
+_SENT_I64_L = -(1 << 62) - 11
+_SENT_I64_R = -(1 << 62) - 12
+_SENT_STR_L = "\x00\x00__lsr_join_sentinel_l"
+_SENT_STR_R = "\x00\x00__lsr_join_sentinel_r"
+
+
+def _sentinel_row(schema: pa.Schema, on: str, side: str) -> pa.Table:
+    """One-row table with the reserved sentinel in the key column and nulls
+    elsewhere."""
+    typ = schema.field(on).type
+    if pa.types.is_integer(typ):
+        key = pa.array([_SENT_I64_L if side == "l" else _SENT_I64_R]).cast(typ)
+    elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        key = pa.array([_SENT_STR_L if side == "l" else _SENT_STR_R]).cast(typ)
+    else:
+        raise ValueError(
+            f"safe_join supports int/string keys, got {typ}; use bucketed_join")
+    cols = {f.name: (key if f.name == on else pa.nulls(1, f.type))
+            for f in schema}
+    return pa.table(cols)
+
+
+def safe_join(
+    left: Dataset, right: Dataset, on: str, how: str = "inner",
+    num_partitions: int = 16, right_suffix: str = "_r",
+    l_schema: pa.Schema | None = None, r_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Native hash join hardened against Ray 2.49's zero-row-side crash.
+
+    Empty hash PARTITIONS are fine, but a side whose every block was
+    filtered away reaches the join aggregator schema-less and finalize
+    raises ArrowInvalid (pyarrow Table.join on a columnless table). Fix:
+    union ONE sentinel row per side — reserved key values that can never
+    match anything — so every aggregator sees a typed block, then filter
+    the sentinels from the output. Fully streaming: no count()/materialize
+    of the inputs (a count() would re-execute the whole upstream plan).
+
+    Callers whose sides may be fully filtered should pass `l_schema` /
+    `r_schema` (a pa.Schema) so no `.schema()` call has to execute the
+    plan; otherwise the side's schema is fetched lazily."""
+    import ray.data as _rd
+
+    ls = l_schema if l_schema is not None else left.schema()
+    rs = r_schema if r_schema is not None else right.schema()
+    if hasattr(ls, "base_schema"):  # ray Schema wrapper
+        ls = pa.schema(list(zip(ls.names, ls.types)))
+    if hasattr(rs, "base_schema"):
+        rs = pa.schema(list(zip(rs.names, rs.types)))
+    how = {"left": "left_outer", "right": "right_outer",
+           "outer": "full_outer"}.get(how, how)
+    lw = left.union(_rd.from_arrow(_sentinel_row(ls, on, "l")))
+    rw = right.union(_rd.from_arrow(_sentinel_row(rs, on, "r")))
+    j = lw.join(rw, join_type=how, num_partitions=num_partitions, on=(on,),
+                right_suffix=right_suffix)
+    typ = ls.field(on).type
+    if pa.types.is_integer(typ):
+        sl, sr = _SENT_I64_L, _SENT_I64_R
+    else:
+        sl, sr = _SENT_STR_L, _SENT_STR_R
+
+    def strip(t: pa.Table) -> pa.Table:
+        k = t[on]
+        m = pc.and_(pc.not_equal(k, sl), pc.not_equal(k, sr))
+        # null keys (legit data) must survive the sentinel strip
+        return t.filter(pc.fill_null(m, True))
+
+    return j.map_batches(strip, batch_format="pyarrow")
+
+
 def bucketed_join(
     left: Dataset, right: Dataset, on: str, num_buckets: int = 16,
     how: str = "inner", right_suffix: str = "_r",
