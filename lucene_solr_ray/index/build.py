@@ -264,8 +264,25 @@ class IndexBuildConfig:
     # tokenized corpus, positions included) and is GC'd. True retains it for
     # debugging.
     retain_stage1: bool = False
+    # stage-1 checkpoint mode — how the tokenize output reaches the merge:
+    #   "sync":    write stage-1 parquet, stage B re-reads it from disk
+    #              (lowest memory: one chunk in flight; the 100-TB default)
+    #   "overlap": materialize stage-1 in the object store, feed stage B
+    #              from memory while the parquet checkpoint lands in a
+    #              BACKGROUND thread (resume granularity preserved — each
+    #              chunk's lineage entry commits when its write finishes)
+    #   "off":     materialize only, never write the checkpoint (fastest;
+    #              a killed build restarts from zero)
+    #   "auto":    "overlap" when the input is small enough that the
+    #              tokenized corpus fits comfortably in the object store,
+    #              else "sync"
+    stage1_checkpoint: str = "auto"
 
     def __post_init__(self):
+        if self.stage1_checkpoint not in ("auto", "sync", "overlap", "off"):
+            raise ValueError(
+                f"stage1_checkpoint={self.stage1_checkpoint!r}: options are "
+                "auto, sync, overlap, off")
         if self.store_offsets and not self.store_positions:
             # the reference's IndexOptions enum has no offsets-without-
             # positions level either (IndexOptions.java:24-41)
@@ -320,7 +337,14 @@ class IndexBuildConfig:
             )
 
     def fingerprint(self) -> str:
-        return json.dumps(asdict(self), sort_keys=True, default=list)
+        # execution-only knobs (how stage-1 reaches the merge, pool sizes)
+        # don't change index CONTENT: exclude them so flipping them never
+        # invalidates a resumable build
+        d = asdict(self)
+        for k in ("stage1_checkpoint", "keep_stage1_in_memory",
+                  "use_actor_pool", "tokenize_concurrency", "retain_stage1"):
+            d.pop(k, None)
+        return json.dumps(d, sort_keys=True, default=list)
 
 
 class TokenizeExplode:
@@ -1301,6 +1325,32 @@ def corpus_read_columns(cfg: "IndexBuildConfig", key_col: str,
     return cols
 
 
+def _warm_fsspec_http() -> None:
+    """Resolve the fsspec HTTP module import ONCE before any driver threads
+    run concurrent Ray Data jobs. Ray's path resolution does
+    `from fsspec.implementations.http import HTTPFileSystem` inside a
+    ModuleNotFoundError guard; with aiohttp absent (this env), two threads
+    importing it simultaneously can race into a PLAIN ImportError from a
+    partially-initialized module, which escapes the guard and kills a
+    build stage. Registering a stub module makes the import deterministic
+    (and is semantically right: no HTTP filesystem can exist here)."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        m = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder: aiohttp absent in this env
+            pass
+
+        m.HTTPFileSystem = HTTPFileSystem
+        sys.modules.setdefault("fsspec.implementations.http", m)
+    except Exception:
+        pass
+
+
 def build_index(
     paths: str | list[str],
     index_dir: str,
@@ -1346,6 +1396,7 @@ def build_index(
             _shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
 
     t0 = time.time()
+    phases: dict[str, float] = {}
     lineage = dict(manifest["lineage"]) if manifest else {}
     head_terms = manifest["head_terms"] if manifest else detect_head_terms(paths, text_col, cfg)
 
@@ -1382,7 +1433,54 @@ def build_index(
         lineage = {k: v for k, v in lineage.items()
                    if k in current_ids or not base_pat.match(k)}
 
+    # resolve the stage-1 checkpoint mode (see IndexBuildConfig)
+    ckpt_mode = cfg.stage1_checkpoint
+    if ckpt_mode == "auto":
+        try:
+            in_bytes = sum(os.path.getsize(p) for p in paths)
+        except OSError:
+            in_bytes = None
+        store = ray.cluster_resources().get("object_store_memory", 0)
+        # tokenized stage-1 in uncompressed Arrow runs several times the
+        # raw parquet bytes; take the in-memory plan only when that fits
+        # comfortably (half the store), else stream via parquet
+        ckpt_mode = ("overlap" if in_bytes is not None and store
+                     and in_bytes * 8 < store * 0.5 else "sync")
+
+    import threading
+
+    _warm_fsspec_http()
+
+    ckpt_threads: list[threading.Thread] = []
+    ckpt_lock = threading.Lock()
+    ckpt_errors: list[BaseException] = []
+
+    def _ckpt_write(ds_mat, tmp_dir, out_dir, chunk_id, chunk):
+        # background checkpoint: stage B consumes the materialized blocks
+        # while this parquet write lands; the chunk's lineage entry (and
+        # manifest) commit only AFTER os.replace, so a crash mid-write
+        # just re-tokenizes this chunk on resume
+        try:
+            ds_mat.write_parquet(tmp_dir, partition_cols=["kind"])
+            os.replace(tmp_dir, out_dir)
+            with ckpt_lock:
+                lineage[chunk_id] = {"files": chunk, "ts": time.time()}
+                _atomic_write_json(
+                    os.path.join(index_dir, "manifest.json"),
+                    {
+                        "committed": False,
+                        "config_fingerprint": fp,
+                        "config": cfg_dict,
+                        "sources": paths,
+                        "head_terms": head_terms,
+                        "lineage": dict(lineage),
+                    },
+                )
+        except BaseException as e:  # noqa: BLE001 — best-effort checkpoint
+            ckpt_errors.append(e)
+
     stage1_mats: dict[str, "ray.data.Dataset"] = {}
+    _t = time.time()
     for ci, chunk in enumerate(chunks):
         chunk_id = f"c{ci:05d}_{crc32('|'.join(chunk).encode()):08x}"
         out_dir = os.path.join(stage1_dir, f"part={chunk_id}")
@@ -1420,9 +1518,21 @@ def build_index(
                 batch_size=eff_bs,
             )
         tmp_dir = out_dir + ".tmp"
-        if cfg.keep_stage1_in_memory:
+        if cfg.keep_stage1_in_memory or ckpt_mode in ("overlap", "off"):
             stage1 = stage1.materialize()
             stage1_mats[chunk_id] = stage1
+        if ckpt_mode == "off":
+            # no checkpoint: fastest, restarts from zero on a crash
+            lineage[chunk_id] = {"files": chunk, "ts": time.time()}
+            continue
+        if ckpt_mode == "overlap":
+            th = threading.Thread(
+                target=_ckpt_write,
+                args=(stage1, tmp_dir, out_dir, chunk_id, chunk),
+                daemon=True)
+            th.start()
+            ckpt_threads.append(th)
+            continue
         stage1.write_parquet(tmp_dir, partition_cols=["kind"])
         os.replace(tmp_dir, out_dir)
         lineage[chunk_id] = {"files": chunk, "ts": time.time()}
@@ -1439,6 +1549,8 @@ def build_index(
             },
         )
 
+    phases["stage1"] = time.time() - _t
+
     # assemble stage-1 inputs: chunks materialized this run stay in the
     # object store; previously-checkpointed chunks stream from parquet
     data_cols = ["shard", "bucket", "sub", "term", "docs", "freqs", "norms",
@@ -1447,6 +1559,8 @@ def build_index(
         data_cols.insert(data_cols.index("dv"), "offsets")
 
     def _from_disk(kind: int) -> list:
+        if not os.path.isdir(stage1_dir):
+            return []  # overlap/off: the background write may not have started
         part_dirs = sorted(
             os.path.join(stage1_dir, d) for d in os.listdir(stage1_dir)
             if d.startswith("part=") and not d.endswith(".tmp")
@@ -1481,18 +1595,16 @@ def build_index(
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 4))
-    np_merge = max(16, 2 * ncpu)
+    np_merge = int(os.environ.get('LSR_NP_MERGE', max(16, 2 * ncpu)))
     postings_dir = os.path.join(index_dir, "postings")
     from functools import partial
 
     ff = dict(cfg.field_postings_formats or ())
-    merged = _stage1_ds(0).groupby(["shard", "bucket", "sub"], num_partitions=np_merge).map_groups(
-        partial(encode_merge_group, field_formats=ff or None),
-        batch_format="pyarrow"
-    )
-    merged.write_parquet(postings_dir, partition_cols=["shard"], mode="overwrite")
 
-    # stage C: docs tables + collection stats
+    # stage C: docs tables + collection stats — independent of stage B
+    # (map-only over stage-1 kind=1), so it runs in a BACKGROUND thread
+    # concurrently with the merge shuffle; stage D (points) and the stats
+    # aggregate read stage C's output, so they ride the same thread
     docs_dir = os.path.join(index_dir, "docs")
     dv_fields = tuple(cfg.docvalues_fields or ())
     sdv_fields = tuple(cfg.string_docvalues_fields or ())
@@ -1504,22 +1616,60 @@ def build_index(
                                sndv_fields, bdv_fields),
         batch_format="pyarrow"
     )
-    dds.write_parquet(docs_dir, partition_cols=["shard"], mode="overwrite")
 
-    if cfg.points_fields:
-        # stage D: per-shard sorted points leaves (BKD substitute)
-        from .points import build_points
+    stage_c_out: dict = {}
+    stage_c_errors: list[BaseException] = []
 
-        build_points(index_dir, range(cfg.num_shards), cfg.points_fields)
+    def _stage_c():
+        try:
+            _t = time.time()
+            dds.write_parquet(docs_dir, partition_cols=["shard"],
+                              mode="overwrite")
+            phases["stageC"] = time.time() - _t
 
-    from ray.data.aggregate import Count, Sum
+            if cfg.points_fields:
+                # stage D: per-shard sorted points leaves (BKD substitute)
+                from .points import build_points
 
-    stats_row = (
-        ray.data.read_parquet(docs_dir, columns=["doclen"])
-        .aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
+                build_points(index_dir, range(cfg.num_shards),
+                             cfg.points_fields)
+
+            from ray.data.aggregate import Count, Sum
+
+            _t2 = time.time()
+            stats_row = (
+                ray.data.read_parquet(docs_dir, columns=["doclen"])
+                .aggregate(Count(), Sum("doclen", alias_name="sum_dl"))
+            )
+            stage_c_out["doc_count"] = int(stats_row["count()"])
+            stage_c_out["sum_dl"] = int(stats_row["sum_dl"])
+            phases["stats"] = time.time() - _t2
+        except BaseException as e:  # noqa: BLE001 — re-raised on join
+            stage_c_errors.append(e)
+
+    stage_c_thread = threading.Thread(target=_stage_c, daemon=True)
+    stage_c_thread.start()
+
+    merged = _stage1_ds(0).groupby(["shard", "bucket", "sub"], num_partitions=np_merge).map_groups(
+        partial(encode_merge_group, field_formats=ff or None),
+        batch_format="pyarrow"
     )
-    doc_count = int(stats_row["count()"])
-    sum_dl = int(stats_row["sum_dl"])
+    _t = time.time()
+    merged.write_parquet(postings_dir, partition_cols=["shard"], mode="overwrite")
+    phases["stageB"] = time.time() - _t
+
+    stage_c_thread.join()
+    if stage_c_errors:
+        raise stage_c_errors[0]
+    doc_count = stage_c_out["doc_count"]
+    sum_dl = stage_c_out["sum_dl"]
+
+    # overlap mode: every checkpoint write must land before the commit
+    # manifest claims the lineage (and before stage-1 GC below)
+    for th in ckpt_threads:
+        th.join()
+    if ckpt_errors:
+        raise ckpt_errors[0]
 
     manifest = {
         "committed": True,
@@ -1531,7 +1681,9 @@ def build_index(
         "lineage": lineage,
         "num_shards": cfg.num_shards,
         "stats": {"doc_count": doc_count, "sum_total_term_freq": sum_dl},
-        "metrics": {"build_sec": time.time() - t0, "docs_per_sec": doc_count / max(1e-9, time.time() - t0)},
+        "metrics": {"build_sec": time.time() - t0,
+                    "docs_per_sec": doc_count / max(1e-9, time.time() - t0),
+                    "phases": {k: round(v, 3) for k, v in phases.items()}},
     }
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
     if not cfg.retain_stage1:

@@ -82,3 +82,50 @@ def test_resume_regrouped_chunks_no_double_index(tmp_path):
     s = IndexSearcher(idx)
     df, ttf = s.reader.term_stats("alpha")
     assert df == 200 and ttf == 200
+
+
+@pytest.mark.parametrize("mode", ["sync", "overlap", "off"])
+def test_stage1_checkpoint_modes_identical(tmp_path, ray_session, mode):
+    """All three checkpoint modes must produce an identical index: same
+    stats, same postings (term_stats), same top-k results."""
+    f0 = str(tmp_path / "c.parquet")
+    _write_corpus(f0, np.arange(300, dtype=np.int64),
+                  ["alpha beta gamma doc%d" % i for i in range(300)])
+    idx = str(tmp_path / f"idx_{mode}")
+    cfg = IndexBuildConfig(num_shards=2, num_buckets=4,
+                           stage1_checkpoint=mode)
+    m = build_index([f0], idx, cfg=cfg)
+    assert m["stats"]["doc_count"] == 300
+    check_index(idx)
+    s = IndexSearcher(idx)
+    df, ttf = s.reader.term_stats("alpha")
+    assert df == 300 and ttf == 300
+    r = s.search("beta AND gamma", k=5)
+    assert len(r) == 5
+
+
+def test_overlap_checkpoint_supports_resume(tmp_path, ray_session):
+    """An overlap-mode build leaves the same resumable stage-1 layout as a
+    sync build: a second resumed build over a grown file list reuses the
+    first chunk's checkpoint (lineage hit) and never double-indexes."""
+    f0 = str(tmp_path / "f0.parquet")
+    f1 = str(tmp_path / "f1.parquet")
+    _write_corpus(f0, np.arange(200, dtype=np.int64),
+                  ["alpha beta doc%d" % i for i in range(200)])
+    _write_corpus(f1, np.arange(200, 300, dtype=np.int64),
+                  ["gamma delta doc%d" % i for i in range(100)])
+    idx = str(tmp_path / "idx")
+    cfg = IndexBuildConfig(num_shards=2, num_buckets=4, files_per_chunk=1,
+                           stage1_checkpoint="overlap", retain_stage1=True)
+    m1 = build_index([f0], idx, cfg=cfg)
+    assert m1["stats"]["doc_count"] == 200
+    # the background checkpoint landed: part dir exists, no .tmp remains
+    stage1 = os.path.join(idx, "stage1")
+    parts = sorted(os.listdir(stage1))
+    assert len(parts) == 1 and not parts[0].endswith(".tmp")
+    m2 = build_index([f0, f1], idx, cfg=cfg, resume=True)
+    assert m2["stats"]["doc_count"] == 300
+    check_index(idx)
+    s = IndexSearcher(idx)
+    df, ttf = s.reader.term_stats("alpha")
+    assert df == 200 and ttf == 200
