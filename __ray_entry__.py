@@ -943,25 +943,54 @@ def q_facet2d(sf_dir):
 
 def q_ann_pq(sf_dir):
     """Product-quantization ANN (Jégou et al. 2011; ann/pq.py): train
-    per-subspace codebooks on a bounded sample, encode the embeddings
-    table to uint8 codes (16x smaller), ADC top-10 for 4 query vectors.
-    K-means training is iterative (not SQL-expressible) — rows-gate only,
-    with pytest holding the exactness/recall evidence."""
+    per-subspace codebooks on a bounded sample (seeded), encode the
+    embeddings table to uint8 codes (16x smaller), ADC-retrieve 64
+    candidates per query, then EXACT-rescore just those candidates from
+    the raw embeddings (pruned vec_id read) and emit the exact top-10.
+    This makes the entry a full rows+schema+hash gate: DuckDB brute-forces
+    the same exact top-10 with list arithmetic, so the gate fails whenever
+    the quantizer's recall@10 within 256 ADC candidates drops below 1.0 on
+    this corpus — a real quality bar for the PQ path. ADC distance
+    exactness itself is pinned by tests/test_pq.py."""
+    import pyarrow.parquet as _pq
     import ray.data
 
     from lucene_solr_ray.ann.pq import pq_encode, pq_search, train_pq
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    books = train_pq(ds, "embedding", m=8, k=64, iters=5,
+    books = train_pq(ds, "embedding", m=8, k=256, iters=5,
                      sample_size=8192)
     codes = pq_encode(ds, "vec_id", "embedding", books)
-    import pyarrow.parquet as _pq
 
-    q = vec_matrix_rows(
-        _pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["embedding"]).slice(0, 4)["embedding"])
-    return pq_search(codes, "vec_id", books, q, k=10, metric="ip")
+    qt = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 4)]).sort_by("vec_id")
+    q = vec_matrix_rows(qt["embedding"])
+    cand = pq_search(codes, "vec_id", books, q, k=256, metric="ip")
+
+    ids = sorted(set(cand["vec_id"].to_pylist()))
+    et = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", ids)])
+    emap = {int(v): np.asarray(e, np.float64)
+            for v, e in zip(et["vec_id"].to_pylist(),
+                            et["embedding"].to_pylist())}
+    qids = cand["query_id"].to_numpy()
+    vids = cand["vec_id"].to_numpy()
+    out_q, out_v, out_s = [], [], []
+    for qi in range(len(q)):
+        cvs = vids[qids == qi]
+        exact = np.array([emap[int(v)] @ q[qi] for v in cvs])
+        order = np.lexsort((cvs, -exact))[:10]
+        out_q.extend([qi] * len(order))
+        out_v.extend(int(v) for v in cvs[order])
+        out_s.extend(float(s) for s in exact[order])
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "score": pa.array(np.round(out_s, RND), pa.float64()),
+    })
 
 
 def vec_matrix_rows(col):
@@ -2994,15 +3023,20 @@ def q_warc_extract(sf_dir):
 
 
 def q_ft_fvh(sf_dir):
-    """FastVectorHighlighter (vectorhighlight/FastVectorHighlighter.java:45):
-    snippets from the positions+offsets TERM-VECTOR sidecar — no postings
-    read, no re-analysis. Rows-only (best-window passage selection is not
-    SQL-expressible); snippet parity with the offsets-source highlighter
-    is pinned by tests/test_termvectors.py::test_fvh_matches_offsets_highlighter."""
+    """FastVectorHighlighter match-offset layer (vectorhighlight/
+    FastVectorHighlighter.java:45 reading via FieldTermStack.java:49): the
+    char offsets of every query-term occurrence, from the positions+offsets
+    TERM-VECTOR sidecar — no postings read, no re-analysis. Emits one
+    (doc_id, term, start_off, end_off) row per occurrence of 'fast'/'query'
+    in docs 0..299; the SQL oracle recomputes the identical offsets by
+    token-length arithmetic, making the FVH data path a full rows+schema+
+    hash gate. Best-window passage selection (the remaining FVH half) is
+    pinned by tests/test_termvectors.py::test_fvh_matches_offsets_highlighter
+    snippet parity, and highlight_results_tv is exercised there on the
+    same sidecar."""
     from lucene_solr_ray.index import IndexBuildConfig, build_index
-    from lucene_solr_ray.index.termvectors import build_term_vectors
-    from lucene_solr_ray.search import IndexSearcher
-    from lucene_solr_ray.search.services import highlight_results_tv
+    from lucene_solr_ray.index.termvectors import (build_term_vectors,
+                                                   term_vectors_po_for)
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     index_dir = os.path.join(_CACHE_ROOT, f"idxoff_{key}")
@@ -3016,11 +3050,23 @@ def q_ft_fvh(sf_dir):
     if not os.path.exists(os.path.join(index_dir, "tv")):
         build_term_vectors(f"{sf_dir}/documents.parquet", index_dir,
                            num_shards=4, with_positions_offsets=True)
-    s = IndexSearcher(index_dir, dtype=np.float64)
-    out = highlight_results_tv(
-        s, index_dir, f"{sf_dir}/documents.parquet", "doc_id", "text",
-        "fast query", k=20)
-    return _round_col(out, "score")
+    tv = term_vectors_po_for(index_dir, range(300), num_shards=4)
+    rows = []
+    for d in sorted(tv):
+        for term in ("fast", "query"):
+            if term not in tv[d]:
+                continue
+            for o in tv[d][term][1].tolist():
+                if o < 0:
+                    continue
+                rows.append((d, term, o >> 32, o & 0xFFFFFFFF))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "term": pa.array([r[1] for r in rows], pa.string()),
+        "start_off": pa.array([r[2] for r in rows], pa.int64()),
+        "end_off": pa.array([r[3] for r in rows], pa.int64()),
+    })
 
 
 def q_substr_dedup(sf_dir):
@@ -3750,6 +3796,44 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE doc_id < 20)
             GROUP BY doc_id, term
             ORDER BY doc_id, term""",
+        "ann_pq": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 4),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_inner_product(q.qv,
+                                        CAST(e.embedding AS DOUBLE[]))
+                       AS raw
+              FROM q CROSS JOIN embeddings e),
+            r AS (
+              SELECT query_id, vec_id, raw,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY raw DESC, vec_id) AS rk
+              FROM s)
+            SELECT query_id, vec_id, round(raw, 6) AS score
+            FROM r WHERE rk <= 10
+            ORDER BY query_id, rk""",
+        "ft_fvh": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS term,
+                     generate_subscripts(string_split(text, ' '), 1) - 1
+                       AS pos
+              FROM documents WHERE doc_id < 300),
+            off AS (
+              SELECT doc_id, term, pos,
+                     pos + COALESCE(SUM(length(term)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start_off
+              FROM tok)
+            SELECT doc_id, term,
+                   CAST(start_off AS BIGINT) AS start_off,
+                   CAST(start_off + length(term) AS BIGINT) AS end_off
+            FROM off WHERE term IN ('fast', 'query')
+            ORDER BY doc_id, start_off""",
         "ft_rescore": """
             WITH {cte},
             pass1 AS (

@@ -31,19 +31,32 @@ from ..util.vectors import vec_matrix
 
 
 def _kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
-    """Plain deterministic k-means (L2) for one subspace."""
+    """Plain deterministic k-means (L2) for one subspace.
+
+    Distances use the ||x||^2 - 2 x.c + ||c||^2 identity (one n x k
+    matmul) instead of broadcasting an (n, k, d) tensor — at the default
+    sample 65536 with k=256 the tensor form is a multi-GB driver
+    temporary per iteration; the matmul form peaks at n x k float64."""
     rng = np.random.RandomState(seed)
     k = min(k, len(x))
     cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    xsq = (x ** 2).sum(axis=1)
+    chunk = 16384  # bounds the distance matrix at chunk x k float64
+    assign = np.empty(len(x), np.int64)
+    dmin = np.empty(len(x))
     for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        csq = (cents ** 2).sum(axis=1)
+        for s in range(0, len(x), chunk):
+            e = min(s + chunk, len(x))
+            d = xsq[s:e, None] - 2.0 * (x[s:e] @ cents.T) + csq[None, :]
+            assign[s:e] = d.argmin(axis=1)
+            dmin[s:e] = d.min(axis=1)
         for j in range(k):
             m = assign == j
             if m.any():
                 cents[j] = x[m].mean(axis=0)
             else:  # dead centroid: reseed to the farthest point
-                cents[j] = x[d.min(axis=1).argmax()]
+                cents[j] = x[dmin.argmax()]
     return cents
 
 

@@ -1657,6 +1657,8 @@ def build_index(
     _t = time.time()
     merged.write_parquet(postings_dir, partition_cols=["shard"], mode="overwrite")
     phases["stageB"] = time.time() - _t
+    if os.environ.get("LSR_BUILD_STATS"):
+        print(merged.stats())
 
     stage_c_thread.join()
     if stage_c_errors:
