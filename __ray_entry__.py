@@ -595,6 +595,27 @@ def q_ft_stemmed(sf_dir):
     return _round_col(s.match_all("tables"), "score")
 
 
+def q_ft_kstem(sf_dir):
+    """KStem-analyzed index (KStemFilter.java:49 + KStemmer.java:71; our
+    analysis/kstem.py, golden-verified against the reference's full 12130-
+    pair kstemTestData vocabulary): the query 'querying' stems to 'query'
+    (aspect rule + dictionary hit) and scores against the kstem postings.
+    The oracle is plain BM25 for 'query' over RAW tokens — valid because
+    KStem is dictionary-validated and maps every word of this corpus
+    vocabulary to itself, which the hash gate therefore also asserts: any
+    over-stemming of an indexed token would shift df/tf and mismatch."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|kstem").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8, stemmer="kstem")
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    return _round_col(s.match_all("querying"), "score")
+
+
 def q_ft_synonym(sf_dir):
     """Index-time synonym expansion (SynonymGraphFilter role): group
     'fast,quick' makes the query 'quick' match every doc containing 'fast'
@@ -3360,6 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_top_terms": q_ft_top_terms,
         "ft_stemmed": q_ft_stemmed,
+        "ft_kstem": q_ft_kstem,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
         "ft_numeric_range": q_ft_numeric_range,
@@ -3796,6 +3818,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE doc_id < 20)
             GROUP BY doc_id, term
             ORDER BY doc_id, term""",
+        "ft_kstem": osql.sql_bm25_term("query"),
         "ann_pq": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

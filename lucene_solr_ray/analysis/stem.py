@@ -186,6 +186,17 @@ STEMMERS = {
 }
 
 
+def _kstem(w: str) -> str:
+    # lazy import: the ~28k-word lexicon loads only when a schema asks for
+    # kstem (KStemFilter.java:49 role; see analysis/kstem.py)
+    from .kstem import kstem as _k
+
+    return _k(w)
+
+
+STEMMERS["kstem"] = _kstem
+
+
 def get_stemmer(name: str | None):
     if not name:
         return None
