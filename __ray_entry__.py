@@ -595,6 +595,44 @@ def q_ft_stemmed(sf_dir):
     return _round_col(s.match_all("tables"), "score")
 
 
+def q_ft_wdgf(sf_dir):
+    """WordDelimiterGraphFilter GRAPH semantics (miscellaneous/
+    WordDelimiterGraphFilter.java:99 + FlattenGraphFilter.java:32;
+    analysis.word_delimiter_graph_stream): a derived corpus fuses every
+    'fast query' bigram into the single token 'FastQuery'; graph-mode
+    indexing splits it back into fast@p / query@p+1 WITH the downstream
+    position shift, so the phrase query '"fast query"' over the fused
+    corpus must return exactly the docs where the ORIGINAL corpus contains
+    the phrase — which is what the SQL oracle computes. Any position-shift
+    or split error breaks the row set."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|wdgf").encode()).hexdigest()[:10]
+    fused = os.path.join(_CACHE_ROOT, f"wdgf_{key}.parquet")
+    if not os.path.exists(fused):
+        t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+        pat = _re.compile(r"\bfast query\b")
+        texts = [pat.sub("FastQuery", x) for x in t["text"].to_pylist()]
+        _pq.write_table(pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(texts, pa.string()),
+        }), fused)
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_wdgf_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           word_delimiter_graph=True)
+    build_index(fused, index_dir, key_col="doc_id", text_col="text",
+                cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir)
+    t = s.match_all('"fast query"').select(["doc_id"])
+    return t.take(pc.sort_indices(t["doc_id"]))
+
+
 def q_ft_kstem(sf_dir):
     """KStem-analyzed index (KStemFilter.java:49 + KStemmer.java:71; our
     analysis/kstem.py, golden-verified against the reference's full 12130-
@@ -3382,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_top_terms": q_ft_top_terms,
         "ft_stemmed": q_ft_stemmed,
         "ft_kstem": q_ft_kstem,
+        "ft_wdgf": q_ft_wdgf,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
         "ft_numeric_range": q_ft_numeric_range,
@@ -3819,6 +3858,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, term
             ORDER BY doc_id, term""",
         "ft_kstem": osql.sql_bm25_term("query"),
+        "ft_wdgf": osql.sql_phrase_docs("fast query"),
         "ann_pq": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -116,6 +116,90 @@ def word_delimiter_parts(token: str) -> list[str]:
     return out
 
 
+def word_delimiter_graph_stream(
+    raw_tokens: list[str], positions: list[int],
+    offsets: list[int] | None = None,
+    catenate_words: bool = True, catenate_numbers: bool = False,
+    catenate_all: bool = False, preserve_original: bool = True,
+):
+    """WordDelimiterGraphFilter WITH graph semantics, pre-flattened
+    (miscellaneous/WordDelimiterGraphFilter.java:99 + FlattenGraphFilter
+    .java:32): parts of a split token occupy CONSECUTIVE positions and
+    every following token shifts right, so a phrase query matches across
+    the split ("wi-fi" indexes wi@p fi@p+1 and the phrase "wi fi" hits) —
+    the behavior the posInc-0 subset (word_delimiter_parts) cannot give.
+
+    Catenations (adjacent word runs / number runs / everything) and the
+    preserved original stack at the FIRST part's position with posInc 0,
+    exactly where the reference's graph arcs land after flattening
+    (TestWordDelimiterGraphFilter.testLotsOfConcatenating's increments
+    1,0,0,1,1,0,1 for "abc-def-123-456").
+
+    Input tokens keep their ORIGINAL case (case change drives the split);
+    output terms are lowercased. `offsets` (packed (start<<32)|end per
+    token) are sliced to real per-part character ranges; catenations and
+    originals span the whole token, as in the reference.
+
+    Returns (terms, out_positions, out_offsets, overlaps) — the base
+    stream holds one token per occupied position; `overlaps` is a list of
+    (term, position, packed_offset_or_-1) posInc-0 insertions. Overlap
+    tokens do not count toward document length (Lucene's default
+    discountOverlaps norm accounting, search/similarity/BM25Similarity
+    .java discountOverlaps=true)."""
+    from .lowercase import java_lower
+
+    terms: list[str] = []
+    out_pos: list[int] = []
+    out_off: list[int] = []
+    overlaps: list[tuple] = []
+    shift = 0
+    for i, tok in enumerate(raw_tokens):
+        p = positions[i] + shift
+        packed = offsets[i] if offsets is not None else -1
+        t_start = (packed >> 32) if packed >= 0 else 0
+        spans = list(_WDG_RUN.finditer(tok))
+        low = java_lower(tok)
+        if len(spans) <= 1:
+            part = java_lower(spans[0].group()) if spans else low
+            terms.append(part)
+            out_pos.append(p)
+            out_off.append(packed)
+            if preserve_original and part != low:
+                overlaps.append((low, p, packed))
+            continue
+        parts = [java_lower(m.group()) for m in spans]
+        if preserve_original:
+            overlaps.append((low, p, packed))
+        if catenate_all:
+            overlaps.append(("".join(parts), p, packed))
+        if catenate_words or catenate_numbers:
+            # group ADJACENT runs of the same kind; a group of >= 2 runs
+            # catenates at its first part's position
+            gi = 0
+            while gi < len(spans):
+                is_num = spans[gi].group()[0].isdigit()
+                gj = gi
+                while (gj + 1 < len(spans)
+                       and spans[gj + 1].group()[0].isdigit() == is_num):
+                    gj += 1
+                want = catenate_numbers if is_num else catenate_words
+                if want and gj > gi:
+                    cat = "".join(parts[gi:gj + 1])
+                    if not (catenate_all and cat == "".join(parts)):
+                        overlaps.append((cat, p + gi, packed))
+                gi = gj + 1
+        for d, (m, part) in enumerate(zip(spans, parts)):
+            terms.append(part)
+            out_pos.append(p + d)
+            if packed >= 0:
+                out_off.append(((t_start + m.start()) << 32)
+                               | (t_start + m.end()))
+            else:
+                out_off.append(-1)
+        shift += len(spans) - 1
+    return terms, out_pos, out_off, overlaps
+
+
 def whitespace_payload_analyzer(text: str, delimiter: str = "|",
                                 stopwords: frozenset[str] | None = None):
     """WhitespaceTokenizer -> DelimitedPayloadTokenFilter(IntegerEncoder)

@@ -240,6 +240,14 @@ class IndexBuildConfig:
     # parts + catenated form at the same position (posInc-0 insertions, no
     # doclen contribution — same accounting as synonym insertions)
     word_delimiter: bool = False
+    # WordDelimiterGraphFilter with FULL graph semantics
+    # (miscellaneous/WordDelimiterGraphFilter.java:99 + FlattenGraphFilter
+    # .java:32; see analysis.word_delimiter_graph_stream): parts of a split
+    # token take CONSECUTIVE positions and downstream tokens shift, so
+    # phrase queries match across a split; catenations + the preserved
+    # original stack posInc-0 at the first part (no doclen contribution —
+    # Lucene's default discountOverlaps accounting).
+    word_delimiter_graph: bool = False
     # PerFieldPostingsFormat SPI (codecs/perfield/PerFieldPostingsFormat
     # .java:70): ((field, format), ...) pairs; '' = the main text field.
     # Formats: 'lucene84' (default FOR/PFor + VInt tail) and 'direct'
@@ -294,7 +302,8 @@ class IndexBuildConfig:
                 raise ValueError(
                     "payloads and offsets share the per-occurrence sidecar "
                     "column; an index stores one or the other")
-            clash = [f for f in ("word_delimiter", "edge_ngram", "synonyms",
+            clash = [f for f in ("word_delimiter", "word_delimiter_graph",
+                                 "edge_ngram", "synonyms",
                                  "synonym_graph", "stemmer", "token_filters",
                                  "html_col")
                      if getattr(self, f)]
@@ -310,6 +319,14 @@ class IndexBuildConfig:
             lo, hi = self.edge_ngram
             if not (1 <= lo <= hi):
                 raise ValueError("edge_ngram wants 1 <= min_gram <= max_gram")
+        if self.word_delimiter and self.word_delimiter_graph:
+            raise ValueError(
+                "word_delimiter and word_delimiter_graph are two modes of "
+                "the same filter; enable one")
+        if self.synonym_graph and self.word_delimiter_graph:
+            raise ValueError(
+                "synonym_graph cannot combine with word_delimiter_graph at "
+                "index time (both renumber the position stream)")
         if self.synonym_graph and self.word_delimiter:
             # WDGF parts capture their positions BEFORE the graph flatten
             # renumbers the stream, so they would silently misalign; the
@@ -451,6 +468,7 @@ class TokenizeExplode:
         fallback_pos: dict[int, list[int]] = {}
         doclens = np.zeros(len(texts), dtype=np.int64)
         wdg = bool(self.cfg.get("word_delimiter"))
+        wdgraph = bool(self.cfg.get("word_delimiter_graph"))
         so = self.store_offsets
         # packed (start << 32) | end per text token, aligned with flat_terms
         flat_offs: list[int] = []
@@ -462,10 +480,12 @@ class TokenizeExplode:
         # a drop-capable filter chain (length) removes tokens -> doclens and
         # positions must come from the explicit slow path; 1:1 chains apply
         # vectorized on factorized uniques after the loop instead
-        use_fast = not self.stop and not wdg and not so and not self.tf_drops
+        use_fast = (not self.stop and not wdg and not wdgraph and not so
+                    and not self.tf_drops)
         drop_ch = self.tf_chain if self.tf_drops else None
-        if wdg:
+        if wdg or wdgraph:
             from ..analysis import word_delimiter_parts
+            from ..analysis.analyzers import word_delimiter_graph_stream
             from ..analysis.lowercase import java_lower
             from ..analysis.tokenizer import (standard_tokenize,
                                               standard_tokenize_offsets)
@@ -481,7 +501,7 @@ class TokenizeExplode:
                 # payload ints ARE this build's per-occurrence sidecar
                 terms, positions, offs_doc = whitespace_payload_analyzer(
                     text or "", self.payload_delim, self.stop)
-            elif wdg:
+            elif wdg or wdgraph:
                 # case information feeds the splitter, so the pre-lowercase
                 # tokenizer output is needed here
                 if so:
@@ -508,14 +528,28 @@ class TokenizeExplode:
                     raw = [r for r, k in zip(raw, keep) if k]
                     if so:
                         offs_doc = [o for o, k in zip(offs_doc, keep) if k]
-                for j, (r, p) in enumerate(zip(raw, positions)):
-                    for part in word_delimiter_parts(r):
-                        wd_terms.append(part)
+                if wdgraph:
+                    # graph mode: parts take consecutive positions, the
+                    # rest of the stream shifts; catenations/original land
+                    # in the posInc-0 sidecar (no doclen contribution)
+                    terms, positions, offs_doc, wd_over = \
+                        word_delimiter_graph_stream(
+                            raw, positions, offs_doc if so else None)
+                    for ot, op, oo in wd_over:
+                        wd_terms.append(ot)
                         wd_doc.append(i)
-                        wd_pos.append(p)
+                        wd_pos.append(op)
                         if so:
-                            wd_off.append(offs_doc[j])
-                terms = low
+                            wd_off.append(oo)
+                else:
+                    for j, (r, p) in enumerate(zip(raw, positions)):
+                        for part in word_delimiter_parts(r):
+                            wd_terms.append(part)
+                            wd_doc.append(i)
+                            wd_pos.append(p)
+                            if so:
+                                wd_off.append(offs_doc[j])
+                    terms = low
             elif so:
                 terms, positions, t_s, t_e = standard_analyzer_offsets(
                     text or "", self.stop)
