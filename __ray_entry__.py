@@ -633,6 +633,28 @@ def q_ft_wdgf(sf_dir):
     return t.take(pc.sort_indices(t["doc_id"]))
 
 
+def q_ft_common_grams(sf_dir):
+    """CommonGramsFilter + CommonGramsQueryFilter (commongrams/
+    CommonGramsFilter.java:51, CommonGramsQueryFilter.java:64): the index
+    adds 'the_*' / '*_the' bigram terms posInc-0 at the first word's
+    position; the phrase query '"the fast query"' rewrites to
+    the_fast@0 fast@1 query@2 and must return exactly the docs where the
+    raw corpus contains the phrase — the SQL oracle's phrase-by-positions
+    computation. A bigram position or rewrite error breaks the row set."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|cgrams").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           common_grams=("the",))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir)
+    t = s.match_all('"the fast query"').select(["doc_id"])
+    return t.take(pc.sort_indices(t["doc_id"]))
+
+
 def q_ft_kstem(sf_dir):
     """KStem-analyzed index (KStemFilter.java:49 + KStemmer.java:71; our
     analysis/kstem.py, golden-verified against the reference's full 12130-
@@ -3420,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_top_terms": q_ft_top_terms,
         "ft_stemmed": q_ft_stemmed,
         "ft_kstem": q_ft_kstem,
+        "ft_common_grams": q_ft_common_grams,
         "ft_wdgf": q_ft_wdgf,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
@@ -3859,6 +3882,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, term""",
         "ft_kstem": osql.sql_bm25_term("query"),
         "ft_wdgf": osql.sql_phrase_docs("fast query"),
+        "ft_common_grams": osql.sql_phrase_docs("the fast query"),
         "ann_pq": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

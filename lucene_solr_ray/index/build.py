@@ -248,6 +248,15 @@ class IndexBuildConfig:
     # original stack posInc-0 at the first part (no doclen contribution —
     # Lucene's default discountOverlaps accounting).
     word_delimiter_graph: bool = False
+    # CommonGramsFilter (commongrams/CommonGramsFilter.java:51): for every
+    # adjacent token pair where either side is in this common-word list,
+    # additionally index the bigram "w1_w2" at the FIRST word's position
+    # (posInc 0, posLength 2 — no doclen contribution). Query-side phrase
+    # queries mirror CommonGramsQueryFilter (CommonGramsQueryFilter
+    # .java:64): bigrams replace their leading unigram, giving exact
+    # phrase-with-stopword matching off dedicated terms. Incompatible
+    # with stemmer/token_filters (the bigram is built from raw tokens).
+    common_grams: tuple = ()
     # PerFieldPostingsFormat SPI (codecs/perfield/PerFieldPostingsFormat
     # .java:70): ((field, format), ...) pairs; '' = the main text field.
     # Formats: 'lucene84' (default FOR/PFor + VInt tail) and 'direct'
@@ -319,6 +328,15 @@ class IndexBuildConfig:
             lo, hi = self.edge_ngram
             if not (1 <= lo <= hi):
                 raise ValueError("edge_ngram wants 1 <= min_gram <= max_gram")
+        if self.common_grams:
+            clash = [f for f in ("word_delimiter", "word_delimiter_graph",
+                                 "edge_ngram", "synonyms", "synonym_graph",
+                                 "stemmer", "token_filters")
+                     if getattr(self, f)]
+            if clash:
+                raise ValueError(
+                    f"common_grams builds bigrams from the raw token "
+                    f"stream; incompatible with {clash}")
         if self.word_delimiter and self.word_delimiter_graph:
             raise ValueError(
                 "word_delimiter and word_delimiter_graph are two modes of "
@@ -389,6 +407,7 @@ class TokenizeExplode:
         from ..analysis.stem import get_stemmer, get_stemmer_cfg
 
         self.stem = get_stemmer_cfg(cfg)
+        self.common_grams = frozenset(cfg.get("common_grams") or ())
         self.tf_chain, self.tf_drops = build_chain(cfg.get("token_filters"))
         eg = cfg.get("edge_ngram") or ()
         self.edge_ngram = (int(eg[0]), int(eg[1])) if eg else None
@@ -481,7 +500,7 @@ class TokenizeExplode:
         # positions must come from the explicit slow path; 1:1 chains apply
         # vectorized on factorized uniques after the loop instead
         use_fast = (not self.stop and not wdg and not wdgraph and not so
-                    and not self.tf_drops)
+                    and not self.tf_drops and not self.common_grams)
         drop_ch = self.tf_chain if self.tf_drops else None
         if wdg or wdgraph:
             from ..analysis import word_delimiter_parts
@@ -569,6 +588,24 @@ class TokenizeExplode:
                         keep = [m is not None for m in mapped]
                         terms = [m for m in mapped if m is not None]
                         positions = [p for p, k in zip(positions, keep) if k]
+            if self.common_grams and len(terms) > 1:
+                # CommonGramsFilter.java:151 gramToken(): bigram stacks at
+                # the first word's position spanning both tokens' offsets;
+                # a stop-filter position hole breaks adjacency (no bigram)
+                pos_l = (positions if positions is not None
+                         else list(range(len(terms))))
+                for b in range(1, len(terms)):
+                    if pos_l[b] != pos_l[b - 1] + 1:
+                        continue
+                    t1, t2 = terms[b - 1], terms[b]
+                    if t1 in self.common_grams or t2 in self.common_grams:
+                        wd_terms.append(t1 + "_" + t2)
+                        wd_doc.append(i)
+                        wd_pos.append(pos_l[b - 1])
+                        if so:
+                            wd_off.append(
+                                (offs_doc[b - 1] >> 32 << 32)
+                                | (offs_doc[b] & 0xFFFFFFFF))
             if positions is not None:
                 fallback_pos[i] = positions
             if so:

@@ -682,6 +682,52 @@ def parse_query(q: str):
     return node if node is not None else Bool()
 
 
+def rewrite_common_grams(node, common: frozenset):
+    """CommonGramsQueryFilter mirror (commongrams/CommonGramsQueryFilter
+    .java:64) for an index built with ``common_grams``: in every EXACT
+    phrase, an adjacent pair containing a common word is replaced by its
+    indexed bigram term "w1_w2" (which sits at the first word's position,
+    so the rewritten phrase positions still line up); the final unigram is
+    dropped when its bigram already covers it — the reference's golden
+    layouts (n s n -> n_s s_n; s n n -> s_n n n). Sloppy phrases are left
+    alone: unigrams stay indexed, so slop semantics are unchanged."""
+    if node is None or not common:
+        return node
+
+    def walk(n):
+        if isinstance(n, Phrase) and n.slop == 0 and len(n.terms) > 1:
+            ts = n.terms
+            out = []
+            for i in range(len(ts)):
+                if i + 1 < len(ts) and (ts[i] in common
+                                        or ts[i + 1] in common):
+                    out.append(ts[i] + "_" + ts[i + 1])
+                elif (i == len(ts) - 1 and i > 0
+                      and (ts[i - 1] in common or ts[i] in common)):
+                    continue        # covered by the preceding bigram
+                else:
+                    out.append(ts[i])
+            if len(out) == 1:
+                return Term(out[0], n.boost)
+            return Phrase(tuple(out), n.boost, 0)
+        if isinstance(n, Bool):
+            return Bool([walk(c) for c in n.must],
+                        [walk(c) for c in n.should],
+                        [walk(c) for c in n.must_not],
+                        [walk(c) for c in n.filter], n.min_should)
+        if isinstance(n, DisMax):
+            from dataclasses import replace
+
+            return replace(n, clauses=tuple(walk(c) for c in n.clauses))
+        if isinstance(n, ConstantScore):
+            return ConstantScore(walk(n.query), n.boost)
+        if isinstance(n, FunctionScore):
+            return FunctionScore(walk(n.query), n.expr, n.boost)
+        return n
+
+    return walk(node)
+
+
 def apply_stemmer(node, stem):
     """Apply an index-configured stemmer to the query's analyzed terms
     (Term/Phrase/Synonym/TermInSet/Fuzzy text). Pattern nodes (Prefix/

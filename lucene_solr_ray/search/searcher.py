@@ -195,6 +195,11 @@ class IndexSearcher:
         # index chain order: stop -> token_filters -> stemmer; mirror it
         node = apply_stemmer(node, self._token_filter)
         node = apply_stemmer(node, self._stemmer)
+        cg = (self.reader.manifest.get("config") or {}).get("common_grams")
+        if cg:
+            from .query import rewrite_common_grams
+
+            node = rewrite_common_grams(node, frozenset(cg))
         from .multiterm import expand_terms, rewrite
         from .query import Fuzzy
 
