@@ -550,23 +550,95 @@ def distinct(ds: Dataset, cols: list[str]) -> Dataset:
 # grouping / collapse
 # ---------------------------------------------------------------------------
 
+def _sort_key_array(col) -> np.ndarray:
+    """Column -> numpy array usable in np.lexsort: numerics/datetimes pass
+    through, anything else becomes ascending ordinal codes (np.unique)."""
+    v = col.to_numpy(zero_copy_only=False)
+    if v.dtype.kind in "biufM":
+        return v
+    _, inv = np.unique(v, return_inverse=True)
+    return inv
+
+
+def _descending(v: np.ndarray) -> np.ndarray:
+    if v.dtype.kind == "M":
+        v = v.astype(np.int64)
+    if v.dtype.kind in "bu":
+        v = v.astype(np.int64)
+    return -v
+
+
 def group_top_k(
     ds: Dataset, key: str, order_col: str, k: int, descending: bool = True,
     tiebreak_cols: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Two-pass grouping collapse: top-k rows per group by order_col
     (grouping/FirstPassGroupingCollector + ExpandComponent semantics).
     Shuffle key: `key`. Ties on order_col break by tiebreak_cols ascending
-    (default: every other column, for a deterministic cut)."""
+    (default: every other column, for a deterministic cut).
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        ties = tiebreak_cols or [c for c in df.columns if c not in (order_col,)]
-        return df.sort_values(
-            [order_col] + ties, ascending=[not descending] + [True] * len(ties),
-            kind="mergesort",
-        ).head(k)
+    Runs as a hash-partitioned SEGMENTED kernel (one lexsort + positional
+    mask per partition), not one pandas call per group — a corpus with
+    millions of groups costs num_partitions Python calls, the
+    partitioned_window design."""
+    if num_partitions is None:
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 4)))
 
-    return ds.groupby(key).map_groups(topk, batch_format="pandas")
+    def run(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if not n:
+            return t
+        ties = tiebreak_cols or [c for c in t.column_names
+                                 if c != order_col]
+        arrays = [_sort_key_array(t[c]) for c in reversed(ties)]
+        ov = _sort_key_array(t[order_col])
+        arrays.append(_descending(ov) if descending else ov)
+        keys = _sort_key_array(t[key])
+        arrays.append(keys)
+        order = np.lexsort(arrays)
+        ks = keys[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        seg = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, seg)
+        return t.take(pa.array(order[pos < k]))
+
+    tagged = _window_hash_part(ds, key, num_partitions)
+    return tagged.groupby("__part").map_groups(run, batch_format="pyarrow")
+
+
+def unique_first(ds: Dataset, over: list[str],
+                 num_partitions: int | None = None) -> Dataset:
+    """UniqueStream (io/stream/UniqueStream.java:43) without the sorted-
+    input precondition: the first tuple per `over` key in FULL-ROW
+    lexicographic order — deterministic under any partitioning. Same
+    segmented-kernel shape as group_top_k: high-cardinality key sets cost
+    num_partitions Python calls, never one per group."""
+    if num_partitions is None:
+        num_partitions = max(4, int(ray.cluster_resources().get("CPU", 4)))
+
+    def run(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__part"])
+        n = len(t)
+        if not n:
+            return t
+        arrays = [_sort_key_array(t[c]) for c in reversed(t.column_names)]
+        key_arrs = [_sort_key_array(t[c]) for c in over]
+        arrays.extend(reversed(key_arrs))
+        order = np.lexsort(arrays)
+        # a row starts a new group when ANY key column changes
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for ka in key_arrs:
+            ks = ka[order]
+            first[1:] |= ks[1:] != ks[:-1]
+        return t.take(pa.array(order[first]))
+
+    tagged = _window_hash_part(ds, over[0], num_partitions)
+    return tagged.groupby("__part").map_groups(run, batch_format="pyarrow")
 
 
 def collapse_first(ds: Dataset, key: str, order_col: str) -> Dataset:

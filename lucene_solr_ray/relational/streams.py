@@ -603,10 +603,9 @@ def build_stream(node: SExpr, ctx: StreamContext) -> Dataset:
     if name == "unique":
         over = _csv(named.get("over") or args[1])
         # first tuple per key in full-row lexicographic order: deterministic
-        # without the reference's sorted-input precondition
-        def first(df: pd.DataFrame) -> pd.DataFrame:
-            return df.sort_values(list(df.columns), kind="mergesort").head(1)
-        return sub().groupby(over).map_groups(first, batch_format="pandas")
+        # without the reference's sorted-input precondition; segmented
+        # kernel (ops.unique_first), never one pandas call per group
+        return ops.unique_first(sub(), list(over))
 
     if name in ("innerJoin", "hashJoin", "leftOuterJoin", "outerHashJoin"):
         left, right = sub(0), sub(1)

@@ -387,3 +387,45 @@ def test_sessionize_unit_aware(ray_session):
                          keep_cols=["event_id"]).to_pandas()
         got = dict(zip(out["event_id"], out["session_id"]))
         assert [got[1], got[2], got[3]] == want, unit
+
+
+def test_group_topk_and_unique_high_cardinality(ray_session):
+    """The segmented kernels must handle ~1M distinct groups in seconds —
+    the per-group pandas map_groups this replaced ran one Python call per
+    group (minutes at this cardinality)."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.relational.ops import group_top_k, unique_first
+
+    n = 2_000_000
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 1_000_000, n), pa.int64()),
+        "v": pa.array(rng.rand(n)),
+        "tag": pa.array(rng.randint(0, 50, n), pa.int64()),
+    })
+    ds = rd().from_arrow(t)
+    t0 = time.time()
+    out = group_top_k(ds, "k", "v", 1, descending=True)
+    n_top = out.count()
+    t1 = time.time()
+    uo = unique_first(ds, ["k"])
+    n_uniq = uo.count()
+    t2 = time.time()
+    n_keys = len(np.unique(t["k"].to_numpy()))
+    assert n_top == n_keys
+    assert n_uniq == n_keys
+    assert t1 - t0 < 60 and t2 - t1 < 60, (t1 - t0, t2 - t1)
+
+    # correctness on a small slice: top-1 by v matches a numpy argmax
+    small = pa.table({
+        "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "v": pa.array([0.5, 0.9, 0.1, 0.8, 0.3]),
+        "tag": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    out = group_top_k(rd().from_arrow(small), "k", "v", 1).to_pandas()
+    got = dict(zip(out["k"], out["tag"]))
+    assert got == {1: 1, 2: 3}
