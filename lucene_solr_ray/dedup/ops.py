@@ -349,11 +349,19 @@ def _seg_unique_counts(h: np.ndarray, seg: np.ndarray, n: int):
 
 
 def _jaccard_hashed(l_texts: list, r_texts: list, k: int) -> np.ndarray:
-    """Exact shingle Jaccard per (left, right) pair with no Python set
-    building: shingles hash to uint64 (the engine-wide poly hash), per-pair
-    distinct counts come from one lexsort pass per side, and
+    """Shingle Jaccard per (left, right) pair with no Python set building:
+    shingles hash to uint64 (the engine-wide poly hash), per-pair distinct
+    counts come from one lexsort pass per side, and
     |A∩B| = |A|+|B|-|A∪B| from a third pass over the concatenated distinct
-    hashes. O(S log S) numpy over the whole batch, no row loop."""
+    hashes. O(S log S) numpy over the whole batch, no row loop.
+
+    Distinctness is over the 64-bit HASHES, not the shingle strings: a
+    hash collision within one document's shingle set (probability
+    ~ m^2 / 2^65 per doc, m = shingles per doc — astronomically rare but
+    nonzero at corpus scale) can change a pair's intersection/union by 1
+    and flip a verdict sitting exactly on the threshold. Callers needing
+    collision-free verdicts for borderline pairs should re-verify pairs
+    within epsilon of the threshold with exact sets."""
     n = len(l_texts)
     if not n:
         return np.empty(0, np.float64)
@@ -757,7 +765,7 @@ def duplicate_ngram_spans(ds: Dataset, key_col: str, text_col: str,
 
 
 def scrub_duplicate_substrings(ds: Dataset, key_col: str, text_col: str,
-                               k: int = 4, min_count: int = 2,
+                               k: int = 5, min_count: int = 2,
                                num_partitions: int | None = None) -> Dataset:
     """ExactSubstr REMOVAL (the curation step Lee et al. 2021 apply after
     finding duplicated substrings): every token covered by a duplicated

@@ -568,15 +568,25 @@ _FMT_CACHE: dict = {}
 
 def _shard_formats(index_dir: str) -> dict | None:
     """field -> postings format map from the index manifest (PerField SPI);
-    cached per worker so re-encoding merges keep the per-field choice."""
-    if index_dir not in _FMT_CACHE:
+    cached per worker so re-encoding merges keep the per-field choice.
+    Keyed on the manifest file's (mtime, size) signature, not the path
+    alone: an index REBUILT at the same path with different formats in a
+    long-lived worker must not re-encode merges with the stale map."""
+    mpath = os.path.join(index_dir, "manifest.json")
+    try:
+        st = os.stat(mpath)
+        sig = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        sig = None
+    hit = _FMT_CACHE.get(index_dir)
+    if hit is None or hit[0] != sig:
         from .build import load_manifest
 
         m = load_manifest(index_dir) or {}
         ff = dict(map(tuple, (m.get("config") or {}).get(
             "field_postings_formats") or ()))
-        _FMT_CACHE[index_dir] = ff or None
-    return _FMT_CACHE[index_dir]
+        _FMT_CACHE[index_dir] = (sig, ff or None)
+    return _FMT_CACHE[index_dir][1]
 
 
 def _shard_norms(index_dir: str, shard: int):

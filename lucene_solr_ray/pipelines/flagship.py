@@ -76,33 +76,37 @@ def dedup_recrawls(corpus_paths, out_dir: str, id_col: str = "doc_id",
     newest = ids.groupby("url").aggregate(
         Max("__ts", alias_name="__ts")).materialize()
     p1 = max(1, min(num_partitions, newest.count()))
+    # winners carry (url, id): the semi join below keys on BOTH, so a
+    # doc_id appearing under two different urls cannot smuggle the losing
+    # url's rows through just because the id won elsewhere
     winners = (
         ids.join(newest, join_type="inner", on=("url", "__ts"),
                  num_partitions=p1)
         .groupby("url").aggregate(Max(id_col, alias_name=id_col))
-        .select_columns([id_col])
+        .select_columns(["url", id_col])
     ).materialize()
     p2 = max(1, min(num_partitions, winners.count()))
     ds = ray.data.read_parquet(corpus_paths)
-    out = ds.join(winners, join_type="left_semi", on=(id_col,),
+    out = ds.join(winners, join_type="left_semi", on=("url", id_col),
                   num_partitions=p2)
     # the same physical row ingested twice (same url/ts/id — a re-read
     # WARC) survives the semi join in BOTH copies; collapse exact copies
-    # per id. The id-only count finds affected ids cheaply; the full-row
-    # group pass runs ONLY over that (normally empty) subset, so page
-    # bodies still stay out of the shuffle on the clean path
+    # per (url, id). The key-only count finds affected rows cheaply; the
+    # full-row group pass runs ONLY over that (normally empty) subset, so
+    # page bodies still stay out of the shuffle on the clean path
     dup_ids = (
-        ids.join(winners, join_type="left_semi", on=(id_col,),
+        ids.join(winners, join_type="left_semi", on=("url", id_col),
                  num_partitions=p2)
-        .groupby(id_col).aggregate(Count(alias_name="__n"))
-        .filter(expr="__n > 1").select_columns([id_col])).materialize()
+        .groupby(["url", id_col]).aggregate(Count(alias_name="__n"))
+        .filter(expr="__n > 1").select_columns(["url", id_col])
+    ).materialize()
     n_dup = dup_ids.count()
     if n_dup > 0:
         p3 = max(1, min(num_partitions, n_dup))
-        dup_rows = out.join(dup_ids, join_type="left_semi", on=(id_col,),
-                            num_partitions=p3)
-        uniq_rows = out.join(dup_ids, join_type="left_anti", on=(id_col,),
-                             num_partitions=p3)
+        dup_rows = out.join(dup_ids, join_type="left_semi",
+                            on=("url", id_col), num_partitions=p3)
+        uniq_rows = out.join(dup_ids, join_type="left_anti",
+                             on=("url", id_col), num_partitions=p3)
 
         def newest_row(df):
             # deterministic winner: max warc_ts (nulls lose), then stable
@@ -111,8 +115,8 @@ def dedup_recrawls(corpus_paths, out_dir: str, id_col: str = "doc_id",
                                   kind="mergesort").tail(1)
 
         out = uniq_rows.union(
-            dup_rows.groupby(id_col).map_groups(newest_row,
-                                                batch_format="pandas"))
+            dup_rows.groupby(["url", id_col]).map_groups(
+                newest_row, batch_format="pandas"))
     out.write_parquet(out_dir, mode="overwrite")
     import glob
 

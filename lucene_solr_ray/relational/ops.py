@@ -981,9 +981,14 @@ def sliding_mean(ds: Dataset, key_col: str, order_cols: list[str],
         starts = np.flatnonzero(first)
         seg_lens = np.diff(np.append(starts, n))
         pos = np.arange(n) - np.repeat(starts, seg_lens)
-        c = np.cumsum(v)
+        # extended-precision prefix sums: window sums are DIFFERENCES of a
+        # partition-wide cumsum, so float64 error would grow with the
+        # prefix magnitude on long partitions and could flip a
+        # round-half-away boundary; float80 keeps the absolute error far
+        # below it at any realistic partition length
+        c = np.cumsum(v, dtype=np.longdouble)
         sidx = np.arange(n) - np.minimum(pos, window - 1)
-        wsum = c - c[sidx] + v[sidx]
+        wsum = np.asarray(c - c[sidx] + v[sidx], dtype=np.float64)
         cnt = np.minimum(pos + 1, window)
         cols = {c_: t[c_] for c_ in keep_cols}
         cols[out_name] = pa.array(wsum / cnt, pa.float64())

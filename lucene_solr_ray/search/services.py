@@ -845,11 +845,16 @@ def _early_terminated_sorted_search(searcher: IndexSearcher, node, weights,
 
 
 def _facet_docvalues_scan(index_dir: str, col: str, extract, query=None,
-                          top_n: int | None = None) -> "pa.Table":
+                          top_n: int | None = 1000) -> "pa.Table":
     """Shared scaffold for docvalues facets: a pruned (doc_id, col, shard)
     read -> live/query masking -> per-batch value counts -> groupby sum ->
     sort/limit. ``extract(table, keep_mask)`` yields the kept flat string
-    values for one batch (single- vs. multi-valued is its only variation)."""
+    values for one batch (single- vs. multi-valued is its only variation).
+
+    top_n defaults to a BOUNDED 1000 (facet.limit's spirit): the result
+    lands on the driver, and a high-cardinality field (host, term) with an
+    unbounded default would materialize the whole distinct table there.
+    Pass top_n=None explicitly to take everything."""
     import os
 
     import ray
@@ -903,7 +908,7 @@ def _facet_docvalues_scan(index_dir: str, col: str, extract, query=None,
 
 
 def facet_string_docvalues(index_dir: str, field: str, query=None,
-                           top_n: int | None = None) -> "pa.Table":
+                           top_n: int | None = 1000) -> "pa.Table":
     """Facet counts over a SORTED string docvalues column, computed from the
     index's docs tables only (SortedSetDocValuesFacetCounts.java:66 role for
     the single-valued SORTED case; multi-valued facets go through
@@ -924,7 +929,7 @@ def facet_string_docvalues(index_dir: str, field: str, query=None,
 
 
 def facet_sorted_set_docvalues(index_dir: str, field: str, query=None,
-                               top_n: int | None = None) -> "pa.Table":
+                               top_n: int | None = 1000) -> "pa.Table":
     """Facet counts over a SORTED_SET (multi-valued string) docvalues column
     (SortedSetDocValuesFacetCounts.java:66, the multi-valued case): each doc
     counts once per distinct value in its set (sets are deduped at index
@@ -1056,7 +1061,7 @@ class Monitor:
 
 
 def facet_keyword_field(index_dir: str, field: str, query=None,
-                        top_n: int | None = None) -> pa.Table:
+                        top_n: int | None = 1000) -> pa.Table:
     """String-field facet counts computed ONLY from index columns (the
     SortedSetDocValuesFacetCounts role, facet/sortedset/
     SortedSetDocValuesFacetCounts.java:66): keyword fields are indexed as
