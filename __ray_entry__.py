@@ -655,6 +655,41 @@ def q_ft_common_grams(sf_dir):
     return t.take(pc.sort_indices(t["doc_id"]))
 
 
+def q_ft_cjk(sf_dir):
+    """CJK bigram mode (analysis/cjk/CJKBigramFilter.java:52, the
+    CJKAnalyzer role): a derived corpus replaces every 'fast query' bigram
+    with the two-ideograph token '\u901f\u8be2'; the tokenizer emits the
+    ideographs singly, the index bigrams them back into ONE term, and the
+    query mirror re-merges the parser's split chars — so searching the
+    two-char string returns exactly the docs whose ORIGINAL text contains
+    the phrase, which the SQL oracle computes."""
+    import re as _re
+
+    import pyarrow.parquet as _pq
+
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|cjk").encode()).hexdigest()[:10]
+    fused = os.path.join(_CACHE_ROOT, f"cjk_{key}.parquet")
+    if not os.path.exists(fused):
+        t = _pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+        pat = _re.compile(r"\bfast query\b")
+        texts = [pat.sub("\u901f\u8be2", x) for x in t["text"].to_pylist()]
+        _pq.write_table(pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(texts, pa.string()),
+        }), fused)
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_cjk_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8, cjk_bigrams=True)
+    build_index(fused, index_dir, key_col="doc_id", text_col="text",
+                cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir)
+    t = s.match_all("\u901f\u8be2").select(["doc_id"])
+    return t.take(pc.sort_indices(t["doc_id"]))
+
+
 def q_ft_kstem(sf_dir):
     """KStem-analyzed index (KStemFilter.java:49 + KStemmer.java:71; our
     analysis/kstem.py, golden-verified against the reference's full 12130-
@@ -3443,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stemmed": q_ft_stemmed,
         "ft_kstem": q_ft_kstem,
         "ft_common_grams": q_ft_common_grams,
+        "ft_cjk": q_ft_cjk,
         "ft_wdgf": q_ft_wdgf,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
@@ -3883,6 +3919,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_kstem": osql.sql_bm25_term("query"),
         "ft_wdgf": osql.sql_phrase_docs("fast query"),
         "ft_common_grams": osql.sql_phrase_docs("the fast query"),
+        "ft_cjk": osql.sql_phrase_docs("fast query"),
         "ann_pq": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -200,6 +200,60 @@ def word_delimiter_graph_stream(
     return terms, out_pos, out_off, overlaps
 
 
+def _is_cjk_char(ch: str) -> bool:
+    o = ord(ch)
+    return (0x4E00 <= o <= 0x9FFF      # Han
+            or 0x3400 <= o <= 0x4DBF   # Han ext A
+            or 0xF900 <= o <= 0xFAFF   # Han compat
+            or 0x3040 <= o <= 0x309F   # Hiragana
+            or 0x30A0 <= o <= 0x30FF   # Katakana
+            or 0xAC00 <= o <= 0xD7AF)  # Hangul syllables
+
+
+def cjk_bigram_stream(terms: list[str], positions: list[int]):
+    """CJKBigramFilter (analysis/cjk/CJKBigramFilter.java:52, the
+    CJKAnalyzer role — the dictionary-less 80% substitute for morphological
+    CJK analysis): position-adjacent tokens made entirely of CJK
+    characters (Han / Hiragana / Katakana / Hangul) flatten into one char
+    buffer and re-emit as overlapping character BIGRAMS at consecutive
+    positions; an isolated single character stays a unigram. A run of m
+    chars occupies max(1, m-1) positions, so following tokens shift left —
+    the same stream-length change the reference's posInc-1 bigrams
+    produce. Non-CJK tokens pass through untouched."""
+    out_t: list[str] = []
+    out_p: list[int] = []
+    delta = 0
+    i = 0
+    n = len(terms)
+    while i < n:
+        t = terms[i]
+        if not all(_is_cjk_char(c) for c in t):
+            out_t.append(t)
+            out_p.append(positions[i] + delta)
+            i += 1
+            continue
+        # extend the run over position-adjacent all-CJK tokens (a stop
+        # hole breaks the run, like the reference's non-CJK boundary)
+        j = i
+        chars = list(t)
+        while (j + 1 < n and positions[j + 1] == positions[j] + 1
+               and all(_is_cjk_char(c) for c in terms[j + 1])):
+            j += 1
+            chars.extend(terms[j])
+        base = positions[i] + delta
+        m = len(chars)
+        if m == 1:
+            out_t.append(chars[0])
+            out_p.append(base)
+        else:
+            for b in range(m - 1):
+                out_t.append(chars[b] + chars[b + 1])
+                out_p.append(base + b)
+        delta += max(1, m - 1) - (j - i + 1)
+        i = j + 1
+    return out_t, out_p
+
+
 def whitespace_payload_analyzer(text: str, delimiter: str = "|",
                                 stopwords: frozenset[str] | None = None):
     """WhitespaceTokenizer -> DelimitedPayloadTokenFilter(IntegerEncoder)

@@ -257,6 +257,13 @@ class IndexBuildConfig:
     # phrase-with-stopword matching off dedicated terms. Incompatible
     # with stemmer/token_filters (the bigram is built from raw tokens).
     common_grams: tuple = ()
+    # CJKBigramFilter (analysis/cjk/CJKBigramFilter.java:52 — the
+    # CJKAnalyzer role, the reference's dictionary-less CJK mode):
+    # position-adjacent all-CJK tokens re-emit as overlapping character
+    # bigrams at consecutive positions (isolated chars stay unigrams).
+    # Query side mirrors via rewrite_cjk_bigrams. Incompatible with the
+    # offset sidecar and the other stream-restructuring chains.
+    cjk_bigrams: bool = False
     # PerFieldPostingsFormat SPI (codecs/perfield/PerFieldPostingsFormat
     # .java:70): ((field, format), ...) pairs; '' = the main text field.
     # Formats: 'lucene84' (default FOR/PFor + VInt tail) and 'direct'
@@ -331,12 +338,21 @@ class IndexBuildConfig:
         if self.common_grams:
             clash = [f for f in ("word_delimiter", "word_delimiter_graph",
                                  "edge_ngram", "synonyms", "synonym_graph",
-                                 "stemmer", "token_filters")
+                                 "stemmer", "token_filters", "cjk_bigrams")
                      if getattr(self, f)]
             if clash:
                 raise ValueError(
                     f"common_grams builds bigrams from the raw token "
                     f"stream; incompatible with {clash}")
+        if self.cjk_bigrams:
+            clash = [f for f in ("word_delimiter", "word_delimiter_graph",
+                                 "edge_ngram", "synonyms", "synonym_graph",
+                                 "store_offsets", "payload_delimiter")
+                     if getattr(self, f)]
+            if clash:
+                raise ValueError(
+                    f"cjk_bigrams restructures the token stream; "
+                    f"incompatible with {clash}")
         if self.word_delimiter and self.word_delimiter_graph:
             raise ValueError(
                 "word_delimiter and word_delimiter_graph are two modes of "
@@ -408,6 +424,7 @@ class TokenizeExplode:
 
         self.stem = get_stemmer_cfg(cfg)
         self.common_grams = frozenset(cfg.get("common_grams") or ())
+        self.cjk = bool(cfg.get("cjk_bigrams"))
         self.tf_chain, self.tf_drops = build_chain(cfg.get("token_filters"))
         eg = cfg.get("edge_ngram") or ()
         self.edge_ngram = (int(eg[0]), int(eg[1])) if eg else None
@@ -500,7 +517,8 @@ class TokenizeExplode:
         # positions must come from the explicit slow path; 1:1 chains apply
         # vectorized on factorized uniques after the loop instead
         use_fast = (not self.stop and not wdg and not wdgraph and not so
-                    and not self.tf_drops and not self.common_grams)
+                    and not self.tf_drops and not self.common_grams
+                    and not self.cjk)
         drop_ch = self.tf_chain if self.tf_drops else None
         if wdg or wdgraph:
             from ..analysis import word_delimiter_parts
@@ -588,6 +606,12 @@ class TokenizeExplode:
                         keep = [m is not None for m in mapped]
                         terms = [m for m in mapped if m is not None]
                         positions = [p for p, k in zip(positions, keep) if k]
+            if self.cjk and terms:
+                from ..analysis.analyzers import cjk_bigram_stream
+
+                pos_l = (positions if positions is not None
+                         else list(range(len(terms))))
+                terms, positions = cjk_bigram_stream(terms, pos_l)
             if self.common_grams and len(terms) > 1:
                 # CommonGramsFilter.java:151 gramToken(): bigram stacks at
                 # the first word's position spanning both tokens' offsets;

@@ -728,6 +728,93 @@ def rewrite_common_grams(node, common: frozenset):
     return walk(node)
 
 
+def rewrite_cjk_bigrams(node):
+    """Query mirror of CJKBigramFilter (analysis/cjk/CJKBigramFilter
+    .java:52) for an index built with ``cjk_bigrams``.
+
+    The classic parser's analyzer splits a CJK run into single-char Terms
+    (like the reference's StandardTokenizer inside the query analyzer), so
+    the mirror re-merges runs of consecutive all-CJK tokens and re-emits
+    their character bigrams:
+
+    - inside a Phrase, the bigrams replace the run in place — phrase
+      positions line up with the index's shifted stream;
+    - in a Bool clause list, the run's bigrams become individual SHOULD/
+      MUST terms — the reference's default QueryBuilder behavior for a
+      multi-token chunk (autoGeneratePhraseQueries=false: "中国人" parses
+      to 中国 OR 国人); quote the run for exact-adjacency semantics.
+
+    Isolated single CJK chars stay unigram terms (that is how isolated
+    chars are indexed). List-adjacent single-char CJK Terms are treated as
+    one run — the parser does not preserve whether the user wrote a space
+    between them."""
+    from ..analysis.analyzers import _is_cjk_char
+
+    def _cjk(t: str) -> bool:
+        return bool(t) and all(_is_cjk_char(c) for c in t)
+
+    def bigram_seq(terms: list) -> list:
+        out: list = []
+        i = 0
+        while i < len(terms):
+            t = terms[i]
+            if not _cjk(t):
+                out.append(t)
+                i += 1
+                continue
+            j = i
+            chars = list(t)
+            while j + 1 < len(terms) and _cjk(terms[j + 1]):
+                j += 1
+                chars.extend(terms[j])
+            if len(chars) == 1:
+                out.append(chars[0])
+            else:
+                out.extend(chars[b] + chars[b + 1]
+                           for b in range(len(chars) - 1))
+            i = j + 1
+        return out
+
+    def clause_list(cs: list) -> list:
+        out: list = []
+        run: list = []
+        for c in cs:
+            if isinstance(c, Term) and _cjk(c.text):
+                run.append(c.text)
+                continue
+            if run:
+                out.extend(Term(t) for t in bigram_seq(run))
+                run = []
+            out.append(walk(c))
+        if run:
+            out.extend(Term(t) for t in bigram_seq(run))
+        return out
+
+    def walk(n):
+        if isinstance(n, Term):
+            g = bigram_seq([n.text])
+            if len(g) == 1:
+                return Term(g[0], n.boost)
+            return Phrase(tuple(g), n.boost, 0)
+        if isinstance(n, Phrase):
+            return Phrase(tuple(bigram_seq(list(n.terms))), n.boost, n.slop)
+        if isinstance(n, Bool):
+            return Bool(clause_list(n.must), clause_list(n.should),
+                        clause_list(n.must_not), clause_list(n.filter),
+                        n.min_should)
+        if isinstance(n, DisMax):
+            from dataclasses import replace
+
+            return replace(n, clauses=tuple(walk(c) for c in n.clauses))
+        if isinstance(n, ConstantScore):
+            return ConstantScore(walk(n.query), n.boost)
+        if isinstance(n, FunctionScore):
+            return FunctionScore(walk(n.query), n.expr, n.boost)
+        return n
+
+    return walk(node)
+
+
 def apply_stemmer(node, stem):
     """Apply an index-configured stemmer to the query's analyzed terms
     (Term/Phrase/Synonym/TermInSet/Fuzzy text). Pattern nodes (Prefix/

@@ -200,6 +200,10 @@ class IndexSearcher:
             from .query import rewrite_common_grams
 
             node = rewrite_common_grams(node, frozenset(cg))
+        if (self.reader.manifest.get("config") or {}).get("cjk_bigrams"):
+            from .query import rewrite_cjk_bigrams
+
+            node = rewrite_cjk_bigrams(node)
         from .multiterm import expand_terms, rewrite
         from .query import Fuzzy
 
