@@ -690,6 +690,43 @@ def q_ft_cjk(sf_dir):
     return t.take(pc.sort_indices(t["doc_id"]))
 
 
+def q_ft_metaphone(sf_dir):
+    """DoubleMetaphone phonetic indexing (analysis/phonetic/
+    DoubleMetaphoneFilter.java:31, inject=false primary codes; our
+    analysis/metaphone.py implements the published Philips 2000 algorithm,
+    golden-tested in tests/test_metaphone.py): every indexed token becomes
+    its primary code, the query term mirrors through the same chain, and
+    the oracle recomputes BM25 over a SQL CASE transliteration of the
+    encoder restricted to this corpus's closed vocabulary — any encoder
+    drift on ANY corpus word shifts df/dl and fails the hash."""
+    from lucene_solr_ray.index import IndexBuildConfig, build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    key = hashlib.md5((sf_dir + "|dmeta").encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE_ROOT, f"idx_{key}")
+    cfg = IndexBuildConfig(num_shards=4, num_buckets=8,
+                           token_filters=("double_metaphone",))
+    build_index(f"{sf_dir}/documents.parquet", index_dir,
+                key_col="doc_id", text_col="text", cfg=cfg, resume=True)
+    s = IndexSearcher(index_dir, dtype=np.float64)
+    return _round_col(s.match_all("fast"), "score")
+
+
+def _sql_ft_metaphone() -> str:
+    from lucene_solr_ray.analysis.metaphone import double_metaphone
+    from lucene_solr_ray.search import oracle_sql as osql
+
+    vocab = ["a", "agg", "batch", "big", "column", "customer", "data",
+             "dup", "fast", "filter", "group", "hash", "join", "key",
+             "line", "merge", "order", "part", "query", "row", "scan",
+             "slow", "small", "sort", "spark", "stream", "table", "the",
+             "value", "vector", "window"]
+    arms = "".join(
+        f" WHEN '{w}' THEN '{double_metaphone(w)[0] or w}'" for w in vocab)
+    case = f"CASE raw{arms} ELSE raw END"
+    return osql.sql_bm25_term(double_metaphone("fast")[0], term_expr=case)
+
+
 def q_ft_kstem(sf_dir):
     """KStem-analyzed index (KStemFilter.java:49 + KStemmer.java:71; our
     analysis/kstem.py, golden-verified against the reference's full 12130-
@@ -3479,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_kstem": q_ft_kstem,
         "ft_common_grams": q_ft_common_grams,
         "ft_cjk": q_ft_cjk,
+        "ft_metaphone": q_ft_metaphone,
         "ft_wdgf": q_ft_wdgf,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
@@ -3920,6 +3958,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_wdgf": osql.sql_phrase_docs("fast query"),
         "ft_common_grams": osql.sql_phrase_docs("the fast query"),
         "ft_cjk": osql.sql_phrase_docs("fast query"),
+        "ft_metaphone": _sql_ft_metaphone(),
         "ann_pq": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -104,6 +104,19 @@ for _chars, _d in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
         _SOUNDEX_MAP[_c.upper()] = _d
 
 
+def double_metaphone_filter(w: str) -> str:
+    """DoubleMetaphoneFilter with inject=false, primary code only
+    (analysis/phonetic/.../DoubleMetaphoneFilter.java:31, maxCodeLength 4;
+    the full (primary, alternate) encoder is analysis.metaphone
+    .double_metaphone — the 1:1 chain contract keeps the primary here;
+    unencodable tokens pass through, as the reference's filter keeps
+    non-convertible tokens)."""
+    from .metaphone import double_metaphone
+
+    p, _ = double_metaphone(w)
+    return p if p else w
+
+
 def soundex_filter(w: str) -> str:
     """American Soundex (the reference's PhoneticFilter + commons-codec
     Soundex, analysis/phonetic/PhoneticFilter.java:36, in replace mode):
@@ -237,6 +250,7 @@ _PLAIN = {
     "reverse": reverse_filter,
     "ascii_fold": ascii_fold_filter,
     "soundex": soundex_filter,
+    "double_metaphone": double_metaphone_filter,
     "apostrophe": apostrophe_filter,
     "german_normalization": german_normalization,
     "scandinavian_fold": scandinavian_fold,
