@@ -727,6 +727,47 @@ def _sql_ft_metaphone() -> str:
     return osql.sql_bm25_term(double_metaphone("fast")[0], term_expr=case)
 
 
+def q_geo_shape_relate(sf_dir):
+    """LatLonShape shape-vs-shape relates (document/LatLonShape.java:63
+    newGeometryQuery QueryRelation; search/shapes.py): every doc carries a
+    deterministic diamond polygon derived from doc_id, classified against
+    a fixed query box into INTERSECTS / WITHIN / CONTAINS / DISJOINT by
+    the general edge-crossing + containment relate; the oracle recomputes
+    the same classes in closed form (a diamond is the Manhattan ball, so
+    box relations are GREATEST/ABS arithmetic). Offsets are chosen so no
+    boundary ever lands exactly on the box (no FP knife edges)."""
+    from lucene_solr_ray.search.shapes import shape_relations
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        cy = (ids % 80) - 40 + 0.5
+        cx = ((ids * 7) % 160) - 80 + 0.5
+        r = 0.5 + (ids % 13) * 0.6
+        flat = np.empty(len(ids) * 8, np.float64)
+        flat[0::8] = cy + r
+        flat[1::8] = cx
+        flat[2::8] = cy
+        flat[3::8] = cx + r
+        flat[4::8] = cy - r
+        flat[5::8] = cx
+        flat[6::8] = cy
+        flat[7::8] = cx - r
+        offs = pa.array(np.arange(len(ids) + 1, dtype=np.int32) * 8)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shape": pa.ListArray.from_arrays(offs, pa.array(flat)),
+        })
+
+    shapes = ds.map_batches(mk, batch_format="pyarrow")
+    query = [(-10.05, -20.05), (-10.05, 20.05), (10.05, 20.05),
+             (10.05, -20.05)]
+    out = shape_relations(shapes, "doc_id", "shape", query)
+    t = _collect_arrow(out)
+    return t.take(pc.sort_indices(t["doc_id"]))
+
+
 def q_ft_kstem(sf_dir):
     """KStem-analyzed index (KStemFilter.java:49 + KStemmer.java:71; our
     analysis/kstem.py, golden-verified against the reference's full 12130-
@@ -3517,6 +3558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_common_grams": q_ft_common_grams,
         "ft_cjk": q_ft_cjk,
         "ft_metaphone": q_ft_metaphone,
+        "geo_shape_relate": q_geo_shape_relate,
         "ft_wdgf": q_ft_wdgf,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
@@ -3959,6 +4001,29 @@ def oracle_sql() -> dict[str, str]:
         "ft_common_grams": osql.sql_phrase_docs("the fast query"),
         "ft_cjk": osql.sql_phrase_docs("fast query"),
         "ft_metaphone": _sql_ft_metaphone(),
+        "geo_shape_relate": """
+            WITH s AS (
+              SELECT doc_id,
+                     (doc_id % 80) - 40 + 0.5 AS cy,
+                     ((doc_id * 7) % 160) - 80 + 0.5 AS cx,
+                     0.5 + (doc_id % 13) * 0.6 AS r
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                (GREATEST(-10.05 - cy, cy - 10.05, 0)
+                 + GREATEST(-20.05 - cx, cx - 20.05, 0)) <= r AS inter,
+                (cy - r >= -10.05 AND cy + r <= 10.05 AND
+                 cx - r >= -20.05 AND cx + r <= 20.05) AS de_within,
+                (GREATEST(ABS(-10.05 - cy), ABS(10.05 - cy))
+                 + GREATEST(ABS(-20.05 - cx), ABS(20.05 - cx))) <= r
+                  AS de_contains
+              FROM s)
+            SELECT doc_id,
+                   CASE WHEN NOT inter THEN 'DISJOINT'
+                        WHEN de_within THEN 'WITHIN'
+                        WHEN de_contains THEN 'CONTAINS'
+                        ELSE 'INTERSECTS' END AS relation
+            FROM c ORDER BY doc_id""",
         "ann_pq": """
             WITH q AS (
               SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
