@@ -3381,27 +3381,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
     driver gate over ALL entries regardless of window position.
     """
     return {
-        # ============== round-4 driver window (first 50) ===============
-        # Leads with everything round 4 changed: the rewritten perplexity
-        # join plumbing; the new SynonymGraphFilter / WARC-container /
-        # FastVectorHighlighter entries; flagship_corpus now running the
-        # id-only dedup_recrawls; minhash_pairs (vectorized Jaccard verify
-        # kernel); text_tagger (schema guard + dict dedupe); dv_stats
-        # (missing-count fix); semi/anti_join (the size-gated
-        # intersect/complement path). Then the longest-unverified tail
-        # entries the round-3 verdict named (ft_covering,
-        # ft_phrase_wildcard, facet2d, mm_audio_real, ann_pq, geo_heatmap)
-        # and the continuation-session entries that have NEVER been in a
-        # driver window (previously local-check_oracle evidence only).
-        # Everything rotated out below the boundary was driver-green in
-        # round 3 (CORRECTNESS_r03) or earlier, code untouched since.
-        "perplexity_buckets": q_perplexity,
-        "ft_synonym_index": q_ft_synonym_index,
-        "warc_extract": q_warc_extract,
+        # ============== round-5 driver window (first 50) ===============
+        # Leads with: the round-4 red row now fixed (curation_pipeline);
+        # the two converted no_oracle entries (ann_pq exact-rescore gate,
+        # ft_fvh term-vector offsets gate); the SIX new operators of this
+        # round (KStem, WordDelimiterGraph, CommonGrams, CJK bigrams,
+        # DoubleMetaphone, LatLonShape relates); every entry whose
+        # plumbing changed (safe_join migrations, (url,id) recrawl keys,
+        # segmented group_top_k/unique kernels, bounded facet top_n,
+        # extended-precision windows); the longest-unverified tail the
+        # round-4 verdict named (ft_dfi, ft_axiomatic, tdigest_quantiles,
+        # quality_eval, ft_multi_sim); and build-path representatives —
+        # the stage-1 checkpoint rewrite touched every index build.
+        "curation_pipeline": q_curation_pipeline,
+        "ann_pq": q_ann_pq,
         "ft_fvh": q_ft_fvh,
+        "ft_kstem": q_ft_kstem,
+        "ft_wdgf": q_ft_wdgf,
+        "ft_common_grams": q_ft_common_grams,
+        "ft_cjk": q_ft_cjk,
+        "ft_metaphone": q_ft_metaphone,
+        "geo_shape_relate": q_geo_shape_relate,
+        "dedup_clusters": q_dedup_clusters,
         "flagship_corpus": q_flagship_corpus,
+        "group_topk": q_group_topk,
+        "nested_facets": q_nested_facets,
+        "stream_expr": q_stream_expr,
+        "window_sliding": q_window_sliding,
+        "sessionize": q_sessionize,
+        "ft_facet_dv": q_ft_facet_dv,
+        "ft_facet_ssdv": q_ft_facet_ssdv,
+        "facet_taxonomy": q_facet_taxonomy,
+        "ft_dfi": q_ft_dfi,
+        "ft_axiomatic": q_ft_axiomatic,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "quality_eval": q_quality_eval,
+        "ft_multi_sim": q_ft_multi_sim,
+        "ft_bm25_term": q_ft_bm25_term,
+        "ft_phrase": q_ft_phrase,
+        "ft_sort_multi": q_ft_sort_multi,
+        "ft_span_near": q_ft_span_near,
+        "ft_after_delete": q_ft_after_delete,
+        "ft_points_range": q_ft_points_range,
+        "ft_rtg": q_ft_rtg,
+        "ft_wildcard": q_ft_wildcard,
+        "substr_dedup": q_substr_dedup,
+        "substr_scrub": q_substr_scrub,
+        "perplexity_buckets": q_perplexity,
         "minhash_pairs": q_minhash_pairs,
         "text_tagger": q_text_tagger,
+        "ft_synonym_index": q_ft_synonym_index,
+        "warc_extract": q_warc_extract,
+        "embedding_dups": q_embedding_dups,
+        "dedup_exact": q_dedup_exact,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "gopher_quality": q_gopher_quality,
+        "lang_id": q_lang_id,
+        "ann_ivf": q_ann_ivf,
+        "ann_topk": q_ann_topk,
+        "hll_distinct": q_hll_distinct,
+        "sort_topk": q_sort_topk,
+        "rollup_q1": q_rollup_q1,
+        "join_large": q_join_large,
+        # ================= driver window boundary (50) ==================
+        # Stable tail: driver-green in an earlier round, code unchanged,
+        # or re-gated locally via tools/check_oracle.py at sf0.01+sf0.1.
         "dv_stats": q_dv_stats,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -3409,7 +3453,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_wildcard": q_ft_phrase_wildcard,
         "facet2d": q_facet2d,
         "mm_audio_real": q_mm_audio_real,
-        "ann_pq": q_ann_pq,
         "geo_heatmap": q_geo_heatmap,
         "pii_scrub": q_pii_scrub,
         "url_hosts": q_url_hosts,
@@ -3422,19 +3465,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_pivot": q_facet_pivot,
         "urp_chain": q_urp_chain,
         "ft_bm25f": q_ft_bm25f,
-        "ann_ivf": q_ann_ivf,
         "ft_blended": q_ft_blended,
         "interval_facet": q_interval_facet,
         "ft_collate": q_ft_collate,
         "ft_expr_sort": q_ft_expr_sort,
         "ft_term_automaton": q_ft_term_automaton,
         "ft_word_break": q_ft_word_break,
-        "ft_rtg": q_ft_rtg,
         "ft_simple_query": q_ft_simple_query,
-        "gopher_quality": q_gopher_quality,
-        "dedup_paragraphs": q_dedup_paragraphs,
         "repetition_stats": q_repetition_stats,
-        "curation_pipeline": q_curation_pipeline,
         "ft_cluster": q_ft_cluster,
         "ft_surround": q_ft_surround,
         "ft_sweetspot": q_ft_sweetspot,
@@ -3443,18 +3481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dfr": q_ft_dfr,
         "ft_field_bm25": q_ft_field_bm25,
         "facet_refined": q_facet_refined,
-        "substr_scrub": q_substr_scrub,
-        "substr_dedup": q_substr_dedup,
-        # ================= driver window boundary (50) ==================
-        # Stable tail: driver-green in an earlier round (r1/r2/r3), or
-        # rows-only entries whose pipeline entry() smoke-checks.
-        "ft_dfi": q_ft_dfi,
-        "ft_axiomatic": q_ft_axiomatic,
-        "dedup_exact": q_dedup_exact,
-        "dedup_clusters": q_dedup_clusters,
         "simhash_sigs": q_simhash,
         "doc_fingerprint": q_fingerprint,
-        "embedding_dups": q_embedding_dups,
         "ft_payload": q_ft_payload,
         "ft_freetext": q_ft_freetext,
         "ft_term_vectors": q_ft_term_vectors,
@@ -3469,20 +3497,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ltr_trees": q_ft_ltr_trees,
         "ft_xml_query": q_ft_xml_query,
         "ft_diversified": q_ft_diversified,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "quality_eval": q_quality_eval,
-        "stream_expr": q_stream_expr,
-        "rollup_q1": q_rollup_q1,
-        "join_large": q_join_large,
         "stats_metrics": q_stats_metrics,
         "decontaminate": q_decontaminate,
         "ft_elevate": q_ft_elevate,
-        "ft_span_near": q_ft_span_near,
         "ft_complex_phrase": q_ft_complex_phrase,
         "c4_filters": q_c4_filters,
         "ft_mlt": q_ft_mlt,
         "relatedness": q_relatedness,
-        "ft_points_range": q_ft_points_range,
         "ft_expr_score": q_ft_expr_score,
         "ft_distance_feature": q_ft_distance_feature,
         "geo_box": q_geo_box,
@@ -3490,11 +3511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_gather": q_graph_gather,
         "ft_common_terms": q_ft_common_terms,
         "ft_iodv": q_ft_iodv,
-        "facet_taxonomy": q_facet_taxonomy,
         "mm_decode_real": q_mm_decode_real,
         "ft_sort_string": q_ft_sort_string,
-        "ft_facet_dv": q_ft_facet_dv,
-        "ft_facet_ssdv": q_ft_facet_ssdv,
         "ft_edismax": q_ft_edismax,
         "ft_sndv_range": q_ft_sndv_range,
         "ft_intervals": q_ft_intervals,
@@ -3504,40 +3522,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_lm_jm": q_ft_lm_jm,
         "ft_lm_dirichlet": q_ft_lm_dirichlet,
         "ft_ib": q_ft_ib,
-        "ft_multi_sim": q_ft_multi_sim,
         "ft_tfidf": q_ft_tfidf,
         "ft_ssdv_filter": q_ft_ssdv_filter,
         "ft_fuzzy_suggest": q_ft_fuzzy_suggest,
         "ft_iv_before": q_ft_iv_before,
-        "ft_sort_multi": q_ft_sort_multi,
         "ft_exists": q_ft_exists,
         "geo_distance": q_geo_distance,
         "geo_knn": q_geo_knn,
-        "ann_topk": q_ann_topk,
-        "ft_after_delete": q_ft_after_delete,
         "ft_field_filter": q_ft_field_filter,
         "ft_span_not": q_ft_span_not,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
-        "lang_id": q_lang_id,
         "join_orders_customer": q_join_orders_customer,
         "left_join": q_left_join,
         "significant_terms": q_significant_terms,
-        "hll_distinct": q_hll_distinct,
-        "group_topk": q_group_topk,
-        "window_sliding": q_window_sliding,
-        "sessionize": q_sessionize,
         "timeseries_daily": q_timeseries,
         "percentile_p50": q_percentile,
         "count_distinct": q_count_distinct,
-        "nested_facets": q_nested_facets,
         "drill_sideways": q_drill_sideways,
         "ft_prefix": q_ft_prefix,
-        "ft_wildcard": q_ft_wildcard,
+        "ft_highlight": q_ft_highlight,
         "ft_range": q_ft_range,
         "select_project": q_select_project,
         "filter_where": q_filter_where,
-        "sort_topk": q_sort_topk,
         "distinct_vals": q_distinct,
         "facet_lang": q_facet_lang,
         "range_facet": q_range_facet,
@@ -3554,20 +3561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_by_field": q_ft_sort_by_field,
         "ft_top_terms": q_ft_top_terms,
         "ft_stemmed": q_ft_stemmed,
-        "ft_kstem": q_ft_kstem,
-        "ft_common_grams": q_ft_common_grams,
-        "ft_cjk": q_ft_cjk,
-        "ft_metaphone": q_ft_metaphone,
-        "geo_shape_relate": q_geo_shape_relate,
-        "ft_wdgf": q_ft_wdgf,
         "ft_synonym": q_ft_synonym,
         "ft_facet_index": q_ft_facet_index,
         "ft_numeric_range": q_ft_numeric_range,
         "ft_bm25_or": q_ft_bm25_or,
-        "ft_highlight": q_ft_highlight,
         "ft_bm25_and": q_ft_bm25_and,
-        "ft_phrase": q_ft_phrase,
-        "ft_bm25_term": q_ft_bm25_term,
         "ft_term_df": q_ft_term_df,
         "ft_sort_early": q_ft_sort_early,
     }
