@@ -197,9 +197,26 @@ def _kstem(w: str) -> str:
 STEMMERS["kstem"] = _kstem
 
 
+_HUNSPELL_CACHE: dict = {}
+
+
 def get_stemmer(name: str | None):
     if not name:
         return None
+    if name.startswith("hunspell:"):
+        # "hunspell:<aff_path>:<dic_path>" — HunspellStemFilter role
+        # (hunspell/HunspellStemFilter.java:51, dedup + longestOnly);
+        # parsed once per worker process per dictionary pair
+        if name not in _HUNSPELL_CACHE:
+            _, aff, dic = name.split(":", 2)
+            from .hunspell import HunspellStemmer
+
+            with open(aff, encoding="utf-8", errors="replace") as f:
+                a = f.read()
+            with open(dic, encoding="utf-8", errors="replace") as f:
+                d = f.read()
+            _HUNSPELL_CACHE[name] = HunspellStemmer(a, d).filter_fn()
+        return _HUNSPELL_CACHE[name]
     try:
         return STEMMERS[name]
     except KeyError:
